@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions) as a (spark, sf_dir) -> DataFrame callable;
+`oracle_sql()` carries the DuckDB-equivalent SQL for the differential
+correctness gate.
+
+Cross-engine determinism policy (pinned by tools/check_correctness.py):
+- money sums accumulate in DECIMAL (order-independent, exact) and are
+  cast to double at the end — identical bits in Spark and DuckDB;
+- averages / ratios / correlations are rounded (4-6 dp) AFTER the
+  aggregate, far above both engines' fp noise;
+- anything random is keyed md5 hashing (engine-portable), never rand();
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +19,560 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from social_media_data_pipeline_spark import io as eio
+from social_media_data_pipeline_spark.functions import sketches, similarity, text as etext
+from social_media_data_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    sampling,
+    setops,
+    sort,
+    windows,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return eio.read_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent money sum: decimal accumulate → double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _revenue():
+    """extendedprice * (1 - discount), exact decimal arithmetic."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return price * disc
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue by region × order-year over the full star join
+    (broadcast dims → fact join → calendar bucket → agg → sort)."""
+    return q_region_revenue(spark, SF0001)
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters
+# --------------------------------------------------------------------------
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3+P4: equality filter, half-open year range, fixed projection."""
+    orders = _t(spark, sf_dir, "orders")
+    out = filters.filter_eq(orders, "o_orderstatus", "F")
+    out = filters.filter_by_year(out, "o_orderdate", 1996, 1999)
+    return filters.project(out, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+
+def q_filter_in_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P8+P9: substring any-of OR in-list, disjunctive combine."""
+    part = _t(spark, sf_dir, "part")
+    contains = F.lower(F.col("p_name")).rlike("green|ivory")
+    inlist = F.col("p_brand").isin(["Brand#11", "Brand#22"])
+    return filters.filter_any(part, contains, inlist).select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+
+
+def q_state_undone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+P11: done-predicate over a state-shaped table + anti-membership.
+
+    Events re-cast as a scrape-state table: an order is "done" if it has
+    a 'purchase'-status event-user... modeled directly on the harness
+    tables: customers whose account is settled (acctbal>=0) or in nation
+    0 are 'done'; return the undone remainder.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    done = cust.filter((F.col("c_acctbal") >= 0) | (F.col("c_nationkey") == 0))
+    return filters.filter_not_in(cust, done, "c_custkey").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 dedup / sampling
+# --------------------------------------------------------------------------
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2: deterministic first-wins dedup of lineitem per orderkey.
+
+    (l_orderkey, l_linenumber) is NOT unique in the harness data —
+    tie-break through partkey/suppkey so the survivor is total-ordered.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    out = dedup.dedup_first_wins(
+        li, ["l_orderkey"], [F.col("l_linenumber"), F.col("l_partkey"), F.col("l_suppkey")]
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+def q_sample_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: stratified cap — at most 100 orders per order-year, drawn by
+    keyed-hash permutation (deterministic seeded sample)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = sampling.sample_n_per_group(
+        orders.withColumn("order_year", F.year("o_orderdate")),
+        F.col("order_year"),
+        "o_orderkey",
+        n=100,
+        seed="42",
+    )
+    return out.select("order_year", "o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# §2.6 aggregations
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A5 (TPC-H Q1 shape): grouped sums/avgs/counts with exact
+    decimal accumulation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: tumbling calendar-day window over event time."""
+    ev = _t(spark, sf_dir, "events")
+    out = aggregates.group_by_time(
+        ev, "ts", "D", "value", how="count", bucket_name="day", out_name="n_events"
+    )
+    sums = (
+        ev.groupBy(aggregates.time_bucket("ts", "D").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return out.join(sums, "day").orderBy("day")
+
+
+def q_events_weekly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: two-level group — calendar week × event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.group_by_time(
+        ev,
+        "ts",
+        "W",
+        "value",
+        how="mean",
+        extra_groups=("event_type",),
+        bucket_name="week",
+        out_name="avg_value",
+    ).withColumn("avg_value", F.round("avg_value", 6))
+
+
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: explode → frequency table (hashtag value_counts analog),
+    top-50 with deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(etext.tokenize("text").alias("tokens"))
+    return sort.top_k(
+        aggregates.value_counts(toks, "tokens", out_value="token", out_count="n"),
+        [F.desc("n"), F.asc("token")],
+        50,
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: fixed-width histogram of extendedprice (width 5000)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.histogram(li, "l_extendedprice", 5000.0, out_bin="bin", out_count="n")
+
+
+def q_numeric_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: describe() analog over lineitem numerics (exact median)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = aggregates.describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column",
+        "count",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        "min",
+        F.round("median", 4).alias("median"),
+        "max",
+    ).orderBy("column")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-column profile of customer.c_mktsegment."""
+    cust = _t(spark, sf_dir, "customer")
+    out = aggregates.profile_column(cust, "c_mktsegment")
+    return out.select(
+        "column",
+        "missing",
+        "non_null",
+        "distinct",
+        F.array_join(F.col("values"), ",").alias("values_csv"),
+    )
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pairwise Pearson correlation matrix, long format."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = aggregates.correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_x", "col_y", F.round("corr", 6).alias("corr")).orderBy(
+        "col_x", "col_y"
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: day × event_type pivot (counts), explicit value list."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = aggregates.pivot_agg(
+        ev.withColumn("one", F.lit(1)),
+        aggregates.time_bucket("ts", "D"),
+        "day",
+        "event_type",
+        types,
+        "one",
+        how="count",
+    )
+    return out.select("day", *types).orderBy("day")
+
+
+def q_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-nation customer count as share of its region total
+    (window aggregate, no self-join)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        joins.join_small_dim(cust, nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    out = aggregates.relative_to_group(per_nation, ["n_regionkey"], "n_customers", "share")
+    return out.select(
+        "n_regionkey", "n_name", "n_customers", F.round("share", 6).alias("share")
+    )
+
+
+def q_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: scalar status frame via conditional aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    return aggregates.conditional_status_counts(
+        orders,
+        {
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_finished": F.col("o_orderstatus") == "F",
+            "n_urgent": F.col("o_orderpriority") == "1-URGENT",
+            "n_big": F.col("o_totalprice") > 200000,
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 joins, §2.9 set ops
+# --------------------------------------------------------------------------
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + A1/A2: broadcast dims → star join → region × year revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = joins.join_small_dim(
+        joins.join_small_dim(cust, nation, cust.c_nationkey == nation.n_nationkey),
+        region,
+        F.col("n_regionkey") == region.r_regionkey,
+    ).select("c_custkey", "r_name")
+    facts = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey", F.year("o_orderdate").alias("order_year"), _revenue().alias("rev")
+    )
+    return (
+        facts.join(dims, facts.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "order_year")
+        .agg(F.sum("rev").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "order_year")
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U3: anti join — customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = joins.anti_join(cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: semi join — customers with >=1 open ('O') order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    out = joins.semi_join(cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey")
+    return out.select("c_custkey", "c_name", "c_acctbal")
+
+
+def q_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: full-outer align of two aggregated daily series, zero-filled."""
+    ev = _t(spark, sf_dir, "events")
+    day = aggregates.time_bucket("ts", "D").alias("day")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return joins.align_time_series(clicks, purchases, "day").orderBy("day")
+
+
+def q_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: by-name union of two overlapping subsets, deduped on key."""
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return setops.union_by_name([big, y98]).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.7/2.8 windows / sorts / top-k
+# --------------------------------------------------------------------------
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: join + group + deterministic global top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+    return sort.top_k(rev, [F.desc("revenue"), F.asc("o_orderkey")], 20)
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 ranking: top-3 parts per brand by retailprice."""
+    part = _t(spark, sf_dir, "part")
+    out = windows.top_k_per_group(
+        part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 3, name="rank"
+    )
+    return out.select("p_brand", "p_partkey", "p_retailprice", "rank")
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 lag/lead: day-over-day delta of daily event counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(aggregates.time_bucket("ts", "D").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))).alias("delta"),
+    ).orderBy("day")
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 frame spec: running total of order value per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    with_dec = orders.withColumn("price_dec", F.col("o_totalprice").cast("decimal(18,2)"))
+    out = windows.running_total(
+        with_dec, "price_dec", ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("running_total").cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline: dedup / text / similarity over documents & embeddings
+# --------------------------------------------------------------------------
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5-of-normalized-text, min-id survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_exact_content(docs, "text", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint + duplicate-cluster sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(etext.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+    )
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens + BPE-ish estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            etext.token_count("text").alias("toks"),
+            etext.bpe_token_estimate("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("toks").alias("total_tokens"),
+            F.sum("bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("toks"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: per-document composite score, bucketed counts."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", etext.quality_score("text").alias("quality")
+    )
+    return (
+        scored.withColumn("q_bucket", F.floor(F.col("quality") * 10).cast("long"))
+        .groupBy("q_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("quality"), 6).alias("avg_q"))
+        .orderBy("q_bucket")
+    )
+
+
+def q_docs_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang: confusion counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), etext.detect_language("text").alias("detected"))
+        .groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "detected")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 hashes, 4 bands)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_k=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join at threshold 0.2."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (60-bit, md5-derived)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", sketches.simhash64("text").alias("simhash")).orderBy("doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (approximate; no SQL oracle — numpy planes).
+
+    Scale path for q_embedding_topk: candidates limited to one bucket.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_bucketed_topk(queries, emb, k=5, n_planes=6, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_project": q_filter_project,
+    "filter_in_contains": q_filter_in_contains,
+    "state_undone": q_state_undone,
+    "dedup_first_wins": q_dedup_first_wins,
+    "sample_per_year": q_sample_per_year,
+    "pricing_summary": q_pricing_summary,
+    "events_daily": q_events_daily,
+    "events_weekly_by_type": q_events_weekly_by_type,
+    "token_frequency": q_token_frequency,
+    "price_histogram": q_price_histogram,
+    "numeric_describe": q_numeric_describe,
+    "column_profile": q_column_profile,
+    "correlation": q_correlation,
+    "events_pivot": q_events_pivot,
+    "nation_share": q_nation_share,
+    "order_status_counts": q_order_status_counts,
+    "region_revenue": q_region_revenue,
+    "customers_no_orders": q_customers_no_orders,
+    "customers_with_open_orders": q_customers_with_open_orders,
+    "series_align": q_series_align,
+    "union_overlap": q_union_overlap,
+    "top_revenue_orders": q_top_revenue_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "events_lag_lead": q_events_lag_lead,
+    "running_revenue": q_running_revenue,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_language": q_docs_language,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,438 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Each statement mirrors the Spark computation exactly — same aliases,
+same decimal-accumulation / rounding policy, same md5-keyed determinism
+(see __spark_entry__ docstring). Tables are pre-registered DuckDB views
+over the same parquet files.
+
+DuckDB dialect notes (vs Spark SQL):
+- ``regexp_replace`` needs the explicit ``'g'`` flag (Spark replaces all);
+- ``date_trunc`` returns DATE at day+ granularity → cast ``::TIMESTAMP``;
+- ``SUM(int)`` returns HUGEINT → cast ``::BIGINT`` to match Spark's long.
+"""
+
+from __future__ import annotations
+
+# normalized text (shared by dedup/fingerprint/shingle oracles)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = "string_split_regex(lower(trim(coalesce(text,''))), '\\s+')"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["filter_project"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND year(o_orderdate) >= 1996 AND year(o_orderdate) < 1999
+"""
+
+ORACLES["filter_in_contains"] = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE regexp_matches(lower(p_name), 'green|ivory')
+   OR p_brand IN ('Brand#11', 'Brand#22')
+"""
+
+ORACLES["state_undone"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT c_custkey FROM customer WHERE c_acctbal >= 0 OR c_nationkey = 0
+)
+"""
+
+ORACLES["dedup_first_wins"] = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) = 1
+"""
+
+ORACLES["sample_per_year"] = """
+SELECT year(o_orderdate) AS order_year, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY year(o_orderdate)
+    ORDER BY md5(concat_ws('|', '42', o_orderkey::VARCHAR)), o_orderkey
+) <= 100
+"""
+
+ORACLES["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["events_daily"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       COUNT(value) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+ORACLES["events_weekly_by_type"] = """
+SELECT date_trunc('week', ts)::TIMESTAMP AS week,
+       event_type,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["token_frequency"] = f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+ORACLES["price_histogram"] = """
+SELECT floor(l_extendedprice / 5000.0)::BIGINT AS bin, COUNT(*) AS n
+FROM lineitem
+GROUP BY 1
+ORDER BY bin
+"""
+
+_DESCRIBE_COL = """
+SELECT '{c}' AS "column", COUNT({c}) AS count,
+       ROUND(AVG({c}), 4) AS mean, ROUND(STDDEV({c}), 4) AS std,
+       MIN({c})::DOUBLE AS min, ROUND(MEDIAN({c}), 4) AS median,
+       MAX({c})::DOUBLE AS max
+FROM lineitem
+"""
+ORACLES["numeric_describe"] = (
+    " UNION ALL ".join(
+        _DESCRIBE_COL.format(c=c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    + ' ORDER BY "column"'
+)
+
+ORACLES["column_profile"] = """
+SELECT 'c_mktsegment' AS "column",
+       SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+       COUNT(c_mktsegment) AS non_null,
+       COUNT(DISTINCT c_mktsegment) AS "distinct",
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS values_csv
+FROM customer
+"""
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+ORACLES["correlation"] = (
+    " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, ROUND(CORR({a}, {b}), 6) AS corr FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    )
+    + " ORDER BY col_x, col_y"
+)
+
+ORACLES["events_pivot"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+ORACLES["nation_share"] = """
+WITH per_nation AS (
+    SELECT n_regionkey, n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey, n_name
+)
+SELECT n_regionkey, n_name, n_customers,
+       ROUND(n_customers / SUM(n_customers) OVER (PARTITION BY n_regionkey), 6) AS share
+FROM per_nation
+"""
+
+ORACLES["order_status_counts"] = """
+SELECT COUNT(*) AS total,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_big
+FROM orders
+"""
+
+ORACLES["region_revenue"] = """
+SELECT r_name, year(o_orderdate) AS order_year,
+       SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, order_year
+ORDER BY r_name, order_year
+"""
+
+ORACLES["customers_no_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLES["customers_with_open_orders"] = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+"""
+
+ORACLES["series_align"] = """
+WITH clicks AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n_clicks
+    FROM events WHERE event_type = 'click' GROUP BY 1
+), purchases AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.day, p.day) AS day,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM clicks c FULL OUTER JOIN purchases p ON c.day = p.day
+ORDER BY day
+"""
+
+ORACLES["union_overlap"] = """
+SELECT DISTINCT o_orderkey, o_totalprice, o_orderstatus
+FROM (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE year(o_orderdate) = 1998
+)
+"""
+
+ORACLES["top_revenue_orders"] = """
+SELECT o_orderkey, o_orderdate,
+       SUM(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+"""
+
+ORACLES["top_parts_per_brand"] = """
+SELECT p_brand, p_partkey, p_retailprice,
+       row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+FROM part
+QUALIFY rank <= 3
+"""
+
+ORACLES["events_lag_lead"] = """
+WITH daily AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT day, n,
+       lag(n) OVER (ORDER BY day) AS prev_n,
+       lead(n) OVER (ORDER BY day) AS next_n,
+       n - COALESCE(lag(n) OVER (ORDER BY day), 0) AS delta
+FROM daily
+ORDER BY day
+"""
+
+ORACLES["running_revenue"] = """
+SELECT o_custkey, o_orderkey,
+       SUM(o_totalprice::DECIMAL(18,2)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::DOUBLE AS running_spend
+FROM orders
+"""
+
+ORACLES["docs_exact_dedup"] = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+"""
+
+ORACLES["docs_fingerprint"] = f"""
+SELECT md5({_NORM}) AS fp, COUNT(*) AS n_docs
+FROM documents
+GROUP BY fp
+ORDER BY n_docs DESC, fp
+"""
+
+ORACLES["docs_token_stats"] = f"""
+WITH scored AS (
+    SELECT source,
+           len({_TOKS}) AS toks,
+           ceil(len(regexp_extract_all(coalesce(text,''), '\\w+|[^\\w\\s]')) * 1.3)::BIGINT AS bpe
+    FROM documents
+)
+SELECT source,
+       SUM(toks)::BIGINT AS total_tokens,
+       SUM(bpe)::BIGINT AS total_bpe_tokens,
+       ROUND(AVG(toks), 4) AS avg_tokens
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["docs_quality"] = """
+WITH q AS (
+    SELECT doc_id,
+           ROUND(
+             least(length(coalesce(text,'')) / 500.0, 1.0) * 0.5
+             + (CASE WHEN
+                  length(regexp_replace(coalesce(text,''), '\\s+', '', 'g'))
+                    / greatest(len(string_split_regex(lower(trim(coalesce(text,''))), '\\s+')), 1)
+                  BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1 - (length(coalesce(text,''))
+                     - length(regexp_replace(coalesce(text,''), '[^\\w\\s]', '', 'g')))
+                    / greatest(length(coalesce(text,'')), 1)) * 0.2
+           , 6) AS quality
+    FROM documents
+)
+SELECT floor(quality * 10)::BIGINT AS q_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(quality), 6) AS avg_q
+FROM q
+GROUP BY 1
+ORDER BY q_bucket
+"""
+
+_LANGS = {
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+}
+
+
+def _lang_count(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANGS[lang])
+    return f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t)))"
+
+
+ORACLES["docs_language"] = f"""
+WITH scored AS (
+    SELECT lang AS labeled,
+           {_lang_count('de')} AS c_de,
+           {_lang_count('en')} AS c_en,
+           {_lang_count('es')} AS c_es,
+           {_lang_count('fr')} AS c_fr
+    FROM documents
+)
+SELECT labeled,
+       CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+            WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS detected,
+       COUNT(*) AS n
+FROM scored
+GROUP BY labeled, detected
+ORDER BY labeled, detected
+"""
+
+# ---- sketch oracles (shingles / minhash / simhash), built programmatically
+
+_SHINGLES = f"""
+CASE WHEN len(string_split({_NORM}, ' ')) >= 3 THEN
+    list_distinct(list_transform(
+        generate_series(1, len(string_split({_NORM}, ' ')) - 2),
+        i -> array_to_string((string_split({_NORM}, ' '))[i:i+2], ' ')))
+ELSE [{_NORM}] END
+"""
+
+_MINHASH_SIG = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat_ws('|', '{i}', s))))" for i in range(16)
+    )
+    + "]"
+)
+
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+)
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+ORDER BY id_a, id_b
+"""
+
+ORACLES["ngram_jaccard"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+_SIMHASH_VOTES = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+    for b in range(60)
+)
+
+ORACLES["simhash"] = f"""
+WITH th_t AS (
+    SELECT doc_id,
+           list_transform(list_distinct(string_split({_NORM}, ' ')),
+                          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+    FROM documents
+)
+SELECT doc_id, ({_SIMHASH_VOTES})::BIGINT AS simhash
+FROM th_t
+ORDER BY doc_id
+"""
+
+ORACLES["embedding_topk"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 20
+), c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec FROM embeddings
+), scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(
+             CASE WHEN sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec)) > 0
+                  THEN list_dot_product(q_vec, c_vec)
+                       / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec)))
+                  ELSE 0.0 END
+           , 6) AS cos
+    FROM c, q
+    WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""

@@ -1,0 +1,191 @@
+"""Near-duplicate sketches: MinHash+LSH, SimHash, n-gram Jaccard.
+
+LLM-pipeline dedup extensions (BASELINE.json north_star). All sketches
+hash with md5 so the DuckDB oracle can replay them; the `fast=True`
+variants switch to Spark's `xxhash64` (cheaper, JVM-native) for
+production runs where cross-engine determinism isn't needed.
+
+Scale shape (100 TB corpus):
+- signatures: narrow map-only pass (docs never shuffle).
+- LSH candidate generation: explode to (band, band_hash) — the ONLY
+  shuffle is on band_hash, and each band bucket is tiny by construction.
+- verification: candidate pairs joined back to signatures/shingles —
+  candidates ≪ n², never the n² cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions.text import normalize_text, shingles
+
+
+def _hash_str(col: Column, salt: Column | str, fast: bool) -> Column:
+    if fast:
+        return F.xxhash64(col, salt if isinstance(salt, Column) else F.lit(salt)).cast("string")
+    salt_c = salt if isinstance(salt, Column) else F.lit(str(salt))
+    return F.md5(F.concat_ws("|", salt_c, col))
+
+
+def _salted_hash_fn(salt: str, fast: bool):
+    """Single-param lambda factory (two-param lambdas get the array index
+    as arg 2 from PySpark's higher-order-function binding)."""
+
+    def f(s: Column) -> Column:
+        return _hash_str(s, salt, fast)
+
+    return f
+
+
+def minhash_signature(
+    text_col: str | Column, num_hashes: int = 16, shingle_k: int = 3, fast: bool = False
+) -> Column:
+    """MinHash signature: array of `num_hashes` minima over the doc's
+    shingle set under salted hashes. array<string> (md5 hex minima)."""
+    sh = shingles(text_col, shingle_k)
+    mins = [
+        F.array_min(F.transform(sh, _salted_hash_fn(str(i), fast)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """(doc, sig: array<string>) via explode → groupBy-min.
+
+    Plan shape matters here: computing the signature as 16 expressions
+    over the shingle ARRAY re-derives the shingle construction per hash
+    (Catalyst doesn't CSE across separate lambda trees — measured 90×
+    slower at sf0.1). Exploding shingles once and taking 16 `min`
+    aggregates is a single codegen'd pass with map-side partials, and at
+    100 TB the shuffle carries only (doc, 16×16B minima).
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("s")
+    )
+    mins = [
+        F.min(_hash_str(F.col("s"), str(i), fast)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    wide = exploded.groupBy("doc").agg(*mins)
+    return wide.select("doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing ANY band of
+    the MinHash signature. Returns distinct (id_a < id_b) pairs.
+
+    shingle → minhash → band → bucket-join; the join key is
+    (band_idx, band_hash) so bucket collisions never cross bands.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures_table(docs, id_col, text_col, num_hashes, shingle_k, fast)
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs with
+    |A∩B| / |A∪B| >= threshold.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    shingle (only co-occurring docs meet), count common, then
+    |A∪B| = |A|+|B|-common. The shuffle key is the shingle — no n² cross
+    join; hot shingles are the skew risk (prefilter ultra-common
+    shingles upstream at real scale).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: str | Column, fast: bool = False) -> Column:
+    """60-bit SimHash of the token set (md5-derived per-token hashes so
+    the oracle can replay; 60 bits keeps the value inside a signed int64
+    across engines).
+
+    Per token: h = first 15 hex chars of md5(token) as int. Per bit b:
+    +1 if set else -1, summed over tokens; fingerprint bit b = (sum > 0).
+    """
+    toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    tok_hash = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t) if not fast else F.hex(F.xxhash64(t)), 1, 15), 16, 10).cast("long"),
+    )
+    def _vote_fn(bit: int):
+        mask = F.lit(1 << bit).cast("long")
+
+        def f(acc: Column, h: Column) -> Column:
+            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+        return f
+
+    bit_votes = [F.aggregate(tok_hash, F.lit(0), _vote_fn(b)) for b in range(60)]
+    fp = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        fp = fp + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 SimHash fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

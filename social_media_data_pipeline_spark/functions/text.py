@@ -1,0 +1,132 @@
+"""Text-analysis column functions for document corpora.
+
+LLM-pipeline extensions over the reference's NLP surface (language
+detection `Translator.py:67-94`): language-ID heuristic, quality
+scoring, token counting, and document fingerprinting — all as built-in
+column expressions (no Python in the executor path; the reference runs
+spaCy per row under swifter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword-overlap
+# language-ID heuristic. Deliberately tiny and engine-portable; a real
+# deployment swaps in fastText/CLD3 behind the same column contract.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+}
+
+
+def tokenize(text_col: str | Column) -> Column:
+    """Whitespace tokenization of lowercased text → array<string>."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count (fast proxy; see `bpe_token_estimate`)."""
+    return F.size(tokenize(text_col))
+
+
+def bpe_token_estimate(text_col: str | Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs the way a byte-pair tokenizer roughly splits them.
+
+    ~`len(findall(\\w+|[^\\w\\s]))` scaled by avg 1.3 pieces/word —
+    deterministic and engine-portable.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"\w+|[^\w\s]"), F.lit(0)))
+    return F.ceil(words * F.lit(1.3)).cast("long")
+
+
+def _isin_fn(values: list[str]):
+    """Single-param lambda factory for F.filter/F.transform.
+
+    NB: a two-param lambda would make PySpark pass the ARRAY INDEX as the
+    second argument (the (x, i) higher-order-function form) — capturing
+    via closure avoids that foot-gun.
+    """
+
+    def f(t: Column) -> Column:
+        return t.isin(values)
+
+    return f
+
+
+def stopword_ratio(text_col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokenize(text_col)
+    hits = F.size(F.filter(toks, _isin_fn(STOPWORDS[lang])))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def punct_ratio(text_col: str | Column) -> Column:
+    """Fraction of characters that are non-alphanumeric, non-space."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite document quality in [0,1]: rewards moderate length and
+    word size, penalizes punctuation soup. Gopher-rules-flavored
+    heuristic, engine-portable (no model)."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    toks = tokenize(c)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    avg_word_len = F.length(F.regexp_replace(c, r"\s+", "")) / n_tok
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    word_len_ok = F.when((avg_word_len >= 3) & (avg_word_len <= 10), F.lit(1.0)).otherwise(0.5)
+    return F.round(
+        (len_score * F.lit(0.5) + word_len_ok * F.lit(0.3) + (1 - punct_ratio(c)) * F.lit(0.2)),
+        6,
+    ).cast("double")
+
+
+def detect_language(text_col: str | Column) -> Column:
+    """Stopword-overlap language-ID: argmax of per-language stopword hit
+    counts, 'und' (undetermined) when no list matches.
+
+    Engine-portable analog of F1 (`Translator.py:67-94`); swap in a
+    pandas_udf model for production accuracy behind the same contract.
+    """
+    toks = tokenize(text_col)
+    scored = None
+    for lang in sorted(STOPWORDS):
+        hits = F.size(F.filter(toks, _isin_fn(STOPWORDS[lang])))
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(entry["hits"] > scored["hits"], entry).otherwise(scored)
+    # iteration above keeps the FIRST (alphabetically smallest) lang on
+    # ties because later entries must strictly beat the champion
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.lower(F.trim(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s+", " ")))
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Document fingerprint: md5 of normalized text (exact-dup key)."""
+    return F.md5(normalize_text(text_col))
+
+
+def shingles(text_col: str | Column, k: int = 3) -> Column:
+    """k-word shingles (distinct) of normalized text — input to MinHash /
+    Jaccard. Built via transform over token index positions (no UDF)."""
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array(F.array_join(toks, " ")))

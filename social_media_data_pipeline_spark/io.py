@@ -1,0 +1,112 @@
+"""Table IO: parquet-first stage boundaries + reference-compatible CSV.
+
+Reference dataflow medium is CSV-on-disk between every stage
+(`stages.py:84`, `Preprocessing/Preprocessor.py:131`); arrays survive only
+via `literal_eval` string parsing (`Preprocessor.py:107`). The engine uses
+Parquet between stages (S2) and keeps a CSV adapter (S1) that re-parses
+the reference's stringified-array / timestamp columns on ingest only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S3/S9-style scan: one parquet table of the harness star schema.
+
+    Nanosecond parquet timestamps (events.ts) arrive as raw int64 under
+    `spark.sql.legacy.parquet.nanosAsLong`; convert to µs timestamps
+    (lossless — generator emits µs-aligned values).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every harness table as a temp view for spark.sql parity."""
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_stage_output(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """S2 sink: stage boundary materialization (parquet default, CSV adapter).
+
+    Reference: `df.to_csv(path)` at `Preprocessor.py:131`, `stages.py:84`.
+    """
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        # reference-compat: arrays stringified like Python lists
+        arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
+        for c in arr_cols:
+            df = df.withColumn(c, F.to_json(F.col(c)))
+        df.write.mode("overwrite").option("header", True).csv(path)
+        return
+    writer.parquet(path)
+
+
+def read_csv_with_arrays(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    array_cols: tuple[str, ...] = (),
+    timestamp_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """S1 scan: CSV with reference-style stringified arrays/timestamps.
+
+    Mirrors `pd.read_csv(path, converters={col: literal_eval, ts:
+    pd.to_datetime})` (`Preprocessor.py:107-108`). Arrays arrive as
+    Python-list strings (single quotes) — normalize then `from_json`.
+    """
+    str_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.name in array_cols or f.name in timestamp_cols else f.dataType,
+                True,
+            )
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(str_schema).option("header", True).csv(path)
+    for c in array_cols:
+        # tolerate python-ish single-quoted list strings on ingest only
+        normalized = F.regexp_replace(F.col(c), r"'", '"')
+        df = df.withColumn(c, F.from_json(normalized, T.ArrayType(T.StringType())))
+    for c in timestamp_cols:
+        df = df.withColumn(c, F.to_timestamp(F.col(c)))
+    return df.select(*[f.name for f in schema.fields])
+
+
+def stage_output_exists(spark: SparkSession, path: str) -> bool:
+    """S11 idempotent-skip guard: reference checks `os.path.exists(output)`
+    (`Preprocessor.py:102-104`, `orchestrator.py:46`); parquet analog is a
+    readable footer (cheap driver-side check, no job launch)."""
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False

@@ -1,0 +1,197 @@
+"""Aggregation operators (SURVEY.md §2.6, A1-A13).
+
+All built-in aggregates — partial (map-side) aggregation and AQE
+coalescing come free. The reference computes these with pandas groupby
+on a fully-materialized frame (`Exploration/plotting.py:50-67`,
+`Exploration/ExploratoryAnalysis.py:83-108`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# pandas Grouper freq → Spark date_trunc unit (`plotting.py:50-67`)
+_FREQ_TO_TRUNC = {
+    "Y": "year",
+    "Q": "quarter",
+    "M": "month",
+    "W": "week",
+    "D": "day",
+    "H": "hour",
+    "min": "minute",
+}
+
+_AGG_FUNCS = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "median": lambda c: F.median(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def time_bucket(ts_col: str, freq: str) -> Column:
+    """Tumbling CALENDAR window bucket — `date_trunc`, not fixed-duration
+    `F.window` (calendar months/quarters are irregular)."""
+    return F.date_trunc(_FREQ_TO_TRUNC[freq], F.col(ts_col))
+
+
+def group_by_time(
+    df: DataFrame,
+    ts_col: str,
+    freq: str,
+    agg_col: str,
+    how: str = "count",
+    extra_groups: Sequence[str] = (),
+    bucket_name: str = "bucket",
+    out_name: str | None = None,
+) -> DataFrame:
+    """A1/A2 — group by tumbling calendar window (+ optional category).
+
+    Reference: `group_and_aggregate` (`plotting.py:50-67`) with freq in
+    {Y,Q,M,W,D} and agg in {count,sum,mean,median}; two-level variant at
+    `plotting.py:224,291`.
+    """
+    out_name = out_name or f"{how}_{agg_col}"
+    bucket = time_bucket(ts_col, freq).alias(bucket_name)
+    groups = [bucket, *[F.col(c) for c in extra_groups]]
+    return df.groupBy(*groups).agg(_AGG_FUNCS[how](F.col(agg_col)).alias(out_name))
+
+
+def value_counts(
+    df: DataFrame, array_col: str, out_value: str = "value", out_count: str = "count"
+) -> DataFrame:
+    """A3 — explode array → frequency table, descending (ties broken by
+    value for determinism).
+
+    Reference: hashtag `value_counts` (`ExploratoryAnalysis.py:88-89`).
+    """
+    return (
+        df.select(F.explode(F.col(array_col)).alias(out_value))
+        .groupBy(out_value)
+        .agg(F.count(F.lit(1)).alias(out_count))
+        .orderBy(F.desc(out_count), F.asc(out_value))
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, bin_width: float, out_bin: str = "bin", out_count: str = "count"
+) -> DataFrame:
+    """A4 — fixed-width histogram via floor-bucketing (single group-by;
+    no driver-side numpy `hist`).
+
+    Reference: `hist(bins=30)` (`ExploratoryAnalysis.py:92-99`). The
+    engine uses explicit bin width so results are scale-independent.
+    """
+    bin_expr = F.floor(F.col(col) / F.lit(bin_width)).cast("long").alias(out_bin)
+    return df.groupBy(bin_expr).agg(F.count(F.lit(1)).alias(out_count)).orderBy(out_bin)
+
+
+def describe_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A5 — count/mean/std/min/median/max per numeric column, one row per
+    column (exact median, not approx — SURVEY §7.2 pins this).
+
+    Reference: `df.describe()` (`ExploratoryAnalysis.py:31`).
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.struct(
+                F.count(F.col(c)).alias("count"),
+                F.avg(F.col(c)).alias("mean"),
+                F.stddev(F.col(c)).alias("std"),
+                F.min(F.col(c)).cast("double").alias("min"),
+                F.median(F.col(c)).alias("median"),
+                F.max(F.col(c)).cast("double").alias("max"),
+            ).alias(c)
+        )
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}`" for c in cols)
+    return (
+        wide.select(F.expr(f"stack({len(cols)}, {stack_expr}) as (column, stats)"))
+        .select(
+            "column",
+            F.col("stats.count").alias("count"),
+            F.col("stats.mean").alias("mean"),
+            F.col("stats.std").alias("std"),
+            F.col("stats.min").alias("min"),
+            F.col("stats.median").alias("median"),
+            F.col("stats.max").alias("max"),
+        )
+    )
+
+
+def profile_column(df: DataFrame, col: str, distinct_cap: int = 20) -> DataFrame:
+    """A6 — per-column profile: missing / non-null / distinct count, plus
+    the sorted distinct values when few (`summarize`,
+    `ExploratoryAnalysis.py:33-44`)."""
+    c = F.col(col)
+    agg = df.agg(
+        F.sum(c.isNull().cast("long")).alias("missing"),
+        F.count(c).alias("non_null"),
+        F.countDistinct(c).alias("distinct"),
+        F.sort_array(F.collect_set(c.cast("string"))).alias("values"),
+    )
+    return agg.select(
+        F.lit(col).alias("column"),
+        "missing",
+        "non_null",
+        "distinct",
+        F.when(F.col("distinct") <= distinct_cap, F.col("values")).alias("values"),
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A7 — pairwise Pearson over numeric cols, long format
+    (col_x, col_y, corr). Reference: `df.corr()` (`plotting.py:14-21`).
+
+    Single-pass: all pairwise `F.corr` aggregates in one job.
+    """
+    aggs = [
+        F.corr(F.col(a), F.col(b)).alias(f"{a}|{b}") for i, a in enumerate(cols) for b in cols[i:]
+    ]
+    row = df.agg(*aggs)
+    pairs = ", ".join(f"'{a}', '{b}', `{a}|{b}`" for i, a in enumerate(cols) for b in cols[i:])
+    n = sum(1 for i, _ in enumerate(cols) for _ in cols[i:])
+    return row.select(F.expr(f"stack({n}, {pairs}) as (col_x, col_y, corr)"))
+
+
+def pivot_agg(
+    df: DataFrame,
+    row_expr: Column,
+    row_name: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_col: str,
+    how: str = "sum",
+) -> DataFrame:
+    """A8 — group → columns pivot (`plotting.py:305`). Passing explicit
+    `pivot_values` avoids the extra distinct-scan job Spark otherwise
+    runs to discover them."""
+    return (
+        df.groupBy(row_expr.alias(row_name))
+        .pivot(pivot_col, list(pivot_values))
+        .agg(_AGG_FUNCS[how](F.col(value_col)))
+        .na.fill(0)
+    )
+
+
+def relative_to_group(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, out_name: str = "share"
+) -> DataFrame:
+    """A9 — divide each value by its group total — window aggregate, no
+    self-join. Reference: `plotting.py:238-241,315-316`."""
+    w = Window.partitionBy(*group_cols)
+    return df.withColumn(out_name, F.col(value_col) / F.sum(value_col).over(w))
+
+
+def conditional_status_counts(df: DataFrame, conditions: dict[str, Column]) -> DataFrame:
+    """A12 — scalar status frame: one conditional count per named
+    predicate (`InstagramImageScraper.py:162-191`)."""
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in conditions.items()]
+    return df.agg(F.count(F.lit(1)).alias("total"), *aggs)

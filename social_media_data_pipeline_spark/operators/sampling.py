@@ -1,0 +1,49 @@
+"""Stratified / capped sampling (SURVEY.md §2.3 D3).
+
+Reference: `select_n_images_per_year` (`Preprocessor.py:198-217`) draws
+`np.random.choice` n rows per year without replacement and FLAGS (not
+deletes) the non-selected rows via `scrape_image=False`. That is a
+per-group random top-k — exactly `row_number` over a random order.
+
+The engine makes the draw deterministic: ordering by a keyed hash
+(md5 of the row key + seed) is a fixed uniform-ish permutation, so tests
+and the DuckDB oracle reproduce it bit-for-bit (SURVEY.md §7.2 risk
+item). One shuffle on the stratum key; no driver-side per-group loop
+(the reference loops over `df[ts].dt.year.unique()` on the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _keyed_hash(key_col: str, seed: str) -> Column:
+    return F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_expr: Column,
+    key_col: str,
+    n: int,
+    seed: str = "42",
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Per-group cap: keep (or flag) at most `n` rows per group.
+
+    - `flag_col=None`: rows beyond the cap are dropped.
+    - `flag_col="scrape_image"`: reference semantics — all rows kept,
+      selected ones flagged True (`Preprocessor.py:214-216`).
+    - `n < 0`: no-op cap (reference `max_images_per_year -1` disables).
+    """
+    if n < 0:
+        return df.withColumn(flag_col, F.lit(True)) if flag_col else df
+    w = Window.partitionBy(group_expr).orderBy(
+        _keyed_hash(key_col, seed), F.col(key_col)
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if flag_col is not None:
+        return ranked.withColumn(flag_col, F.col("__rn") <= F.lit(n)).drop("__rn")
+    return ranked.filter(F.col("__rn") <= F.lit(n)).drop("__rn")

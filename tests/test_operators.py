@@ -1,0 +1,189 @@
+"""Unit tests for SURVEY.md §2 operators on tiny in-memory frames,
+pinning the reference's edge-case semantics (half-open year range,
+first-wins dedup, sampling cap invariant, by-name union null-fill)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.operators import (
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    sampling,
+    setops,
+    sort,
+    windows,
+)
+
+
+def ts(y, m=1, d=1):
+    return dt.datetime(y, m, d)
+
+
+@pytest.fixture(scope="module")
+def posts(spark):
+    rows = [
+        ("1", "aaa", ts(2010, 5, 1), False, ["Art", "museum"], 10, 2),
+        ("2", "bbb", ts(2012, 6, 2), True, ["ART"], 5, 0),
+        ("3", "ccc", ts(2015, 7, 3), False, [], 7, 1),
+        ("4", "aaa", ts(2019, 8, 4), False, ["travel"], 3, 4),
+        ("5", "ddd", ts(2020, 1, 1), False, None, 0, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "id string, shortcode string, timestamp timestamp, is_video boolean, hashtags array<string>, likes long, comment_count long"
+    )
+
+
+class TestFilters:
+    def test_year_range_half_open(self, posts):
+        # P4: [2010, 2020) keeps 2010..2019, drops 2020
+        out = filters.filter_by_year(posts, "timestamp", 2010, 2020)
+        assert {r.id for r in out.collect()} == {"1", "2", "3", "4"}
+
+    def test_filter_eq(self, posts):
+        out = filters.filter_eq(posts, "is_video", False)
+        assert out.count() == 4
+
+    def test_array_overlap_include(self, posts):
+        out = filters.filter_array_overlaps(posts, "hashtags", ["museum", "x"])
+        assert [r.id for r in out.collect()] == ["1"]
+
+    def test_array_overlap_exclude_keeps_null_and_empty(self, posts):
+        out = filters.filter_array_disjoint(posts, "hashtags", ["travel"])
+        assert {r.id for r in out.collect()} == {"1", "2", "3", "5"}
+
+    def test_text_contains_any_lowercases(self, spark):
+        df = spark.createDataFrame([("Great MUSEUM day",), ("beach",), (None,)], "caption string")
+        out = filters.filter_text_contains_any(df, "caption", ["Museum"])
+        assert out.count() == 1
+
+    def test_not_in_anti(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        done = spark.createDataFrame([(2,), (2,)], "k int")
+        out = filters.filter_not_in(df, done, "k")
+        assert {r.k for r in out.collect()} == {1, 3}
+
+    def test_select_numeric_columns(self, posts):
+        out = filters.select_numeric_columns(posts)
+        assert set(out.columns) == {"likes", "comment_count"}
+
+
+class TestDedup:
+    def test_first_wins_on_order(self, posts):
+        # ids 1 and 4 share shortcode 'aaa'; earlier timestamp wins
+        out = dedup.dedup_first_wins(posts, ["shortcode"], [F.col("timestamp")])
+        survivors = {r.id for r in out.collect()}
+        assert "1" in survivors and "4" not in survivors
+        assert out.count() == 4
+
+    def test_exact_content_normalizes_whitespace_case(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string"
+        )
+        out = dedup.dedup_exact_content(df, "text", "doc_id")
+        assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+class TestSampling:
+    def test_cap_invariant_and_flag(self, spark):
+        rows = [(i, ts(2010 + i % 2, 1 + i % 12, 1)) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, timestamp timestamp")
+        out = sampling.sample_n_per_group(
+            df, F.year("timestamp"), "id", n=5, flag_col="scrape_image"
+        )
+        assert out.count() == 40  # flag mode keeps all rows
+        per_year = (
+            out.filter("scrape_image")
+            .groupBy(F.year("timestamp"))
+            .count()
+            .collect()
+        )
+        assert all(r["count"] == 5 for r in per_year)
+
+    def test_negative_n_disables(self, spark):
+        df = spark.createDataFrame([(1, ts(2010))], "id long, timestamp timestamp")
+        out = sampling.sample_n_per_group(
+            df, F.year("timestamp"), "id", n=-1, flag_col="scrape_image"
+        )
+        assert out.collect()[0].scrape_image is True
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame([(i, ts(2010)) for i in range(20)], "id long, timestamp timestamp")
+        a = sampling.sample_n_per_group(df, F.year("timestamp"), "id", n=3)
+        b = sampling.sample_n_per_group(df, F.year("timestamp"), "id", n=3)
+        assert sorted(r.id for r in a.collect()) == sorted(r.id for r in b.collect())
+
+
+class TestAggregates:
+    def test_group_by_time_calendar_week_is_monday(self, spark):
+        # 2024-01-03 is a Wednesday; its week bucket starts Mon 2024-01-01
+        df = spark.createDataFrame([(dt.datetime(2024, 1, 3, 4), 1.0)], "ts timestamp, v double")
+        out = aggregates.group_by_time(df, "ts", "W", "v", how="count", bucket_name="wk")
+        assert out.collect()[0].wk == dt.datetime(2024, 1, 1)
+
+    def test_value_counts_desc_with_tiebreak(self, spark):
+        df = spark.createDataFrame([(["b", "a", "b", "c", "a"],)], "tags array<string>")
+        out = aggregates.value_counts(df, "tags", out_value="tag", out_count="n").collect()
+        assert [(r.tag, r.n) for r in out] == [("a", 2), ("b", 2), ("c", 1)]
+
+    def test_histogram_bins(self, spark):
+        df = spark.createDataFrame([(0.5,), (9.9,), (10.0,), (25.0,)], "x double")
+        out = aggregates.histogram(df, "x", 10.0).collect()
+        assert [(r["bin"], r["count"]) for r in out] == [(0, 2), (1, 1), (2, 1)]
+
+    def test_describe_exact_median(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (4.0,), (8.0,)], "x double")
+        row = aggregates.describe_numeric(df, ["x"]).collect()[0]
+        assert row.median == 3.0 and row["count"] == 4 and row.min == 1.0
+
+    def test_relative_to_group(self, spark):
+        df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 2.0)], "g string, v double")
+        out = {(r.g, r.v): r.share for r in aggregates.relative_to_group(df, ["g"], "v").collect()}
+        assert out[("a", 1.0)] == 0.25 and out[("b", 2.0)] == 1.0
+
+    def test_profile_column(self, spark):
+        df = spark.createDataFrame([("x",), ("y",), (None,)], "c string")
+        row = aggregates.profile_column(df, "c").collect()[0]
+        assert row.missing == 1 and row.non_null == 2 and row.distinct == 2
+        assert list(row["values"]) == ["x", "y"]
+
+
+class TestJoinsSetopsSort:
+    def test_union_by_name_fills_missing(self, spark):
+        a = spark.createDataFrame([(1, "x")], "k int, a string")
+        b = spark.createDataFrame([(2, "y")], "k int, b string")
+        out = setops.union_by_name([a, b])
+        rows = {r.k: (r.a, r.b) for r in out.collect()}
+        assert rows[1] == ("x", None) and rows[2] == (None, "y")
+
+    def test_align_time_series_zero_fills(self, spark):
+        a = spark.createDataFrame([(ts(2020), 2)], "day timestamp, n_a long")
+        b = spark.createDataFrame([(ts(2021), 3)], "day timestamp, n_b long")
+        out = {r.day.year: (r.n_a, r.n_b) for r in joins.align_time_series(a, b, "day").collect()}
+        assert out[2020] == (2, 0) and out[2021] == (0, 3)
+
+    def test_explode_post_images_existence(self, spark):
+        posts = spark.createDataFrame(
+            [("s1", "m1.jpg", ["a1.jpg", "a2.jpg"]), ("s2", "m2.jpg", None)],
+            "shortcode string, image string, album_images array<string>",
+        )
+        listing = spark.createDataFrame([("m1.jpg",), ("a2.jpg",)], "image_file string")
+        out = joins.explode_post_images(posts, listing)
+        assert {r.image_file for r in out.collect()} == {"m1.jpg", "a2.jpg"}
+
+    def test_top_k_array(self, spark):
+        df = spark.createDataFrame([([3.0, 1.0, 5.0, 2.0],)], "arr array<double>")
+        out = df.select(sort.top_k_array(F.col("arr"), 2).alias("top")).collect()[0]
+        assert list(out.top) == [5.0, 3.0]
+
+    def test_top_k_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v int"
+        )
+        out = windows.top_k_per_group(df, ["g"], [F.desc("v")], 2)
+        assert out.filter("g = 'a'").count() == 2 and out.filter("g = 'b'").count() == 1

@@ -1,0 +1,122 @@
+"""Tests for the LLM-pipeline text / sketch / similarity functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions import sketches, similarity
+from social_media_data_pipeline_spark.functions import text as etext
+
+
+def one(df, col):
+    return df.collect()[0][col]
+
+
+class TestText:
+    def test_tokenize_and_count(self, spark):
+        df = spark.createDataFrame([("Hello  World foo",)], "text string")
+        assert one(df.select(etext.token_count("text").alias("n")), "n") == 3
+
+    def test_token_count_null(self, spark):
+        df = spark.createDataFrame([(None,)], "text string")
+        assert one(df.select(etext.token_count("text").alias("n")), "n") == 1  # [''] edge
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame([("A  b\tC", "a b c")], "t1 string, t2 string")
+        row = df.select(
+            etext.fingerprint("t1").alias("f1"), etext.fingerprint("t2").alias("f2")
+        ).collect()[0]
+        assert row.f1 == row.f2
+
+    def test_detect_language(self, spark):
+        df = spark.createDataFrame(
+            [("the cat is in the house and it is big",),
+             ("el gato es grande y la casa es una maravilla",),
+             ("zzz qqq www",)],
+            "text string",
+        )
+        out = [r.lang for r in df.select(etext.detect_language("text").alias("lang")).collect()]
+        assert out == ["en", "es", "und"]
+
+    def test_quality_score_bounds(self, spark):
+        df = spark.createDataFrame([("a decent length sentence with several words",), ("",)], "text string")
+        scores = [r.q for r in df.select(etext.quality_score("text").alias("q")).collect()]
+        assert all(0.0 <= s <= 1.0 for s in scores)
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+        rows = df.select(etext.shingles("text", 3).alias("sh")).collect()
+        assert sorted(rows[0].sh) == ["a b c", "b c d"]
+        assert rows[1].sh == ["a b"]  # shorter than k → whole text
+
+
+class TestSketches:
+    def test_minhash_identical_docs_same_signature(self, spark):
+        df = spark.createDataFrame(
+            [("one two three four five",), ("one two three four five",)], "text string"
+        )
+        sigs = [tuple(r.s) for r in df.select(sketches.minhash_signature("text").alias("s")).collect()]
+        assert sigs[0] == sigs[1]
+        assert len(set(sigs[0])) > 1  # salts actually differ (regression: index-capture bug)
+
+    def test_lsh_finds_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " tail"), (3, "completely different words everywhere here")],
+            "doc_id long, text string",
+        )
+        pairs = sketches.minhash_lsh_pairs(df, "doc_id", "text").collect()
+        assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+
+    def test_jaccard_identical_is_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        out = sketches.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+        assert len(out) == 1 and out[0].jaccard == 1.0
+
+    def test_simhash_close_for_near_dups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon eta"),
+             (3, "totally unrelated content words here")],
+            "doc_id long, text string",
+        )
+        fps = {r.doc_id: r.s for r in df.select("doc_id", sketches.simhash64("text").alias("s")).collect()}
+        d12 = bin(fps[1] ^ fps[2]).count("1")
+        d13 = bin(fps[1] ^ fps[3]).count("1")
+        assert d12 < d13
+
+
+class TestSimilarity:
+    def test_cosine_known_vectors(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+            "a array<double>, b array<double>",
+        )
+        out = [r.c for r in df.select(F.round(similarity.cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+        assert out == [0.0, 1.0]
+
+    def test_brute_force_topk_ranks(self, spark):
+        vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = similarity.brute_force_topk(df.filter("vec_id = 0"), df, k=2).collect()
+        assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [3, 1]
+
+    def test_lsh_bucket_recall_on_clusters(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        centers = [rng.standard_normal(8) for _ in range(2)]
+        rows = []
+        for i in range(20):
+            c = centers[i % 2]
+            rows.append((i, (c + rng.standard_normal(8) * 0.01).tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.lsh_bucketed_topk(
+            df.filter("vec_id < 2"), df, k=3, n_planes=4, dim=8
+        ).collect()
+        # same-cluster points land in the same bucket → neighbors share parity
+        for r in out:
+            assert r.neighbor_id % 2 == r.query_id % 2
