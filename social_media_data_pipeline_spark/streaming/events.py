@@ -1,0 +1,158 @@
+"""Streaming event processing (SURVEY.md §2.11 mappings).
+
+| reference behavior | here |
+|---|---|
+| tumbling calendar windows over post time (`plotting.py:50-67`) | `windowed_counts` (event-time window + watermark) |
+| dedup-on-natural-key after merge (`InstagramFeedScraper.py:220`) | `dedup_stream` (watermarked dropDuplicates) |
+| checkpoint-every-100-rows translation (`Translator.py:121-144`) | `merge_new_rows` foreachBatch idempotent keyed merge |
+
+All helpers operate on a streaming DataFrame; tests drive them with a
+parquet-dir source + `Trigger.AvailableNow` (bounded, offline). On a
+cluster the same code runs continuously against kafka/files with
+checkpointed offsets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over a directory of parquet parts.
+
+    `maxFilesPerTrigger` is the ingest throttle — the streaming analog of
+    the reference's politeness sleeps (`InstagramFeedScraper.py:163`).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_groups: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tumbling event-time window + watermark for late data.
+
+    Calendar grains (month/quarter) don't exist as stream windows —
+    batch uses `date_trunc` (A1); streams use fixed-duration windows,
+    rolled up to calendar grains downstream.
+    """
+    groups = [F.window(F.col(ts_col), window).alias("win"), *[F.col(c) for c in extra_groups]]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*groups)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *extra_groups,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once on a natural key: watermark bounds the
+    dedup state so it doesn't grow forever (the batch analog is D2)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def merge_new_rows(
+    batch_df: DataFrame, output_dir: str, key: str
+) -> None:
+    """foreachBatch body: idempotent keyed merge into a parquet table —
+    rows whose key already exists are skipped (anti-join), so re-run /
+    retry never duplicates work. This is the reference's resumable
+    translation checkpoint (`Translator.py:121-144`) with the state
+    made explicit.
+    """
+    spark = batch_df.sparkSession
+    if os.path.isdir(output_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(output_dir)
+    ):
+        existing = spark.read.parquet(output_dir).select(key)
+        fresh = batch_df.join(existing, key, "left_anti")
+    else:
+        fresh = batch_df
+    fresh.write.mode("append").parquet(output_dir)
+
+
+def run_incremental_merge(
+    stream: DataFrame, output_dir: str, checkpoint_dir: str, key: str
+) -> None:
+    """Checkpointed incremental pipeline: each micro-batch merges only
+    unseen keys; offsets in `checkpoint_dir` make restarts resume where
+    they left off (S12 scrape-state store, engine-native)."""
+    (
+        stream.writeStream.foreachBatch(
+            lambda df, _epoch: merge_new_rows(df, output_dir, key)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session windows, batch formulation: a session breaks when the gap
+    to the previous event exceeds `gap_minutes` (lag + running sum of
+    break flags). SQL-expressible → oracle-checkable; the streaming
+    equivalent is `F.session_window(ts, gap)`.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return (
+        events.withColumn(
+            "is_new_session",
+            F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("is_new_session")
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """True streaming session windows (stateful, watermark-bounded)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )

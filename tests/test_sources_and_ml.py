@@ -1,0 +1,187 @@
+"""Tests: REST-shaped incremental sources (resume/retry semantics),
+binary metadata decode, ML inference UDF harness, NLP translate stage."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark import nlp
+from social_media_data_pipeline_spark.ml import inference, models
+from social_media_data_pipeline_spark.sources import binary as binary_source
+from social_media_data_pipeline_spark.sources import rest
+
+
+def feed_pages(n=3):
+    return [
+        {
+            "items": [{"id": str(100 + p), "shortcode": f"SC{p}", "likes": p}],
+            "end_cursor": f"cur{p}",
+            "has_more": p < n - 1,
+        }
+        for p in range(n)
+    ]
+
+
+class TestCursorSource:
+    def test_scrapes_all_pages_and_extracts(self, spark, tmp_path):
+        client = rest.OfflineStubClient(pages={"feed/x": feed_pages()})
+        src = rest.CursorFeedSource(client=client, url="feed/x", bronze_dir=str(tmp_path / "b"))
+        state = src.scrape()
+        assert state["done"] and state["pages"] == 3
+        df = src.to_dataframe(spark)
+        assert df.count() == 3 and set(df.columns) == {"id", "shortcode", "likes"}
+
+    def test_resume_mid_stream(self, spark, tmp_path):
+        pages = feed_pages(4)
+        client = rest.OfflineStubClient(pages={"feed/x": pages})
+        src = rest.CursorFeedSource(
+            client=client, url="feed/x", bronze_dir=str(tmp_path / "b"), max_pages=2
+        )
+        state = src.scrape()
+        assert state["pages"] == 2 and not state["done"]
+        # new source instance (fresh process) picks up from the state file
+        client2 = rest.OfflineStubClient(pages={"feed/x": pages[2:]})
+        src2 = rest.CursorFeedSource(client=client2, url="feed/x", bronze_dir=str(tmp_path / "b"))
+        state = src2.scrape()
+        assert state["done"] and state["pages"] == 4
+        assert client2.calls == 2  # only the remaining pages were fetched
+
+    def test_retry_budget_exhaustion_stops_cleanly(self, tmp_path):
+        client = rest.OfflineStubClient(pages={"feed/x": feed_pages()}, failures={"feed/x": 99})
+        src = rest.CursorFeedSource(
+            client=client, url="feed/x", bronze_dir=str(tmp_path / "b"), max_tries=2
+        )
+        state = src.scrape()
+        assert state["pages"] == 0 and not state["done"]
+        assert client.calls == 2
+
+
+class TestChunkedSource:
+    def test_chunks_and_resume(self, spark, tmp_path):
+        from datetime import datetime
+
+        doc = {"posts": [{"platformId": "1_2", "score": 0.5}], "hitCount": 42}
+        client = rest.OfflineStubClient(pages={"ct": [doc] * 100})
+        src = rest.ChunkedTimeRangeSource(
+            client=client,
+            url="ct",
+            bronze_dir=str(tmp_path / "ct"),
+            start=datetime(2020, 1, 1),
+            end=datetime(2020, 2, 1),
+            chunk_days=7,
+        )
+        assert len(src.chunks()) == 5  # 31 days / 7 → 5 chunks (last short)
+        assert src.hit_count() == 42
+        src.scrape()
+        assert src.to_dataframe(spark).count() == 5
+
+
+class TestRetryBudgetSource:
+    def test_attempt_budget_and_status(self, spark, tmp_path):
+        ok = {"id": "a", "v": 1}
+        client = rest.OfflineStubClient(
+            pages={"item/a": [ok], "item/b": [ok]},
+            failures={"item/b": 99},  # b always fails
+        )
+        src = rest.RetryBudgetSource(
+            client=client, url_template="item/{item_id}", bronze_dir=str(tmp_path / "i"),
+            max_attempts=3,
+        )
+        state = src.scrape(["a", "b"])
+        assert state["a"]["scraped"] == 1 and state["a"]["attempts"] == 1
+        assert state["b"]["scraped"] == 0 and state["b"]["attempts"] == 3
+        status = src.status(spark).collect()[0]
+        assert (status.total, status.n_scraped, status.n_failed, status.n_pending) == (2, 1, 1, 0)
+
+
+def make_png(w=7, h=5):
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data)
+        )
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+class TestBinary:
+    def test_binary_scan_and_metadata(self, spark, tmp_path):
+        d = tmp_path / "imgs"
+        d.mkdir()
+        (d / "a.png").write_bytes(make_png(7, 5))
+        (d / "b.png").write_bytes(make_png(20, 10))
+        df = binary_source.read_binary_folder(spark, str(d), "*.png")
+        assert df.count() == 2 and "content" in df.columns
+        meta = {r.image: r.meta for r in binary_source.image_metadata(df).collect()}
+        assert meta["a.png"]["format"] == "png"
+        assert (meta["a.png"]["width"], meta["a.png"]["height"]) == (7, 5)
+        assert meta["b.png"]["n_bytes"] == len(make_png(20, 10))
+
+    def test_decode_stub_raises(self, spark):
+        with pytest.raises(NotImplementedError):
+            binary_source.decode_image_stub(None)
+
+
+class TestInference:
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return spark.createDataFrame(
+            [("x.jpg", b"payload-1"), ("y.jpg", b"payload-2")], "image string, content binary"
+        )
+
+    def test_label_images_shape_and_determinism(self, images):
+        out = {r.image: r for r in inference.label_images(images, models.StubSceneLabeler).collect()}
+        p = out["x.jpg"].predictions
+        assert len(p) == 5
+        assert p[0]["confidence"] >= p[1]["confidence"]
+        assert out["x.jpg"].category == p[0]["category"]
+        again = inference.label_images(images, models.StubSceneLabeler).collect()
+        assert {r.image: r.category for r in again} == {k: v.category for k, v in out.items()}
+
+    def test_feature_vectors_unit_norm(self, images):
+        out = inference.extract_features(
+            images, lambda: models.StubFeatureExtractor(dim=64)
+        ).collect()
+        import math
+
+        for r in out:
+            assert len(r.feature) == 64
+            assert math.isclose(sum(x * x for x in r.feature), 1.0, rel_tol=1e-4)
+
+    def test_anonymize_binary_roundtrip_idempotent(self, images):
+        once = inference.anonymize_images(images, models.StubFaceAnonymizer)
+        twice = inference.anonymize_images(once, models.StubFaceAnonymizer)
+        rows = {r.image: bytes(r.content) for r in twice.collect()}
+        assert rows["x.jpg"] == b"ANON:payload-1"
+
+
+class TestNlp:
+    def test_translate_table_semantics(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is that big for a house"),  # en, high score
+                (2, "el gato es grande y la casa es una maravilla por que es"),  # es → translate
+                (3, ""),  # empty → passthrough
+                (4, None),  # null → "" → empty
+            ],
+            "id long, caption string",
+        )
+        out = nlp.translate_table(
+            df, "caption", "en", models.HeuristicLangDetector, models.StubTranslator
+        )
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].lang_og == "en"
+        assert rows[1].caption_en == rows[1].caption  # confident target lang: passthrough
+        assert rows[2].caption_en.startswith("[en] ")  # translated
+        assert rows[3].lang_og == "empty" and rows[3].caption_en == ""
+        assert rows[4].caption_en == ""
+
+    def test_translate_error_sentinel(self, spark):
+        df = spark.createDataFrame([(1, "x " * 3000)], "id long, caption string")
+        out = nlp.translate_table(
+            df, "caption", "en", models.HeuristicLangDetector, models.StubTranslator
+        )
+        assert out.collect()[0].caption_en == "<error>"  # >5k chars → sentinel

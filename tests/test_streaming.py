@@ -1,0 +1,118 @@
+"""Structured Streaming tests: bounded AvailableNow runs over parquet
+directories — offline, deterministic."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.streaming import events as sev
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def make_events(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, 0, second) + dt.timedelta(minutes=minute)
+
+
+class TestStreaming:
+    def test_windowed_counts_with_watermark(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        make_events(
+            spark,
+            [
+                (1, t(5), 1, "click", 1.0),
+                (2, t(20), 1, "click", 2.0),
+                (3, t(61), 2, "view", 3.0),
+            ],
+            src,
+        )
+        stream = sev.read_event_stream(spark, src, SCHEMA)
+        agg = sev.windowed_counts(stream, window="30 minutes", watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.window_start: r.n_events for r in spark.sql("select * from win_counts").collect()}
+        assert rows[dt.datetime(2024, 1, 1, 10, 0)] == 2
+        assert rows[dt.datetime(2024, 1, 1, 11, 0)] == 1
+
+    def test_dedup_stream(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        make_events(
+            spark,
+            [(1, t(1), 1, "click", 1.0), (1, t(2), 1, "click", 1.0), (2, t(3), 1, "view", 2.0)],
+            src,
+        )
+        stream = sev.read_event_stream(spark, src, SCHEMA)
+        out = sev.dedup_stream(stream, ("event_id",))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.sql("select count(*) c from dedup_out").collect()[0].c == 2
+
+    def test_incremental_merge_is_idempotent(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt1 = str(tmp_path / "ck1")
+        make_events(spark, [(1, t(1), 1, "click", 1.0), (2, t(2), 1, "view", 2.0)], src)
+        stream = sev.read_event_stream(spark, src, SCHEMA)
+        sev.run_incremental_merge(stream, out_dir, ckpt1, "event_id")
+        assert spark.read.parquet(out_dir).count() == 2
+        # replay the SAME data with a fresh checkpoint (simulated retry
+        # after losing offsets): keyed anti-join keeps output exactly-once
+        ckpt2 = str(tmp_path / "ck2")
+        stream2 = sev.read_event_stream(spark, src, SCHEMA)
+        sev.run_incremental_merge(stream2, out_dir, ckpt2, "event_id")
+        assert spark.read.parquet(out_dir).count() == 2
+
+    def test_sessionize_batch(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, t(0), 10, "click", 1.0),
+                (2, t(5), 10, "click", 1.0),
+                (3, t(59), 10, "click", 1.0),  # 54-min gap → new session
+                (4, t(2), 20, "view", 1.0),
+            ],
+            SCHEMA,
+        )
+        out = sev.sessionize(df, gap_minutes=30)
+        sessions = {(r.user_id, r.event_id): r.session_id for r in out.collect()}
+        assert sessions[(10, 1)] == 1 and sessions[(10, 2)] == 1
+        assert sessions[(10, 3)] == 2
+        assert sessions[(20, 4)] == 1
+
+    def test_session_window_stream(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        make_events(
+            spark,
+            [(1, t(0), 10, "c", 1.0), (2, t(5), 10, "c", 1.0), (3, t(59), 10, "c", 1.0)],
+            src,
+        )
+        stream = sev.read_event_stream(spark, src, SCHEMA)
+        out = sev.session_window_stream(stream, gap="30 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("select * from sess order by session_start").collect()
+        assert len(rows) == 2 and rows[0].n_events == 2 and rows[1].n_events == 1
