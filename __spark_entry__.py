@@ -526,6 +526,160 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.4 derived columns / scalar function surface
+# --------------------------------------------------------------------------
+
+
+def q_derive_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E3+E4+E6: concat key, date parts, epoch roundtrip, arithmetic."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.concat_ws("_", F.col("o_orderkey").cast("string"), F.col("o_orderstatus")).alias(
+            "order_tag"
+        ),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # NTZ → LTZ (UTC session) → epoch seconds
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
+        (F.col("o_totalprice") / 100.0).alias("price_hundreds"),
+    )
+
+
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/E10 analog: JSON-in-string column → typed field → agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8+E12+E13+U2+P5: array transform/intersect/join/element_at over
+    document token arrays."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = etext.tokenize("text")
+    interest = F.array(*[F.lit(w) for w in ["spark", "query", "join"]])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_join(F.sort_array(F.array_intersect(F.array_distinct(toks), interest)), ",").alias(
+            "shared_words"
+        ),
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.arrays_overlap(toks, interest).alias("mentions_interest"),
+    )
+
+
+def q_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+E9: when/otherwise classification + case normalization."""
+    docs = _t(spark, sf_dir, "documents")
+    size_class = (
+        F.when(F.col("n_chars") < 200, F.lit("short"))
+        .when(F.col("n_chars") < 350, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    return (
+        docs.select(F.upper(F.col("lang")).alias("lang_uc"), size_class.alias("size_class"))
+        .groupBy("lang_uc", "size_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_uc", "size_class")
+    )
+
+
+def q_date_format_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-label formatting (`plotting.py:29-47`): strftime-style
+    month labels + counts."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.date_format("o_orderdate", "yyyy MMM").alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup totals: (region, nation) → region subtotals → grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(_dec_sum(F.col("o_totalprice")).alias("total_price"), F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_row_wise_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: row-wise total across pivoted columns (`plotting.py:405-406`)."""
+    piv = q_events_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    total = None
+    for t in types:
+        total = F.col(t) if total is None else total + F.col(t)
+    return piv.withColumn("total", total)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 session windows (batch formulation, oracle-checkable)."""
+    from social_media_data_pipeline_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = sessionize(ev, gap_minutes=30, tie_break="event_id")
+    return out.select("user_id", "event_id", "session_id")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: hamming distance <= 16 on 60-bit
+    fingerprints (doc_id < 150 window keeps the n² self-join bounded —
+    the scale path blocks by fingerprint prefix instead)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    fp = docs.select("doc_id", sketches.simhash64("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    dist = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 16)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_docs_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Preprocessor chain semantics (P5+P6+D1+D3) transplanted onto
+    the documents corpus: include/exclude by token overlap, exact dedup,
+    deterministic per-lang cap."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = etext.tokenize("text")
+    out = docs.withColumn("toks", toks)
+    out = filters.filter_array_overlaps(out, "toks", ["spark", "query"])
+    out = filters.filter_array_disjoint(out, "toks", ["slow"])
+    out = dedup.dedup_exact_content(out, "text", "doc_id")
+    out = sampling.sample_n_per_group(out, F.col("lang"), "doc_id", n=20, seed="42")
+    return out.select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -565,6 +719,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "derive_columns": q_derive_columns,
+    "json_props_extract": q_json_props_extract,
+    "array_ops": q_array_ops,
+    "conditional_buckets": q_conditional_buckets,
+    "date_format_labels": q_date_format_labels,
+    "rollup_revenue": q_rollup_revenue,
+    "row_wise_total": q_row_wise_total,
+    "sessionize": q_sessionize,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "docs_pipeline_chain": q_docs_pipeline_chain,
 }
 
 

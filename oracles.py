@@ -414,6 +414,132 @@ FROM th_t
 ORDER BY doc_id
 """
 
+ORACLES["derive_columns"] = """
+SELECT o_orderkey,
+       concat_ws('_', o_orderkey::VARCHAR, o_orderstatus) AS order_tag,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+       floor(epoch(o_orderdate))::BIGINT AS epoch_s,
+       o_totalprice / 100.0 AS price_hundreds
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+ORACLES["json_props_extract"] = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["array_ops"] = f"""
+SELECT doc_id,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       coalesce(array_to_string(
+           list_sort(list_intersect(list_distinct({_TOKS}), ['spark','query','join'])),
+           ','), '') AS shared_words,
+       {_TOKS}[1] AS first_token,
+       list_has_any({_TOKS}, ['spark','query','join']) AS mentions_interest
+FROM documents
+WHERE doc_id < 100
+"""
+
+ORACLES["conditional_buckets"] = """
+SELECT upper(lang) AS lang_uc,
+       CASE WHEN n_chars < 200 THEN 'short'
+            WHEN n_chars < 350 THEN 'medium'
+            ELSE 'long' END AS size_class,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang_uc, size_class
+"""
+
+ORACLES["date_format_labels"] = """
+SELECT strftime(o_orderdate, '%Y %b') AS label, COUNT(*) AS n
+FROM orders
+GROUP BY 1
+ORDER BY label
+"""
+
+ORACLES["rollup_revenue"] = """
+SELECT r_name, n_name,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price,
+       COUNT(*) AS n
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+ORACLES["row_wise_total"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(*) AS total
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+ORACLES["sessionize"] = """
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           floor(epoch(ts))::BIGINT
+             - lag(floor(epoch(ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events WHERE user_id < 50
+)
+SELECT user_id, event_id,
+       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+FROM gaps
+"""
+
+_SIMHASH_FP_TABLE = f"""
+    SELECT doc_id, ({_SIMHASH_VOTES})::BIGINT AS fp
+    FROM (
+        SELECT doc_id,
+               list_transform(list_distinct(string_split({_NORM}, ' ')),
+                              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+        FROM documents WHERE doc_id < 150
+    )
+"""
+
+ORACLES["simhash_near_pairs"] = f"""
+WITH fp_t AS ({_SIMHASH_FP_TABLE})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fp_t a JOIN fp_t b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 16
+ORDER BY id_a, id_b
+"""
+
+ORACLES["docs_pipeline_chain"] = f"""
+WITH filtered AS (
+    SELECT doc_id, lang, source, text
+    FROM documents
+    WHERE list_has_any({_TOKS}, ['spark','query'])
+      AND NOT coalesce(list_has_any({_TOKS}, ['slow']), false)
+), deduped AS (
+    SELECT doc_id, lang, source
+    FROM filtered
+    QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, source
+FROM deduped
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5(concat_ws('|', '42', doc_id::VARCHAR)), doc_id
+) <= 20
+"""
+
 ORACLES["embedding_topk"] = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 20

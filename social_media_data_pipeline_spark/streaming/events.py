@@ -112,16 +112,23 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Session windows, batch formulation: a session breaks when the gap
     to the previous event exceeds `gap_minutes` (lag + running sum of
     break flags). SQL-expressible → oracle-checkable; the streaming
     equivalent is `F.session_window(ts, gap)`.
+
+    `tie_break`: extra unique order column for deterministic session ids
+    when a user has simultaneous events.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    order = [ts_col] + ([tie_break] if tie_break else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # cast through LTZ: TIMESTAMP_NTZ has no direct long cast (UTC session)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     return (
         events.withColumn(
             "is_new_session",
