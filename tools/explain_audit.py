@@ -1,0 +1,94 @@
+"""Physical-plan audit: verifies that the plans Catalyst produces for the
+headline queries have the shape the 100 TB design intends —
+
+- filters reach the parquet scan (PushedFilters),
+- scans read only needed columns (ReadSchema pruning),
+- small dims join via BroadcastHashJoin,
+- hot paths stay inside WholeStageCodegen (no row-at-a-time Python).
+
+Usage: python tools/explain_audit.py [query ...]   (prints PASS/FAIL per rule)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query → list of (rule_name, regex that must match the formatted plan)
+EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
+    "filter_project": [
+        ("filter pushed to scan", r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)"),
+        ("column pruning", r"ReadSchema: [^\n]*o_orderkey[^\n]*o_totalprice"),
+        ("no shuffle", r"^(?!.*Exchange)", ),
+    ],
+    "pricing_summary": [
+        ("shipdate filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("partial aggregation", r"HashAggregate"),
+        # executed-plan toString renders WholeStageCodegenExec as *(n)
+        ("codegen", r"\*\(\d+\)|WholeStageCodegen"),
+    ],
+    "region_revenue": [
+        ("dims broadcast", r"BroadcastHashJoin"),
+        ("fact join present", r"Join|ShuffledHashJoin|SortMergeJoin"),
+    ],
+    "top_revenue_orders": [
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+    ],
+    "embedding_topk": [
+        ("query side broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
+    "top_parts_per_brand": [
+        ("single window shuffle", r"Window"),
+    ],
+    "docs_exact_dedup": [
+        ("window dedup", r"Window"),
+        ("scan prunes columns", r"ReadSchema: [^\n]*text"),
+    ],
+}
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    # AQE finalizes the physical plan only on execution; the executed
+    # plan string carries WholeStageCodegen nodes and runtime-chosen
+    # join strategies
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    return buf.getvalue() + "\n" + final
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from social_media_data_pipeline_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("explain_audit")
+    qs = entry_mod.queries()
+    failures = 0
+    for name, rules in EXPECTATIONS.items():
+        if only and name not in only:
+            continue
+        plan = formatted_plan(qs[name](spark, SF_DIR))
+        for rule, pattern in rules:
+            ok = re.search(pattern, plan, re.MULTILINE | re.DOTALL) is not None
+            print(f"{'PASS' if ok else 'FAIL'} {name}: {rule}")
+            if not ok:
+                failures += 1
+                # show the scan/join lines for debugging
+                for line in plan.splitlines():
+                    if any(k in line for k in ("PushedFilters", "Join", "ReadSchema", "Exchange")):
+                        print(f"      {line.strip()[:160]}")
+    print(f"\n{failures} rule failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
