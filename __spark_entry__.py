@@ -679,6 +679,59 @@ def q_docs_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (describe/summary
+    extension; pandas `describe` quartiles — `ExploratoryAnalysis.py:31`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(qs[0], 4).alias("p25"),
+            F.round(qs[1], 4).alias("p50"),
+            F.round(qs[2], 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("o_totalprice")).alias("total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_except_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 full-row variant: multiset difference (exceptAll) — big orders
+    minus urgent orders."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    big = orders.filter(F.col("o_orderkey") % 7 == 0)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return setops.except_rows(big, urgent)
+
+
+def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 hit-count probe: scalar count over a source-pushed predicate
+    (`one_query.py:45-51` analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("1998-01-01")).agg(
+        F.count(F.lit(1)).alias("hit_count")
+    )
+
+
+def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: sorted distinct values for the profile surface
+    (`ExploratoryAnalysis.py:41-42`)."""
+    part = _t(spark, sf_dir, "part")
+    return sort.distinct_sorted(part, "p_type")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -729,6 +782,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
+    "quantiles": q_quantiles,
+    "cube_agg": q_cube_agg,
+    "except_rows": q_except_rows,
+    "count_pushdown": q_count_pushdown,
+    "distinct_sorted": q_distinct_sorted,
 }
 
 

@@ -540,6 +540,42 @@ QUALIFY row_number() OVER (
 ) <= 20
 """
 
+ORACLES["quantiles"] = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["cube_agg"] = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["except_rows"] = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 7 = 0
+EXCEPT ALL
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+ORACLES["count_pushdown"] = """
+SELECT COUNT(*) AS hit_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+ORACLES["distinct_sorted"] = """
+SELECT DISTINCT p_type FROM part ORDER BY p_type
+"""
+
 ORACLES["embedding_topk"] = """
 WITH q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id < 20

@@ -1,0 +1,89 @@
+"""Property-based tests (SURVEY.md §5 rebuild strategy): algebraic
+invariants of the operator library over randomized small inputs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.operators import dedup, filters, sampling, setops
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.integers(min_value=0, max_value=5),  # group
+        st.text(alphabet="abc", min_size=0, max_size=3),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.fixture(scope="module")
+def mk(spark):
+    def _mk(rows):
+        return spark.createDataFrame(
+            [(i, k, g, p) for i, (k, g, p) in enumerate(rows)],
+            "rid int, k int, g int, p string",
+        )
+
+    return _mk
+
+
+class TestProperties:
+    @given(rows=rows_strategy)
+    @settings(**SETTINGS)
+    def test_dedup_idempotent(self, mk, rows):
+        df = mk(rows)
+        once = dedup.dedup_first_wins(df, ["k"], [F.col("rid")])
+        twice = dedup.dedup_first_wins(once, ["k"], [F.col("rid")])
+        assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+    @given(rows=rows_strategy)
+    @settings(**SETTINGS)
+    def test_dedup_survivor_is_min_rid(self, mk, rows):
+        df = mk(rows)
+        out = dedup.dedup_first_wins(df, ["k"], [F.col("rid")])
+        expected = {}
+        for i, (k, g, p) in enumerate(rows):
+            if k not in expected:
+                expected[k] = i
+        assert {r.k: r.rid for r in out.collect()} == expected
+
+    @given(rows=rows_strategy)
+    @settings(**SETTINGS)
+    def test_filter_commutes_with_projection(self, mk, rows):
+        df = mk(rows)
+        a = filters.filter_eq(df, "g", 1).select("rid", "k")
+        b = filters.filter_eq(df.select("rid", "k", "g"), "g", 1).select("rid", "k")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    @given(rows=rows_strategy, n=st.integers(min_value=0, max_value=5))
+    @settings(**SETTINGS)
+    def test_sampling_cap_invariant(self, mk, rows, n):
+        df = mk(rows)
+        out = sampling.sample_n_per_group(df, F.col("g"), "rid", n=n)
+        sizes = out.groupBy("g").count().collect()
+        assert all(r["count"] <= max(n, 0) for r in sizes)
+        # sampled rows are a subset of the input
+        assert out.count() <= df.count()
+
+    @given(rows=rows_strategy)
+    @settings(**SETTINGS)
+    def test_union_then_dedup_equals_dedup_of_concat(self, mk, rows):
+        df = mk(rows)
+        half = len(rows) // 2 + 1
+        a, b = df.filter(F.col("rid") < half), df.filter(F.col("rid") >= half)
+        via_union = dedup.dedup_first_wins(
+            setops.union_by_name([a, b]), ["k"], [F.col("rid")]
+        )
+        direct = dedup.dedup_first_wins(df, ["k"], [F.col("rid")])
+        assert sorted(map(tuple, via_union.collect())) == sorted(map(tuple, direct.collect()))

@@ -1,0 +1,56 @@
+"""Scale-primitive tests: partition pruning is visible in the plan,
+salted joins return exactly the unsalted result."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark import scale
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestScale:
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, 2010 + i % 3, f"v{i}") for i in range(30)], "id int, year int, v string"
+        )
+        path = str(tmp_path / "t")
+        scale.write_partitioned(df, path, ["year"])
+        scan = spark.read.parquet(path).filter(F.col("year") == 2011)
+        assert scan.count() == 10
+        plan = plan_of(scan)
+        assert "PartitionFilters" in plan and "2011" in plan
+        # only one of three partition dirs is read
+        assert "partitions read: 1" in plan.lower() or "PartitionFilters: [isnotnull(year" in plan
+
+    def test_salted_join_matches_plain_join(self, spark):
+        big = spark.createDataFrame(
+            [(i % 3, f"row{i}") for i in range(300)], "k int, payload string"
+        )
+        small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, dim string")
+        plain = big.join(small, "k").select("k", "payload", "dim")
+        salted = scale.salted_join(big, small, "k", salt_buckets=8).select("k", "payload", "dim")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        big = spark.createDataFrame([(1, "x"), (9, "y")], "k int, payload string")
+        small = spark.createDataFrame([(1, "a")], "k int, dim string")
+        out = scale.salted_join(big, small, "k", salt_buckets=4, how="left")
+        rows = {r.k: r.dim for r in out.collect()}
+        assert rows == {1: "a", 9: None}
+
+    def test_key_skew_profile(self, spark):
+        df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k int")
+        prof = scale.key_skew_profile(df, "k")
+        top = prof.collect()[0]
+        assert top.k == 1 and top.n == 90 and abs(top.share - 0.9) < 1e-9
