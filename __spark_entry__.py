@@ -679,6 +679,25 @@ def q_docs_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate DEDUP pairs (the fifth dedup
+    modality next to exact/minhash/simhash/jaccard). τ=0.35 is tuned to
+    this corpus (synthetic embeddings are near-orthogonal; max off-pair
+    cosine ≈ 0.51) — production near-dup runs at ≈0.9."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (vec_id % 50 == 0), search
+    only the query's cell — the partition-pruned scale path, exact within
+    the cell so it stays oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (describe/summary
     extension; pandas `describe` quartiles — `ExploratoryAnalysis.py:31`)."""
@@ -782,6 +801,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "quantiles": q_quantiles,
     "cube_agg": q_cube_agg,
     "except_rows": q_except_rows,

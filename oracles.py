@@ -540,6 +540,47 @@ QUALIFY row_number() OVER (
 ) <= 20
 """
 
+def _cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) > 0 "
+        f"THEN list_dot_product({a},{b}) / (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+ORACLES["embedding_near_dup"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos('a.vec', 'b.vec')} >= 0.35
+ORDER BY id_a, id_b
+"""
+
+ORACLES["embedding_ivf_topk"] = f"""
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
+    FROM embeddings WHERE vec_id % 50 = 0
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM v, c
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), scored AS (
+    SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+           {_cos('q.vec', 's.vec')} AS cos
+    FROM assigned q JOIN assigned s ON q.cluster = s.cluster
+    WHERE q.vec_id < 20 AND q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
 ORACLES["quantiles"] = """
 SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -95,6 +95,97 @@ def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[f
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos >= τ).
+
+    The exact formulation (block-nested-loop over the broadcast smaller
+    side). At corpus scale, run the SAME pair contract through
+    `ivf_topk`/`lsh_bucketed_topk` candidates instead of the full cross
+    product.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector → its max-cosine centroid.
+
+    `centroids` is a small (id, vector) table — broadcast; assignment is
+    an argmax via max_by over the broadcast join (no window shuffle).
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("c_vec")), 6).alias("c_cos"),
+    )
+    # deterministic argmax: max over (cos, -centroid_id) struct
+    best = scored.groupBy(id_col, vec_col).agg(
+        F.max(F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("neg_id"))).alias("best")
+    )
+    return best.select(
+        id_col, vec_col, (-F.col("best.neg_id")).cast("int").alias("cluster")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus vectors in the query's
+    cell. At 100 TB the corpus is written partitioned by `cluster`, so a
+    probe reads one partition (scan pruning, not just join pruning);
+    multi-probe = assign queries to their top-P cells upstream.
+    """
+    from pyspark.sql.window import Window
+
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cluster"
+    )
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster"
+    )
+    scored = c_assigned.join(F.broadcast(q_assigned), "cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
