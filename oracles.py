@@ -354,10 +354,13 @@ CASE WHEN len(string_split({_NORM}, ' ')) >= 3 THEN
 ELSE [{_NORM}] END
 """
 
+# 4 independent 32-bit values per md5 digest (8 hex chars each) — mirrors
+# minhash_signatures_table's digest-splitting scheme
 _MINHASH_SIG = (
     "["
     + ", ".join(
-        f"list_min(list_transform(sh, s -> md5(concat_ws('|', '{i}', s))))" for i in range(16)
+        f"list_min(list_transform(sh, s -> substr(md5(concat_ws('|', '{i // 4}', s)), {(i % 4) * 8 + 1}, 8)))"
+        for i in range(16)
     )
     + "]"
 )

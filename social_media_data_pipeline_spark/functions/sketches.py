@@ -59,22 +59,33 @@ def minhash_signatures_table(
     shingle_k: int = 3,
     fast: bool = False,
 ) -> DataFrame:
-    """(doc, sig: array<string>) via explode → groupBy-min.
+    """(doc, sig: array<string>) via explode → projection → groupBy-min.
 
-    Plan shape matters here: computing the signature as 16 expressions
-    over the shingle ARRAY re-derives the shingle construction per hash
-    (Catalyst doesn't CSE across separate lambda trees — measured 90×
-    slower at sf0.1). Exploding shingles once and taking 16 `min`
-    aggregates is a single codegen'd pass with map-side partials, and at
-    100 TB the shuffle carries only (doc, 16×16B minima).
+    Plan shape matters here, twice over:
+    - computing the signature as N expressions over the shingle ARRAY
+      re-derives the shingle construction per hash (Catalyst doesn't CSE
+      across separate lambda trees — measured 90× slower at sf0.1);
+      exploding once and aggregating is a single codegen'd pass with
+      map-side partials, and at 100 TB the shuffle carries only
+      (doc, N×8B minima);
+    - one md5 yields four independent 32-bit hash values (8 hex chars
+      each), so N hashes cost ceil(N/4) md5 calls per shingle — the md5
+      is the hot instruction at corpus scale.
     """
     exploded = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("s")
     )
+    vpd = 2 if fast else 4  # xxhash64 hex is 16 chars; md5 is 32
+    n_digests = (num_hashes + vpd - 1) // vpd
+    projected = exploded.select(
+        "doc",
+        *[_hash_str(F.col("s"), str(j), fast).alias(f"d{j}") for j in range(n_digests)],
+    )
     mins = [
-        F.min(_hash_str(F.col("s"), str(i), fast)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.substring(F.col(f"d{i // vpd}"), (i % vpd) * 8 + 1, 8)).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
-    wide = exploded.groupBy("doc").agg(*mins)
+    wide = projected.groupBy("doc").agg(*mins)
     return wide.select("doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
