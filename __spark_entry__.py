@@ -698,6 +698,17 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the
+    MinHash-LSH candidate graph; canonical doc = min id per component."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sketches.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    out = graph.dedup_clusters(docs, pairs)
+    return out.orderBy("doc_id")
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (describe/summary
     extension; pandas `describe` quartiles — `ExploratoryAnalysis.py:31`)."""
@@ -801,6 +812,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "quantiles": q_quantiles,

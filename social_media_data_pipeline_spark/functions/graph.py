@@ -1,0 +1,95 @@
+"""Distributed connected components — near-dup cluster resolution.
+
+After candidate generation (MinHash-LSH / SimHash / Jaccard pairs), the
+dedup pipeline needs CLUSTERS: every document labeled with its
+component, so one canonical survivor per cluster can be kept. This is
+iterative min-label propagation (the DataFrame form of the map-reduce
+CC algorithms): each round every node takes the min label in its
+neighborhood; converges in O(graph diameter) rounds — near-dup clusters
+are shallow (pairs share bands), so a handful of rounds in practice.
+
+Scale shape: each round is one shuffle keyed by node id; lineage is cut
+per round (localCheckpoint) so plans don't grow; convergence is an
+aggregated count, not a collect of labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(node, component) for every node in `edges`; component = min node
+    id reachable from the node (deterministic labeling)."""
+    sym = edges.selectExpr(f"{src} as a", f"{dst} as b").unionByName(
+        edges.selectExpr(f"{dst} as a", f"{src} as b")
+    )
+    sym = sym.distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("a", "node")
+        )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component ← label(component); halves label-chain
+        # depth each round → O(log diameter) total iterations
+        parents = stepped.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
+        jumped = (
+            stepped.join(parents, stepped.component == parents.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if checkpoint:
+            jumped = jumped.localCheckpoint(eager=True)
+        delta = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if not delta:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full cluster-dedup resolution: (doc_id, component, is_canonical).
+
+    Docs with no near-dup edge form singleton components. Canonical =
+    min id in the component (same deterministic survivor rule as
+    `dedup.dedup_exact_content`).
+    """
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    out = docs.select(F.col(id_col)).join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    out = out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))

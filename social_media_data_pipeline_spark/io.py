@@ -52,12 +52,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def write_stage_output(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def write_stage_output(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
+) -> None:
     """S2 sink: stage boundary materialization (parquet default, CSV adapter).
 
     Reference: `df.to_csv(path)` at `Preprocessor.py:131`, `stages.py:84`.
+    `partition_cols` lays the table out hive-style so downstream stages
+    prune (posts by year → P4/D3/A1 read only matching dirs).
     """
     writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
         # reference-compat: arrays stringified like Python lists
         arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]

@@ -126,7 +126,9 @@ class PipelineRunner:
             tic = time.perf_counter()
             try:
                 df = stage.run(self.spark, input_path, output_path)
-                eio.write_stage_output(df, output_path)
+                eio.write_stage_output(
+                    df, output_path, partition_cols=tuple(spec.get("partition_by", ()))
+                )
                 ok = True
             except Exception:
                 ok = False

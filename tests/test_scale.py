@@ -49,6 +49,28 @@ class TestScale:
         rows = {r.k: r.dim for r in out.collect()}
         assert rows == {1: "a", 9: None}
 
+    def test_bucketed_join_skips_exchange(self, spark, tmp_path):
+        import uuid
+
+        big = spark.createDataFrame(
+            [(i % 50, f"p{i}") for i in range(500)], "k int, payload string"
+        )
+        dim = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "k int, dim string")
+        ta, tb = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+        scale.write_bucketed(big, ta, ["k"], num_buckets=4)
+        scale.write_bucketed(dim, tb, ["k"], num_buckets=4)
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(ta).join(spark.table(tb), "k")
+            plan = plan_of(joined)
+            assert joined.count() == 500
+            assert "Exchange" not in plan  # bucketing co-locates both sides
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            spark.sql(f"DROP TABLE IF EXISTS {ta}")
+            spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
     def test_key_skew_profile(self, spark):
         df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k int")
         prof = scale.key_skew_profile(df, "k")
