@@ -123,6 +123,18 @@ def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def resize_image_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Multimodal resize step — STUB: real resampling needs an imaging
+    library. Contract: binary column in → binary column out with target
+    dimensions recorded in metadata; plumbing identical to
+    `ml.inference.anonymize_images` (mapInPandas binary→binary)."""
+    raise NotImplementedError(
+        "image resize requires an imaging library (PIL/cv2) not present in "
+        "this container; implement as mapInPandas binary→binary with the "
+        "anonymize_images plumbing and update the meta struct"
+    )
+
+
 def sample_video_frames_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Multimodal frame-sampling step — STUB (no video codec available).
     Contract: binary video column → exploded (frame_idx, frame_bytes)."""

@@ -111,6 +111,36 @@ def config(tmp_path):
     }
 
 
+class TestReferenceConfigCompat:
+    def test_reference_test_json_runs_unmodified(self, spark, tmp_path):
+        """The reference's own config/test.json executes against this
+        engine's registry: every implementation resolves; the offline
+        stages (preprocess / analysis / translation) succeed on fixture
+        data; network stages are toggled off via their own `enabled`
+        flag — the config schema is shared, not translated."""
+        import json
+        import os
+
+        with open("/root/reference/config/test.json") as f:
+            ref = json.load(f)
+        root = str(tmp_path)
+        ds = os.path.join(root, ref["dataset_name"])
+        os.makedirs(ds, exist_ok=True)
+        spark.createDataFrame(make_posts_rows(150), schema=schemas.POSTS).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(ds, "posts.csv"))
+        offline = ("PreprocessorStage", "ExploratoryanalysisStage", "TranslatorStage")
+        for st in ref["stages"]:
+            if st["implementation"] not in offline:
+                st["enabled"] = False
+        runner = PipelineRunner(spark, default_registry())
+        assert runner.analyze(ref) == []  # all nine implementations resolve
+        results = {r.name: r.result for r in runner.run(ref, root)}
+        assert results["Preprocessing"] == "Success"
+        assert results["Exploratory Analysis"] == "Success"
+        assert results["Translation"] == "Success"
+
+
 class TestPipeline:
     def test_analyze_flags_unknown_implementations(self, spark, config):
         runner = PipelineRunner(spark, default_registry())
