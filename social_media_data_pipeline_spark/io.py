@@ -27,6 +27,29 @@ TESTDATA_TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the SQL confs correctness depends on, even on a session not
+    built by `session.get_spark` (the driver harness constructs its own):
+
+    - nanosAsLong: Spark's parquet reader rejects TIMESTAMP(NANOS)
+      otherwise (events.ts);
+    - UTC session timezone: NTZ→epoch casts (sessionize, derive_columns)
+      are timezone-sensitive and the oracles assume UTC.
+
+    Both are runtime-settable SQL confs; setting them lazily at first
+    table read keeps every entry point covered.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            spark.conf.set(key, value)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S3/S9-style scan: one parquet table of the harness star schema.
 
@@ -34,6 +57,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `spark.sql.legacy.parquet.nanosAsLong`; convert to µs timestamps
     (lossless — generator emits µs-aligned values).
     """
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
