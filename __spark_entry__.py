@@ -16,6 +16,15 @@ Cross-engine determinism policy (pinned by tools/check_correctness.py):
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# the harness may load this file from another cwd / by file path — make
+# the sibling package (social_media_data_pipeline_spark) importable
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_DIR not in _sys.path:
+    _sys.path.insert(0, _REPO_DIR)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -503,7 +512,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (60-bit, md5-derived)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", sketches.simhash64("text").alias("simhash")).orderBy("doc_id")
+    out = sketches.simhash_table(docs, "doc_id", "text")
+    return out.select(F.col("doc").alias("doc_id"), "simhash").orderBy("doc_id")
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +660,9 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints (doc_id < 150 window keeps the n² self-join bounded —
     the scale path blocks by fingerprint prefix instead)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    fp = docs.select("doc_id", sketches.simhash64("text").alias("fp"))
+    fp = sketches.simhash_table(docs, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), F.col("simhash").alias("fp")
+    )
     a, b = fp.alias("a"), fp.alias("b")
     dist = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
@@ -828,6 +840,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+    import sys
+
+    # the harness may import this module from another cwd — make the
+    # sibling oracles.py importable regardless
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    if repo_dir not in sys.path:
+        sys.path.insert(0, repo_dir)
     from oracles import ORACLES
 
     return dict(ORACLES)

@@ -26,7 +26,12 @@ HEADLINE = [
     "token_frequency",
     "docs_exact_dedup",
     "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "simhash",
+    "sessionize",
+    "docs_quality",
     "embedding_topk",
+    "embedding_ivf_topk",
 ]
 
 

@@ -143,20 +143,40 @@ def ivf_assign(
     an argmax via max_by over the broadcast join (no window shuffle).
     """
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("v_norm")
+    )
+    denom = F.col("v_norm") * F.col("c_norm")
+    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("c_vec")) / denom).otherwise(F.lit(0.0))
+    scored = with_norm.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("v_norm"),
         F.col("centroid_id"),
-        F.round(cosine(F.col(vec_col), F.col("c_vec")), 6).alias("c_cos"),
+        F.round(cos, 6).alias("c_cos"),
     )
-    # deterministic argmax: max over (cos, -centroid_id) struct
-    best = scored.groupBy(id_col, vec_col).agg(
-        F.max(F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("neg_id"))).alias("best")
+    # deterministic argmax via one struct-max aggregate: (cos, -cid) is
+    # unique per (vector, centroid), so the vector payload rides along
+    # without ever being compared — and the groupBy key stays a scalar id
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("c_cos"),
+                (-F.col("centroid_id")).alias("neg_id"),
+                F.col(vec_col).alias("vec"),
+                F.col("v_norm").alias("v_norm"),
+            )
+        ).alias("best")
     )
     return best.select(
-        id_col, vec_col, (-F.col("best.neg_id")).cast("int").alias("cluster")
+        id_col,
+        F.col("best.vec").alias(vec_col),
+        F.col("best.v_norm").alias("v_norm"),
+        (-F.col("best.neg_id")).cast("int").alias("cluster"),
     )
 
 
@@ -176,21 +196,25 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cluster"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("v_norm").alias("c_norm"),
+        "cluster",
     )
     q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cluster"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("v_norm").alias("q_norm"),
+        "cluster",
     )
     scored = c_assigned.join(F.broadcast(q_assigned), "cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    denom = F.col("q_norm") * F.col("c_norm")
+    cos = F.when(denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom).otherwise(F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
-        )
+        scored.select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

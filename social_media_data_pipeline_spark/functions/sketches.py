@@ -200,3 +200,38 @@ def simhash64(text_col: str | Column, fast: bool = False) -> Column:
 def hamming_distance64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 SimHash fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_table(
+    docs: DataFrame, id_col: str, text_col: str, fast: bool = False
+) -> DataFrame:
+    """(doc, simhash) via explode → groupBy with 60 conditional sums.
+
+    Same fingerprint as `simhash64`, different plan shape: the column-
+    expression form evaluates the token-hash array once per bit aggregate
+    (60×) — measured 22 s at sf0.1 vs ~1 s for this one-pass explode
+    (the same Catalyst no-CSE-across-lambdas trap as MinHash signatures).
+    """
+    toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    exploded = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("t"))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("t")) if not fast else F.hex(F.xxhash64(F.col("t"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    with_hash = exploded.select("doc", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    wide = with_hash.groupBy("doc").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return wide.select("doc", fp.alias("simhash"))
