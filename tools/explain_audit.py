@@ -65,13 +65,49 @@ def formatted_plan(df) -> str:
     return buf.getvalue() + "\n" + final
 
 
+def shuffle_report(spark, qs, names: list[str]) -> None:
+    """Prints exchanges/broadcasts/codegen-stage counts per query from
+    the executed AQE-final plan — the 'how many shuffles am I paying'
+    table behind SCALING.md."""
+    print(f"{'query':26} {'exchanges':>9} {'broadcasts':>10} {'codegen':>8}")
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+        bc = len(re.findall(r"BroadcastExchange|BroadcastQueryStage", plan))
+        cg = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        print(f"{name:26} {ex:>9} {bc:>10} {cg:>8}")
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from social_media_data_pipeline_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
     spark = get_spark("explain_audit")
     qs = entry_mod.queries()
+    if args and args[0] == "--shuffles":
+        names = args[1:] or [
+            "pricing_summary",
+            "region_revenue",
+            "top_revenue_orders",
+            "events_pivot",
+            "running_revenue",
+            "sample_per_year",
+            "dedup_first_wins",
+            "token_frequency",
+            "docs_exact_dedup",
+            "minhash_lsh_pairs",
+            "ngram_jaccard",
+            "simhash",
+            "sessionize",
+            "embedding_topk",
+            "embedding_ivf_topk",
+        ]
+        shuffle_report(spark, qs, names)
+        return 0
+    only = set(args)
     failures = 0
     for name, rules in EXPECTATIONS.items():
         if only and name not in only:
