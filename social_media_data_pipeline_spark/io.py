@@ -88,17 +88,18 @@ def write_stage_output(
     `partition_cols` lays the table out hive-style so downstream stages
     prune (posts by year → P4/D3/A1 read only matching dirs).
     """
-    writer = df.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
         # reference-compat: arrays stringified like Python lists
         arr_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
         for c in arr_cols:
             df = df.withColumn(c, F.to_json(F.col(c)))
-        df.write.mode("overwrite").option("header", True).csv(path)
-        return
-    writer.parquet(path)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)
 
 
 def read_csv_with_arrays(

@@ -78,7 +78,14 @@ def translate_column(
         ((F.col("lang_og") == F.lit(target_language)) & (F.col("lang_score") > F.lit(min_score)))
         | (F.col("lang_og") == F.lit("empty"))
     )
-    return df.withColumn(out_col, F.when(passthrough, text).otherwise(_translate(text)))
+    # NB: a `when(passthrough, text).otherwise(udf(text))` would NOT skip
+    # the UDF for passthrough rows — Spark extracts Python UDFs into a
+    # separate ArrowEvalPython node that runs on EVERY row before the
+    # CASE picks. Branch-union keeps passthrough rows JVM-only, which is
+    # the whole point at translation-API cost.
+    keep = df.filter(passthrough).withColumn(out_col, text)
+    translate = df.filter(~passthrough).withColumn(out_col, _translate(text))
+    return keep.unionByName(translate)
 
 
 def translate_table(

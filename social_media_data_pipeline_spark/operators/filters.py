@@ -67,6 +67,10 @@ def filter_text_contains_any(df: DataFrame, text_col: str, words: Sequence[str])
 
     Reference: caption word filter (`InstagramPostScraper.py:437-441`).
     """
+    if not words:
+        # reference: `any(w in caption for w in [])` is False — empty
+        # any-of matches NOTHING (an empty rlike pattern would match all)
+        return df.filter(F.lit(False))
     pattern = "|".join(re.escape(w.lower()) for w in words)
     return df.filter(F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(pattern))
 

@@ -179,6 +179,33 @@ class TestNlp:
         assert rows[3].lang_og == "empty" and rows[3].caption_en == ""
         assert rows[4].caption_en == ""
 
+    def test_passthrough_rows_never_reach_translator(self, spark, tmp_path):
+        """The branch-union plan keeps already-target-language rows out of
+        the Python translator entirely (a when/otherwise would evaluate
+        the UDF on every row — Spark hoists Python UDFs above CASE)."""
+        marker = str(tmp_path / "calls.log")
+
+        class CountingTranslator:
+            def translate(self, t):
+                with open(marker, "a") as f:
+                    f.write("call\n")
+                return f"[en] {t}"
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is that big for a house"),
+                (2, "el gato es grande y la casa es una maravilla por que es"),
+            ],
+            "id long, caption string",
+        )
+        out = nlp.translate_table(df, "caption", "en", models.HeuristicLangDetector, CountingTranslator)
+        rows = {r.id: r.caption_en for r in out.collect()}
+        assert rows[2].startswith("[en] ") and not rows[1].startswith("[en] ")
+        import os
+
+        calls = open(marker).read().count("call") if os.path.exists(marker) else 0
+        assert calls == 1  # only the Spanish row crossed into Python
+
     def test_translate_error_sentinel(self, spark):
         df = spark.createDataFrame([(1, "x " * 3000)], "id long, caption string")
         out = nlp.translate_table(
