@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -62,7 +63,19 @@ def main() -> int:
     from social_media_data_pipeline_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark("check_correctness")
+    if os.environ.get("CHECK_PLAIN_SESSION"):
+        # simulate the driver: a session WITHOUT the engine factory confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_plain")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -81,7 +94,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(entry_mod.SparkSession.builder.getOrCreate() if False else spark, SF_DIR)
+            sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:

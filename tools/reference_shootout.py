@@ -1,0 +1,122 @@
+"""Single-node throughput shootout vs the reference's execution model.
+
+The reference engine is eager pandas on one process (SURVEY.md §6 — it
+publishes no benchmark numbers, so the honest comparison is: same
+queries, same machine, same data; reference-style pandas implementation
+vs this engine's Spark plans). Run:
+
+    python tools/reference_shootout.py [sf_dir]
+
+Prints per-query seconds for pandas (reference-style: full-file read +
+eager chained operations, as `Preprocessor.run` / `plotting.py` do) and
+Spark steady-state, plus the ratio.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import pandas as pd
+
+
+def pandas_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    # reference style: read everything, eager groupby (pandas semantics
+    # mirror plotting.py:50-67 group_and_aggregate chains)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    li["disc_price"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "count"),
+    )
+    return g.reset_index().sort_values(["l_returnflag", "l_linestatus"])
+
+
+def pandas_token_frequency(sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].fillna("").str.lower().str.strip().str.split()
+    counts = toks.explode().value_counts()
+    return counts.head(50).reset_index()
+
+
+def pandas_dedup_first_wins(sf_dir: str) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.sort_values(["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+    return li.drop_duplicates(subset=["l_orderkey"], keep="first")[
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"]
+    ]
+
+
+def pandas_sample_per_year(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["order_year"] = orders["o_orderdate"].dt.year
+    orders["h"] = orders["o_orderkey"].map(
+        lambda k: hashlib.md5(f"42|{k}".encode()).hexdigest()
+    )
+    orders = orders.sort_values(["order_year", "h", "o_orderkey"])
+    return orders.groupby("order_year").head(100)[
+        ["order_year", "o_orderkey", "o_totalprice"]
+    ]
+
+
+def pandas_region_revenue(sf_dir: str) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    m = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    m = m.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    m = m.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    m = m.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    m["order_year"] = m["o_orderdate"].dt.year
+    return (
+        m.groupby(["r_name", "order_year"])
+        .agg(revenue=("rev", "sum"), n_items=("rev", "count"))
+        .reset_index()
+    )
+
+
+PANDAS_IMPLS = {
+    "pricing_summary": pandas_pricing_summary,
+    "region_revenue": pandas_region_revenue,
+    "token_frequency": pandas_token_frequency,
+    "dedup_first_wins": pandas_dedup_first_wins,
+    "sample_per_year": pandas_sample_per_year,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import __spark_entry__ as entry_mod
+    from social_media_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("shootout")
+    qs = entry_mod.queries()
+    print(f"{'query':20} {'pandas_s':>9} {'spark_s':>8} {'ratio':>7}")
+    for name, pfn in PANDAS_IMPLS.items():
+        t0 = time.time()
+        pfn(sf_dir)
+        t_pandas = time.time() - t0
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()  # warm codegen
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        t_spark = time.time() - t0
+        ratio = t_pandas / t_spark if t_spark > 0 else float("inf")
+        print(f"{name:20} {t_pandas:>9.3f} {t_spark:>8.3f} {ratio:>6.2f}x")
+
+
+if __name__ == "__main__":
+    main()
