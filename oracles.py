@@ -612,6 +612,48 @@ QUALIFY rank <= 5
 ORDER BY query_id, rank
 """
 
+def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    # EXACT mirror of similarity.deterministic_planes — md5-derived
+    # uniform weights; repr() round-trips the identical doubles into SQL
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_bucket_sql(planes: list[list[float]]) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(vec, {lit}::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+ORACLES["embedding_ann_lsh"] = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), b AS (
+    SELECT vec_id, vec, ({_srp_bucket_sql(_srp_planes(64, 6))})::BIGINT AS bucket FROM v
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_cos('q.vec', 'c.vec')} AS cos
+    FROM b q JOIN b c ON q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
 ORACLES["quantiles"] = """
 SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

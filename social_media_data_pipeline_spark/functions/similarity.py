@@ -98,11 +98,20 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def deterministic_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Seeded hyperplanes for SRP-LSH (numpy on the driver only)."""
-    import numpy as np
+    """Engine-portable hyperplanes for SRP-LSH: md5-derived uniform
+    weights in [-0.5, 0.5) (sign hashing only needs symmetric weights,
+    not Gaussian). Because derivation is pure md5 of (seed, plane, dim),
+    the DuckDB oracle can embed the identical literals — the ANN variant
+    is differential-checkable end-to-end."""
+    import hashlib
 
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def cosine_near_dup_pairs(

@@ -13,12 +13,11 @@ def test_entry_runs(spark):
     assert len(rows) >= 0 and len(df.schema.fields) > 0
 
 
-def test_oracle_keys_subset_of_queries():
+def test_every_query_has_an_oracle():
     qs = set(entry_mod.queries())
     os_ = set(entry_mod.oracle_sql())
     assert os_ <= qs
-    # everything except explicitly non-SQL-expressible ops has an oracle
-    assert qs - os_ == {"embedding_ann_lsh"}
+    assert qs == os_  # full differential coverage (md5-derived LSH planes)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
