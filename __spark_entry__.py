@@ -509,6 +509,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-pruned Jaccard join (scale path): shingles with
+    document frequency > 25 are dropped before the inverted-index
+    self-join — boilerplate n-grams carry no dedup signal but dominate
+    the join cost."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.2, max_doc_freq=25
+    ).orderBy("id_a", "id_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (60-bit, md5-derived)."""
     docs = _t(spark, sf_dir, "documents")
@@ -811,6 +822,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_language": q_docs_language,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,

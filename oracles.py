@@ -433,6 +433,28 @@ _SIMHASH_VOTES = " + ".join(
     for b in range(60)
 )
 
+ORACLES["ngram_jaccard_pruned"] = f"""
+WITH sh_all AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sh AS (
+    SELECT doc, shingle FROM sh_all
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 25
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.2
+ORDER BY id_a, id_b
+"""
+
 ORACLES["simhash"] = f"""
 WITH th_t AS (
     SELECT doc_id,

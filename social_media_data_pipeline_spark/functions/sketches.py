@@ -135,6 +135,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs with
     |A∩B| / |A∪B| >= threshold.
@@ -142,12 +143,22 @@ def ngram_jaccard_pairs(
     Inverted-index formulation: explode distinct shingles, self-join on
     shingle (only co-occurring docs meet), count common, then
     |A∪B| = |A|+|B|-common. The shuffle key is the shingle — no n² cross
-    join; hot shingles are the skew risk (prefilter ultra-common
-    shingles upstream at real scale).
+    join; hot shingles are the skew/quadratic risk.
+
+    `max_doc_freq`: the scale path — drop stop-shingles appearing in
+    more than this many docs BEFORE the self-join. Jaccard is then
+    computed over the pruned shingle sets (a self-consistent
+    approximation: boilerplate n-grams shared by half the corpus carry
+    no dedup signal but dominate the join cost).
     """
+    from pyspark.sql.window import Window
+
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     ).distinct()
+    if max_doc_freq is not None:
+        doc_freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("__df", doc_freq).filter(F.col("__df") <= max_doc_freq).drop("__df")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
