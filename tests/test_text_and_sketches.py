@@ -76,6 +76,47 @@ class TestSketches:
         out = sketches.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
         assert len(out) == 1 and out[0].jaccard == 1.0
 
+    def test_blocked_pairs_equal_exact_theta_join(self, spark, sf_dir):
+        """Pigeonhole blocking must lose NO pair vs the exact n² join
+        (recall is provably 1.0 at n_blocks > tau)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        blocked = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in sketches.simhash_blocked_pairs(docs, "doc_id", "text", tau=3).collect()
+        }
+        fp = sketches.simhash_table(docs, "doc_id", "text")
+        a, b = fp.alias("a"), fp.alias("b")
+        exact = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                sketches.hamming_distance64(
+                    F.col("a.simhash"), F.col("b.simhash")
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        }
+        assert blocked == exact and len(exact) > 0
+
+    def test_blocked_pairs_plan_is_equi_join(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"w{i} common words here") for i in range(10)],
+            "doc_id long, text string",
+        )
+        out = sketches.simhash_blocked_pairs(df, "doc_id", "text", tau=3)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_blocked_pairs_rejects_bad_block_count(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            sketches.simhash_blocked_pairs(df, "doc_id", "text", tau=4, n_blocks=3)
+
     def test_simhash_close_for_near_dups(self, spark):
         df = spark.createDataFrame(
             [(1, "alpha beta gamma delta epsilon zeta"),
@@ -103,6 +144,49 @@ class TestSimilarity:
         df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
         out = similarity.brute_force_topk(df.filter("vec_id = 0"), df, k=2).collect()
         assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [3, 1]
+
+    def test_ivf_near_dup_equals_exact_at_recall_one_config(self, spark, sf_dir):
+        """probes=4 over K=10 centroids: measured recall 1.0 on this
+        corpus at τ=0.4 — the candidate composition must reproduce the
+        exact all-pairs result, pair for pair."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = emb.filter("vec_id % 50 = 0")
+        via_ivf = {
+            (r.id_a, r.id_b, r.cos)
+            for r in similarity.cosine_near_dup_via_ivf(
+                emb, centroids, threshold=0.4, probes=4
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b, r.cos)
+            for r in similarity.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+        }
+        assert via_ivf == exact and len(exact) > 0
+
+    def test_ivf_near_dup_plan_is_equi_join(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+        centroids = emb.filter("vec_id % 50 = 0")
+        out = similarity.cosine_near_dup_via_ivf(emb, centroids, threshold=0.4, probes=2)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the centroid scoring is an intentional broadcast-K nested loop
+        # (K=10 centroid rows per side); the PAIR join itself must be a
+        # hash/sort-merge join equi on the cell id, never a cartesian
+        assert "CartesianProduct" not in plan
+        assert "Join [cluster" in plan  # pair join is hash/SMJ equi on the cell id
+        # every nested-loop node is the K-row centroid cross-scoring, not
+        # the pair join (whose theta shape would carry the id_a<id_b cond)
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line and "id_a" not in line
+
+    def test_ivf_multiprobe_assigns_p_cells(self, spark, sf_dir):
+        full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = full.filter("vec_id < 50")
+        centroids = full.filter("vec_id % 50 = 0")
+        out = similarity.ivf_assign_multiprobe(emb, centroids, probes=3)
+        counts = out.groupBy("vec_id").count().collect()
+        assert all(r["count"] == 3 for r in counts)
 
     def test_lsh_bucket_recall_on_clusters(self, spark):
         import numpy as np
