@@ -26,12 +26,19 @@ HEADLINE = [
     "token_frequency",
     "docs_exact_dedup",
     "minhash_lsh_pairs",
-    "ngram_jaccard",
+    # the stop-shingle-pruned variant is the scale path; the unpruned
+    # exact join stays available as `ngram_jaccard` but is not headline
+    "ngram_jaccard_pruned",
     "simhash",
+    "simhash_near_pairs",
     "sessionize",
     "docs_quality",
     "embedding_topk",
     "embedding_ivf_topk",
+    "embedding_near_dup_ivf",
+    # iterative CC resolution — runs real Spark jobs during query
+    # construction, which the timed region includes (see below)
+    "dedup_clusters",
 ]
 
 
@@ -45,16 +52,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
+        # construction is INSIDE the timed region: iterative queries
+        # (dedup_clusters' CC rounds) run real Spark jobs while the
+        # DataFrame is being built — timing only the final noop write
+        # would hide them. For lazy queries construction is sub-ms.
+        #
         # run 1 (cold): includes whole-stage-codegen compilation of the
         # query shape; run 2 (steady state): the recurring cost a
         # production pipeline pays per batch. Report steady state as the
         # headline, keep cold alongside.
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -10,12 +10,14 @@ are shallow (pairs share bands), so a handful of rounds in practice.
 
 Scale shape: each round is one shuffle keyed by node id; lineage is cut
 per round (localCheckpoint) so plans don't grow; convergence is an
-aggregated count, not a collect of labels.
+`observe` metric folded into the SAME action that materializes the
+round's checkpoint — one Spark job per round, never a collect of labels
+and no second convergence-count job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -37,15 +39,18 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
+        # `prev` rides along so the convergence delta needs no re-join
+        # against the previous round's labels
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -59,20 +64,27 @@ def connected_components(
             stepped.join(parents, stepped.component == parents.p_node, "left")
             .select(
                 "node",
+                "prev",
                 F.least(
                     F.col("component"), F.coalesce(F.col("p_component"), F.col("component"))
                 ).alias("component"),
             )
         )
+        delta_metric = F.sum(
+            F.when(F.col("component") != F.col("prev"), 1).otherwise(0)
+        ).alias("delta")
         if checkpoint:
-            jumped = jumped.localCheckpoint(eager=True)
-        delta = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = jumped
+            # the delta is an observe metric collected BY the checkpoint's
+            # own materialization — one job does propagate+jump+converge
+            obs = Observation(f"cc_round_{i}")
+            observed = jumped.observe(obs, delta_metric).select("node", "component")
+            labels = observed.localCheckpoint(eager=True)
+            delta = obs.get["delta"]
+        else:
+            # no materializing action without checkpointing — pay one
+            # aggregate job (still never a label collect)
+            delta = jumped.agg(delta_metric).collect()[0]["delta"]
+            labels = jumped.select("node", "component")
         if not delta:
             break
     return labels
