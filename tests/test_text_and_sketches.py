@@ -180,6 +180,50 @@ class TestSimilarity:
             if "BroadcastNestedLoopJoin" in line:
                 assert "Cross" in line and "id_a" not in line
 
+    def test_ivf_near_dup_planted_copies_structural_recall(self, spark, sf_dir):
+        """A ×2-scaled copy has bit-identical centroid cosines (fp scale
+        invariance) → identical probe cells → every planted pair MUST
+        survive the candidate pruning, at any K/probes, any corpus."""
+        import math
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        copies = emb.select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = emb.unionByName(copies)
+        centroids = similarity.select_ivf_centroids(
+            emb, k=math.isqrt(2 * n), corpus_size=n
+        )
+        out = similarity.cosine_near_dup_via_ivf(
+            corpus, centroids, threshold=0.95, probes=2
+        ).collect()
+        assert len(out) == n
+        assert {(r.id_a, r.id_b) for r in out} == {
+            (i, i + 10_000_000) for i in range(n)
+        }
+        assert all(r.cos == 1.0 for r in out)
+
+    def test_select_ivf_centroids_scales_with_sqrt_n(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        k = similarity.select_ivf_centroids(emb).count()
+        import math
+
+        target = math.isqrt(n)
+        # stride quantization: count is within one stride of the target
+        assert target <= k <= n // max(1, n // target) + 1
+
+    def test_simhash_blocked_pairs_rejects_zero_width_blocks(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="width"):
+            sketches.simhash_blocked_pairs(df, "doc_id", "text", tau=61, n_blocks=62)
+
     def test_ivf_multiprobe_assigns_p_cells(self, spark, sf_dir):
         full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         emb = full.filter("vec_id < 50")
