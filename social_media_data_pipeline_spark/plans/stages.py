@@ -146,14 +146,27 @@ class InstagramImageScraperStage:
         df = spark.read.parquet(input_path)
         if "scrape_image" in df.columns:
             df = df.filter(F.col("scrape_image"))  # `stages.py:125-126` (P3)
-        ids = [r.id for r in df.select("id").distinct().collect()]
         src = rest.RetryBudgetSource(
             client=self.params["client"],
             url_template=self.params.get("url_template", "image/{item_id}"),
             bronze_dir=self.params["bronze_dir"],
             max_attempts=self.params.get("max_attempts", 3),
         )
-        src.scrape(ids)
+        # The REST client is inherently a driver/edge-side actor (single
+        # state file, single rate-limit budget — reference semantics),
+        # but the id list must never be: toLocalIterator streams one
+        # partition at a time, so driver memory is bounded by one batch
+        # regardless of table size (was: unbounded .collect()). State
+        # persists per batch, so a crash resumes mid-table.
+        batch_size = int(self.params.get("id_batch_size", 10_000))
+        batch: list = []
+        for row in df.select("id").distinct().toLocalIterator():
+            batch.append(row.id)
+            if len(batch) >= batch_size:
+                src.scrape(batch)
+                batch = []
+        if batch:
+            src.scrape(batch)
         return src.state_dataframe(spark)
 
 
