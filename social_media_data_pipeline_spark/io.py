@@ -56,9 +56,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Nanosecond parquet timestamps (events.ts) arrive as raw int64 under
     `spark.sql.legacy.parquet.nanosAsLong`; convert to µs timestamps
     (lossless — generator emits µs-aligned values).
+
+    `sf_dir` may also be `catalog:<prefix>` — the table is then read
+    from the session catalog as `<prefix><name>` instead of a parquet
+    path. This lets every entry query run unchanged against an
+    alternative physical LAYOUT (e.g. the orderkey-bucketed warehouse
+    `tools/bucketed_bench.py` builds): layout is a storage property,
+    not a query property.
     """
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if sf_dir.startswith("catalog:"):
+        df = spark.table(f"{sf_dir[len('catalog:'):]}{name}")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn(

@@ -71,6 +71,24 @@ class TestScale:
             spark.sql(f"DROP TABLE IF EXISTS {ta}")
             spark.sql(f"DROP TABLE IF EXISTS {tb}")
 
+    def test_read_table_catalog_scheme(self, spark, sf_dir):
+        """`catalog:<prefix>` routes read_table to catalog tables, so
+        entry queries run unchanged against an alternative layout
+        (tools/bucketed_bench.py relies on this)."""
+        import uuid
+
+        from social_media_data_pipeline_spark.io import read_table
+
+        prefix = f"cat_{uuid.uuid4().hex[:8]}_"
+        src = read_table(spark, sf_dir, "region")
+        src.write.mode("overwrite").saveAsTable(f"{prefix}region")
+        try:
+            via_catalog = read_table(spark, f"catalog:{prefix}", "region")
+            assert via_catalog.count() == src.count()
+            assert via_catalog.columns == src.columns
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}region")
+
     def test_key_skew_profile(self, spark):
         df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k int")
         prof = scale.key_skew_profile(df, "k")
