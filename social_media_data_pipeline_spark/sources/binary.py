@@ -111,27 +111,268 @@ def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.mapInPandas(_meta, schema)
 
 
-def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Multimodal decode step — STUB: real pixel decode needs an imaging
-    library absent from this container. The operator contract (binary in,
-    array<array<int>>-ish tensor out) is what a real codec plugs into.
+# ---------------------------------------------------------------------------
+# real pixel codecs (dependency-free: stdlib zlib + numpy only)
+#
+# PPM(P6), BMP(24bpp BI_RGB) and PNG(8-bit RGB/RGBA, non-interlaced, all
+# five scanline filters) decode to real pixel tensors; PPM encodes back.
+# JPEG entropy decode genuinely needs a codec library and remains a
+# documented NotImplementedError boundary (`decode_image_stub`), as does
+# video (`sample_video_frames_stub`).
+# ---------------------------------------------------------------------------
+
+
+def _decode_ppm(b: bytes):
+    # P6 header: magic, whitespace/comments, width, height, maxval, then
+    # a single whitespace byte and raw RGB triples
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit ppm not supported")
+    i += 1  # the single whitespace after maxval
+    import numpy as np
+
+    px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, 3, px
+
+
+def _decode_bmp(b: bytes):
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a bmp")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp bmp supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(
+        h, stride
+    )[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return w, h, 3, rgb.reshape(-1).copy()
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, channels: int):
+    import numpy as np
+
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: left-sequential
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                bb = int(prev[x])
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + bb) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown png filter {ftype}")
+    return out.reshape(-1)
+
+
+def _decode_png(b: bytes):
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    w, h = _png_dims(b)
+    bit_depth, color_type, interlace = b[24], b[25], b[28]
+    if bit_depth != 8 or interlace != 0 or color_type not in (2, 6):
+        raise ValueError(
+            "only 8-bit non-interlaced RGB/RGBA png supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    channels = 3 if color_type == 2 else 4
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        seg_len = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += b[i + 8 : i + 8 + seg_len]
+        if tag == b"IEND":
+            break
+        i += 12 + seg_len  # len + tag + data + crc
+    raw = zlib.decompress(bytes(idat))
+    return w, h, channels, _png_unfilter(raw, w, h, channels)
+
+
+_PIXEL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "png": _decode_png}
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal lossless RGB container (P6) — the dependency-free way to
+    round-trip pixels back into a binary column."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer does not match dimensions")
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(rgb)
+
+
+def _sniff_pixel_format(b: bytes) -> str:
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"BM":
+        return "bmp"
+    return _sniff_format(b)
+
+
+DECODED_IMAGE = T.StructType(
+    [
+        T.StructField("image", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.ShortType())),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, content_col: str = "content", key_col: str = "image"
+) -> DataFrame:
+    """Multimodal decode: binary column → row-major pixel tensor
+    (width, height, channels, flat uint8 values as array<smallint>).
+
+    Real decode for ppm/bmp/png (pure stdlib+numpy — see module codecs);
+    formats that need an entropy codec (jpeg/webp/gif) raise per-batch
+    with a clear message rather than silently passing through — route
+    those through a library-backed decoder with the SAME mapInPandas
+    signature. Arrow-batched; one output row per image; partitioning is
+    whatever the binaryFile scan produced (size-based splits).
     """
-    raise NotImplementedError(
-        "pixel decode requires an imaging library (PIL/cv2) not present in "
-        "this container; use image_metadata() for header-level decode, or "
-        "swap in a codec-backed mapInPandas with the same signature"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(buf)
+                fmt = _sniff_pixel_format(b)
+                dec = _PIXEL_DECODERS.get(fmt)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"{key}: pixel decode for '{fmt}' needs a codec "
+                        "library; supported dependency-free: ppm/bmp/png"
+                    )
+                w, h, c, px = dec(b)
+                rows.append(
+                    {
+                        "image": key,
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixels": px.astype("int16"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_IMAGE.fields])
+
+    return df.mapInPandas(_decode, DECODED_IMAGE)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    key_col: str = "image",
+) -> DataFrame:
+    """Multimodal resize: binary in → binary out (nearest-neighbor via
+    numpy index maps; output re-encoded as lossless P6 ppm, dimensions
+    recorded alongside). Same binary→binary plumbing as
+    `ml.inference.anonymize_images`; RGBA flattens to RGB."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("image", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("content", T.BinaryType()),
+        ]
     )
 
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(buf)
+                fmt = _sniff_pixel_format(b)
+                dec = _PIXEL_DECODERS.get(fmt)
+                if dec is None:
+                    raise NotImplementedError(
+                        f"{key}: resize needs pixel decode for '{fmt}' "
+                        "(supported dependency-free: ppm/bmp/png)"
+                    )
+                w, h, c, px = dec(b)
+                img = px.reshape(h, w, c)[:, :, :3]  # RGBA → RGB
+                ys = np.minimum((np.arange(height) * h) // height, h - 1)
+                xs = np.minimum((np.arange(width) * w) // width, w - 1)
+                out = img[ys][:, xs]
+                rows.append(
+                    {
+                        "image": key,
+                        "width": width,
+                        "height": height,
+                        "content": encode_ppm(width, height, out.tobytes()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-def resize_image_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Multimodal resize step — STUB: real resampling needs an imaging
-    library. Contract: binary column in → binary column out with target
-    dimensions recorded in metadata; plumbing identical to
-    `ml.inference.anonymize_images` (mapInPandas binary→binary)."""
+    return df.mapInPandas(_resize, schema)
+
+
+def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Entropy-coded formats (jpeg/webp) — STUB: their pixel decode
+    needs an imaging library absent from this container. `decode_image`
+    IS the real implementation of this contract for ppm/bmp/png; a
+    jpeg-capable codec plugs into the same mapInPandas signature.
+    """
     raise NotImplementedError(
-        "image resize requires an imaging library (PIL/cv2) not present in "
-        "this container; implement as mapInPandas binary→binary with the "
-        "anonymize_images plumbing and update the meta struct"
+        "jpeg/webp pixel decode requires an imaging library (PIL/cv2) not "
+        "present in this container; decode_image() covers ppm/bmp/png with "
+        "the same contract, image_metadata() gives header-level decode"
     )
 
 

@@ -137,13 +137,73 @@ class TestImageScraperStage:
         assert len(batch_sizes) >= 3
 
 
-def make_png(w=7, h=5):
+def make_png(w=7, h=5, pixels=None, filter_type=0):
+    """Real PNG: 8-bit RGB, one IDAT, every scanline filtered with
+    `filter_type` (forward-filtered here so decode exercises the
+    matching unfilter path). `pixels` is an h×w×3 uint8 array."""
+    import numpy as np
+
     ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+
     def chunk(tag, data):
         return struct.pack(">I", len(data)) + tag + data + struct.pack(
             ">I", zlib.crc32(tag + data)
         )
-    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if pixels is not None:
+        img = np.asarray(pixels, dtype=np.uint8).reshape(h, w * 3).astype(np.int16)
+        raw = bytearray()
+        prev = np.zeros(w * 3, dtype=np.int16)
+        for y in range(h):
+            line = img[y]
+            if filter_type == 0:
+                enc = line
+            elif filter_type == 1:  # Sub
+                left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+                enc = (line - left) % 256
+            elif filter_type == 2:  # Up
+                enc = (line - prev) % 256
+            elif filter_type == 3:  # Average
+                left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+                enc = (line - ((left + prev) >> 1)) % 256
+            else:  # Paeth
+                left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+                ul = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = (line - pred) % 256
+            raw.append(filter_type)
+            raw += enc.astype(np.uint8).tobytes()
+            prev = line
+        out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def make_bmp(w, h, pixels):
+    """24bpp bottom-up BI_RGB bmp from an h×w×3 uint8 RGB array."""
+    import numpy as np
+
+    img = np.asarray(pixels, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + bytes(body)
+
+
+def make_ppm(w, h, pixels):
+    import numpy as np
+
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + np.asarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
 
 
 class TestBinary:
@@ -162,6 +222,89 @@ class TestBinary:
     def test_decode_stub_raises(self, spark):
         with pytest.raises(NotImplementedError):
             binary_source.decode_image_stub(None)
+
+    def test_decode_image_real_pixels_all_formats(self, spark, tmp_path):
+        """ppm/bmp/png (every png filter type) decode to the SAME known
+        pixel tensor through the Spark mapInPandas operator."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        w, h = 6, 4
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = tmp_path / "imgs"
+        d.mkdir()
+        (d / "a.ppm").write_bytes(make_ppm(w, h, pixels))
+        (d / "b.bmp").write_bytes(make_bmp(w, h, pixels))
+        for ft in range(5):
+            (d / f"png_f{ft}.png").write_bytes(make_png(w, h, pixels, filter_type=ft))
+        df = binary_source.read_binary_folder(spark, str(d), "*")
+        out = {r.image: r for r in binary_source.decode_image(df).collect()}
+        assert len(out) == 7
+        expected = pixels.reshape(-1).tolist()
+        for name, row in out.items():
+            assert (row.width, row.height, row.channels) == (w, h, 3), name
+            assert list(row.pixels) == expected, f"pixel mismatch in {name}"
+
+    def test_decode_image_rgba_png(self, spark, tmp_path):
+        import numpy as np
+        import struct as _struct
+        import zlib as _zlib
+
+        w, h = 3, 2
+        rgba = np.arange(w * h * 4, dtype=np.uint8).reshape(h, w * 4)
+        ihdr = _struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+
+        def chunk(tag, data):
+            return _struct.pack(">I", len(data)) + tag + data + _struct.pack(
+                ">I", _zlib.crc32(tag + data)
+            )
+
+        raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        d = tmp_path / "imgs2"
+        d.mkdir()
+        (d / "x.png").write_bytes(png)
+        df = binary_source.read_binary_folder(spark, str(d), "*")
+        row = binary_source.decode_image(df).collect()[0]
+        assert row.channels == 4
+        assert list(row.pixels) == rgba.reshape(-1).tolist()
+
+    def test_resize_image_binary_roundtrip(self, spark, tmp_path):
+        """resize is binary→binary: bmp in, ppm out, nearest-neighbor
+        verified against a numpy reference, and the output decodes back
+        through decode_image."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        w, h = 8, 6
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = tmp_path / "imgs3"
+        d.mkdir()
+        (d / "a.bmp").write_bytes(make_bmp(w, h, pixels))
+        df = binary_source.read_binary_folder(spark, str(d), "*")
+        out = binary_source.resize_image(df, width=4, height=3).collect()[0]
+        assert (out.width, out.height) == (4, 3)
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(4) * w) // 4
+        expected = pixels[ys][:, xs]
+        redecoded = binary_source.decode_image(
+            spark.createDataFrame(
+                [("a.ppm", bytes(out.content))], "image string, content binary"
+            )
+        ).collect()[0]
+        assert list(redecoded.pixels) == expected.reshape(-1).tolist()
+
+    def test_decode_image_jpeg_raises_clear_error(self, spark):
+        df = spark.createDataFrame(
+            [("x.jpg", b"\xff\xd8\xff\xe0fakejpeg")], "image string, content binary"
+        )
+        with pytest.raises(Exception, match="jpeg"):
+            binary_source.decode_image(df).collect()
 
 
 class TestInference:
