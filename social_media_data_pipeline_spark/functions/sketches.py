@@ -189,9 +189,15 @@ def simhash64(text_col: str | Column, fast: bool = False) -> Column:
     +1 if set else -1, summed over tokens; fingerprint bit b = (sum > 0).
     """
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    # fast path: xxhash64 is already a long — mask to 60 bits natively;
+    # the md5 path must round-trip hex→decimal for oracle replay
     tok_hash = F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t) if not fast else F.hex(F.xxhash64(t)), 1, 15), 16, 10).cast("long"),
+        lambda t: (
+            F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1).cast("long"))
+            if fast
+            else F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        ),
     )
     def _vote_fn(bit: int):
         mask = F.lit(1 << bit).cast("long")
@@ -299,12 +305,12 @@ def simhash_table(
     """
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
     exploded = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("t"))
+    # same per-token hash as simhash64 (fast: native 60-bit-masked
+    # xxhash64 long, no hex round-trip; md5: oracle-replayable)
     h = (
-        F.conv(
-            F.substring(F.md5(F.col("t")) if not fast else F.hex(F.xxhash64(F.col("t"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
+        F.xxhash64(F.col("t")).bitwiseAND(F.lit((1 << 60) - 1).cast("long"))
+        if fast
+        else F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
     )
     with_hash = exploded.select("doc", h.alias("h"))
     votes = [
