@@ -107,6 +107,61 @@ def run_incremental_merge(
     )
 
 
+def run_paced_merge(
+    stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    interval: str = "500 milliseconds",
+    idle_triggers: int = 2,
+    timeout_sec: float = 120.0,
+) -> int:
+    """ST5 throttled continuous ingest: `Trigger.ProcessingTime` paces
+    micro-batches at `interval` — the engine-native form of the
+    reference's request pacing (`InstagramFeedScraper.py:163` sleeps
+    between feed pages); `maxFilesPerTrigger` on the reader is the
+    batch-size knob (`read_event_stream`).
+
+    Unlike AvailableNow the query never self-terminates, so this
+    wrapper watches progress and stops after `idle_triggers`
+    consecutive empty micro-batches (source drained) or `timeout_sec`.
+    Each batch merges idempotently via `merge_new_rows`. Returns the
+    number of non-empty micro-batches processed — callers can assert
+    the pacing actually split the work.
+    """
+    import time
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _epoch: merge_new_rows(df, output_dir, key)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    deadline = time.time() + timeout_sec
+    idle = 0
+    non_empty = 0
+    last_batch_id = -1
+    try:
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["batchId"] != last_batch_id:
+                last_batch_id = p["batchId"]
+                if p["numInputRows"] == 0:
+                    idle += 1
+                    if idle >= idle_triggers:
+                        break
+                else:
+                    idle = 0
+                    non_empty += 1
+            time.sleep(0.05)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return non_empty
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

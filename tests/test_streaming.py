@@ -81,6 +81,33 @@ class TestStreaming:
         sev.run_incremental_merge(stream2, out_dir, ckpt2, "event_id")
         assert spark.read.parquet(out_dir).count() == 2
 
+    def test_paced_merge_processing_time_trigger(self, spark, tmp_path):
+        """ST5: Trigger.ProcessingTime pacing — maxFilesPerTrigger=1
+        over 3 source files must yield ≥2 separate non-empty
+        micro-batches (the throttle actually splits the work), drain
+        completely, and stay idempotent on replay."""
+        src = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        # three separate files → three paced micro-batches
+        for i in range(3):
+            spark.createDataFrame(
+                [(i, t(i), 1, "click", float(i))], SCHEMA
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = sev.read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+        n_batches = sev.run_paced_merge(
+            stream, out_dir, str(tmp_path / "ck1"), "event_id",
+            interval="250 milliseconds",
+        )
+        assert n_batches >= 2
+        assert spark.read.parquet(out_dir).count() == 3
+        # replay with fresh checkpoint: keyed merge keeps exactly-once
+        stream2 = sev.read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+        sev.run_paced_merge(
+            stream2, out_dir, str(tmp_path / "ck2"), "event_id",
+            interval="250 milliseconds",
+        )
+        assert spark.read.parquet(out_dir).count() == 3
+
     def test_sessionize_batch(self, spark):
         df = spark.createDataFrame(
             [
