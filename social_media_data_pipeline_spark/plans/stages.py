@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark import nlp, preprocessing
 from social_media_data_pipeline_spark.analytics import explore
-from social_media_data_pipeline_spark.ml import inference, models
+from social_media_data_pipeline_spark.ml import backends, inference, models
 from social_media_data_pipeline_spark.operators import setops
 from social_media_data_pipeline_spark.sources import binary as binary_source
 from social_media_data_pipeline_spark.sources import rest
@@ -130,7 +130,7 @@ class TranslatorStage:
             self.params.get("detector_factory", models.HeuristicLangDetector),
             self.params.get(
                 "translator_factory",
-                lambda: models.StubTranslator(target_language=target_language),
+                backends.resolve_translator_factory(target_language),
             ),
         )
 
@@ -182,7 +182,8 @@ class ImageLabelerStage:
             spark, self.params["image_dir"], self.params.get("glob", "*")
         )
         return inference.label_images(
-            images, self.params.get("labeler_factory", models.StubSceneLabeler)
+            images,
+            self.params.get("labeler_factory", backends.resolve_scene_labeler_factory()),
         )
 
 
@@ -199,7 +200,9 @@ class ImageFeatureVectorStage:
         dim = self.params.get("dim", 2048)
         return inference.extract_features(
             images,
-            self.params.get("extractor_factory", lambda: models.StubFeatureExtractor(dim=dim)),
+            self.params.get(
+                "extractor_factory", backends.resolve_feature_extractor_factory(dim)
+            ),
         )
 
 
@@ -214,7 +217,10 @@ class ImageAnonymizerStage:
             spark, self.params["image_dir"], self.params.get("glob", "*")
         )
         return inference.anonymize_images(
-            images, self.params.get("anonymizer_factory", models.StubFaceAnonymizer)
+            images,
+            self.params.get(
+                "anonymizer_factory", backends.resolve_face_anonymizer_factory()
+            ),
         )
 
 

@@ -3,6 +3,7 @@ binary metadata decode, ML inference UDF harness, NLP translate stage."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -10,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark import nlp
-from social_media_data_pipeline_spark.ml import inference, models
+from social_media_data_pipeline_spark.ml import backends, inference, models
 from social_media_data_pipeline_spark.sources import binary as binary_source
 from social_media_data_pipeline_spark.sources import rest
 
@@ -394,3 +395,106 @@ class TestNlp:
             df, "caption", "en", models.HeuristicLangDetector, models.StubTranslator
         )
         assert out.collect()[0].caption_en == "<error>"  # >5k chars → sentinel
+
+
+def _missing(module: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(module) is None
+
+
+class TestBackendResolution:
+    """Opt-in real-model backends (ml/backends.py): env-driven resolution
+    falls back to deterministic stubs whenever the backend is not
+    configured or its library is absent — offline CI never breaks."""
+
+    ENV = (
+        "SMDP_PLACES365_WEIGHTS",
+        "SMDP_PLACES365_CLASSES",
+        "SMDP_FACE_PROTOTXT",
+        "SMDP_FACE_WEIGHTS",
+        "SMDP_DIR_FEATURES",
+        "SMDP_TRANSLATE_ONLINE",
+    )
+
+    def _clear(self, monkeypatch):
+        for var in self.ENV:
+            monkeypatch.delenv(var, raising=False)
+
+    def test_unconfigured_resolves_to_stubs(self, monkeypatch):
+        self._clear(monkeypatch)
+        assert isinstance(
+            backends.resolve_scene_labeler_factory()(), models.StubSceneLabeler
+        )
+        assert isinstance(
+            backends.resolve_face_anonymizer_factory()(), models.StubFaceAnonymizer
+        )
+        fx = backends.resolve_feature_extractor_factory(dim=16)()
+        assert isinstance(fx, models.StubFeatureExtractor) and fx.dim == 16
+        tr = backends.resolve_translator_factory("de")()
+        assert isinstance(tr, models.StubTranslator) and tr.target_language == "de"
+
+    def test_missing_model_files_resolve_to_stubs(self, monkeypatch, tmp_path):
+        self._clear(monkeypatch)
+        monkeypatch.setenv("SMDP_PLACES365_WEIGHTS", str(tmp_path / "nope.pth"))
+        monkeypatch.setenv("SMDP_PLACES365_CLASSES", str(tmp_path / "nope.txt"))
+        assert isinstance(
+            backends.resolve_scene_labeler_factory()(), models.StubSceneLabeler
+        )
+
+    @pytest.mark.skipif(not _missing("torch"), reason="torch installed")
+    def test_configured_without_torch_raises_clear_importerror(
+        self, monkeypatch, tmp_path
+    ):
+        # files exist → the REAL factory is chosen; constructing it
+        # without torch must fail loudly, not fall back silently
+        self._clear(monkeypatch)
+        w = tmp_path / "w.pth"
+        c = tmp_path / "c.txt"
+        w.write_bytes(b"x")
+        c.write_text("/a/airfield 0\n")
+        monkeypatch.setenv("SMDP_PLACES365_WEIGHTS", str(w))
+        monkeypatch.setenv("SMDP_PLACES365_CLASSES", str(c))
+        factory = backends.resolve_scene_labeler_factory()
+        with pytest.raises(ImportError, match="torch"):
+            factory()
+
+    @pytest.mark.skipif(not _missing("deep_translator"), reason="lib installed")
+    def test_online_translate_flag_without_lib_raises(self, monkeypatch):
+        self._clear(monkeypatch)
+        monkeypatch.setenv("SMDP_TRANSLATE_ONLINE", "1")
+        with pytest.raises(ImportError, match="deep_translator"):
+            backends.resolve_translator_factory()()
+
+    # ---- real-model integration: runs only where weights + libs exist ----
+
+    @pytest.mark.skipif(
+        _missing("torch")
+        or not (
+            os.path.isfile(os.environ.get("SMDP_PLACES365_WEIGHTS", ""))
+            and os.path.isfile(os.environ.get("SMDP_PLACES365_CLASSES", ""))
+        ),
+        reason="needs torch + Places365 checkpoint (set SMDP_PLACES365_*)",
+    )
+    def test_torch_scene_labeler_real(self, spark, tmp_path):
+        labeler = backends.TorchSceneLabeler(
+            os.environ["SMDP_PLACES365_WEIGHTS"], os.environ["SMDP_PLACES365_CLASSES"]
+        )
+        top, top1 = labeler.predict(make_png(8, 8))
+        assert len(top) == 5 and top1 == top[0][0]
+        assert all(0.0 <= p <= 1.0 for _, p in top)
+
+    @pytest.mark.skipif(
+        _missing("cv2")
+        or not (
+            os.path.isfile(os.environ.get("SMDP_FACE_PROTOTXT", ""))
+            and os.path.isfile(os.environ.get("SMDP_FACE_WEIGHTS", ""))
+        ),
+        reason="needs cv2 + res10 SSD files (set SMDP_FACE_*)",
+    )
+    def test_cv2_face_anonymizer_real(self):
+        anon = backends.Cv2FaceAnonymizer(
+            os.environ["SMDP_FACE_PROTOTXT"], os.environ["SMDP_FACE_WEIGHTS"]
+        )
+        out = anon.anonymize(make_png(8, 8))
+        assert isinstance(out, bytes) and len(out) > 0
