@@ -58,6 +58,8 @@ def _sniff_format(b: bytes) -> str:
         return "gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return "webp"
+    if b[:9] == b"YUV4MPEG2":
+        return "y4m"
     return "unknown"
 
 
@@ -377,10 +379,188 @@ def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def sample_video_frames_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Multimodal frame-sampling step — STUB (no video codec available).
-    Contract: binary video column → exploded (frame_idx, frame_bytes)."""
+    """Entropy-coded video (mp4/h264/vp9) — STUB: needs ffmpeg/pyav.
+    `sample_video_frames` IS the real implementation of this contract
+    for Y4M (YUV4MPEG2) — uncompressed raw-plane video; an ffmpeg-backed
+    decoder plugs into the same mapInPandas signature."""
     raise NotImplementedError(
-        "video frame sampling requires a codec (ffmpeg/pyav) not present in "
-        "this container; implement as mapInPandas yielding one row per "
-        "sampled frame with columns (path, frame_idx, frame)"
+        "compressed video (mp4/h264/vp9) needs a codec (ffmpeg/pyav) not "
+        "present in this container; sample_video_frames() covers Y4M "
+        "(uncompressed YUV4MPEG2) with the same contract"
     )
+
+
+# --- Y4M (YUV4MPEG2): plain-text header + uncompressed YUV planes -----------
+# Public container (mjpegtools/ffmpeg interchange format):
+#   "YUV4MPEG2 W<w> H<h> F<num>:<den> [I..] [A..] [C<colorspace>]\n"
+#   then per frame: "FRAME[params]\n" + raw planes.
+# Plane sizes: C420* → w*h*3/2, C422 → w*h*2, C444 → w*h*3, Cmono → w*h.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def _parse_y4m_header(b: bytes) -> tuple[dict, int]:
+    eol = b.index(b"\n")
+    params: dict = {"C": "420"}  # spec default colorspace is 4:2:0
+    for tok in b[len(_Y4M_MAGIC) : eol].split():
+        key, val = chr(tok[0]), tok[1:].decode("ascii")
+        if key == "W":
+            params["W"] = int(val)
+        elif key == "H":
+            params["H"] = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            params["fps"] = (int(num), int(den))
+        elif key == "C":
+            params["C"] = val
+    if "W" not in params or "H" not in params:
+        raise ValueError("y4m header missing W/H")
+    return params, eol + 1
+
+
+def _y4m_frame_size(w: int, h: int, colorspace: str) -> tuple[int, str]:
+    if colorspace.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2)), "420"
+    if colorspace.startswith("422"):
+        return w * h + 2 * ((w // 2) * h), "422"
+    if colorspace.startswith("444"):
+        return 3 * w * h, "444"
+    if colorspace.startswith("mono"):
+        return w * h, "mono"
+    raise NotImplementedError(f"y4m colorspace C{colorspace} not supported")
+
+
+def _yuv_to_rgb(y, cb, cr):
+    """BT.601 limited-range integer conversion (the broadcast-video
+    default Y4M carries), vectorized; output clipped uint8 HxWx3."""
+    import numpy as np
+
+    y = y.astype(np.int32) - 16
+    cb = cb.astype(np.int32) - 128
+    cr = cr.astype(np.int32) - 128
+    r = (298 * y + 409 * cr + 128) >> 8
+    g = (298 * y - 100 * cb - 208 * cr + 128) >> 8
+    b = (298 * y + 516 * cb + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _decode_y4m_frames(b: bytes, every_n: int):
+    """Yield (frame_idx, width, height, rgb_uint8_HxWx3) for frames
+    0, every_n, 2*every_n, ... Non-sampled frames are SKIPPED without
+    conversion — only the plane slice arithmetic touches them."""
+    import numpy as np
+
+    params, off = _parse_y4m_header(b)
+    w, h = params["W"], params["H"]
+    frame_bytes, family = _y4m_frame_size(w, h, params["C"])
+    idx = 0
+    while off < len(b):
+        eol = b.index(b"\n", off)
+        if not b[off:eol].startswith(b"FRAME"):
+            raise ValueError(f"bad y4m frame marker at byte {off}")
+        data_start = eol + 1
+        off = data_start + frame_bytes
+        if idx % every_n == 0:
+            raw = np.frombuffer(b[data_start:off], dtype=np.uint8)
+            y = raw[: w * h].reshape(h, w)
+            if family == "mono":
+                rgb = np.repeat(y[:, :, None], 3, axis=2)  # Y is full-range
+            else:
+                if family == "420":
+                    cw, ch = w // 2, h // 2
+                elif family == "422":
+                    cw, ch = w // 2, h
+                else:
+                    cw, ch = w, h
+                cb = raw[w * h : w * h + cw * ch].reshape(ch, cw)
+                cr = raw[w * h + cw * ch :].reshape(ch, cw)
+                # nearest-neighbor chroma upsample to full resolution
+                cb = np.repeat(np.repeat(cb, h // ch, axis=0), w // cw, axis=1)
+                cr = np.repeat(np.repeat(cr, h // ch, axis=0), w // cw, axis=1)
+                rgb = _yuv_to_rgb(y, cb, cr)
+            yield idx, w, h, rgb
+        idx += 1
+
+
+def encode_y4m(width: int, height: int, rgb_frames, colorspace: str = "444") -> bytes:
+    """Test/round-trip helper: RGB uint8 frames → Y4M bytes (BT.601
+    limited-range, C444 by default so no chroma subsampling loss;
+    Cmono stores the R channel as full-range Y, exactly)."""
+    import numpy as np
+
+    out = bytearray(
+        b"YUV4MPEG2 W%d H%d F30:1 Ip A1:1 C%s\n" % (width, height, colorspace.encode())
+    )
+    for frame in rgb_frames:
+        img = np.asarray(frame, dtype=np.uint8).reshape(height, width, 3)
+        out += b"FRAME\n"
+        if colorspace.startswith("mono"):
+            out += img[:, :, 0].tobytes()
+            continue
+        r, g, b = (img[:, :, i].astype(np.int32) for i in range(3))
+        y = ((66 * r + 129 * g + 25 * b + 128) >> 8) + 16
+        cb = ((-38 * r - 74 * g + 112 * b + 128) >> 8) + 128
+        cr = ((112 * r - 94 * g - 18 * b + 128) >> 8) + 128
+        planes = [y, cb, cr]
+        if colorspace.startswith("420"):
+            planes = [y] + [p[::2, ::2] for p in (cb, cr)]
+        elif colorspace.startswith("422"):
+            planes = [y] + [p[:, ::2] for p in (cb, cr)]
+        for p in planes:
+            out += np.clip(p, 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+VIDEO_FRAMES = T.StructType(
+    [
+        T.StructField("video", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    content_col: str = "content",
+    key_col: str = "video",
+) -> DataFrame:
+    """Multimodal frame sampling, real for Y4M: binary video column →
+    one row per sampled frame (video, frame_idx, width, height, frame),
+    frame re-encoded as lossless P6 ppm — directly consumable by
+    `decode_image` / `resize_image` / the F3-F5 inference stages.
+
+    Reference parity: the scraper stores stills only; this is the video
+    analog of its image bronze layer, built for training-data pipelines
+    (frame extraction feeding dedup/labeling). mapInPandas streams Arrow
+    batches, so one multi-GB video per task is the unit of parallelism —
+    partitioning comes from the binaryFile scan's size-based splits;
+    non-sampled frames are skipped by offset arithmetic, never decoded.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(buf)
+                if not b.startswith(_Y4M_MAGIC):
+                    raise NotImplementedError(
+                        f"{key}: not a Y4M stream — compressed video needs "
+                        "ffmpeg/pyav (see sample_video_frames_stub)"
+                    )
+                for idx, w, h, rgb in _decode_y4m_frames(b, every_n):
+                    rows.append(
+                        {
+                            "video": key,
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "frame": encode_ppm(w, h, rgb.tobytes()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES.fields])
+
+    return df.mapInPandas(_sample, VIDEO_FRAMES)

@@ -308,6 +308,82 @@ class TestBinary:
             binary_source.decode_image(df).collect()
 
 
+class TestVideoFrames:
+    """Real Y4M frame sampling: every_n stride, chroma-family coverage,
+    mono exact round-trip, and composition with decode_image."""
+
+    @staticmethod
+    def _solid_frames(n, w, h, start=0):
+        import numpy as np
+
+        return [
+            np.full((h, w, 3), (start + 40 * i) % 256, dtype=np.uint8)
+            for i in range(n)
+        ]
+
+    def test_mono_roundtrip_exact_and_stride(self, spark):
+        import numpy as np
+
+        w, h, n = 6, 4, 7
+        frames = self._solid_frames(n, w, h, start=10)
+        video = binary_source.encode_y4m(w, h, frames, colorspace="mono")
+        df = spark.createDataFrame([("v.y4m", video)], "video string, content binary")
+        out = binary_source.sample_video_frames(df, every_n=3).collect()
+        # frames 0, 3, 6 sampled
+        assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 3, 6]
+        for r in out:
+            assert (r.width, r.height) == (w, h)
+            # mono Y carries the R channel verbatim → ppm pixels exact
+            w2, h2, c, px = binary_source._decode_ppm(bytes(r.frame))
+            expect = (10 + 40 * r.frame_idx) % 256
+            assert (w2, h2, c) == (w, h, 3)
+            assert np.all(px == expect)
+
+    @pytest.mark.parametrize("cs", ["420", "422", "444"])
+    def test_chroma_families_decode_close(self, spark, cs):
+        import numpy as np
+
+        w, h = 8, 6
+        rgb = np.zeros((h, w, 3), np.uint8)
+        rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 60, 120
+        video = binary_source.encode_y4m(w, h, [rgb], colorspace=cs)
+        df = spark.createDataFrame([("v", video)], "video string, content binary")
+        row = binary_source.sample_video_frames(df, every_n=1).collect()[0]
+        _, _, _, px = binary_source._decode_ppm(bytes(row.frame))
+        got = px.reshape(h, w, 3).astype(int)
+        # BT.601 limited-range round trip: small quantization error only
+        assert np.abs(got - rgb.astype(int)).max() <= 4
+
+    def test_frames_feed_decode_image(self, spark):
+        """Sampled frames are ppm binaries — the image decode/resize
+        stages consume them directly (multimodal pipeline composition)."""
+        w, h = 4, 4
+        video = binary_source.encode_y4m(w, h, self._solid_frames(2, w, h))
+        df = spark.createDataFrame([("v", video)], "video string, content binary")
+        frames = binary_source.sample_video_frames(df, every_n=1).select(
+            F.concat(F.col("video"), F.lit("#"), F.col("frame_idx")).alias("image"),
+            F.col("frame").alias("content"),
+        )
+        decoded = binary_source.decode_image(frames).collect()
+        assert {r.image for r in decoded} == {"v#0", "v#1"}
+        assert all(r.format == "ppm" and r.channels == 3 for r in decoded)
+        resized = binary_source.resize_image(frames, 2, 2).collect()
+        assert all(len(bytes(r.content)) > 0 for r in resized)
+
+    def test_compressed_video_raises_clear_error(self, spark):
+        df = spark.createDataFrame(
+            [("clip.mp4", b"\x00\x00\x00\x18ftypmp42fake")], "video string, content binary"
+        )
+        with pytest.raises(Exception, match="ffmpeg|Y4M"):
+            binary_source.sample_video_frames(df).collect()
+        with pytest.raises(NotImplementedError):
+            binary_source.sample_video_frames_stub(df)
+
+    def test_sniff_reports_y4m(self):
+        video = binary_source.encode_y4m(2, 2, self._solid_frames(1, 2, 2))
+        assert binary_source._sniff_format(video) == "y4m"
+
+
 class TestInference:
     @pytest.fixture(scope="class")
     def images(self, spark):
