@@ -106,3 +106,78 @@ class TestCli:
         cfg_path = tmp_path / "c.json"
         cfg_path.write_text(json.dumps(config))
         assert cli.main(["--config", str(cfg_path), "--root_dir", str(tmp_path)]) == 2
+
+
+class TestReport:
+    """Presentation layer (reference Exploration/plotting.py parity):
+    render already-aggregated frames to text/markdown, driver-side."""
+
+    def test_render_table_markdown_and_truncation(self, posts):
+        from social_media_data_pipeline_spark.analytics import report
+
+        freq = explore.hashtag_frequency(posts)
+        md = report.render_table(freq, order_by=["hashtag"], max_rows=3)
+        lines = md.splitlines()
+        assert lines[0].startswith("| hashtag | count |".replace(" count |", " count |")[:9])
+        assert "truncated at 3 rows" in lines[-1]
+        full = report.render_table(freq, order_by=["hashtag"])
+        assert "truncated" not in full
+
+    def test_bar_chart_scales_to_peak(self, spark):
+        from social_media_data_pipeline_spark.analytics import report
+
+        df = spark.createDataFrame(
+            [("a", 10.0), ("b", 40.0), ("c", 0.0)], "label string, v double"
+        )
+        out = report.bar_chart(df, "label", "v", width=20)
+        rows = {l.split(" |")[0].strip(): l for l in out.splitlines()}
+        assert rows["b"].count("█") == 20  # peak gets full width
+        assert rows["a"].count("█") == 5
+        assert rows["c"].count("█") == 0
+
+    def test_timeseries_chart_with_distributed_trendline(self, posts):
+        from social_media_data_pipeline_spark.analytics import report
+
+        monthly = explore.posts_per_period(posts)["M"]
+        out = report.timeseries_chart(
+            monthly, "period", "n_posts", smooth_sigma=3.0, title="posts/month"
+        )
+        assert out.startswith("## posts/month")
+        assert "(trend " in out  # gaussian trendline column rendered
+
+    def test_dual_timeseries_chart_aligned(self, spark):
+        from social_media_data_pipeline_spark.analytics import report
+
+        df = spark.createDataFrame(
+            [("2020-01", 10.0, 1.0), ("2020-02", 5.0, 9.0)],
+            "period string, likes double, posts double",
+        )
+        out = report.dual_timeseries_chart(df, "period", "likes", "posts", width=10)
+        assert "likes" in out.splitlines()[0] and "posts" in out.splitlines()[0]
+        assert len(out.splitlines()) == 3  # header + 2 buckets
+
+    def test_category_timeseries_grid(self, posts):
+        from social_media_data_pipeline_spark.analytics import report
+
+        cat = explore.category_share_over_time(posts, "timestamp", "type", freq="Y")
+        out = report.category_timeseries_chart(cat, "period", "type", "value")
+        assert len(out.splitlines()) >= 2  # header + >=1 period row
+
+    def test_correlation_heatmap_diagonal_is_one(self, posts):
+        from social_media_data_pipeline_spark.analytics import report
+
+        corr = explore.correlation(posts.select("likes", "comment_count"))
+        out = report.correlation_heatmap(corr)
+        assert "+@@1.00" in out  # self-correlation cell at max intensity
+
+    def test_save_report_markdown_file(self, spark, tmp_path, posts):
+        from social_media_data_pipeline_spark.analytics import report
+
+        freq = explore.hashtag_frequency(posts)
+        path = report.save_report(
+            {"hashtags": report.render_table(freq, max_rows=5)},
+            str(tmp_path / "report.md"),
+        )
+        text = open(path).read()
+        assert text.startswith("# hashtags")
+        assert "```" in text
