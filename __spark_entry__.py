@@ -630,6 +630,37 @@ def q_date_format_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per-doc duplicate-word fraction (array expression, no shuffle) and
+    top-bigram share (explode → (doc, gram) agg → doc rollup — both aggs
+    map-side combinable; see `functions/text.py:repetition_metrics`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.repetition_metrics(docs, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over an augmented corpus: deterministic synthetic
+    URL/email/phone built from doc_id (the raw corpus carries no PII,
+    which would make the redaction a no-op) → chained JVM-side
+    regexp_replace (`functions/text.py:redact_pii`, RE2-safe patterns
+    shared verbatim with the DuckDB oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call +1 (415) 555-01"),
+        F.col("doc_id").cast("string"),
+        F.lit(" visit https://ex.example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=x now"),
+    )
+    return docs.select(
+        "doc_id", etext.redact_pii(aug).alias("clean")
+    ).orderBy("doc_id")
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup totals: (region, nation) → region subtotals → grand total."""
     orders = _t(spark, sf_dir, "orders")
@@ -889,6 +920,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_wise_total": q_row_wise_total,
     "docs_fingerprint": q_docs_fingerprint,
     "date_format_labels": q_date_format_labels,
+    "docs_repetition": q_docs_repetition,
+    "docs_pii_redact": q_docs_pii_redact,
 }
 
 

@@ -760,3 +760,43 @@ FROM scored
 QUALIFY rank <= 5
 ORDER BY query_id, rank
 """
+
+ORACLES["docs_repetition"] = f"""
+WITH base AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+), stats AS (
+    SELECT doc_id, len(toks) AS n_words,
+           ROUND(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) AS dup_word_frac
+    FROM base
+), grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM base WHERE len(toks) >= 2
+), cnt AS (
+    SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+), top AS (
+    SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_ngram_frac FROM cnt GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.dup_word_frac, t.top_ngram_frac
+FROM stats s LEFT JOIN top t USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+ORACLES["docs_pii_redact"] = """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id::VARCHAR
+                || '@mail.example.com call +1 (415) 555-01' || doc_id::VARCHAR
+                || ' visit https://ex.example/d/' || doc_id::VARCHAR
+                || '?ref=x now' AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(coalesce(t, ''), 'https?://[^\\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9().\\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+FROM aug
+ORDER BY doc_id
+"""

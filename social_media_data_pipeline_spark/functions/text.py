@@ -120,6 +120,66 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+PII_PATTERNS = (
+    # order matters: URLs can contain '@'; redact them before emails
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9().\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Training-data PII scrub: URLs → <URL>, emails → <EMAIL>, phone
+    numbers → <PHONE> — a chained `regexp_replace`, fully JVM-side.
+    Patterns are RE2-safe (no backrefs/lookaround) so the same strings
+    run verbatim on DuckDB/Trino for differential checks."""
+    c = F.coalesce(F.col(text_col) if isinstance(text_col, str) else text_col, F.lit(""))
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def repetition_metrics(df, id_col: str = "doc_id", text_col: str = "text", n: int = 2):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper), per document:
+
+    - `n_words`        whitespace token count of normalized text
+    - `dup_word_frac`  1 − distinct/total words (pure array expression)
+    - `top_ngram_frac` share of all word n-grams taken by the single
+      most frequent one — high values flag boilerplate/spam docs.
+
+    Scale shape: the n-gram mode can't be a per-row array expression
+    without quadratic array scans, so it's explode → two-level agg —
+    ONE shuffle keyed (doc, ngram) then a map-side-combinable rollup to
+    doc. Both aggs are partial-aggregate friendly; nothing is collected.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    m = F.size(F.col("toks")) - F.lit(n - 1)
+    acc = F.slice(F.col("toks"), 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(F.col("toks"), j, m), lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = base.filter(F.size("toks") >= n).select(
+        F.col(id_col), F.explode(acc).alias("gram")
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+        )
+    )
+    stats = base.select(
+        F.col(id_col),
+        F.size("toks").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("dup_word_frac"),
+    )
+    return stats.join(top, id_col, "left")
+
+
 def shingles(text_col: str | Column, k: int = 3) -> Column:
     """k-word shingles (distinct) of normalized text — input to MinHash /
     Jaccard.

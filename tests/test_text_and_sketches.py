@@ -50,6 +50,42 @@ class TestText:
         assert sorted(rows[0].sh) == ["a b c", "b c d"]
         assert rows[1].sh == ["a b"]  # shorter than k → whole text
 
+    def test_redact_pii_all_kinds(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("mail me at a.user+x@sub.example.org please", "<EMAIL>"),
+                ("see https://ex.com/a?b=1#frag and more", "<URL>"),
+                ("call +1 (415) 555-0134 today", "<PHONE>"),
+                ("digits 42 alone stay", "42"),  # short numbers untouched
+                (None, ""),  # null-safe
+            ],
+            "text string, want string",
+        )
+        for row in df.select(etext.redact_pii("text").alias("clean"), "want").collect():
+            assert row.want in row.clean
+            assert "@" not in row.clean and "http" not in row.clean
+
+    def test_redact_pii_url_with_at_sign_stays_url(self, spark):
+        # URL containing '@' must become <URL>, not partially <EMAIL>
+        df = spark.createDataFrame([("go http://u@ex.com/p now",)], "text string")
+        clean = one(df.select(etext.redact_pii("text").alias("c")), "c")
+        assert clean == "go <URL> now"
+
+    def test_repetition_metrics_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam"),  # one word, one bigram repeated
+                (2, "all words here differ"),
+                (3, "solo"),  # < n words → no bigram row
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in etext.repetition_metrics(df).collect()}
+        assert out[1].n_words == 4 and out[1].dup_word_frac == 0.75
+        assert out[1].top_ngram_frac == 1.0  # 'spam spam' is every bigram
+        assert out[2].dup_word_frac == 0.0 and out[2].top_ngram_frac == pytest.approx(1 / 3)
+        assert out[3].n_words == 1 and out[3].top_ngram_frac is None
+
 
 class TestSketches:
     def test_minhash_identical_docs_same_signature(self, spark):
