@@ -157,34 +157,65 @@ def ivf_assign_multiprobe(
     """Multi-probe IVF assignment: each vector → its top-`probes`
     max-cosine cells (probes=1 degenerates to `ivf_assign`).
 
-    Centroids broadcast; the rank is a window keyed by the vector id —
-    each window holds exactly K (≤ few hundred) rows, perfectly
-    parallel, no global shuffle beyond the per-vector key.
+    SHUFFLE-FREE: the K centroids collapse to ONE broadcast row holding
+    an array of (centroid_id, c_vec, c_norm) structs; each corpus row
+    scores all K map-side (`transform` dot), ranks them with an
+    `array_sort` comparator (desc cos, asc id — same tie-break the
+    previous window formulation used, so oracles are unchanged), and
+    explodes its top `probes`. The earlier shape shuffled n·K scored
+    rows — each still carrying the full vector — into a per-vector
+    row_number window; at n·K = 100 TB-scale that shuffle dwarfed the
+    arithmetic, and any caller joining the assignment against itself
+    re-paid it per join side.
     """
-    from pyspark.sql.window import Window
-
-    c = centroids.select(
+    c_row = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
+    ).agg(
+        F.collect_list(F.struct("centroid_id", "c_vec", "c_norm")).alias("__cents")
     )
     with_norm = vectors.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("v_norm")
     )
-    denom = F.col("v_norm") * F.col("c_norm")
-    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("c_vec")) / denom).otherwise(F.lit(0.0))
-    scored = with_norm.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("v_norm"),
-        F.col("centroid_id"),
-        F.round(cos, 6).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+
+    def _score(ct):
+        denom = F.col("v_norm") * ct["c_norm"]
+        cos = F.when(denom > 0, dot(F.col(vec_col), ct["c_vec"]) / denom).otherwise(
+            F.lit(0.0)
+        )
+        return F.struct(
+            F.round(cos, 6).alias("c_cos"), ct["centroid_id"].alias("centroid_id")
+        )
+
+    def _rank(x, y):
+        # desc by c_cos, asc by centroid_id (matches the old window's
+        # orderBy exactly — keeps every downstream oracle bit-stable)
+        return (
+            F.when(x["c_cos"] > y["c_cos"], F.lit(-1))
+            .when(x["c_cos"] < y["c_cos"], F.lit(1))
+            .otherwise(
+                F.when(x["centroid_id"] < y["centroid_id"], F.lit(-1))
+                .when(x["centroid_id"] > y["centroid_id"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+        )
+
+    top = F.slice(F.array_sort(F.transform(F.col("__cents"), _score), _rank), 1, probes)
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= probes)
-        .select(id_col, vec_col, "v_norm", F.col("centroid_id").cast("int").alias("cluster"))
+        with_norm.crossJoin(F.broadcast(c_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("v_norm"),
+            F.explode(top).alias("__probe"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "v_norm",
+            F.col("__probe.centroid_id").cast("int").alias("cluster"),
+        )
     )
 
 
