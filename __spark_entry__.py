@@ -661,6 +661,25 @@ def q_docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the 100 TB
+    storage path: 4× fewer vector bytes through every scan/shuffle).
+    Output is integer summaries of the quantized vectors (exact
+    cross-engine) + the per-vector scale."""
+    from social_media_data_pipeline_spark.functions import quantize
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.size("q_embedding").alias("n_dims"),
+        F.expr("aggregate(q_embedding, 0L, (a, x) -> a + x)").alias("sum_q"),
+        F.array_min("q_embedding").cast("long").alias("min_q"),
+        F.array_max("q_embedding").cast("long").alias("max_q"),
+    ).orderBy("vec_id")
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup totals: (region, nation) → region subtotals → grand total."""
     orders = _t(spark, sf_dir, "orders")
@@ -922,6 +941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_format_labels": q_date_format_labels,
     "docs_repetition": q_docs_repetition,
     "docs_pii_redact": q_docs_pii_redact,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 

@@ -800,3 +800,27 @@ SELECT doc_id,
 FROM aug
 ORDER BY doc_id
 """
+
+ORACLES["embedding_quantize"] = """
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM base
+), q AS (
+    SELECT vec_id, scale,
+           list_transform(v, x -> CASE WHEN scale > 0
+               THEN sign(x / scale) * floor(abs(x / scale) + 0.5)
+               ELSE 0.0 END) AS qv
+    FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       len(qv) AS n_dims,
+       list_sum(qv)::BIGINT AS sum_q,
+       list_min(qv)::BIGINT AS min_q,
+       list_max(qv)::BIGINT AS max_q
+FROM q
+ORDER BY vec_id
+"""

@@ -284,3 +284,33 @@ class TestSimilarity:
         # same-cluster points land in the same bucket → neighbors share parity
         for r in out:
             assert r.neighbor_id % 2 == r.query_id % 2
+
+
+class TestQuantize:
+    def test_int8_roundtrip_error_bound_and_range(self, spark):
+        import math
+
+        from social_media_data_pipeline_spark.functions import quantize
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [1e-6, -1e-6, 5e-7, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        q = quantize.quantize_embeddings(df)
+        recon = q.select(
+            "vec_id",
+            "scale",
+            "q_embedding",
+            quantize.dequantize_vector("q_embedding", F.col("scale")).alias("recon"),
+        )
+        rows = {r.vec_id: r for r in recon.collect()}
+        orig = {1: [0.5, -1.0, 0.25, 0.0], 2: [0.0] * 4, 3: [1e-6, -1e-6, 5e-7, 0.0]}
+        for vid, r in rows.items():
+            assert all(-127 <= v <= 127 for v in r.q_embedding)
+            for x, xhat in zip(orig[vid], r.recon):
+                # symmetric SQ8 bound: |x - x̂| <= scale/2 (+ float eps)
+                assert abs(x - xhat) <= r.scale / 2 + 1e-9
+        assert rows[2].scale == 0.0 and set(rows[2].q_embedding) == {0}
+        # max-magnitude element hits ±127 exactly
+        assert min(rows[1].q_embedding) == -127
+        assert math.isclose(rows[3].scale, 1e-6 / 127.0, rel_tol=1e-3)
