@@ -34,6 +34,13 @@ def connected_components(
         edges.selectExpr(f"{dst} as a", f"{src} as b")
     )
     sym = sym.distinct()
+    if checkpoint:
+        # edges usually arrive as a LAZY candidate-generation pipeline
+        # (MinHash-LSH banding, simhash blocking, ...). `sym` joins into
+        # EVERY round's job — left lazy, each round would re-execute the
+        # whole upstream pipeline. Materialize the (small) edge list
+        # once; rounds then start from the checkpointed pairs.
+        sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
