@@ -102,6 +102,12 @@ def image_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                     w, h = _png_dims(b)
                 elif fmt == "jpeg":
                     w, h = _jpeg_dims(b)
+                elif fmt == "y4m":
+                    try:
+                        params, _ = _parse_y4m_header(b)
+                        w, h = params["W"], params["H"]
+                    except (ValueError, KeyError):
+                        pass
                 metas.append({"format": fmt, "width": w, "height": h, "n_bytes": len(b)})
             out = pdf.drop(columns=[content_col])
             out["meta"] = metas

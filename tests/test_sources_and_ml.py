@@ -383,6 +383,13 @@ class TestVideoFrames:
         video = binary_source.encode_y4m(2, 2, self._solid_frames(1, 2, 2))
         assert binary_source._sniff_format(video) == "y4m"
 
+    def test_image_metadata_parses_y4m_dims(self, spark):
+        video = binary_source.encode_y4m(6, 4, self._solid_frames(1, 6, 4))
+        df = spark.createDataFrame([("v.y4m", video)], "video string, content binary")
+        meta = binary_source.image_metadata(df).collect()[0].meta
+        assert meta["format"] == "y4m"
+        assert (meta["width"], meta["height"]) == (6, 4)
+
 
 class TestInference:
     @pytest.fixture(scope="class")
