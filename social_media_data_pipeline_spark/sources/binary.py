@@ -426,8 +426,12 @@ def _parse_y4m_header(b: bytes) -> tuple[dict, int]:
 
 def _y4m_frame_size(w: int, h: int, colorspace: str) -> tuple[int, str]:
     if colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 y4m requires even W and H (chroma is half-res)")
         return w * h + 2 * ((w // 2) * (h // 2)), "420"
     if colorspace.startswith("422"):
+        if w % 2:
+            raise ValueError("C422 y4m requires even W (chroma is half-width)")
         return w * h + 2 * ((w // 2) * h), "422"
     if colorspace.startswith("444"):
         return 3 * w * h, "444"

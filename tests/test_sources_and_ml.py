@@ -383,6 +383,14 @@ class TestVideoFrames:
         video = binary_source.encode_y4m(2, 2, self._solid_frames(1, 2, 2))
         assert binary_source._sniff_format(video) == "y4m"
 
+    def test_odd_dims_chroma_subsampled_rejected(self, spark):
+        video = binary_source.encode_y4m(4, 4, self._solid_frames(1, 4, 4), colorspace="420")
+        # doctor the header to claim odd width with C420
+        bad = video.replace(b"W4 H4", b"W5 H4", 1)
+        df = spark.createDataFrame([("v", bad)], "video string, content binary")
+        with pytest.raises(Exception, match="even W"):
+            binary_source.sample_video_frames(df, every_n=1).collect()
+
     def test_image_metadata_parses_y4m_dims(self, spark):
         video = binary_source.encode_y4m(6, 4, self._solid_frames(1, 6, 4))
         df = spark.createDataFrame([("v.y4m", video)], "video string, content binary")
