@@ -111,6 +111,31 @@ class ExploratoryanalysisStage:
             F.col("hashtag").alias("key"),
             F.col("count").cast("double").alias("value"),
         )
+        if self.params.get("report_path"):
+            # presentation-layer analog of the reference's savefig
+            # exports (`plotting.py` fpath args): render the SAME
+            # aggregates to one markdown report, driver-side
+            from social_media_data_pipeline_spark.analytics import report
+
+            report.save_report(
+                {
+                    "posts_per_month": report.timeseries_chart(
+                        explore.posts_per_period(df)["M"],
+                        "period",
+                        "n_posts",
+                        smooth_sigma=self.params.get("smooth_sigma"),
+                        title="posts per month",
+                    ),
+                    "hashtag_frequency": report.bar_chart(
+                        explore.hashtag_frequency(df).limit(30),
+                        "hashtag",
+                        "count",
+                        order_by=[F.desc("count")],
+                        title="top hashtags",
+                    ),
+                },
+                self.params["report_path"],
+            )
         return monthly.unionByName(tags)
 
 

@@ -78,7 +78,7 @@ class TestCli:
                     "input": "posts_preprocessed",
                     "output": "exploratory_analysis",
                     "enabled": True,
-                    "params": {},
+                    "params": {"report_path": str(tmp_path / "report.md")},
                 },
             ],
         }
@@ -88,6 +88,10 @@ class TestCli:
         assert rc == 0
         out = spark.read.parquet(str(dataset_dir / "posts_preprocessed"))
         assert out.columns == schemas.POSTS_PREPROCESSED_COLUMNS
+        # the presentation-layer export rendered alongside the table
+        rpt = (tmp_path / "report.md").read_text()
+        assert rpt.startswith("# posts_per_month")
+        assert "top hashtags" in rpt
 
     def test_cli_rejects_unknown_implementation(self, tmp_path):
         config = {
