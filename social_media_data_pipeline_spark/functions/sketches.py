@@ -153,9 +153,13 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    # NO .distinct() here: `shingles` is array_distinct per doc, so the
+    # exploded (doc, shingle) pairs are already globally unique — a
+    # distinct would re-shuffle the single largest intermediate of the
+    # whole query for nothing
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
-    ).distinct()
+    )
     if max_doc_freq is not None:
         doc_freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
         sh = sh.withColumn("__df", doc_freq).filter(F.col("__df") <= max_doc_freq).drop("__df")
