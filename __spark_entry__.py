@@ -812,6 +812,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup survivor policy: MinHash-LSH candidates → CC
+    clusters → keep the HIGHEST-QUALITY doc per cluster (quality-argmax
+    instead of min-id — the policy a training-data pipeline actually
+    wants; ties break on doc_id). One window shuffle keyed by the
+    (small) component table after the CC resolution."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sketches.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    cc = graph.dedup_clusters(docs, pairs)
+    scored = docs.select("doc_id", etext.quality_score("text").alias("quality"))
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        cc.join(scored, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"), "quality")
+        .orderBy("component")
+    )
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (describe/summary
     extension; pandas `describe` quartiles — `ExploratoryAnalysis.py:31`)."""
@@ -942,6 +964,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repetition": q_docs_repetition,
     "docs_pii_redact": q_docs_pii_redact,
     "embedding_quantize": q_embedding_quantize,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 

@@ -824,3 +824,47 @@ SELECT vec_id,
 FROM q
 ORDER BY vec_id
 """
+
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), pairs AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.a AS node, reach.r AS r FROM sym s JOIN reach ON s.b = reach.node
+), cc AS (
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+), q AS (
+    SELECT doc_id,
+           ROUND(
+             least(length(coalesce(text,'')) / 500.0, 1.0) * 0.5
+             + (CASE WHEN
+                  length(regexp_replace(coalesce(text,''), '\\s+', '', 'g'))
+                    / greatest(len(string_split_regex(lower(trim(coalesce(text,''))), '\\s+')), 1)
+                  BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1 - (length(coalesce(text,''))
+                     - length(regexp_replace(coalesce(text,''), '[^\\w\\s]', '', 'g')))
+                    / greatest(length(coalesce(text,'')), 1)) * 0.2
+           , 6) AS quality
+    FROM documents
+)
+SELECT cc.component, cc.doc_id AS survivor_id, q.quality
+FROM cc JOIN q USING (doc_id)
+QUALIFY row_number() OVER (PARTITION BY cc.component ORDER BY q.quality DESC, cc.doc_id) = 1
+ORDER BY cc.component
+"""
