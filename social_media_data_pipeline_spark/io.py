@@ -108,6 +108,11 @@ def write_stage_output(
         writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
         writer.option("header", True).csv(path)
+    elif fmt in ("orc", "json", "avro"):
+        # engine-native columnar/row alternates beyond the reference's
+        # csv/json/parquet surface ("avro" needs the spark-avro package
+        # on the cluster; orc/json are built in)
+        writer.format(fmt).save(path)
     else:
         writer.parquet(path)
 

@@ -127,6 +127,16 @@ class TestCsvAdapter:
         back = spark.read.option("header", True).csv(out).collect()[0]
         assert back.tags == '["a","b"]'
 
+    def test_write_stage_output_orc_and_json_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("1", ["a", "b"], 42)], "id string, tags array<string>, n long"
+        )
+        for fmt in ("orc", "json"):
+            out = str(tmp_path / f"out_{fmt}")
+            eio.write_stage_output(df, out, fmt=fmt)
+            back = spark.read.format(fmt).load(out).collect()[0]
+            assert (back.id, list(back.tags), back.n) == ("1", ["a", "b"], 42)
+
 
 class TestObserve:
     def test_apply_filter_observed_counts(self, spark):
