@@ -1,0 +1,172 @@
+"""Empirical scale-sensitivity check for the heavy dedup/sketch queries.
+
+The 100 TB claim for every candidate-generation operator is "work grows
+~linearly in corpus size" (blocked/bucketed equi-joins, never n²). This
+tool MEASURES that on this machine: replicate the sf0.1 documents and
+embeddings tables at 2×/4×/8×, run each heavy operator at every scale,
+and report wall-time growth exponents (log-log slope between successive
+scales; 1.0 = linear, 2.0 = quadratic).
+
+Replication preserves the workload's per-copy structure while avoiding
+cross-copy near-dups (which would grow pair counts quadratically in the
+copy factor and measure the DATA's quadratic-ness, not the plan's):
+
+- documents: every token gets a copy-specific suffix → shingles/tokens
+  disjoint across copies → simhash/minhash/jaccard pairs scale linearly;
+- embeddings: a copy-specific ±1 sign mask (flip coordinate i iff
+  popcount(i & (k+1)) is odd) — an ORTHOGONAL transform, so every
+  within-copy cosine is preserved exactly (the workload's near-dup
+  structure replicates verbatim) while any two copies' product mask is
+  balanced ±1 → cross-copy cosines stay near zero.
+
+Writes replicas under <repo>/spark-warehouse/scale_sensitivity/ (local
+scratch; removed on rerun). Usage:
+
+    python tools/scale_sensitivity.py             # factors 1 2 4 8
+    python tools/scale_sensitivity.py 1 2 4       # custom factors
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from social_media_data_pipeline_spark import io as eio  # noqa: E402
+from social_media_data_pipeline_spark.functions import (  # noqa: E402
+    similarity,
+    sketches,
+)
+from social_media_data_pipeline_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(REPO, "spark-warehouse", "scale_sensitivity")
+
+
+def replicate(spark, factor: int, out_dir: str) -> None:
+    docs = eio.read_table(spark, BASE_SF, "documents")
+    emb = eio.read_table(spark, BASE_SF, "embeddings").select("vec_id", "embedding")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vec = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    doc_parts, emb_parts = [], []
+    for k in range(factor):
+        # tokens get a per-copy suffix: no shingle/token collides across
+        # copies, so pair structure replicates instead of cross-linking
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * n_doc)).alias("doc_id"),
+                F.regexp_replace(F.col("text"), r"(\S+)", r"$1x%d" % k).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # copy-specific sign flip (orthogonal → cosines preserved
+        # within a copy, decorrelated across copies)
+        def _mask_fn(_k):
+            def _mask(x, i):
+                odd = F.bit_count(i.bitwiseAND(F.lit(_k + 1))) % 2 == 1
+                return F.when(odd, -x).otherwise(x).cast("float")
+
+            return _mask
+
+        _mask = _mask_fn(k)
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n_vec)).alias("vec_id"),
+                F.transform("embedding", _mask).alias("embedding"),
+            )
+        )
+    docs_out = doc_parts[0]
+    for p in doc_parts[1:]:
+        docs_out = docs_out.unionByName(p)
+    emb_out = emb_parts[0]
+    for p in emb_parts[1:]:
+        emb_out = emb_out.unionByName(p)
+    docs_out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    emb_out.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def heavy_queries(spark, sf_dir: str):
+    """The scale-path operators, built directly (not via the registry —
+    the registry reads all tables; replicas hold documents+embeddings)."""
+    import math
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    centroids = similarity.select_ivf_centroids(emb, k=math.isqrt(2 * n), corpus_size=n)
+    copies = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(copies)
+    return {
+        "simhash_near_pairs": sketches.simhash_blocked_pairs(docs, "doc_id", "text", tau=3),
+        "minhash_lsh_pairs": sketches.minhash_lsh_pairs(docs, "doc_id", "text"),
+        "ngram_jaccard_pruned": sketches.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, max_doc_freq=max(50, docs.count() // 10)
+        ),
+        "embedding_near_dup_ivf": similarity.cosine_near_dup_via_ivf(
+            corpus, centroids, threshold=0.95, probes=2
+        ),
+    }
+
+
+def main() -> int:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    # the default 1g driver heap OOMs on the 8x pair joins (local[...]
+    # runs executors in the driver JVM); must be set before JVM launch
+    spark = get_spark(
+        "scale-sensitivity",
+        extra_conf={"spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")},
+    )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    results: dict[str, dict[int, float]] = {}
+    rows: dict[str, dict[int, int]] = {}
+    for f in factors:
+        sf_dir = os.path.join(SCRATCH, f"x{f}")
+        replicate(spark, f, sf_dir)
+        for name, df in heavy_queries(spark, sf_dir).items():
+            df.write.mode("overwrite").format("noop").save()  # warm codegen
+            best = min(
+                _timed(lambda: df.write.mode("overwrite").format("noop").save())
+                for _ in range(2)
+            )
+            results.setdefault(name, {})[f] = best
+            rows.setdefault(name, {})[f] = df.count()
+            print(f"  x{f} {name}: {best:.2f}s {rows[name][f]} rows", flush=True)
+    print(f"\nbase={BASE_SF}  factors={factors}  (seconds, best of 2; rows)")
+    print(f"{'query':26s} " + " ".join(f"{f:>10d}x" for f in factors) + "   growth-exp")
+    import math
+
+    for name, times in results.items():
+        exps = [
+            math.log(times[factors[i + 1]] / times[factors[i]])
+            / math.log(factors[i + 1] / factors[i])
+            for i in range(len(factors) - 1)
+            if times[factors[i]] > 0
+        ]
+        cells = " ".join(f"{times[f]:>10.2f}" for f in factors)
+        rcells = "/".join(str(rows[name][f]) for f in factors)
+        print(f"{name:26s} {cells}   {max(exps):.2f}  rows {rcells}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
