@@ -87,3 +87,78 @@ class TestProperties:
         )
         direct = dedup.dedup_first_wins(df, ["k"], [F.col("rid")])
         assert sorted(map(tuple, via_union.collect())) == sorted(map(tuple, direct.collect()))
+
+
+text_strategy = st.lists(
+    st.text(
+        alphabet="ab c.@/:+-0123456789xyz\n",
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+vec_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False,
+            width=32,
+        ),
+        min_size=4,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestTextProperties:
+    """Invariants of the round-3 text/quantize operators."""
+
+    @given(texts=text_strategy)
+    @settings(**SETTINGS)
+    def test_redact_pii_idempotent(self, spark, texts):
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        once = df.select(etext.redact_pii("text").alias("text"))
+        twice = once.select(etext.redact_pii("text").alias("text"))
+        assert [r.text for r in once.collect()] == [r.text for r in twice.collect()]
+
+    @given(texts=text_strategy)
+    @settings(**SETTINGS)
+    def test_repetition_metrics_ranges(self, spark, texts):
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        out = etext.repetition_metrics(df).collect()
+        assert len(out) == len(texts)  # one row per doc, none dropped
+        for r in out:
+            assert r.n_words >= 1
+            assert 0.0 <= r.dup_word_frac < 1.0
+            if r.top_ngram_frac is not None:
+                assert 0.0 < r.top_ngram_frac <= 1.0
+
+    @given(vecs=vec_strategy)
+    @settings(**SETTINGS)
+    def test_quantize_bounds_and_reconstruction(self, spark, vecs):
+        from social_media_data_pipeline_spark.functions import quantize
+
+        dim = min(len(v) for v in vecs)
+        vecs = [v[:dim] for v in vecs]
+        df = spark.createDataFrame(
+            list(enumerate(vecs)), "vec_id long, embedding array<float>"
+        )
+        q = quantize.quantize_embeddings(df)
+        recon = q.select(
+            "vec_id", "scale", "q_embedding",
+            quantize.dequantize_vector("q_embedding", F.col("scale")).alias("r"),
+        ).collect()
+        for row in recon:
+            assert all(-127 <= x <= 127 for x in row.q_embedding)
+            orig = [float(x) for x in vecs[row.vec_id]]
+            # float32 storage rounds the original; bound with an epsilon
+            # proportional to magnitude
+            for x, xhat in zip(orig, row.r):
+                assert abs(x - xhat) <= row.scale / 2 + abs(x) * 1e-6 + 1e-9
