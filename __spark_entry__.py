@@ -39,6 +39,7 @@ from social_media_data_pipeline_spark.operators import (
     dedup,
     filters,
     joins,
+    packing,
     sampling,
     setops,
     sort,
@@ -887,6 +888,82 @@ def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort.distinct_sorted(part, "p_type")
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (brief-named custom operator): every event annotated
+    with the latest purchase of the same user at-or-before its
+    timestamp. Spark side is the union-tag + running-window plan
+    (`operators/joins.py:asof_join` — ONE shuffle on user_id, no theta
+    join); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("last_purchase_ts"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    out = joins.asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        pick=["last_purchase_ts", "last_purchase_value"],
+    )
+    return out.orderBy("event_id")
+
+
+def q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (brief-named custom operator): per 2-hour
+    window opened by each early-user signup, count/sum ALL events
+    falling inside it (no equi key — the classic nested-loop trap).
+    Spark side blocks on hour buckets so the plan stays an equi hash
+    join (`operators/joins.py:interval_join_bucketed`); the oracle is
+    the plain inequality join DuckDB optimizes natively."""
+    ev = _t(spark, sf_dir, "events")
+    wins = ev.filter((F.col("event_type") == "signup") & (F.col("user_id") < 10)).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    joined = joins.interval_join_bucketed(
+        ev.select("ts", "value"), wins, "ts", "w_start", "w_end", unit="hour"
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 appx C): training
+    docs ranked by how many distinct 3-gram shingles they share with a
+    held-out eval slice (doc_id % 37 == 0). Eval shingle set broadcasts
+    (`functions/sketches.py:contamination_counts`) — the only shuffle
+    is the map-side-combinable per-doc count."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    out = sketches.contamination_counts(tr, ev, "doc_id", "text", k=3)
+    return out.select(F.col("doc").alias("doc_id"), "n_shared").orderBy("doc_id")
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training loaders: contiguous layout of each
+    language's documents into 2048-token sequences — (seq_id, offset)
+    per doc via one prefix-sum window per group
+    (`operators/packing.py:pack_sequences`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.pack_sequences(
+        docs, "doc_id", etext.token_count("text"), 2048, group_col="lang"
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "seq_id", "seq_offset"
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -965,6 +1042,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redact": q_docs_pii_redact,
     "embedding_quantize": q_embedding_quantize,
     "dedup_survivors": q_dedup_survivors,
+    "events_asof_purchase": q_events_asof_purchase,
+    "events_in_windows": q_events_in_windows,
+    "docs_decontaminate": q_docs_decontaminate,
+    "docs_pack_sequences": q_docs_pack_sequences,
 }
 
 

@@ -868,3 +868,54 @@ FROM cc JOIN q USING (doc_id)
 QUALIFY row_number() OVER (PARTITION BY cc.component ORDER BY q.quality DESC, cc.doc_id) = 1
 ORDER BY cc.component
 """
+
+ORACLES["events_asof_purchase"] = """
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+       b.t2 AS last_purchase_ts, b.v2 AS last_purchase_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id AS u2, ts AS t2, value AS v2
+    FROM events WHERE event_type = 'purchase'
+) b ON e.user_id = b.u2 AND e.ts >= b.t2
+ORDER BY e.event_id
+"""
+
+ORACLES["events_in_windows"] = """
+WITH w AS (
+    SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+    FROM events WHERE event_type = 'signup' AND user_id < 10
+)
+SELECT w.window_id, COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+ORDER BY window_id
+"""
+
+ORACLES["docs_decontaminate"] = f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 37 = 0
+), tr AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 37 <> 0
+)
+SELECT tr.doc_id AS doc_id, COUNT(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id
+ORDER BY doc_id
+"""
+
+ORACLES["docs_pack_sequences"] = """
+WITH t AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(trim(coalesce(text,''))), '\\s+'))::BIGINT AS n_tokens
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, n_tokens,
+           (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id))::BIGINT - n_tokens AS start_off
+    FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       start_off // 2048 AS seq_id, start_off % 2048 AS seq_offset
+FROM c
+ORDER BY doc_id
+"""

@@ -337,3 +337,52 @@ def simhash_table(
             F.lit(0).cast("long")
         )
     return wide.select("doc", fp.alias("simhash"))
+
+
+def contamination_counts(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 appendix C; Rae et
+    al. 2021 §A.3): count, per training document, the distinct k-word
+    shingles it shares with ANY document of the held-out eval set.
+    Training docs with `n_shared > 0` are contamination candidates.
+
+    Spark-first plan: eval shingles collapse to one distinct set and
+    BROADCAST (eval/benchmark corpora are tiny next to a 100 TB train
+    corpus — the broadcast is the whole scale story: the train side
+    explodes map-side, probes the broadcast hash set, and the only
+    shuffle is the per-doc count aggregation, which is map-side
+    combinable). `shingles()` is already distinct per doc, so
+    `count(*)` after the join IS the distinct shared-shingle count.
+    """
+    ev = (
+        eval_docs.select(F.explode(shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("s")
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Drop training documents sharing >= 1 k-shingle with the eval set
+    (anti-join against `contamination_counts`; same broadcast shape)."""
+    hits = contamination_counts(train, eval_docs, id_col, text_col, k).select(
+        F.col("doc").alias(id_col)
+    )
+    return train.join(hits, id_col, "left_anti")

@@ -71,11 +71,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer `div`, NOT `/`: int64 nanos exceed 2^53, so double
+            # division rounds the low microsecond (±1 µs vs DuckDB, which
+            # floors nanos→µs on read — as any query returning raw ts shows)
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
     return df
 

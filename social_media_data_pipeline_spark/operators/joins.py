@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def join_small_dim(
@@ -66,3 +67,115 @@ def explode_post_images(posts: DataFrame, listing: DataFrame) -> DataFrame:
         "image_file",
         "left_semi",
     )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str,
+    pick: Sequence[str],
+    *,
+    allow_exact: bool = True,
+) -> DataFrame:
+    """As-of join (brief-named custom operator; pandas' `merge_asof`,
+    DuckDB's ASOF JOIN): for every probe row, attach the `pick` columns
+    of the LATEST build row with the same `on` key and build.ts <=
+    probe.ts (< when ``allow_exact=False``). Left semantics — probe rows
+    with no earlier build row keep nulls.
+
+    Spark-first plan — union-tag + running window, NOT a range join:
+
+    - both sides are tagged and unioned by name, then a single window
+      ``partitionBy(on) orderBy(ts, side)`` carries the last non-null
+      build payload forward (``F.last(ignorenulls=True)`` over a running
+      frame). One hash shuffle on the key, streaming frame, no
+      buffering beyond the partition sort — the same cost profile as
+      `sessionize`. The naive alternative (theta join on ts ranges)
+      is a BroadcastNestedLoopJoin that dies at scale.
+    - the build payload rides in ONE struct so all picked columns come
+      from the SAME matched row (independent `last()` calls could mix
+      rows when picked columns contain nulls).
+    - ties: with ``allow_exact`` the build row sorts BEFORE the probe
+      row at equal ts (side 0 < 1), matching DuckDB's inclusive
+      ``ON p.ts >= b.ts``.
+
+    At 100 TB: one shuffle on `on`; a skewed key (one user with
+    billions of events) is handled by AQE skew-split only for joins,
+    so for pathological skew pre-split the key by time range and
+    stitch the boundary rows.
+
+    `pick` columns must exist in `build` and not collide with probe
+    columns (rename on the build side first).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = build.select(
+        *keys, ts_col, *pick, F.lit(0).alias("_asof_side")
+    )
+    p = probe.withColumn("_asof_side", F.lit(1))
+    u = p.unionByName(b, allowMissingColumns=True)
+
+    side_order = F.col("_asof_side").asc() if allow_exact else F.col("_asof_side").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    payload = F.when(
+        F.col("_asof_side") == 0, F.struct(*[F.col(c).alias(c) for c in pick])
+    )
+    matched = F.last(payload, ignorenulls=True).over(w).alias("_asof_match")
+
+    out = u.select("*", matched).filter(F.col("_asof_side") == 1)
+    for c in pick:
+        out = out.withColumn(c, F.col("_asof_match")[c])
+    return out.drop("_asof_side", "_asof_match")
+
+
+def interval_join_bucketed(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    unit: str = "hour",
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Range/interval join (brief-named custom operator): facts whose
+    `ts_col` falls in [start, end) of an interval row, without a
+    nested-loop join.
+
+    Spark-first plan — time-bucket blocking: each interval explodes
+    into the `unit`-buckets it covers, facts map to their single
+    bucket, the join is EQUI on (bucket, *extra_on) and the exact
+    half-open containment predicate filters residuals after the match.
+    Catalyst keeps an equi hash join (broadcast when the exploded
+    interval side is small) — the naive theta join
+    ``ts >= start AND ts < end`` plans as BroadcastNestedLoopJoin,
+    which is O(n·m) and unusable at scale.
+
+    Facts appear once per covering interval (overlap fan-out is the
+    semantics of the operator). Bucket `unit` is the tuning knob:
+    fine buckets → more exploded interval rows, coarser buckets → more
+    residual-filter waste; pick the unit near the median interval
+    length. At 100 TB with a large interval side, both sides shuffle
+    on the bucket key — co-partition by calendar bucket at write time
+    and the exchange disappears.
+    """
+    step = F.expr(f"INTERVAL 1 {unit}")
+    iv = intervals.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(unit, F.col(start_col)),
+                F.date_trunc(unit, F.col(end_col)),
+                step,
+            )
+        ),
+    )
+    fa = facts.withColumn("_ij_bucket", F.date_trunc(unit, F.col(ts_col)))
+    joined = fa.join(iv, [*extra_on, "_ij_bucket"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_ij_bucket")

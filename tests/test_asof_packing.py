@@ -1,0 +1,189 @@
+"""As-of join, bucketed interval join, decontamination, sequence packing.
+
+Each operator gets (a) semantic unit tests on hand-built frames where
+the expected answer is enumerable, and (b) a plan-shape assertion that
+the scalable formulation holds (no BroadcastNestedLoopJoin / cartesian
+in the join-based ops — the whole point of the bucketed/union designs).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions import sketches
+from social_media_data_pipeline_spark.operators import joins, packing
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    probe = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T10:00:00"), pid=1),
+            Row(k="a", ts=_ts("2024-01-01T12:00:00"), pid=2),
+            Row(k="a", ts=_ts("2024-01-01T09:00:00"), pid=3),  # before any build
+            Row(k="b", ts=_ts("2024-01-01T10:30:00"), pid=4),
+            Row(k="c", ts=_ts("2024-01-01T10:00:00"), pid=5),  # key absent in build
+        ]
+    )
+    build = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T09:30:00"), bval=10.0),
+            Row(k="a", ts=_ts("2024-01-01T11:00:00"), bval=20.0),
+            Row(k="b", ts=_ts("2024-01-01T10:30:00"), bval=30.0),  # exact tie
+        ]
+    )
+    return probe, build
+
+
+def test_asof_join_backward_semantics(asof_frames):
+    probe, build = asof_frames
+    out = joins.asof_join(
+        probe, build.withColumn("picked", F.col("bval")), "k", "ts", ["picked"]
+    )
+    got = {r.pid: r.picked for r in out.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: None, 4: 30.0, 5: None}
+
+
+def test_asof_join_exact_tie_excluded(asof_frames):
+    probe, build = asof_frames
+    out = joins.asof_join(
+        probe,
+        build.withColumn("picked", F.col("bval")),
+        "k",
+        "ts",
+        ["picked"],
+        allow_exact=False,
+    )
+    got = {r.pid: r.picked for r in out.collect()}
+    # pid=4's only build row is the exact-equal ts → excluded under strict <
+    assert got[4] is None and got[1] == 10.0
+
+
+def test_asof_join_picks_whole_row_not_per_column(spark):
+    # two picked columns with interleaved nulls must come from the SAME
+    # matched build row (struct payload), not the last non-null of each
+    probe = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01T12:00:00"), pid=1)])
+    build = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T10:00:00"), x=1.0, y=100.0),
+            Row(k="a", ts=_ts("2024-01-01T11:00:00"), x=None, y=200.0),
+        ]
+    )
+    out = joins.asof_join(probe, build, "k", "ts", ["x", "y"]).collect()[0]
+    assert out.x is None and out.y == 200.0
+
+
+def test_asof_join_single_shuffle_no_nested_loop(asof_frames):
+    probe, build = asof_frames
+    out = joins.asof_join(
+        probe, build.withColumn("picked", F.col("bval")), "k", "ts", ["picked"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ----------------------------------------------------- bucketed interval join
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    facts = spark.createDataFrame(
+        [Row(ts=_ts(f"2024-01-01T{h:02d}:30:00"), fid=h) for h in range(24)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=1, s=_ts("2024-01-01T02:00:00"), e=_ts("2024-01-01T05:00:00")),
+            Row(iid=2, s=_ts("2024-01-01T04:30:00"), e=_ts("2024-01-01T04:45:00")),
+            Row(iid=3, s=_ts("2024-01-01T23:30:00"), e=_ts("2024-01-02T03:00:00")),
+        ]
+    )
+    return facts, intervals
+
+
+def test_interval_join_matches_theta_join(interval_frames):
+    facts, intervals = interval_frames
+    out = joins.interval_join_bucketed(facts, intervals, "ts", "s", "e", unit="hour")
+    got = sorted((r.iid, r.fid) for r in out.collect())
+    # oracle: the naive theta join on the same tiny frames
+    naive = facts.crossJoin(intervals).filter(
+        (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+    )
+    want = sorted((r.iid, r.fid) for r in naive.collect())
+    assert got == want
+    # overlap fan-out: fid=4 (04:30) is inside both interval 1 and 2
+    assert (1, 4) in got and (2, 4) in got
+    # half-open: a fact exactly at an interval end is excluded
+    assert all(fid != 5 or iid != 2 for iid, fid in got)
+
+
+def test_interval_join_stays_equi(interval_frames):
+    facts, intervals = interval_frames
+    out = joins.interval_join_bucketed(facts, intervals, "ts", "s", "e", unit="hour")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def test_contamination_counts_and_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely unrelated words here entirely"),
+            Row(doc_id=3, text="quick brown fox somewhere else"),
+        ]
+    )
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=100, text="a quick brown fox appears")]
+    )
+    hits = {
+        r.doc: r.n_shared
+        for r in sketches.contamination_counts(
+            train, eval_docs, "doc_id", "text", k=3
+        ).collect()
+    }
+    # shared 3-shingle: "quick brown fox" (docs 1 and 3); doc 2 clean
+    assert hits == {1: 1, 3: 1}
+    clean = sketches.decontaminate(train, eval_docs, "doc_id", "text", k=3)
+    assert [r.doc_id for r in clean.collect()] == [2]
+
+
+# ---------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_layout(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, g="en", toks=600),
+            Row(doc_id=2, g="en", toks=500),
+            Row(doc_id=3, g="en", toks=100),
+            Row(doc_id=4, g="de", toks=1500),  # longer than budget: spans
+            Row(doc_id=5, g="de", toks=10),
+        ]
+    )
+    out = packing.pack_sequences(docs, "doc_id", "toks", 1000, group_col="g")
+    got = {r.doc_id: (r.seq_id, r.seq_offset, r.n_tokens) for r in out.collect()}
+    assert got[1] == (0, 0, 600)
+    assert got[2] == (0, 600, 500)  # starts in seq 0, spans into 1
+    assert got[3] == (1, 100, 100)  # 1100 // 1000 = 1, offset 100
+    assert got[4] == (0, 0, 1500)  # groups are independent
+    assert got[5] == (1, 500, 10)
+
+
+def test_pack_sequences_no_group_is_global(spark):
+    docs = spark.createDataFrame([Row(doc_id=i, toks=300) for i in range(1, 8)])
+    out = packing.pack_sequences(docs, "doc_id", "toks", 1000)
+    got = {r.doc_id: r.seq_id for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
