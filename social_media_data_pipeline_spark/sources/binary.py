@@ -246,7 +246,19 @@ def _decode_png(b: bytes):
     return w, h, channels, _png_unfilter(raw, w, h, channels)
 
 
-_PIXEL_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "png": _decode_png}
+def _decode_jpeg(b: bytes):
+    # lazy import: the jpeg module pulls in its table-building code
+    from social_media_data_pipeline_spark.sources.jpeg import decode_jpeg
+
+    return decode_jpeg(b)
+
+
+_PIXEL_DECODERS = {
+    "ppm": _decode_ppm,
+    "bmp": _decode_bmp,
+    "png": _decode_png,
+    "jpeg": _decode_jpeg,
+}
 
 
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
@@ -283,10 +295,11 @@ def decode_image(
     """Multimodal decode: binary column → row-major pixel tensor
     (width, height, channels, flat uint8 values as array<smallint>).
 
-    Real decode for ppm/bmp/png (pure stdlib+numpy — see module codecs);
-    formats that need an entropy codec (jpeg/webp/gif) raise per-batch
-    with a clear message rather than silently passing through — route
-    those through a library-backed decoder with the SAME mapInPandas
+    Real decode for ppm/bmp/png/baseline-jpeg (pure stdlib+numpy — see
+    module codecs and `sources/jpeg.py`); formats that still need an
+    external codec (webp/gif, progressive jpeg) raise per-batch with a
+    clear message rather than silently passing through — route those
+    through a library-backed decoder with the SAME mapInPandas
     signature. Arrow-batched; one output row per image; partitioning is
     whatever the binaryFile scan produced (size-based splits).
     """
@@ -372,15 +385,17 @@ def resize_image(
 
 
 def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Entropy-coded formats (jpeg/webp) — STUB: their pixel decode
-    needs an imaging library absent from this container. `decode_image`
-    IS the real implementation of this contract for ppm/bmp/png; a
-    jpeg-capable codec plugs into the same mapInPandas signature.
+    """Remaining entropy-coded formats (webp/gif, progressive jpeg) —
+    STUB: their pixel decode needs an imaging library absent from this
+    container. `decode_image` IS the real implementation of this
+    contract for ppm/bmp/png/baseline-jpeg (`sources/jpeg.py`); a
+    webp-capable codec plugs into the same mapInPandas signature.
     """
     raise NotImplementedError(
-        "jpeg/webp pixel decode requires an imaging library (PIL/cv2) not "
-        "present in this container; decode_image() covers ppm/bmp/png with "
-        "the same contract, image_metadata() gives header-level decode"
+        "webp/gif/progressive-jpeg pixel decode requires an imaging library "
+        "(PIL/cv2) not present in this container; decode_image() covers "
+        "ppm/bmp/png/baseline-jpeg with the same contract, image_metadata() "
+        "gives header-level decode"
     )
 
 

@@ -300,7 +300,27 @@ class TestBinary:
         ).collect()[0]
         assert list(redecoded.pixels) == expected.reshape(-1).tolist()
 
-    def test_decode_image_jpeg_raises_clear_error(self, spark):
+    def test_decode_image_jpeg_real_decode(self, spark):
+        """Baseline jpeg now decodes for real through the Spark path:
+        encode a solid-color image (DCT-exact) and check pixel values."""
+        import numpy as np
+
+        from social_media_data_pipeline_spark.sources.jpeg import encode_jpeg
+
+        w, h = 24, 16
+        solid = np.full((h, w, 3), 200, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [("x.jpg", encode_jpeg(w, h, solid, quality=95))],
+            "image string, content binary",
+        )
+        row = binary_source.decode_image(df).collect()[0]
+        assert (row.format, row.width, row.height, row.channels) == (
+            "jpeg", w, h, 3,
+        )
+        got = np.array(row.pixels, dtype=np.int16).reshape(h, w, 3)
+        assert np.abs(got - 200).max() <= 1
+
+    def test_decode_image_truncated_jpeg_raises_clear_error(self, spark):
         df = spark.createDataFrame(
             [("x.jpg", b"\xff\xd8\xff\xe0fakejpeg")], "image string, content binary"
         )
