@@ -43,6 +43,7 @@ from social_media_data_pipeline_spark.operators import (
     sampling,
     setops,
     sort,
+    splits,
     windows,
 )
 
@@ -964,6 +965,26 @@ def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: salted-md5 fingerprint of
+    doc_id mod 100 carves 80/10/10 — pure map-side, re-run-stable,
+    append-stable (`operators/splits.py:assign_split`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return splits.assign_split(docs, "doc_id").select("doc_id", "split").orderBy(
+        "doc_id"
+    )
+
+
+def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training shards: exact
+    1-based rank under ORDER BY md5-fingerprint, decomposed into fixed
+    hash-range buckets + offsets so no single-task global window exists
+    (`operators/splits.py:deterministic_shuffle`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = splits.deterministic_shuffle(docs, "doc_id")
+    return out.select("doc_id", "shuffle_pos").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1046,6 +1067,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_in_windows": q_events_in_windows,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_split": q_docs_split,
+    "docs_shuffle": q_docs_shuffle,
 }
 
 

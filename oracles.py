@@ -919,3 +919,28 @@ SELECT doc_id, lang, n_tokens,
 FROM c
 ORDER BY doc_id
 """
+
+ORACLES["docs_split"] = """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+# Total order matches the Spark side exactly: the 32-bit fingerprint
+# (first 8 md5 hex chars) then doc_id as tie-break.
+ORACLES["docs_shuffle"] = """
+SELECT doc_id,
+       (ROW_NUMBER() OVER (
+           ORDER BY ('0x' || substr(md5('shuffle-v1:' || doc_id), 1, 8))::BIGINT,
+                    doc_id
+       ))::BIGINT AS shuffle_pos
+FROM documents
+ORDER BY doc_id
+"""

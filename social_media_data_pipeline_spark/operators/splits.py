@@ -1,0 +1,111 @@
+"""Train/val/test splitting and deterministic shuffling — the two
+ordering-sensitive steps a training-data pipeline runs after filtering
+and dedup (SURVEY.md §2 training-pipeline extensions).
+
+Both are keyed on a salted md5 fingerprint of a stable id, NOT on
+`rand()`: re-running the pipeline on the same corpus (or an appended
+corpus) must assign every existing document to the same split and the
+same relative shuffle order, or downstream eval sets silently churn.
+
+Scale notes
+-----------
+`assign_split` is pure map-side (no shuffle, no state): at 100 TB it
+pipelines into whatever scan/filter precedes it and costs one md5 per
+row. `deterministic_shuffle` needs a global order; Spark's
+`row_number()` over an unpartitioned window would collapse to ONE task,
+so positions are computed the scale-honest way: range-repartition on
+the shuffle key (distributed sort), count rows per partition, and add
+the (tiny, num-partitions-sized, driver-collected) running offsets to a
+per-partition local rank. One shuffle total — the same exchange the
+sort itself needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: salted 32-bit fingerprint in [0, 2^32): first 8 md5 hex chars.
+#: Cross-engine reproducible — DuckDB spells it
+#: ('0x' || substr(md5(seed || ':' || id), 1, 8))::bigint.
+
+
+def _fingerprint(id_col: str, seed: str) -> F.Column:
+    hexpart = F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    return F.conv(hexpart, 16, 10).cast("bigint")
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "split-v1",
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic hash split: bucket = fingerprint % 100, carved by
+    cumulative `splits` percentages (must sum to 100). Adding documents
+    never moves an existing one between splits (per-doc, not rank-based).
+    """
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percentages must sum to 100, got {total}")
+    bucket = _fingerprint(id_col, seed) % 100
+    expr = None
+    acc = 0
+    for name, pct in splits:
+        acc += pct
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "shuffle-v1",
+    num_buckets: int | None = None,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Global deterministic shuffle order: 1-based position of each row
+    under `ORDER BY md5(seed:id), id` — what you write training shards
+    in.
+
+    The global rank is decomposed with fixed equal-width key ranges
+    (md5 is uniform, so buckets are balanced) rather than
+    `repartitionByRange`, whose sampled boundaries differ per
+    execution and would desync the counts pass from the rank pass:
+
+      bucket     = _skey // ceil(2^32 / num_buckets)   (pure function)
+      offsets    = rows in all lower buckets (num_buckets-row collect,
+                   map-side-combined aggregate, broadcast back as a map)
+      pos        = offsets[bucket] + rank within bucket
+
+    Ties broken by id, so positions are exact and reproducible. Cost at
+    scale: one shuffle for the per-bucket window plus a negligible
+    pre-aggregated counts pass over the pruned (_skey-only) scan.
+    """
+    n = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    width = (1 << 32) // n + 1
+    keyed = df.withColumn("_skey", _fingerprint(id_col, seed)).withColumn(
+        "_bucket", (F.col("_skey") / width).cast("int")
+    )
+    counts = keyed.groupBy("_bucket").count().collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_bucket"]):
+        offsets[r["_bucket"]] = acc
+        acc += r["count"]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = Window.partitionBy("_bucket").orderBy("_skey", id_col)
+    return (
+        keyed.withColumn(
+            pos_col,
+            (F.row_number().over(local) + off[F.col("_bucket")]).cast("bigint"),
+        )
+        .drop("_skey", "_bucket")
+    )

@@ -1,0 +1,94 @@
+"""Deterministic splitting / shuffling (`operators/splits.py`).
+
+The contracts that matter for a training pipeline: re-runs and corpus
+appends never move a document between splits; shuffle positions are an
+exact permutation matching the declared total order even though they
+are computed without a single-task global window.
+"""
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.operators import splits
+
+
+def _docs(spark, n=200):
+    return spark.createDataFrame([Row(doc_id=i, payload=f"p{i}") for i in range(n)])
+
+
+class TestAssignSplit:
+    def test_percentages_and_determinism(self, spark):
+        df = _docs(spark)
+        a = {r.doc_id: r.split for r in splits.assign_split(df, "doc_id").collect()}
+        b = {r.doc_id: r.split for r in splits.assign_split(df, "doc_id").collect()}
+        assert a == b  # rerun-stable
+        counts = {s: sum(1 for v in a.values() if v == s) for s in set(a.values())}
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] + counts["test"]  # ~80/10/10
+
+    def test_append_stability(self, spark):
+        """Adding documents never reassigns an existing one."""
+        small = {
+            r.doc_id: r.split
+            for r in splits.assign_split(_docs(spark, 100), "doc_id").collect()
+        }
+        big = {
+            r.doc_id: r.split
+            for r in splits.assign_split(_docs(spark, 200), "doc_id").collect()
+        }
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_seed_changes_assignment(self, spark):
+        df = _docs(spark)
+        a = {r.doc_id: r.split for r in splits.assign_split(df, "doc_id").collect()}
+        b = {
+            r.doc_id: r.split
+            for r in splits.assign_split(df, "doc_id", seed="v2").collect()
+        }
+        assert a != b
+
+    def test_custom_splits_and_validation(self, spark):
+        df = _docs(spark, 50)
+        out = splits.assign_split(df, "doc_id", splits=(("a", 50), ("b", 50)))
+        assert {r.split for r in out.collect()} <= {"a", "b"}
+        with pytest.raises(ValueError, match="sum to 100"):
+            splits.assign_split(df, "doc_id", splits=(("a", 60), ("b", 50)))
+
+
+class TestDeterministicShuffle:
+    def test_exact_permutation_matches_global_window(self, spark):
+        """Bucket-decomposed positions == the naive single-window rank."""
+        df = _docs(spark, 300)
+        got = {
+            r.doc_id: r.shuffle_pos
+            for r in splits.deterministic_shuffle(df, "doc_id").collect()
+        }
+        ref_rank = F.row_number().over(
+            Window.orderBy(splits._fingerprint("doc_id", "shuffle-v1"), "doc_id")
+        )
+        ref = {
+            r.doc_id: r.pos
+            for r in df.select("doc_id", ref_rank.alias("pos")).collect()
+        }
+        assert got == ref
+        assert sorted(got.values()) == list(range(1, 301))
+
+    def test_bucket_count_invariance(self, spark):
+        """Positions are independent of how many buckets decompose them."""
+        df = _docs(spark, 120)
+        one = {
+            r.doc_id: r.shuffle_pos
+            for r in splits.deterministic_shuffle(df, "doc_id", num_buckets=1).collect()
+        }
+        many = {
+            r.doc_id: r.shuffle_pos
+            for r in splits.deterministic_shuffle(
+                df, "doc_id", num_buckets=64
+            ).collect()
+        }
+        assert one == many
+
+    def test_preserves_columns(self, spark):
+        out = splits.deterministic_shuffle(_docs(spark, 10), "doc_id")
+        assert set(out.columns) == {"doc_id", "payload", "shuffle_pos"}
