@@ -50,6 +50,19 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("window dedup", r"Window"),
         ("scan prunes columns", r"ReadSchema: [^\n]*text"),
     ],
+    "docs_split": [
+        # split assignment must stay a pure map: no join, no aggregate —
+        # the only exchange allowed is the final presentation sort
+        ("no join or aggregate", r"^(?!.*(?:Join|HashAggregate))"),
+        ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
+    ],
+    "docs_shuffle": [
+        # rank decomposition: per-bucket window + tiny counts aggregate,
+        # but never a single-partition global sort of the data
+        ("bucketed window", r"Window"),
+        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
+        ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
+    ],
 }
 
 
