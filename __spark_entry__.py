@@ -975,6 +975,27 @@ def q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training mixture weights: per-source deterministic keep rates
+    (incl. a zeroed-out source and a default for unlisted ones) — pure
+    map-side fingerprint filter
+    (`operators/sampling.py:weighted_mixture_sample`)."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 0.0}
+    out = sampling.weighted_mixture_sample(
+        docs, "source", rates, "doc_id", default_rate=0.6
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter with no external model: mean
+    unigram log-prob under the corpus's own token distribution
+    (`functions/text.py:unigram_logprob`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.unigram_logprob(docs).orderBy("doc_id")
+
+
 def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle order for training shards: exact
     1-based rank under ORDER BY md5-fingerprint, decomposed into fixed
@@ -1069,6 +1090,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_split": q_docs_split,
     "docs_shuffle": q_docs_shuffle,
+    "docs_mixture_sample": q_docs_mixture_sample,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
 }
 
 

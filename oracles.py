@@ -944,3 +944,36 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+ORACLES["docs_mixture_sample"] = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(md5('mix-v1:' || doc_id), 1, 8))::BIGINT % 1000000 AS draw,
+           CASE source WHEN 'src0' THEN 250000
+                       WHEN 'src1' THEN 500000
+                       WHEN 'src2' THEN 750000
+                       WHEN 'src3' THEN 0
+                       ELSE 600000 END AS thresh
+    FROM documents
+)
+WHERE draw < thresh
+ORDER BY doc_id
+"""
+
+ORACLES["docs_unigram_logprob"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+    FROM documents
+), freq AS (
+    SELECT t, count(*)::DOUBLE AS cnt FROM toks GROUP BY t
+), tot AS (
+    SELECT count(*)::DOUBLE AS n FROM toks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(ln(cnt / n)), 4) AS unigram_logprob
+FROM toks JOIN freq USING (t), tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -198,3 +198,38 @@ def shingles(text_col: str | Column, k: int = 3) -> Column:
             acc, F.slice(toks, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
         )
     return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-statistics quality score (KenLM-lite proxy): per-document
+    mean unigram log-probability under the corpus's OWN empirical token
+    distribution — documents full of globally-rare tokens score low,
+    the standard perplexity-style filter when no external LM ships with
+    the engine (swap a real LM behind the same (doc, score) contract).
+
+    Plan: one explode pass feeds BOTH the vocab count (groupBy token,
+    map-side combinable — shuffles only vocab-sized partials) and the
+    per-doc join; the vocab table with attached corpus total broadcasts
+    back (vocab is sublinear in corpus size; if it outgrows the
+    broadcast threshold the same plan degrades gracefully to a shuffle
+    join on token). Output: (doc_id, n_tokens, unigram_logprob), score
+    rounded to 4 dp AFTER the aggregate per the cross-engine fp policy.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n"))  # 1 row
+    freq = counts.crossJoin(broadcast(total)).select(
+        "t", F.log(F.col("cnt") / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(broadcast(freq), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("unigram_logprob"),
+        )
+    )

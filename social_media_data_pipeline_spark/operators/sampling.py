@@ -23,6 +23,40 @@ def _keyed_hash(key_col: str, seed: str) -> Column:
     return F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
 
 
+def weighted_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: str = "mix-v1",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Training mixture weights: keep each row with its group's rate,
+    decided by a salted 32-bit fingerprint of the row id — so the draw
+    is deterministic, re-run-stable, and append-stable (a kept document
+    stays kept when the corpus grows), unlike `df.sample`.
+
+    Pure map-side (no shuffle, no state): rate comparison against
+    fingerprint % 1e6 inlines into the scan at any scale. Rates are
+    per-ROW keep probabilities; for token-weighted mixtures, compose
+    with a token-count column upstream and solve rates offline.
+    """
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    draw = fingerprint32(id_col, seed) % 1_000_000
+    thresh = F.lit(int(default_rate * 1_000_000))
+    for g, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(group_col) == g, F.lit(int(r * 1_000_000))
+        ).otherwise(thresh)
+    return df.filter(draw < thresh)
+
+
 def sample_n_per_group(
     df: DataFrame,
     group_expr: Column,

@@ -32,11 +32,14 @@ from pyspark.sql import functions as F
 #: ('0x' || substr(md5(seed || ':' || id), 1, 8))::bigint.
 
 
-def _fingerprint(id_col: str, seed: str) -> F.Column:
+def fingerprint32(id_col: str, seed: str) -> F.Column:
     hexpart = F.substring(
         F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
     )
     return F.conv(hexpart, 16, 10).cast("bigint")
+
+
+_fingerprint = fingerprint32  # internal alias used below
 
 
 def assign_split(

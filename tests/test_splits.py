@@ -92,3 +92,50 @@ class TestDeterministicShuffle:
     def test_preserves_columns(self, spark):
         out = splits.deterministic_shuffle(_docs(spark, 10), "doc_id")
         assert set(out.columns) == {"doc_id", "payload", "shuffle_pos"}
+
+
+class TestWeightedMixtureSample:
+    def test_rates_zero_one_and_determinism(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = _docs(spark, 400).withColumn(
+            "src", (F.col("doc_id") % 4).cast("string")
+        )
+        out = sampling.weighted_mixture_sample(
+            df, "src", {"0": 0.0, "1": 1.0, "2": 0.5}, "doc_id", default_rate=0.25
+        )
+        rows = out.collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.src, []).append(r.doc_id)
+        assert "0" not in by_src  # rate 0 drops everything
+        assert len(by_src["1"]) == 100  # rate 1 keeps everything
+        assert 20 <= len(by_src["2"]) <= 80  # ~50 of 100
+        assert 5 <= len(by_src["3"]) <= 50  # default ~25 of 100
+        again = sorted(r.doc_id for r in out.collect())
+        assert again == sorted(r.doc_id for r in rows)
+
+    def test_append_stability(self, spark):
+        """Growing the corpus never flips an existing row's keep draw."""
+        from social_media_data_pipeline_spark.operators import sampling
+
+        def kept(n):
+            df = _docs(spark, n).withColumn("src", F.lit("s"))
+            out = sampling.weighted_mixture_sample(
+                df, "src", {"s": 0.5}, "doc_id"
+            )
+            return {r.doc_id for r in out.collect()}
+
+        small, big = kept(100), kept(300)
+        assert small == {d for d in big if d < 100}
+
+    def test_rate_validation(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = _docs(spark, 10).withColumn("src", F.lit("s"))
+        with pytest.raises(ValueError, match="rate"):
+            sampling.weighted_mixture_sample(df, "src", {"s": 1.5}, "doc_id")
+        with pytest.raises(ValueError, match="default_rate"):
+            sampling.weighted_mixture_sample(
+                df, "src", {"s": 0.5}, "doc_id", default_rate=-0.1
+            )

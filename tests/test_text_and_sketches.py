@@ -314,3 +314,33 @@ class TestQuantize:
         # max-magnitude element hits ±127 exactly
         assert min(rows[1].q_embedding) == -127
         assert math.isclose(rows[3].scale, 1e-6 / 127.0, rel_tol=1e-3)
+
+
+def test_unigram_logprob_matches_hand_computed(spark):
+    """Mean unigram log-prob under the corpus's own distribution,
+    verified against an exact hand computation."""
+    import math
+
+    from pyspark.sql import Row
+
+    from social_media_data_pipeline_spark.functions import text as etext
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a b"),
+            Row(doc_id=2, text="a c"),
+            Row(doc_id=3, text="rare"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.unigram_logprob)
+        for r in etext.unigram_logprob(docs).collect()
+    }
+    # corpus: a=3, b=1, c=1, rare=1, total=6
+    p = {"a": 3 / 6, "b": 1 / 6, "c": 1 / 6, "rare": 1 / 6}
+    exp1 = round((2 * math.log(p["a"]) + math.log(p["b"])) / 3, 4)
+    exp2 = round((math.log(p["a"]) + math.log(p["c"])) / 2, 4)
+    exp3 = round(math.log(p["rare"]), 4)
+    assert got == {1: (3, exp1), 2: (2, exp2), 3: (1, exp3)}
+    # the all-common-tokens doc outranks the all-rare doc
+    assert got[1][1] > got[3][1]
