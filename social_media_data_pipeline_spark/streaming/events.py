@@ -218,3 +218,48 @@ def session_window_stream(
             "n_events",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the CURRENT static side (re-read per batch for file sources), the
+    streaming analog of the batch broadcast dim join (J1). The static
+    side is explicitly broadcast — per-batch hash join with no shuffle
+    of the stream; stateless, so no watermark is needed.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on, how)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pairs rows sharing `on` whose event
+    times are within `within` of each other (right at-or-after left —
+    click→purchase attribution shape).
+
+    Both sides carry watermarks and the join predicate bounds the time
+    skew, so Spark can expire buffered state: without BOTH conditions a
+    stream-stream join's state grows forever. State size ≈ each side's
+    (watermark + within) window of data, partitioned by the equi key.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])

@@ -143,3 +143,72 @@ class TestStreaming:
         q.awaitTermination()
         rows = spark.sql("select * from sess order by session_start").collect()
         assert len(rows) == 2 and rows[0].n_events == 2 and rows[1].n_events == 1
+
+
+class TestStreamJoins:
+    def test_enrich_stream_static_broadcast(self, spark, tmp_path):
+        src = str(tmp_path / "src_enrich")
+        make_events(
+            spark,
+            [(1, t(1), 1, "click", 1.0), (2, t(2), 2, "view", 2.0), (3, t(3), 9, "view", 3.0)],
+            src,
+        )
+        dim = spark.createDataFrame(
+            [(1, "alice"), (2, "bob")], "user_id long, user_name string"
+        )
+        stream = sev.read_event_stream(spark, src, SCHEMA)
+        out = sev.enrich_stream(stream, dim, "user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.event_id: r.user_name for r in spark.sql("select * from enriched").collect()}
+        assert rows == {1: "alice", 2: "bob", 3: None}  # left join keeps unmatched
+
+    def test_join_streams_within_interval(self, spark, tmp_path):
+        """click→purchase attribution: purchase joins clicks of the same
+        user at-or-after the click and within 1 hour."""
+        clicks_dir = str(tmp_path / "clicks")
+        buys_dir = str(tmp_path / "buys")
+        make_events(
+            spark,
+            [(10, t(0), 1, "click", 0.0), (11, t(0), 2, "click", 0.0)],
+            clicks_dir,
+        )
+        make_events(
+            spark,
+            [
+                (20, t(30), 1, "purchase", 9.0),   # within 1h of click 10
+                (21, t(90), 2, "purchase", 5.0),   # 90 min after click 11: out
+            ],
+            buys_dir,
+        )
+        clicks = sev.read_event_stream(spark, clicks_dir, SCHEMA).select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        buys = sev.read_event_stream(spark, buys_dir, SCHEMA).select(
+            F.col("event_id").alias("buy_id"),
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            "value",
+        )
+        out = sev.join_streams_within(
+            clicks, buys, "user_id", left_ts="ts", right_ts="buy_ts", within="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("attrib")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r.click_id, r.buy_id, r.value)
+            for r in spark.sql("select * from attrib").collect()
+        ]
+        assert rows == [(10, 20, 9.0)]
