@@ -1035,7 +1035,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_frequency": q_token_frequency,
     "price_histogram": q_price_histogram,
     "numeric_describe": q_numeric_describe,
-    "quantiles": q_quantiles,
     "column_profile": q_column_profile,
     "correlation": q_correlation,
     "events_pivot": q_events_pivot,
@@ -1046,7 +1045,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_with_open_orders": q_customers_with_open_orders,
     "series_align": q_series_align,
     "union_overlap": q_union_overlap,
-    "except_rows": q_except_rows,
     "top_revenue_orders": q_top_revenue_orders,
     "top_parts_per_brand": q_top_parts_per_brand,
     "events_lag_lead": q_events_lag_lead,
@@ -1074,6 +1072,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "events_asof_purchase": q_events_asof_purchase,
+    "docs_decontaminate": q_docs_decontaminate,
     # ---- tail: redundant variants beyond the driver's 50-entry window ----
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1084,14 +1084,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redact": q_docs_pii_redact,
     "embedding_quantize": q_embedding_quantize,
     "dedup_survivors": q_dedup_survivors,
-    "events_asof_purchase": q_events_asof_purchase,
     "events_in_windows": q_events_in_windows,
-    "docs_decontaminate": q_docs_decontaminate,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_split": q_docs_split,
     "docs_shuffle": q_docs_shuffle,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_unigram_logprob": q_docs_unigram_logprob,
+    "quantiles": q_quantiles,
+    "except_rows": q_except_rows,
 }
 
 

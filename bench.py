@@ -53,12 +53,15 @@ HEADLINE = [
     "embedding_ivf_topk",
     "embedding_near_dup_ivf",
     "dedup_clusters",
+    "docs_unigram_logprob",
+    "docs_shuffle",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
-# materialize intermediate rounds while the DataFrame is being built) —
+# materialize intermediate rounds while the DataFrame is being built;
+# docs_shuffle collects its bucket-count offsets at construction) —
 # for these construct time IS execution time and is counted.
-ITERATIVE = {"dedup_clusters"}
+ITERATIVE = {"dedup_clusters", "docs_shuffle"}
 
 
 def main() -> None:

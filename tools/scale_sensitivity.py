@@ -42,7 +42,9 @@ from social_media_data_pipeline_spark import io as eio  # noqa: E402
 from social_media_data_pipeline_spark.functions import (  # noqa: E402
     similarity,
     sketches,
+    text as etext,
 )
+from social_media_data_pipeline_spark.operators import splits as esplits  # noqa: E402
 from social_media_data_pipeline_spark.session import get_spark  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,15 +111,25 @@ def heavy_queries(spark, sf_dir: str):
         ),
     )
     corpus = emb.unionByName(copies)
+    # thunks, not DataFrames: deterministic_shuffle runs its bucket-counts
+    # job at CONSTRUCTION time, so the plan must be rebuilt inside the
+    # timed region for its measured cost to be the whole operator
+    max_df = max(50, docs.count() // 10)
     return {
-        "simhash_near_pairs": sketches.simhash_blocked_pairs(docs, "doc_id", "text", tau=3),
-        "minhash_lsh_pairs": sketches.minhash_lsh_pairs(docs, "doc_id", "text"),
-        "ngram_jaccard_pruned": sketches.ngram_jaccard_pairs(
-            docs, "doc_id", "text", threshold=0.6, max_doc_freq=max(50, docs.count() // 10)
+        "simhash_near_pairs": lambda: sketches.simhash_blocked_pairs(
+            docs, "doc_id", "text", tau=3
         ),
-        "embedding_near_dup_ivf": similarity.cosine_near_dup_via_ivf(
+        "minhash_lsh_pairs": lambda: sketches.minhash_lsh_pairs(docs, "doc_id", "text"),
+        "ngram_jaccard_pruned": lambda: sketches.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6, max_doc_freq=max_df
+        ),
+        "embedding_near_dup_ivf": lambda: similarity.cosine_near_dup_via_ivf(
             corpus, centroids, threshold=0.95, probes=2
         ),
+        "docs_shuffle": lambda: esplits.deterministic_shuffle(docs, "doc_id").select(
+            "doc_id", "shuffle_pos"
+        ),
+        "docs_unigram_logprob": lambda: etext.unigram_logprob(docs),
     }
 
 
@@ -135,10 +147,11 @@ def main() -> int:
     for f in factors:
         sf_dir = os.path.join(SCRATCH, f"x{f}")
         replicate(spark, f, sf_dir)
-        for name, df in heavy_queries(spark, sf_dir).items():
+        for name, make in heavy_queries(spark, sf_dir).items():
+            df = make()
             df.write.mode("overwrite").format("noop").save()  # warm codegen
             best = min(
-                _timed(lambda: df.write.mode("overwrite").format("noop").save())
+                _timed(lambda: make().write.mode("overwrite").format("noop").save())
                 for _ in range(2)
             )
             results.setdefault(name, {})[f] = best
