@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from social_media_data_pipeline_spark import io as eio
-from social_media_data_pipeline_spark.functions import sketches, similarity, text as etext
+from social_media_data_pipeline_spark.functions import (
+    retrieval,
+    sketches,
+    similarity,
+    text as etext,
+)
 from social_media_data_pipeline_spark.operators import (
     aggregates,
     dedup,
@@ -1006,6 +1011,20 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shuffle_pos").orderBy("doc_id")
 
 
+def q_docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF-IDF — topic tagging /
+    mixture balancing signal (`functions/retrieval.py:tfidf_topk`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 documents for a fixed bag-of-words query —
+    targeted subset retrieval (`functions/retrieval.py:bm25_score`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1090,6 +1109,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_shuffle": q_docs_shuffle,
     "docs_mixture_sample": q_docs_mixture_sample,
     "docs_unigram_logprob": q_docs_unigram_logprob,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "docs_bm25": q_docs_bm25,
     "quantiles": q_quantiles,
     "except_rows": q_except_rows,
 }

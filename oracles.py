@@ -977,3 +977,62 @@ FROM toks JOIN freq USING (t), tot
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+ORACLES["docs_tfidf_topk"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+    FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t
+), dl AS (
+    SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+    SELECT t, count(*) AS df FROM tf GROUP BY t
+), n AS (
+    SELECT count(*) AS n FROM dl
+), scored AS (
+    SELECT tf.doc_id, tf.t AS term,
+           (tf.tf::DOUBLE / dl.dl) * ln(n.n::DOUBLE / dfreq.df) AS s
+    FROM tf JOIN dl USING (doc_id) JOIN dfreq ON tf.t = dfreq.t, n
+)
+SELECT doc_id, term,
+       row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rank,
+       round(s, 6) AS tfidf
+FROM scored
+QUALIFY rank <= 3
+ORDER BY doc_id, rank
+"""
+
+# BM25: rank is assigned on the ROUNDED score (both engines round to
+# 6 dp first), so sub-1e-6 summation-order differences cannot flip it
+ORACLES["docs_bm25"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+    FROM documents
+), qtf AS (
+    SELECT doc_id, t, count(*) AS tf FROM toks
+    WHERE t IN ('spark', 'window', 'hash') GROUP BY doc_id, t
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n, sum(dl) AS dl_sum FROM dl
+), dfreq AS (
+    SELECT t, count(*) AS df FROM qtf GROUP BY t
+), per_term AS (
+    SELECT qtf.doc_id,
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (qtf.tf * 2.2)
+             / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (stats.dl_sum::DOUBLE / stats.n))) AS s
+    FROM qtf JOIN dl USING (doc_id) JOIN dfreq ON qtf.t = dfreq.t, stats
+), scored AS (
+    SELECT doc_id, round(sum(s), 6) AS bm25 FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, bm25,
+       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+FROM scored
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
