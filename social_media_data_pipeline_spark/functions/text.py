@@ -200,6 +200,36 @@ def shingles(text_col: str | Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(acc)).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def boilerplate_ngrams(
+    df,
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+    top: int = 100,
+):
+    """Corpus boilerplate detector: the k-word shingles that appear in
+    the most DOCUMENTS (document frequency, not occurrence count — each
+    doc's shingle set is already distinct). The output is the stop-
+    shingle list that `ngram_jaccard_pairs(max_doc_freq=...)` prunes
+    with, and the segment blacklist a CCNet-style cleaner would strip.
+
+    Scale shape: explode is map-side; ONE hash exchange on the shingle
+    carrying map-side partial counts; the top-k is TakeOrderedAndProject
+    (per-partition heads + single merge of `top` rows), never a global
+    sort. Deterministic tie-break: (doc_freq DESC, gram ASC).
+
+    Returns (gram, doc_freq) — `top` rows with doc_freq >= min_df.
+    """
+    grams = df.select(F.explode(shingles(text_col, k)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
+        .limit(top)
+    )
+
+
 def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus-statistics quality score (KenLM-lite proxy): per-document
     mean unigram log-probability under the corpus's OWN empirical token

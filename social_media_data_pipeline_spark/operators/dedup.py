@@ -49,6 +49,69 @@ def dedup_first_wins(
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-level SEGMENT dedup (CCNet-style, Wenzek et al. 2020 §3.1,
+    public paper): split every document into fixed ``seg_tokens``-token
+    segments, drop every segment whose exact text already appeared
+    earlier in the corpus (first occurrence in (doc, position) order
+    wins), and reassemble the surviving segments in document order.
+
+    This removes cross-document boilerplate (headers, footers, license
+    blocks) that document-level dedup can't touch — the standard step
+    between exact-dedup and near-dedup in an LLM data pipeline. The
+    reference dedups whole records only (`Preprocessor.py:161-167`);
+    this is the sub-document generalization.
+
+    Returns (id, clean_text, n_kept, n_segs). Documents whose every
+    segment is boilerplate drop out entirely — that IS the dedup
+    contract (same as a fully-duplicate doc in `dedup_exact_content`).
+
+    Scale shape (100 TB): two shuffles, both on honest keys —
+    (1) the first-occurrence window partitions by md5(segment), a
+    uniformly-distributed 16-byte key (rows carry one ~seg_tokens-token
+    string each, so the shuffle moves the corpus once, in segment-sized
+    pieces); (2) reassembly groups by doc id. No join, no quadratic
+    term; hot/boilerplate segments concentrate into single partitions
+    but each such group costs one row_number pass (and those are
+    exactly the rows the operator deletes).
+    """
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        n_segs.alias("n_segs"),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("id", "pos")
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("n_segs").alias("n_segs"),
+    )
+
+
 def dedup_exact_content(
     df: DataFrame,
     content_col: str,
