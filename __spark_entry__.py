@@ -1025,6 +1025,32 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at scale: training docs that share NO 3-gram
+    shingle with the eval slice, with a distributed Bloom filter
+    (`functions/membership.py`) prefiltering the train shingles
+    map-side before the exact confirm join — identical output to the
+    exact anti-join (the bloom admits no false negatives; false
+    positives die in the confirm join), a fraction of the join input
+    at 100 TB."""
+    from social_media_data_pipeline_spark.functions import membership
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    ev_sh = ev.select(F.explode(sketches.shingles("text", 3)).alias("s"))
+    tr_sh = tr.select("doc_id", F.explode(sketches.shingles("text", 3)).alias("s"))
+    hits = membership.bloom_semi_join(
+        tr_sh, "s", ev_sh, "s", expected_items=4096, fpp=0.01
+    )
+    contaminated = hits.select("doc_id").distinct()
+    return (
+        tr.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup: drop every 8-token segment whose
     exact text already appeared earlier in the corpus, reassemble the
@@ -1151,6 +1177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25": q_docs_bm25,
     "minhash_jaccard_est": q_minhash_jaccard_est,
     "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

@@ -1096,3 +1096,20 @@ HAVING COUNT(*) >= 5
 ORDER BY doc_freq DESC, gram
 LIMIT 100
 """
+
+# bloom prefilter + exact confirm ≡ the exact anti-join — the oracle is
+# the exact semantics (the bloom is a physical optimization, not logic)
+ORACLES["docs_bloom_decontaminate"] = f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 37 = 0
+), tr AS (
+    SELECT doc_id, lang, source, {_SHINGLES} AS sh FROM documents WHERE doc_id % 37 <> 0
+), contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, unnest(sh) AS s FROM tr) t JOIN ev USING (s)
+)
+SELECT doc_id, lang, source
+FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""

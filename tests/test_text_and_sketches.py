@@ -344,3 +344,96 @@ def test_unigram_logprob_matches_hand_computed(spark):
     assert got == {1: (3, exp1), 2: (2, exp2), 3: (1, exp3)}
     # the all-common-tokens doc outranks the all-rare doc
     assert got[1][1] > got[3][1]
+
+
+class TestSegmentDedup:
+    def _corpus(self, spark):
+        # 4-token segments; "shared boiler plate text" is the cross-doc dup
+        return spark.createDataFrame(
+            [
+                (1, "shared boiler plate text alpha beta gamma delta"),
+                (2, "shared boiler plate text epsilon zeta eta theta"),
+                (3, "shared boiler plate text"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import segment_dedup
+
+        out = {
+            r.id: r
+            for r in segment_dedup(
+                self._corpus(spark), "doc_id", "text", seg_tokens=4
+            ).collect()
+        }
+        # doc 1 scans first: keeps both its segments in order
+        assert out[1].clean_text == "shared boiler plate text alpha beta gamma delta"
+        assert out[1].n_kept == 2 and out[1].n_segs == 2
+        # doc 2 loses the shared head segment, keeps its unique tail
+        assert out[2].clean_text == "epsilon zeta eta theta"
+        assert out[2].n_kept == 1 and out[2].n_segs == 2
+        # doc 3 is pure boilerplate: removed entirely
+        assert 3 not in out
+
+    def test_partial_tail_segment_is_kept(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import segment_dedup
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        row = segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()[0]
+        assert row.clean_text == "a b c d e"
+        assert row.n_segs == 2  # 4-token segment + 1-token tail
+
+
+class TestMinhashJaccardEst:
+    def test_identical_docs_estimate_one(self, spark):
+        from social_media_data_pipeline_spark.functions.sketches import (
+            minhash_jaccard_pairs,
+        )
+
+        txt = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame([(1, txt), (2, txt)], ["doc_id", "text"])
+        rows = minhash_jaccard_pairs(df, "doc_id", "text").collect()
+        assert len(rows) == 1
+        assert rows[0].est_jaccard == 1.0
+        assert rows[0].jaccard == 1.0
+
+    def test_estimate_bounded_and_candidates_subset(self, spark, sf_dir):
+        from social_media_data_pipeline_spark.functions.sketches import (
+            minhash_jaccard_pairs,
+            minhash_lsh_pairs,
+        )
+        from social_media_data_pipeline_spark import io as eio
+
+        docs = eio.read_table(spark, sf_dir, "documents")
+        est = minhash_jaccard_pairs(docs, "doc_id", "text")
+        rows = est.collect()
+        assert all(0.0 <= r.est_jaccard <= 1.0 for r in rows)
+        assert all(0.0 <= r.jaccard <= 1.0 for r in rows)
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        assert {(r.id_a, r.id_b) for r in rows} == lsh
+
+
+def test_boilerplate_ngrams_counts_doc_frequency(spark):
+    from social_media_data_pipeline_spark.functions.text import boilerplate_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "common three gram one two"),
+            (2, "common three gram four five"),
+            (3, "common three gram one two"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = boilerplate_ngrams(df, "text", k=3, min_df=2, top=10).collect()
+    by_gram = {r.gram: r.doc_freq for r in rows}
+    assert by_gram["common three gram"] == 3
+    # occurrence-in-doc counts once: "one two" tail shared by docs 1 and 3
+    assert by_gram["gram one two"] == 2
+    assert all(r.doc_freq >= 2 for r in rows)
+    # ranked by doc_freq desc then gram
+    freqs = [r.doc_freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
