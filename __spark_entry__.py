@@ -1025,6 +1025,67 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: user-days bucketed by the deepest view → click →
+    purchase stage completed IN ORDER within that day.
+
+    Plan: one shuffle keyed (user_id, day); the per-group payload is the
+    ordered event-type sequence (bounded by per-user-day activity, the
+    sessionize contract), evaluated as a JVM regex subsequence match —
+    no Python, no self-joins. The final stage count is a 4-row
+    aggregate. Skewed hyperactive users → AQE skew split; or swap in
+    the 3-pass conditional-min formulation (one agg per stage, same
+    key) when a single group's history outgrows a task.
+    """
+    ev = _t(spark, sf_dir, "events")
+    e = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type").alias("t"))
+    seq = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"), e.alias("e"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]), " "
+            ).alias("seq")
+        )
+    )
+    stage = (
+        F.when(F.col("seq").rlike("view.*click.*purchase"), 3)
+        .when(F.col("seq").rlike("view.*click"), 2)
+        .when(F.col("seq").rlike("view"), 1)
+        .otherwise(0)
+    )
+    return (
+        seq.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("funnel_stage")
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week (cohort),
+    counted per week-offset of later activity — the classic triangle.
+
+    Plan: distinct (user, week) pairs (one shuffle), per-user min week
+    (same key — AQE reuses the partitioning), join back on user, then a
+    small (cohort, offset) count-distinct. Every shuffle is keyed on
+    user_id until the final tiny rollup.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    peruser = ev.select("user_id", wk.alias("wk")).distinct()
+    cohort = peruser.groupBy("user_id").agg(F.min("wk").alias("c"))
+    return (
+        peruser.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("c")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination at scale: training docs that share NO 3-gram
     shingle with the eval slice, with a distributed Bloom filter
@@ -1178,6 +1239,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_jaccard_est": q_minhash_jaccard_est,
     "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,
     "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

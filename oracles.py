@@ -1113,3 +1113,37 @@ FROM tr
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ORDER BY doc_id
 """
+
+ORACLES["events_funnel"] = """
+WITH seq_t AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM events
+    GROUP BY user_id, day
+), staged AS (
+    SELECT CASE
+        WHEN regexp_matches(seq, 'view.*click.*purchase') THEN 3
+        WHEN regexp_matches(seq, 'view.*click') THEN 2
+        WHEN regexp_matches(seq, 'view') THEN 1
+        ELSE 0 END AS funnel_stage
+    FROM seq_t
+)
+SELECT funnel_stage, COUNT(*)::BIGINT AS n_user_days
+FROM staged
+GROUP BY funnel_stage
+ORDER BY funnel_stage
+"""
+
+ORACLES["events_retention"] = """
+WITH pu AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), c AS (
+    SELECT user_id, min(wk) AS c FROM pu GROUP BY user_id
+)
+SELECT c::TIMESTAMP AS cohort_week,
+       cast(date_diff('day', c, wk) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT pu.user_id)::BIGINT AS n_users
+FROM pu JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
