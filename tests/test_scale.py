@@ -94,3 +94,46 @@ class TestScale:
         prof = scale.key_skew_profile(df, "k")
         top = prof.collect()[0]
         assert top.k == 1 and top.n == 90 and abs(top.share - 0.9) < 1e-9
+
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The 100 TB skew story has two layers: `salted_join` for
+        explicit salting, and AQE's runtime skew-join splitting for
+        sort-merge joins. This pins the latter: a power-law key under
+        toy-sized skew thresholds must produce SortMergeJoin(skew=true)
+        in the executed plan."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        tuned = {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # the session default (4) spreads the hot key too thin for
+            # the factor test — skew detection is relative to the median
+            "spark.sql.shuffle.partitions": "16",
+        }
+        saved = {k: spark.conf.get(k, None) for k in tuned}
+        try:
+            for k, v in tuned.items():
+                spark.conf.set(k, v)
+            big = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 2 == 0, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.col("id").alias("payload"),
+            )
+            small = spark.range(0, 1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+            j = big.join(small, "k")
+            j.collect()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert re.search(r"SortMergeJoin\(skew=true\)", plan)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

@@ -56,6 +56,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join or aggregate", r"^(?!.*(?:Join|HashAggregate))"),
         ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
+    "docs_segment_dedup": [
+        # first-occurrence window on md5(seg) + reassembly agg — NO join
+        ("window dedup", r"Window"),
+        ("no join", r"^(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
+        ("no python in executors", r"^(?!.*BatchEvalPython)"),
+    ],
+    "docs_boilerplate_ngrams": [
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "docs_bloom_decontaminate": [
+        # one-row bloom map rides a broadcast; confirm join broadcasts the
+        # true eval set; the big train side never shuffles before the
+        # per-doc distinct
+        ("bloom broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no python in executors", r"^(?!.*BatchEvalPython)"),
+    ],
+    "events_funnel": [
+        ("no join", r"^(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
+        ("grouped aggregation", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
+    ],
+    "events_retention": [
+        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
+        ("value column not read", r"^(?!.*ReadSchema: [^\n]*\bvalue\b)"),
+    ],
     "docs_shuffle": [
         # rank decomposition: per-bucket window + tiny counts aggregate,
         # but never a single-partition global sort of the data
