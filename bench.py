@@ -55,6 +55,9 @@ HEADLINE = [
     "dedup_clusters",
     "docs_unigram_logprob",
     "docs_shuffle",
+    # round 4: sub-document dedup + event-sequence analytics
+    "docs_segment_dedup",
+    "events_funnel",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -72,13 +72,16 @@ def segment_dedup(
     contract (same as a fully-duplicate doc in `dedup_exact_content`).
 
     Scale shape (100 TB): two shuffles, both on honest keys —
-    (1) the first-occurrence window partitions by md5(segment), a
-    uniformly-distributed 16-byte key (rows carry one ~seg_tokens-token
-    string each, so the shuffle moves the corpus once, in segment-sized
-    pieces); (2) reassembly groups by doc id. No join, no quadratic
-    term; hot/boilerplate segments concentrate into single partitions
-    but each such group costs one row_number pass (and those are
-    exactly the rows the operator deletes).
+    (1) first-occurrence selection is `min(struct(id, pos, ...))`
+    grouped by md5(segment): a HASH AGGREGATE, not a window, so
+    map-side partial aggregation collapses duplicate segments BEFORE
+    the shuffle — on the boilerplate-heavy corpora this operator
+    targets, the exchange carries one survivor candidate per (distinct
+    segment × map partition) instead of every occurrence (a sort-window
+    formulation measured identical at sf0.1 but must shuffle all
+    occurrences); (2) reassembly groups by doc id. No join, no
+    quadratic term; hot segments cost one partial-agg cell per
+    partition (and those are exactly the rows the operator deletes).
     """
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
@@ -93,11 +96,12 @@ def segment_dedup(
         n_segs.alias("n_segs"),
         F.posexplode(segs).alias("pos", "seg"),
     )
-    w = Window.partitionBy(F.md5(F.col("seg"))).orderBy("id", "pos")
+    # struct min orders lexicographically by field: (id, pos) = first
+    # occurrence in corpus order; seg/n_segs ride along as payload
     kept = (
-        exploded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        exploded.groupBy(F.md5("seg").alias("__h"))
+        .agg(F.min(F.struct("id", "pos", "n_segs", "seg")).alias("m"))
+        .select("m.id", "m.pos", "m.n_segs", "m.seg")
     )
     return kept.groupBy("id").agg(
         F.array_join(

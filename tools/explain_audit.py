@@ -57,8 +57,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
     "docs_segment_dedup": [
-        # first-occurrence window on md5(seg) + reassembly agg — NO join
-        ("window dedup", r"Window"),
+        # first-occurrence selection must be the map-side-combinable
+        # min(struct) HASH AGGREGATE (partials collapse duplicate
+        # segments before the shuffle) — not a sort-window, not a join
+        ("hash-aggregate dedup", r"HashAggregate|ObjectHashAggregate"),
+        ("no window sort", r"^(?!.*Window)"),
         ("no join", r"^(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
         ("no python in executors", r"^(?!.*BatchEvalPython)"),
     ],
