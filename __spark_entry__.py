@@ -1025,6 +1025,43 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-corpus build: the whole preprocessing chain as ONE
+    declarative plan — exact dedup (first-wins on md5 of normalized
+    text) → quality filter → eval-set decontamination (broadcast
+    shingle anti-join) → per-source mixture sampling (map-side
+    fingerprint draw) → train/val/test split (map-side) → per-split
+    doc/token totals.
+
+    Catalyst sees every stage at once: the quality filter and both
+    map-side fingerprint stages collapse into the scans around the two
+    real shuffles (dedup's aggregate, the contamination count), and
+    column pruning drops `text` the moment the last text-derived value
+    is computed. This is the chain the reference runs as nine separate
+    imperative scripts (SURVEY.md §3) — here it is one plan the
+    optimizer can see end to end.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    d1 = dedup.dedup_exact_content(tr, "text", "doc_id")
+    d2 = d1.filter(etext.quality_score("text") >= 0.55)
+    d3 = sketches.decontaminate(d2, ev, "doc_id", "text", k=3)
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 0.0}
+    d4 = sampling.weighted_mixture_sample(
+        d3, "source", rates, "doc_id", default_rate=0.6
+    )
+    d5 = splits.assign_split(d4, "doc_id")
+    return (
+        d5.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(etext.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: user-days bucketed by the deepest view → click →
     purchase stage completed IN ORDER within that day.
@@ -1241,6 +1278,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "docs_llm_pipeline": q_docs_llm_pipeline,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

@@ -1147,3 +1147,53 @@ FROM pu JOIN c USING (user_id)
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+_QUALITY = """
+ROUND(
+  least(length(coalesce(text,'')) / 500.0, 1.0) * 0.5
+  + (CASE WHEN
+       length(regexp_replace(coalesce(text,''), '\\s+', '', 'g'))
+         / greatest(len(string_split_regex(lower(trim(coalesce(text,''))), '\\s+')), 1)
+       BETWEEN 3 AND 10
+     THEN 1.0 ELSE 0.5 END) * 0.3
+  + (1 - (length(coalesce(text,''))
+          - length(regexp_replace(coalesce(text,''), '[^\\w\\s]', '', 'g')))
+         / greatest(length(coalesce(text,'')), 1)) * 0.2
+, 6)
+"""
+
+ORACLES["docs_llm_pipeline"] = f"""
+WITH ev AS (
+    SELECT DISTINCT unnest({_SHINGLES}) AS s FROM documents WHERE doc_id % 37 = 0
+), tr AS (
+    SELECT * FROM documents WHERE doc_id % 37 <> 0
+), d1 AS (
+    SELECT * FROM tr
+    QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+), d2 AS (
+    SELECT * FROM d1 WHERE {_QUALITY} >= 0.55
+), contaminated AS (
+    SELECT DISTINCT t.doc_id
+    FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM d2) t JOIN ev USING (s)
+), d3 AS (
+    SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), d4 AS (
+    SELECT * FROM d3
+    WHERE ('0x' || substr(md5('mix-v1:' || doc_id), 1, 8))::BIGINT % 1000000 <
+          CASE source WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000
+                      WHEN 'src2' THEN 750000 WHEN 'src3' THEN 0
+                      ELSE 600000 END
+), d5 AS (
+    SELECT *,
+           CASE WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM d4
+)
+SELECT split,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(len({_TOKS}))::BIGINT AS total_tokens
+FROM d5
+GROUP BY split
+ORDER BY split
+"""
