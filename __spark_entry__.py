@@ -1025,6 +1025,25 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate spans (ExactSubstr re-expressed
+    relationally, Lee et al. 2022): maximal runs of 8-token windows
+    shared by >= 2 documents — the trim-don't-drop dedup signal
+    (`operators/dedup.py:duplicate_spans`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
+    ).orderBy("doc_id", "span_start")
+
+
+def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus health gate: OLS slope of log-frequency vs
+    log-rank over the vocabulary (`functions/text.py:zipf_slope`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.zipf_slope(docs, "text")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -1279,6 +1298,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "docs_llm_pipeline": q_docs_llm_pipeline,
+    "docs_duplicate_spans": q_docs_duplicate_spans,
+    "docs_zipf_slope": q_docs_zipf_slope,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

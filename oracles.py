@@ -1197,3 +1197,46 @@ FROM d5
 GROUP BY split
 ORDER BY split
 """
+
+ORACLES["docs_duplicate_spans"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), wins AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), duph AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+    SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)
+), isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 7 AS span_end,
+       COUNT(*)::BIGINT AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+ORACLES["docs_zipf_slope"] = f"""
+WITH freq AS (
+    SELECT t, COUNT(*)::BIGINT AS n
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY t
+), ranked AS (
+    SELECT ln(n) AS ln_n,
+           ln(row_number() OVER (ORDER BY n DESC, t)) AS ln_r,
+           n
+    FROM freq
+)
+SELECT COUNT(*)::BIGINT AS n_types,
+       SUM(n)::BIGINT AS n_tokens,
+       ROUND(covar_pop(ln_n, ln_r) / var_pop(ln_r), 6) AS slope
+FROM ranked
+"""

@@ -230,6 +230,36 @@ def boilerplate_ngrams(
     )
 
 
+def zipf_slope(df, text_col: str = "text"):
+    """Corpus health statistic: the OLS slope of log(frequency) vs
+    log(rank) over the token frequency table — natural corpora track
+    Zipf's law (slope ≈ −1); synthetic/templated corpora flatten it.
+    A one-row sanity gate for ingest pipelines.
+
+    Scale note: the token count is the standard explode + map-side-
+    combinable aggregate; everything after operates on the VOCABULARY
+    (sublinear in corpus size), so the global rank window is a
+    vocab-sized sort, not a data-sized one. Output: (n_types,
+    n_tokens, slope).
+    """
+    from pyspark.sql.window import Window
+
+    freq = (
+        df.select(F.explode(tokenize(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # vocab-sized global window (see docstring); deterministic tie-break
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("t")))
+    ).select(F.log("n").alias("ln_n"), F.log("r").alias("ln_r"), "n")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("n_tokens"),
+        F.round(F.covar_pop("ln_n", "ln_r") / F.var_pop("ln_r"), 6).alias("slope"),
+    )
+
+
 def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus-statistics quality score (KenLM-lite proxy): per-document
     mean unigram log-probability under the corpus's OWN empirical token

@@ -116,6 +116,69 @@ def segment_dedup(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection (the ExactSubstr idea of
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", public paper, re-expressed relationally): slide a k-token
+    window over every document, find window hashes occurring in >=
+    `min_docs` distinct documents, and merge consecutive duplicated
+    positions into maximal spans per document — the spans a trainer
+    would trim instead of dropping whole documents.
+
+    The suffix-array formulation is a single-machine algorithm; this is
+    the shuffle-native equivalent: window hashes are the inverted
+    index, and maximal runs come from the gaps-and-islands trick
+    (pos - row_number() is constant within a consecutive run).
+
+    Returns (id, span_start, span_end, n_windows): token positions
+    [span_start, span_end] inclusive, 0-based; n_windows = k-gram
+    windows merged into the span.
+
+    Scale shape (100 TB): explode is map-side (one 16 B hash per token
+    position); the duplicated-hash set is a count-distinct aggregate
+    keyed on the hash, semi-joined back on the same key (AQE reuses
+    the partitioning); the islands window and the span aggregate share
+    one doc-keyed shuffle. Nothing is quadratic — boilerplate spans
+    produce long runs, which COLLAPSE into single rows here.
+    """
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    m = F.size(toks) - F.lit(k - 1)
+    wins = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    exploded = (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(wins).alias("pos", "h"))
+    )
+    dup_h = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    marked = exploded.join(dup_h, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
 def dedup_exact_content(
     df: DataFrame,
     content_col: str,

@@ -437,3 +437,60 @@ def test_boilerplate_ngrams_counts_doc_frequency(spark):
     # ranked by doc_freq desc then gram
     freqs = [r.doc_freq for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+class TestDuplicateSpans:
+    def test_shared_run_found_and_merged(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        # docs 1 and 2 share tokens c..j (8 tokens) at different offsets;
+        # doc 3 is unrelated
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j k l"),
+                (2, "x y z c d e f g h i j q r s"),
+                (3, "unrelated words only here nothing shared at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = duplicate_spans(df, "doc_id", "text", k=8, min_docs=2).collect()
+        spans = {(r.id, r.span_start, r.span_end, r.n_windows) for r in rows}
+        # the shared 8-token run c..j is exactly one window in each doc
+        assert (1, 2, 9, 1) in spans
+        assert (2, 3, 10, 1) in spans
+        assert all(r.id != 3 for r in rows)
+
+    def test_consecutive_windows_merge_into_one_span(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"  # 10 tokens -> 3 windows of 8
+        df = spark.createDataFrame(
+            [(1, shared + " tail1 only"), (2, "head2 only " + shared)],
+            ["doc_id", "text"],
+        )
+        rows = duplicate_spans(df, "doc_id", "text", k=8, min_docs=2).collect()
+        by_doc = {r.id: r for r in rows}
+        assert by_doc[1].span_start == 0 and by_doc[1].span_end == 9
+        assert by_doc[1].n_windows == 3
+        assert by_doc[2].span_start == 2 and by_doc[2].span_end == 11
+
+    def test_short_docs_excluded(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+        )
+        assert duplicate_spans(df, "doc_id", "text", k=8).count() == 0
+
+
+def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
+    from social_media_data_pipeline_spark.functions.text import zipf_slope
+
+    # synthetic corpus with freq(rank r) = 60/r: slope should be ~ -1
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * (60 // r)
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = zipf_slope(df, "text").collect()[0]
+    assert row.n_types == 30
+    assert -1.2 < row.slope < -0.8
