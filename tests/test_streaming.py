@@ -212,3 +212,35 @@ class TestStreamJoins:
             for r in spark.sql("select * from attrib").collect()
         ]
         assert rows == [(10, 20, 9.0)]
+
+
+class TestStreamingBloom:
+    def test_bloom_semi_join_composes_with_stream(self, spark, tmp_path):
+        """The membership operators are pure DataFrame->DataFrame, so the
+        bloom prefilter + exact confirm composes unchanged with a
+        streaming source: per micro-batch, the one-row bloom map and the
+        true set ride broadcasts (stream side never shuffles)."""
+        from social_media_data_pipeline_spark.functions import membership
+
+        src = str(tmp_path / "docs_stream")
+        spark.createDataFrame(
+            [(1, "keep_a"), (2, "drop_x"), (3, "keep_b"), (4, "drop_y")],
+            "doc_id long, token string",
+        ).write.mode("overwrite").parquet(src)
+        blocked = spark.createDataFrame(
+            [("drop_x",), ("drop_y",), ("drop_z",)], "v string"
+        )
+        stream = spark.readStream.schema("doc_id long, token string").parquet(src)
+        flagged = membership.bloom_semi_join(
+            stream, "token", blocked, "v", expected_items=16
+        )
+        q = (
+            flagged.writeStream.format("memory")
+            .queryName("bloom_hits")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        hits = {r.doc_id for r in spark.sql("select * from bloom_hits").collect()}
+        assert hits == {2, 4}

@@ -44,6 +44,7 @@ from social_media_data_pipeline_spark.functions import (  # noqa: E402
     sketches,
     text as etext,
 )
+from social_media_data_pipeline_spark.operators import dedup as ededup  # noqa: E402
 from social_media_data_pipeline_spark.operators import splits as esplits  # noqa: E402
 from social_media_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -130,6 +131,15 @@ def heavy_queries(spark, sf_dir: str):
             "doc_id", "shuffle_pos"
         ),
         "docs_unigram_logprob": lambda: etext.unigram_logprob(docs),
+        # round 4: sub-document dedup — per-copy token suffixes keep
+        # segment/window hashes disjoint across copies, so duplicate
+        # structure (and output rows) replicate linearly by construction
+        "docs_segment_dedup": lambda: ededup.segment_dedup(
+            docs, "doc_id", "text", seg_tokens=8
+        ),
+        "docs_duplicate_spans": lambda: ededup.duplicate_spans(
+            docs, "doc_id", "text", k=8, min_docs=2
+        ),
     }
 
 
