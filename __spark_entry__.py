@@ -1212,8 +1212,11 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # had a driver row (r4: numeric_describe→quantiles — both A5;
 # cube_agg→except_rows — grouping sets stay driver-covered via
 # rollup_revenue; embedding_ann_lsh→docs_segment_dedup — SRP-LSH green
-# r1-r3, segment dedup is new first-class capability). Rotated-out and
-# tail queries are verified every session by tools/check_correctness.py.
+# r1-r3, segment dedup is new first-class capability;
+# events_daily→docs_llm_pipeline — calendar-window A1 stays driver-
+# covered via pricing_summary, the flagship composite takes the slot).
+# Rotated-out and tail queries are verified every session by
+# tools/check_correctness.py.
 # The tail (>50) otherwise holds redundant variants whose operator is
 # already covered by an earlier entry:
 #   - ngram_jaccard        → unpruned baseline of ngram_jaccard_pruned
@@ -1230,7 +1233,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_wins": q_dedup_first_wins,
     "sample_per_year": q_sample_per_year,
     "pricing_summary": q_pricing_summary,
-    "events_daily": q_events_daily,
+    "docs_llm_pipeline": q_docs_llm_pipeline,
     "events_weekly_by_type": q_events_weekly_by_type,
     "token_frequency": q_token_frequency,
     "price_histogram": q_price_histogram,
@@ -1297,7 +1300,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
-    "docs_llm_pipeline": q_docs_llm_pipeline,
     "docs_duplicate_spans": q_docs_duplicate_spans,
     "docs_zipf_slope": q_docs_zipf_slope,
     # rotated out of the driver window in r4 after 3 consecutive green
@@ -1305,6 +1307,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_describe": q_numeric_describe,
     "cube_agg": q_cube_agg,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "events_daily": q_events_daily,
 }
 
 
