@@ -181,11 +181,7 @@ class TestSubdocProperties:
             [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
         )
         out = dedup.segment_dedup(df, "doc_id", "text", seg_tokens=3).collect()
-        seen = {}
         for r in out:
-            # reconstruct kept segments from counts: n_kept segments of
-            # <=3 tokens each joined by spaces — re-split per 3 tokens
-            toks = r.clean_text.split(" ") if r.clean_text else []
             assert r.n_kept >= 1 and r.n_segs >= r.n_kept
         # stronger check via a second run on the OUTPUT: fully deduped
         # input must be a fixed point (every segment already unique)
