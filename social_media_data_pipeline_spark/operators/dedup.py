@@ -141,9 +141,17 @@ def duplicate_spans(
     windows merged into the span.
 
     Scale shape (100 TB): explode is map-side (one 16 B hash per token
-    position); the duplicated-hash set is a count-distinct aggregate
-    keyed on the hash, semi-joined back on the same key (AQE reuses
-    the partitioning); the islands window and the span aggregate share
+    position); duplicated positions come from ONE aggregation keyed on
+    the hash — occurrences collect per hash, hashes seen in < min_docs
+    documents drop, survivors re-explode map-side (a
+    countDistinct + semi-join formulation re-executes the whole window-
+    hash construction on the probe side and measured 1.8× slower at
+    sf0.1: 7.9 s vs 4.4 s). Per-hash state is bounded by that k-gram's
+    occurrence count — mega-hot k-grams (boilerplate in millions of
+    docs) concentrate one array each, the same hot-key exposure as
+    `ngram_jaccard_pairs`' hot shingles, with the same mitigation
+    (normalize/pre-prune boilerplate upstream; those rows are exactly
+    the output anyway). The islands window and the span aggregate share
     one doc-keyed shuffle. Nothing is quadratic — boilerplate spans
     produce long runs, which COLLAPSE into single rows here.
     """
@@ -159,13 +167,16 @@ def duplicate_spans(
         df.filter(F.size(toks) >= k)
         .select(F.col(id_col).alias("id"), F.posexplode(wins).alias("pos", "h"))
     )
-    dup_h = (
+    marked = (
         exploded.groupBy("h")
-        .agg(F.countDistinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("occ"))
+        .filter(
+            F.size(F.array_distinct(F.transform("occ", lambda x: x["id"])))
+            >= min_docs
+        )
+        .select(F.explode("occ").alias("o"))
+        .select(F.col("o.id").alias("id"), F.col("o.pos").alias("pos"))
     )
-    marked = exploded.join(dup_h, "h", "left_semi")
     w = Window.partitionBy("id").orderBy("pos")
     islands = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
