@@ -190,6 +190,50 @@ def duplicate_spans(
     )
 
 
+def trim_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply `duplicate_spans` output as a TRIM: drop the tokens inside
+    each document's flagged [span_start, span_end] ranges and rebuild
+    the text — the "trim, don't drop" completion of span detection
+    (docs keeping at least one token survive with n_removed recorded).
+
+    Scale shape: the span lists aggregate per doc (tiny — one row per
+    maximal span) and join back on the doc id; token filtering is a
+    pure array expression using the positional lambda — no explode of
+    the corpus, no second text shuffle.
+    """
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    sp = spans.groupBy(F.col("id").alias(id_col)).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    joined = df.join(sp, id_col, "left").withColumn(
+        "__sp", F.coalesce(F.col("__sp"), F.array())
+    )
+    toks = F.split(normalize_text(text_col), " ")
+    # two-param lambda: PySpark binds the second argument to the ARRAY
+    # INDEX (0-based) — here that's exactly the token position
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__sp"),
+            lambda r: (i >= r["span_start"]) & (i <= r["span_end"]),
+        ),
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("trimmed_text"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+        )
+        .filter(F.size(kept) > 0)
+    )
+
+
 def dedup_exact_content(
     df: DataFrame,
     content_col: str,

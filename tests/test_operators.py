@@ -187,3 +187,21 @@ class TestJoinsSetopsSort:
         )
         out = windows.top_k_per_group(df, ["g"], [F.desc("v")], 2)
         assert out.filter("g = 'a'").count() == 2 and out.filter("g = 'b'").count() == 1
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """A-family completeness: the HLL++ approximate distinct count (the
+    100 TB substitute for exact countDistinct in profiling paths) must
+    land within 3x the requested relative standard deviation."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_spark import io as eio
+
+    li = eio.read_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = (
+        li.agg(F.approx_count_distinct("l_orderkey", 0.02).alias("a"))
+        .collect()[0]
+        .a
+    )
+    assert abs(approx - exact) / exact < 0.06

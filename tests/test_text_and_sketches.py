@@ -494,3 +494,43 @@ def test_zipf_slope_near_minus_one_on_zipfian_corpus(spark):
     row = zipf_slope(df, "text").collect()[0]
     assert row.n_types == 30
     assert -1.2 < row.slope < -0.8
+
+
+class TestTrimSpans:
+    def test_trim_removes_flagged_ranges(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            duplicate_spans,
+            trim_spans,
+        )
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+        df = spark.createDataFrame(
+            [(1, shared + " u1 u2 u3"), (2, "v1 v2 " + shared + " v3")],
+            ["doc_id", "text"],
+        )
+        spans = duplicate_spans(df, "doc_id", "text", k=8, min_docs=2)
+        out = {r.doc_id: r for r in trim_spans(df, spans).collect()}
+        assert out[1].trimmed_text == "u1 u2 u3" and out[1].n_removed == 8
+        assert out[2].trimmed_text == "v1 v2 v3" and out[2].n_removed == 8
+
+    def test_docs_without_spans_pass_through(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import trim_spans
+
+        df = spark.createDataFrame([(1, "Plain  Text here")], ["doc_id", "text"])
+        spans = spark.createDataFrame(
+            [], "id long, span_start int, span_end int, n_windows long"
+        )
+        row = trim_spans(df, spans).collect()[0]
+        # text passes through normalized (lowercase, collapsed spaces)
+        assert row.trimmed_text == "plain text here" and row.n_removed == 0
+
+    def test_fully_duplicated_doc_drops(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            duplicate_spans,
+            trim_spans,
+        )
+
+        t = "d1 d2 d3 d4 d5 d6 d7 d8"
+        df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+        spans = duplicate_spans(df, "doc_id", "text", k=8, min_docs=2)
+        assert trim_spans(df, spans).count() == 0
