@@ -88,12 +88,62 @@ def pandas_region_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _pandas_norm(docs: pd.DataFrame) -> pd.Series:
+    return (
+        docs["text"]
+        .fillna("")
+        .str.lower()
+        .str.strip()
+        .str.replace(r"\s+", " ", regex=True)
+    )
+
+
+def pandas_docs_segment_dedup(sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], _pandas_norm(docs)):
+        toks = t.split(" ")
+        for p in range((len(toks) + 7) // 8):
+            rows.append((doc_id, p, " ".join(toks[p * 8 : (p + 1) * 8])))
+    seg = pd.DataFrame(rows, columns=["doc_id", "pos", "seg"])
+    kept = seg.sort_values(["doc_id", "pos"]).drop_duplicates(
+        subset=["seg"], keep="first"
+    )
+    return (
+        kept.groupby("doc_id")
+        .agg(clean_text=("seg", " ".join), n_kept=("seg", "count"))
+        .reset_index()
+    )
+
+
+def pandas_docs_duplicate_spans(sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], _pandas_norm(docs)):
+        toks = t.split(" ")
+        for p in range(max(0, len(toks) - 7)):
+            rows.append((doc_id, p, " ".join(toks[p : p + 8])))
+    w = pd.DataFrame(rows, columns=["doc_id", "pos", "h"])
+    nd = w.groupby("h")["doc_id"].nunique()
+    m = w[w["h"].isin(set(nd[nd >= 2].index))].sort_values(["doc_id", "pos"])
+    m = m.assign(grp=m["pos"] - m.groupby("doc_id").cumcount())
+    spans = (
+        m.groupby(["doc_id", "grp"])
+        .agg(span_start=("pos", "min"), span_end=("pos", "max"), n_windows=("pos", "count"))
+        .reset_index(drop=False)
+    )
+    spans["span_end"] += 7
+    return spans.drop(columns=["grp"])
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
     "token_frequency": pandas_token_frequency,
     "dedup_first_wins": pandas_dedup_first_wins,
     "sample_per_year": pandas_sample_per_year,
+    "docs_segment_dedup": pandas_docs_segment_dedup,
+    "docs_duplicate_spans": pandas_docs_duplicate_spans,
 }
 
 
