@@ -57,6 +57,7 @@ HEADLINE = [
     "docs_shuffle",
     # round 4: sub-document dedup + event-sequence analytics
     "docs_segment_dedup",
+    "docs_duplicate_spans",
     "events_funnel",
 ]
 

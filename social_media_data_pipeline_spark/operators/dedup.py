@@ -83,6 +83,8 @@ def segment_dedup(
     quadratic term; hot segments cost one partial-agg cell per
     partition (and those are exactly the rows the operator deletes).
     """
+    if seg_tokens < 1:
+        raise ValueError(f"seg_tokens must be >= 1, got {seg_tokens}")
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
     toks = F.split(normalize_text(text_col), " ")
@@ -155,6 +157,10 @@ def duplicate_spans(
     one doc-keyed shuffle. Nothing is quadratic — boilerplate spans
     produce long runs, which COLLAPSE into single rows here.
     """
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
     toks = F.split(normalize_text(text_col), " ")

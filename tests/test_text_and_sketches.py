@@ -534,3 +534,20 @@ class TestTrimSpans:
         df = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
         spans = duplicate_spans(df, "doc_id", "text", k=8, min_docs=2)
         assert trim_spans(df, spans).count() == 0
+
+
+def test_subdoc_param_validation(spark):
+    import pytest as _pytest
+
+    from social_media_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        segment_dedup,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        segment_dedup(df, "doc_id", "text", seg_tokens=0)
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", k=1)
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, "doc_id", "text", k=8, min_docs=0)
