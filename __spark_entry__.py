@@ -1037,6 +1037,16 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_docs_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-don't-drop composition: duplicate_spans feeds trim_spans —
+    each doc loses exactly the tokens inside its flagged cross-document
+    spans (`operators/dedup.py:trim_spans`; positional array lambda,
+    no corpus explode)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", k=8, min_docs=2)
+    return dedup.trim_spans(docs, spans).orderBy("doc_id")
+
+
 def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law corpus health gate: OLS slope of log-frequency vs
     log-rank over the vocabulary (`functions/text.py:zipf_slope`)."""
@@ -1301,6 +1311,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "docs_duplicate_spans": q_docs_duplicate_spans,
+    "docs_trim_spans": q_docs_trim_spans,
     "docs_zipf_slope": q_docs_zipf_slope,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)

@@ -1240,3 +1240,39 @@ SELECT COUNT(*)::BIGINT AS n_types,
        ROUND(covar_pop(ln_n, ln_r) / var_pop(ln_r), 6) AS slope
 FROM ranked
 """
+
+ORACLES["docs_trim_spans"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), wins AS (
+    SELECT doc_id, i - 1 AS pos,
+           md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), duph AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), isl AS (
+    SELECT w.doc_id, w.pos,
+           w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
+    FROM wins w JOIN duph USING (h)
+), spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+    FROM isl GROUP BY doc_id, grp
+), tok_rows AS (
+    SELECT doc_id, t[i] AS tok, i - 1 AS p, len(t) AS n_toks
+    FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+), kept AS (
+    SELECT tr.doc_id, tr.tok, tr.p, tr.n_toks
+    FROM tok_rows tr
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tr.doc_id AND tr.p BETWEEN s.s AND s.e
+    )
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY p) AS trimmed_text,
+       (any_value(n_toks) - COUNT(*))::INT AS n_removed
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
