@@ -1037,6 +1037,30 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection on the event stream: days whose per-type event
+    count deviates >= 1.5 population-σ from that type's daily mean.
+    Two tiny aggregates (daily counts, per-type moments) + a broadcast
+    join of the 5-row stats side — monitoring-query shape that stays
+    O(days × types) regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= 1.5)
+        .select("event_type", "day", "n", "z")
+        .orderBy("event_type", "day")
+    )
+
+
 def q_docs_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trim-don't-drop composition: duplicate_spans feeds trim_spans —
     each doc loses exactly the tokens inside its flagged cross-document
@@ -1313,6 +1337,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_duplicate_spans": q_docs_duplicate_spans,
     "docs_trim_spans": q_docs_trim_spans,
     "docs_zipf_slope": q_docs_zipf_slope,
+    "events_anomaly_days": q_events_anomaly_days,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

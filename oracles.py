@@ -1276,3 +1276,19 @@ FROM kept
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+ORACLES["events_anomaly_days"] = """
+WITH daily AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           COUNT(*)::BIGINT AS n
+    FROM events
+    GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, AVG(n) AS mu, STDDEV_POP(n) AS sigma
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, day, n, ROUND((n - mu) / sigma, 4) AS z
+FROM daily JOIN stats USING (event_type)
+WHERE abs(ROUND((n - mu) / sigma, 4)) >= 1.5
+ORDER BY event_type, day
+"""

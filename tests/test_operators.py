@@ -205,3 +205,34 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
         .a
     )
     assert abs(approx - exact) / exact < 0.06
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """Quantile sketch substitute for exact percentile at scale: the
+    approx result at accuracy 10000 must land within 1% of exact."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_spark import io as eio
+
+    li = eio.read_table(spark, sf_dir, "lineitem")
+    exact = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").collect()[0].p
+    approx = li.selectExpr(
+        "approx_percentile(l_extendedprice, 0.5, 10000) AS p"
+    ).collect()[0].p
+    assert abs(approx - exact) / exact < 0.01
+
+
+def test_subdoc_ops_on_empty_input(spark):
+    """Empty corpora flow through the sub-document operators without
+    error and yield empty results."""
+    from social_media_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        segment_dedup,
+        trim_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert segment_dedup(empty, "doc_id", "text").count() == 0
+    spans = duplicate_spans(empty, "doc_id", "text")
+    assert spans.count() == 0
+    assert trim_spans(empty, spans).count() == 0
