@@ -1037,6 +1037,45 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_events_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily event counts — the
+    rows-frame window surface beyond running totals (frame: 6 preceding
+    to current row over the day-ordered series, per event type)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.withColumn("avg_7d", F.round(F.avg("n").over(w), 4))
+        .select("event_type", "day", "n", "avg_7d")
+        .orderBy("event_type", "day")
+    )
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) spend quartiles per market segment: customers ranked by
+    account balance inside their segment, deterministic tie-break on
+    custkey — the ntile/bucketing window surface."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    q = cust.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        q.groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
 def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier detection on the event stream: days whose per-type event
     count deviates >= 1.5 population-σ from that type's daily mean.
@@ -1338,6 +1377,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_trim_spans": q_docs_trim_spans,
     "docs_zipf_slope": q_docs_zipf_slope,
     "events_anomaly_days": q_events_anomaly_days,
+    "events_trailing_avg": q_events_trailing_avg,
+    "customer_quartiles": q_customer_quartiles,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

@@ -1292,3 +1292,35 @@ FROM daily JOIN stats USING (event_type)
 WHERE abs(ROUND((n - mu) / sigma, 4)) >= 1.5
 ORDER BY event_type, day
 """
+
+ORACLES["events_trailing_avg"] = """
+WITH daily AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       ROUND(AVG(n) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 4) AS avg_7d
+FROM daily
+ORDER BY event_type, day
+"""
+
+ORACLES["customer_quartiles"] = """
+WITH q AS (
+    SELECT c_mktsegment, c_acctbal,
+           ntile(4) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC
+           ) AS quartile
+    FROM customer
+)
+SELECT c_mktsegment, quartile,
+       COUNT(*)::BIGINT AS n_customers,
+       ROUND(AVG(c_acctbal), 4) AS avg_balance
+FROM q
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
