@@ -84,6 +84,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
         ("value column not read", r"^(?!.*ReadSchema: [^\n]*\bvalue\b)"),
     ],
+    "events_anomaly_days": [
+        ("stats side broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "events_trailing_avg": [
+        ("frame window", r"Window"),
+        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
+    ],
+    "customer_quartiles": [
+        ("ntile window", r"Window"),
+        ("only needed columns read", r"^(?!.*ReadSchema: [^\n]*c_name)"),
+    ],
     "docs_shuffle": [
         # rank decomposition: per-bucket window + tiny counts aggregate,
         # but never a single-partition global sort of the data
