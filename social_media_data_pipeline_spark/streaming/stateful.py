@@ -85,3 +85,48 @@ def attempt_budget_state(attempts_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 `transformWithStateInPandas` variant of
+    `running_user_totals`: the same per-user running (count, total)
+    state expressed through the new StatefulProcessor API (typed
+    ValueState, RocksDB-backed, timer support).
+
+    CONTAINER BOUNDARY: the TWS Python runner requires the
+    `protobuf` package (absent in this environment — same class of
+    documented boundary as the webp/gif codecs); the operator is
+    import-guarded and exercised by a skippable test. The
+    `applyInPandasWithState` path above is the always-available
+    equivalent. Requires
+    `spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider` on the session.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total = self._state.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -145,3 +145,53 @@ class TestObserve:
             df, lambda d: d.filter(F.col("x") < 3), "xfilter"
         )
         assert out.count() == 3  # transform applied; metrics ride along
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 StatefulProcessor path — skipped where the TWS Python
+    runner's protobuf dependency is absent (container boundary; the
+    applyInPandasWithState equivalent above is always exercised)."""
+    import pytest as _pytest
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("protobuf not installed: TWS python runner unavailable")
+    from social_media_data_pipeline_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    src = str(tmp_path / "tws_src")
+    spark.createDataFrame(
+        [(1, 10, 1.5), (2, 10, 2.0), (3, 11, 3.0)],
+        "event_id long, user_id long, value double",
+    ).write.mode("overwrite").parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double"
+        ).parquet(src)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("select * from tws_totals").collect()
+        }
+        assert rows == {10: (2, 3.5), 11: (1, 3.0)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
