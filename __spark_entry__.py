@@ -1037,6 +1037,15 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, derandomized): top-200 documents by ln(u)/n_chars sample
+    key — inclusion probability proportional to document length
+    (`operators/sampling.py:weighted_sample_topk`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_sample_topk(docs, "n_chars", "doc_id", k=200)
+
+
 def q_events_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day moving average of daily event counts — the
     rows-frame window surface beyond running totals (frame: 6 preceding
@@ -1379,6 +1388,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly_days": q_events_anomaly_days,
     "events_trailing_avg": q_events_trailing_avg,
     "customer_quartiles": q_customer_quartiles,
+    "docs_weighted_sample": q_docs_weighted_sample,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

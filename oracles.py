@@ -1324,3 +1324,12 @@ FROM q
 GROUP BY c_mktsegment, quartile
 ORDER BY c_mktsegment, quartile
 """
+
+ORACLES["docs_weighted_sample"] = """
+SELECT doc_id, n_chars,
+       ROUND(ln((('0x' || substr(md5('wsample-v1:' || doc_id), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars, 8) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 200
+"""

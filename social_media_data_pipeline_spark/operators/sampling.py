@@ -81,3 +81,44 @@ def sample_n_per_group(
     if flag_col is not None:
         return ranked.withColumn(flag_col, F.col("__rn") <= F.lit(n)).drop("__rn")
     return ranked.filter(F.col("__rn") <= F.lit(n)).drop("__rn")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized: the
+    Efraimidis-Spirakis A-Res scheme (IPL 2006, public paper) — each
+    row draws u in (0,1] and ranks by u^(1/w), equivalently
+    ln(u)/w; the top-k ranks are the sample. Higher-weight rows get
+    keys nearer zero, so inclusion probability is proportional to
+    weight, and the whole draw is one ordering — no rejection loop.
+
+    The draw is keyed (salted md5 fingerprint of the id), not rand():
+    re-runs and appends reproduce the same sample (the mixture-sample
+    contract), and the DuckDB oracle replays it exactly. The sample
+    key is rounded to 8 dp before ranking so both engines compare the
+    same values (ties broken by id; sub-1e-8 ln() ulp differences
+    cannot flip an order).
+
+    Scale shape: key evaluation is map-side; top-k is
+    TakeOrderedAndProject (per-partition heads + one k-row merge), so
+    nothing global ever sorts. Output: (id, weight, sample_key),
+    ordered by rank.
+    """
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    u = (fingerprint32(id_col, seed) + F.lit(1)) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col(weight_col), 8)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

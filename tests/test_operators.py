@@ -236,3 +236,25 @@ def test_subdoc_ops_on_empty_input(spark):
     spans = duplicate_spans(empty, "doc_id", "text")
     assert spans.count() == 0
     assert trim_spans(empty, spans).count() == 0
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
+    """A-Res sanity: sampling proportional to n_chars must pull the
+    sample's mean length above the corpus mean, deterministically."""
+    from pyspark.sql import functions as F
+
+    from social_media_data_pipeline_spark import io as eio
+    from social_media_data_pipeline_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = eio.read_table(spark, sf_dir, "documents")
+    sample = weighted_sample_topk(docs, "n_chars", "doc_id", k=50)
+    rows = sample.collect()
+    assert len(rows) == 50
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r.n_chars for r in rows) / 50
+    assert sample_mean > corpus_mean
+    # deterministic: a second evaluation returns the identical sample
+    again = weighted_sample_topk(docs, "n_chars", "doc_id", k=50).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
