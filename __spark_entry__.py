@@ -1037,6 +1037,49 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_docs_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top-50 token pairs by pointwise mutual
+    information over document co-occurrence, restricted to the 100
+    highest-document-frequency tokens (the vocabulary prune that keeps
+    the pair join linear at corpus scale — the unpruned pair space is
+    quadratic in vocabulary, same policy as stop-shingle pruning).
+
+    Plan: one distinct (doc, token) explode; the top-100 vocabulary is
+    a TakeOrderedAndProject that BROADCASTS back as a semi-join filter;
+    the co-occurrence self-join keys on doc_id; per-token doc
+    frequencies broadcast into the final PMI projection.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(etext.tokenize("text"))).alias("t")
+    )
+    dfreq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.desc("df"), F.asc("t")).limit(100)
+    pruned = toks.join(F.broadcast(top.select("t")), "t", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("t_a"), F.col("b.t").alias("t_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_docs = docs.count()
+    fa = top.select(F.col("t").alias("t_a"), F.col("df").alias("c_a"))
+    fb = top.select(F.col("t").alias("t_b"), F.col("df").alias("c_b"))
+    pmi = F.round(
+        F.log(F.col("c_ab") * F.lit(float(n_docs)) / (F.col("c_a") * F.col("c_b"))), 6
+    )
+    return (
+        pairs.join(F.broadcast(fa), "t_a")
+        .join(F.broadcast(fb), "t_b")
+        .select("t_a", "t_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "t_a", "t_b")
+        .limit(50)
+    )
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-Res, derandomized): top-200 documents by ln(u)/n_chars sample
@@ -1389,6 +1432,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trailing_avg": q_events_trailing_avg,
     "customer_quartiles": q_customer_quartiles,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "docs_token_pmi": q_docs_token_pmi,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

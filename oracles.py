@@ -1333,3 +1333,29 @@ FROM documents
 ORDER BY sample_key DESC, doc_id ASC
 LIMIT 200
 """
+
+ORACLES["docs_token_pmi"] = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+), dfreq AS (
+    SELECT t, COUNT(*)::BIGINT AS df FROM toks GROUP BY t
+), top AS (
+    SELECT t, df FROM dfreq ORDER BY df DESC, t ASC LIMIT 100
+), pruned AS (
+    SELECT toks.doc_id, toks.t FROM toks JOIN top USING (t)
+), pairs AS (
+    SELECT a.t AS t_a, b.t AS t_b, COUNT(*)::BIGINT AS c_ab
+    FROM pruned a JOIN pruned b
+      ON a.doc_id = b.doc_id AND a.t < b.t
+    GROUP BY a.t, b.t
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT t_a, t_b, c_ab,
+       ROUND(ln(c_ab * n.n_docs / (fa.df * fb.df)), 6) AS pmi
+FROM pairs
+JOIN top fa ON fa.t = t_a
+JOIN top fb ON fb.t = t_b, n
+ORDER BY pmi DESC, t_a, t_b
+LIMIT 50
+"""
