@@ -1037,6 +1037,18 @@ def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: per-direction shingle containment over the
+    stop-shingle-pruned inverted index — flags subset-duplication that
+    symmetric Jaccard misses
+    (`functions/sketches.py:ngram_containment_pairs`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sketches.ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_doc_freq=25
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def q_docs_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase mining: top-50 token pairs by pointwise mutual
     information over document co-occurrence, restricted to the 100
@@ -1433,6 +1445,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_quartiles": q_customer_quartiles,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_token_pmi": q_docs_token_pmi,
+    "docs_containment": q_docs_containment,
     # rotated out of the driver window in r4 after 3 consecutive green
     # driver rounds (see ORDERING CONTRACT above)
     "numeric_describe": q_numeric_describe,

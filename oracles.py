@@ -1359,3 +1359,27 @@ JOIN top fb ON fb.t = t_b, n
 ORDER BY pmi DESC, t_a, t_b
 LIMIT 50
 """
+
+ORACLES["docs_containment"] = f"""
+WITH sh_all AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sh AS (
+    SELECT doc, shingle FROM sh_all
+    QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 25
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       ROUND(common / sa.n_shingles, 6) AS containment_a,
+       ROUND(common / sb.n_shingles, 6) AS containment_b
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / sa.n_shingles, 6) >= 0.5
+   OR ROUND(common / sb.n_shingles, 6) >= 0.5
+ORDER BY id_a, id_b
+"""

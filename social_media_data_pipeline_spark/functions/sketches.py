@@ -261,6 +261,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| per direction
+    (Broder 1997's resemblance companion measure). Catches
+    subset-duplication — a short document quoted wholesale inside a
+    long one scores containment ≈ 1 while Jaccard stays low, so a
+    Jaccard-only pipeline ships the duplicate. Pairs pass when EITHER
+    direction reaches `threshold`.
+
+    Same inverted-index plan as `ngram_jaccard_pairs` (shingle-keyed
+    equi-join, optional stop-shingle pruning) — only the final scoring
+    differs. Returns (id_a, id_b, containment_a, containment_b) with
+    id_a < id_b.
+    """
+    from pyspark.sql.window import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    if max_doc_freq is not None:
+        doc_freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = sh.withColumn("__df", doc_freq).filter(F.col("__df") <= max_doc_freq).drop("__df")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    ca = F.round(F.col("common") / F.col("size_a"), 6)
+    cb = F.round(F.col("common") / F.col("size_b"), 6)
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ca.alias("containment_a"), cb.alias("containment_b"))
+        .filter(
+            (F.col("containment_a") >= threshold) | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def simhash64(text_col: str | Column, fast: bool = False) -> Column:
     """60-bit SimHash of the token set (md5-derived per-token hashes so
     the oracle can replay; 60 bits keeps the value inside a signed int64

@@ -551,3 +551,20 @@ def test_subdoc_param_validation(spark):
         duplicate_spans(df, "doc_id", "text", k=1)
     with _pytest.raises(ValueError):
         duplicate_spans(df, "doc_id", "text", k=8, min_docs=0)
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side ~1.0 while Jaccard stays below a dedup threshold."""
+    from social_media_data_pipeline_spark.functions.sketches import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    cont = ngram_containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0].containment_a == 1.0
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert jac == []  # symmetric Jaccard misses the subset-dup
