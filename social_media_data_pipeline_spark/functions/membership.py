@@ -71,18 +71,32 @@ def bloom_filter_table(
     )
 
 
-def might_contain_expr(value_col: str, num_bits: int, num_hashes: int = 5):
-    """Membership predicate against a `bloom` column (as produced by
+def might_contain_expr(
+    value_col, num_bits: int, num_hashes: int = 5, bloom_col: str = "bloom"
+):
+    """Membership predicate against a Bloom map column (as produced by
     `bloom_filter_table`, typically broadcast-cross-joined in). True ⇒
-    maybe member (FP possible); False ⇒ definitely not a member."""
-    terms = [
-        f"(coalesce(element_at(bloom, "
-        f"shiftright(pmod(xxhash64({value_col}, {s}), {num_bits}), 6)), 0L)"
-        f" & shiftleft(1L, cast(pmod(pmod(xxhash64({value_col}, {s}), {num_bits}), 64) as int))"
-        f") != 0"
-        for s in range(num_hashes)
-    ]
-    return F.expr(" AND ".join(terms))
+    maybe member (FP possible); False ⇒ definitely not a member.
+
+    Built from Column expressions (not SQL-string interpolation), so
+    column names that would need backtick quoting — or an arbitrary
+    Column expression — work; `shiftleft` with a column shift amount
+    goes through `F.call_function` (the PySpark wrapper only accepts a
+    literal amount)."""
+    col = F.col(value_col) if isinstance(value_col, str) else value_col
+    bloom = F.col(bloom_col)
+    pred = None
+    for s in range(num_hashes):
+        j = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(num_bits))
+        word = F.coalesce(
+            F.element_at(bloom, F.shiftright(j, 6)), F.lit(0).cast("long")
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(j, F.lit(64)).cast("int")
+        )
+        term = (word.bitwiseAND(bit)) != 0
+        pred = term if pred is None else pred & term
+    return pred
 
 
 def bloom_semi_join(
@@ -111,10 +125,14 @@ def bloom_semi_join(
             raise ValueError("pass num_bits or expected_items")
         num_bits = suggest_num_bits(expected_items, fpp)
     small = small_values.select(F.col(small_col).alias("__v")).distinct()
-    bloom = bloom_filter_table(small, "__v", num_bits, num_hashes)
+    # collision-safe internal name: a pre-existing 'bloom' column on the
+    # big side must survive the join + drop untouched
+    bloom = bloom_filter_table(small, "__v", num_bits, num_hashes).select(
+        F.col("bloom").alias("__bloom")
+    )
     pre = big.join(F.broadcast(bloom)).filter(
-        might_contain_expr(value_col, num_bits, num_hashes)
-    ).drop("bloom")
+        might_contain_expr(value_col, num_bits, num_hashes, bloom_col="__bloom")
+    ).drop("__bloom")
     if not exact:
         return pre
     return pre.join(

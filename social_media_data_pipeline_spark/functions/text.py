@@ -230,29 +230,101 @@ def boilerplate_ngrams(
     )
 
 
-def zipf_slope(df, text_col: str = "text"):
+def zipf_slope(df, text_col: str = "text", num_sub: int | None = None):
     """Corpus health statistic: the OLS slope of log(frequency) vs
     log(rank) over the token frequency table — natural corpora track
     Zipf's law (slope ≈ −1); synthetic/templated corpora flatten it.
     A one-row sanity gate for ingest pipelines.
 
-    Scale note: the token count is the standard explode + map-side-
-    combinable aggregate; everything after operates on the VOCABULARY
-    (sublinear in corpus size), so the global rank window is a
-    vocab-sized sort, not a data-sized one. Output: (n_types,
-    n_tokens, slope).
+    Scale shape: NO unpartitioned window anywhere — a 100 TB web corpus
+    has a vocabulary in the billions (URLs, typos), so a global
+    `row_number()` would collapse the whole vocab onto one task. The
+    slope only depends on the MULTISET of (ln n, ln rank) pairs: tokens
+    tied on n share ln_n and their ranks are a permutation of a fixed
+    range regardless of tie-break, so any tie order yields the same
+    statistic as the oracle's `ORDER BY n DESC, t`. That freedom lets
+    the exact global rank be decomposed (same idea as
+    `operators/splits.py:deterministic_shuffle`):
+
+      rank = off_band[log2-band of n]        (<=64-row driver collect)
+           + off_count(n)    within band     (window PARTITIONED by band
+                                              over the count-of-counts)
+           + off_sub(n, ub)  within n        (window PARTITIONED by n over
+                                              <=num_sub sub-bucket counts)
+           + row_number      within (n, ub)  (window PARTITIONED by
+                                              (n, ub); ub is a fixed-width
+                                              bucket of a uniform md5
+                                              fingerprint, so even the
+                                              hapax group splits evenly)
+
+    Output: (n_types, n_tokens, slope).
     """
     from pyspark.sql.window import Window
 
+    from ..operators.splits import fingerprint32
+
+    nsub = num_sub or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    width = (1 << 32) // nsub + 1
     freq = (
         df.select(F.explode(tokenize(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # vocab-sized global window (see docstring); deterministic tie-break
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("t")))
-    ).select(F.log("n").alias("ln_n"), F.log("r").alias("ln_r"), "n")
+    keyed = (
+        freq.withColumn("u", fingerprint32("t", "zipf-v1"))
+        .withColumn("ub", (F.col("u") / width).cast("int"))
+        .persist()
+    )
+    # count-of-counts (one row per distinct frequency — sublinear in
+    # vocab: #distinct counts <= sqrt(2 * n_tokens)), log2-banded so the
+    # cumulative offset window stays partitioned.
+    cc = (
+        keyed.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bn", (F.lit(63) - F.floor(F.log2("n"))).cast("int"))
+    )
+    band_rows = cc.groupBy("bn").agg(F.sum("c").alias("bc")).collect()
+    if not band_rows:
+        keyed.unpersist()
+        empty = df.sparkSession.range(0)
+        return empty.agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.lit(None).cast("bigint").alias("n_tokens"),
+            F.lit(None).cast("double").alias("slope"),
+        )
+    offsets, acc = {}, 0
+    for row in sorted(band_rows, key=lambda r: r["bn"]):
+        offsets[row["bn"]] = acc
+        acc += row["bc"]
+    boff = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w_band = (
+        Window.partitionBy("bn")
+        .orderBy(F.desc("n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cc = cc.withColumn(
+        "off_n", boff[F.col("bn")] + F.coalesce(F.sum("c").over(w_band), F.lit(0))
+    )
+    w_sub = (
+        Window.partitionBy("n")
+        .orderBy("ub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        keyed.groupBy("n", "ub")
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .withColumn("off_sub", F.coalesce(F.sum("sc").over(w_sub), F.lit(0)))
+        .join(cc.select("n", "off_n"), "n")
+        .select("n", "ub", (F.col("off_n") + F.col("off_sub")).alias("off"))
+    )
+    w_loc = Window.partitionBy("n", "ub").orderBy("u", "t")
+    ranked = (
+        keyed.join(offs, ["n", "ub"])
+        .withColumn("r", F.col("off") + F.row_number().over(w_loc))
+        .select(F.log("n").alias("ln_n"), F.log("r").alias("ln_r"), "n")
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_types"),
         F.sum("n").alias("n_tokens"),

@@ -124,6 +124,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_docs: int = 2,
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN detection (the ExactSubstr idea of
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
@@ -151,16 +152,27 @@ def duplicate_spans(
     sf0.1: 7.9 s vs 4.4 s). Per-hash state is bounded by that k-gram's
     occurrence count — mega-hot k-grams (boilerplate in millions of
     docs) concentrate one array each, the same hot-key exposure as
-    `ngram_jaccard_pairs`' hot shingles, with the same mitigation
-    (normalize/pre-prune boilerplate upstream; those rows are exactly
-    the output anyway). The islands window and the span aggregate share
-    one doc-keyed shuffle. Nothing is quadratic — boilerplate spans
-    produce long runs, which COLLAPSE into single rows here.
+    `ngram_jaccard_pairs`' hot shingles. Mitigation is explicit:
+    `max_occurrences` pre-prunes hashes whose total occurrence count
+    exceeds the cap (a map-side-combinable count + broadcast anti-join,
+    the `max_doc_freq` pattern from `ngram_jaccard_pairs`) BEFORE any
+    occurrence list is collected, so no single aggregation row can
+    accumulate unbounded state. Excluded hashes are boilerplate beyond
+    the cap — strip those upstream via `boilerplate_ngrams`; with the
+    default `None` every duplicated hash is kept (exact ExactSubstr
+    semantics, matching the oracle). The islands window and the span
+    aggregate share one doc-keyed shuffle. Nothing is quadratic —
+    boilerplate spans produce long runs, which COLLAPSE into single
+    rows here.
     """
     if k < 2:
         raise ValueError(f"window width k must be >= 2, got {k}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if max_occurrences is not None and max_occurrences < min_docs:
+        raise ValueError(
+            f"max_occurrences ({max_occurrences}) must be >= min_docs ({min_docs})"
+        )
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
     toks = F.split(normalize_text(text_col), " ")
@@ -182,6 +194,17 @@ def duplicate_spans(
         df.filter(F.size(toks) >= k)
         .select(F.col(id_col).alias("id"), F.posexplode(wins).alias("pos", "h"))
     )
+    if max_occurrences is not None:
+        # hot-hash pre-prune: the count aggregate is map-side combinable
+        # (16 B partials), and the over-cap hash set is tiny by
+        # construction, so it broadcasts into a left-anti join
+        hot = (
+            exploded.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") > max_occurrences)
+            .select("h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "h", "left_anti")
     marked = (
         exploded.groupBy("h")
         .agg(F.collect_list(F.struct("id", "pos")).alias("occ"))

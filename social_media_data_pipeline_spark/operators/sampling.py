@@ -111,6 +111,14 @@ def weighted_sample_topk(
     """
     from social_media_data_pipeline_spark.operators.splits import fingerprint32
 
+    # A-Res is only defined for w > 0: a negative weight flips ln(u)/w
+    # positive and would rank that row above every valid row; zero/NULL
+    # yields a NULL key. Such rows have no meaningful inclusion
+    # probability, so they are excluded from the draw (mirroring the
+    # eager rate validation in weighted_mixture_sample, which validates
+    # its Python-side rates; weights here are data, so the guard is a
+    # map-side filter, not a driver check).
+    df = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     u = (fingerprint32(id_col, seed) + F.lit(1)) / F.lit(4294967296.0)
     key = F.round(F.log(u) / F.col(weight_col), 8)
     return (

@@ -43,8 +43,23 @@ def with_lag_lead(
     partition_by: Sequence[str],
     order_by: Sequence[Column | str],
     offset: int = 1,
+    allow_global: bool = False,
 ) -> DataFrame:
-    """lag/lead pair over an ordered partition (delta/time-series prep)."""
+    """lag/lead pair over an ordered partition (delta/time-series prep).
+
+    An empty `partition_by` is a GLOBAL window — the whole input
+    collapses onto one task. That is only acceptable for provably
+    bounded series (e.g. an already-aggregated daily table, one row per
+    calendar day), so it must be requested explicitly with
+    `allow_global=True`; reusing this helper on raw event grain without
+    partition keys raises instead of silently single-tasking 100 TB.
+    """
+    if not partition_by and not allow_global:
+        raise ValueError(
+            "with_lag_lead with no partition_by is a single-task global "
+            "window; pass partition keys, or allow_global=True only for "
+            "a bounded (pre-aggregated) series"
+        )
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(f"{col}_lag", F.lag(col, offset).over(w)).withColumn(
         f"{col}_lead", F.lead(col, offset).over(w)

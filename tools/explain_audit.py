@@ -25,7 +25,7 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "filter_project": [
         ("filter pushed to scan", r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)"),
         ("column pruning", r"ReadSchema: [^\n]*o_orderkey[^\n]*o_totalprice"),
-        ("no shuffle", r"^(?!.*Exchange)", ),
+        ("no shuffle", r"\A(?!.*Exchange)", ),
     ],
     "pricing_summary": [
         ("shipdate filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
@@ -53,17 +53,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "docs_split": [
         # split assignment must stay a pure map: no join, no aggregate —
         # the only exchange allowed is the final presentation sort
-        ("no join or aggregate", r"^(?!.*(?:Join|HashAggregate))"),
-        ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
+        ("no join or aggregate", r"\A(?!.*(?:Join|HashAggregate))"),
+        ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
     "docs_segment_dedup": [
         # first-occurrence selection must be the map-side-combinable
         # min(struct) HASH AGGREGATE (partials collapse duplicate
         # segments before the shuffle) — not a sort-window, not a join
         ("hash-aggregate dedup", r"HashAggregate|ObjectHashAggregate"),
-        ("no window sort", r"^(?!.*Window)"),
-        ("no join", r"^(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
-        ("no python in executors", r"^(?!.*BatchEvalPython)"),
+        ("no window sort", r"\A(?!.*Window)"),
+        ("no join", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
     "docs_boilerplate_ngrams": [
         ("top-k not full sort", r"TakeOrderedAndProject"),
@@ -74,15 +74,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         # true eval set; the big train side never shuffles before the
         # per-doc distinct
         ("bloom broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
-        ("no python in executors", r"^(?!.*BatchEvalPython)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
     "events_funnel": [
-        ("no join", r"^(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
+        ("no join", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
         ("grouped aggregation", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
     ],
     "events_retention": [
-        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
-        ("value column not read", r"^(?!.*ReadSchema: [^\n]*\bvalue\b)"),
+        ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
+        ("value column not read", r"\A(?!.*ReadSchema: [^\n]*\bvalue\b)"),
     ],
     "events_anomaly_days": [
         ("stats side broadcast", r"BroadcastHashJoin"),
@@ -90,18 +90,30 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "events_trailing_avg": [
         ("frame window", r"Window"),
-        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
+        ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
     ],
     "customer_quartiles": [
         ("ntile window", r"Window"),
-        ("only needed columns read", r"^(?!.*ReadSchema: [^\n]*c_name)"),
+        ("only needed columns read", r"\A(?!.*ReadSchema: [^\n]*c_name)"),
+    ],
+    "docs_zipf_slope": [
+        # exact rank decomposition (log2-band offsets + partitioned
+        # count-of-counts + uniform sub-buckets): every Window must carry
+        # a partition spec. An unpartitioned WindowExec prints
+        #   Window [exprs AS x#1], [orderSpec]      (no partition group)
+        # so a group containing ASC/DESC right after the exprs group is
+        # the single-task global sort this query must never have. The
+        # final 1-row aggregate's Exchange SinglePartition (32 partial
+        # rows) is fine and deliberately not banned.
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("bucketed window", r"Window"),
     ],
     "docs_shuffle": [
         # rank decomposition: per-bucket window + tiny counts aggregate,
         # but never a single-partition global sort of the data
         ("bucketed window", r"Window"),
-        ("no single-partition exchange", r"^(?!.*Exchange SinglePartition)"),
-        ("text column not read", r"^(?!.*ReadSchema: [^\n]*\btext\b)"),
+        ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
+        ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
 }
 
