@@ -253,11 +253,18 @@ def _decode_jpeg(b: bytes):
     return decode_jpeg(b)
 
 
+def _decode_gif(b: bytes):
+    from social_media_data_pipeline_spark.sources.gif import decode_gif
+
+    return decode_gif(b)
+
+
 _PIXEL_DECODERS = {
     "ppm": _decode_ppm,
     "bmp": _decode_bmp,
     "png": _decode_png,
     "jpeg": _decode_jpeg,
+    "gif": _decode_gif,
 }
 
 
@@ -385,17 +392,18 @@ def resize_image(
 
 
 def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Remaining entropy-coded formats (webp/gif, progressive jpeg) —
-    STUB: their pixel decode needs an imaging library absent from this
+    """Remaining entropy-coded formats (webp, progressive jpeg) — STUB:
+    their pixel decode needs an imaging library absent from this
     container. `decode_image` IS the real implementation of this
-    contract for ppm/bmp/png/baseline-jpeg (`sources/jpeg.py`); a
-    webp-capable codec plugs into the same mapInPandas signature.
+    contract for ppm/bmp/png/baseline-jpeg/gif (`sources/jpeg.py`,
+    `sources/gif.py`); a webp-capable codec plugs into the same
+    mapInPandas signature.
     """
     raise NotImplementedError(
-        "webp/gif/progressive-jpeg pixel decode requires an imaging library "
+        "webp/progressive-jpeg pixel decode requires an imaging library "
         "(PIL/cv2) not present in this container; decode_image() covers "
-        "ppm/bmp/png/baseline-jpeg with the same contract, image_metadata() "
-        "gives header-level decode"
+        "ppm/bmp/png/baseline-jpeg/gif with the same contract, "
+        "image_metadata() gives header-level decode"
     )
 
 

@@ -66,6 +66,58 @@ class OfflineStubClient:
         return docs[i]
 
 
+try:  # optional transport — everything else in this module is stdlib
+    import requests as _requests
+except ImportError:  # pragma: no cover - baked into the target env
+    _requests = None
+
+
+@dataclass
+class RequestsHttpClient:
+    """Production `HttpClient`: requests-backed GET with the retry
+    envelope of the reference's `InstagramFeedScraper.feed_request`
+    (`InstagramFeedScraper.py:87-120`): up to `max_tries` attempts, all
+    `requests.exceptions.RequestException` flavors (HTTP status via
+    `raise_for_status`, connection, timeout) caught and retried, an
+    optional sleep between attempts (the reference sleeps 10 s on an
+    empty page), body decoded as UTF-8 JSON. Exhausting the budget
+    raises `ConnectionError` — the same exception type
+    `OfflineStubClient` uses — so source-level retry budgeting treats
+    both clients identically.
+
+    `max_tries` defaults to 1: the sources already own a retry budget
+    (`CursorFeedSource.max_tries`, `RetryBudgetSource`), and stacking
+    two budgets by default would multiply attempts invisibly. Set it
+    >1 only for a bare client used outside a source.
+    """
+
+    headers: dict[str, str] = field(default_factory=dict)
+    timeout_s: float = 30.0
+    max_tries: int = 1
+    backoff_s: float = 0.0
+
+    def get(self, url: str, params: dict[str, Any]) -> dict:
+        if _requests is None:
+            raise RuntimeError("the requests package is not installed")
+        last: Exception | None = None
+        for attempt in range(self.max_tries):
+            try:
+                resp = _requests.request(
+                    "GET",
+                    url,
+                    headers=self.headers,
+                    params=params,
+                    timeout=self.timeout_s,
+                )
+                resp.raise_for_status()
+                return json.loads(resp.content.decode("utf-8"))
+            except _requests.exceptions.RequestException as err:
+                last = err
+                if self.backoff_s and attempt < self.max_tries - 1:
+                    time.sleep(self.backoff_s)
+        raise ConnectionError(f"GET {url} failed after {self.max_tries} tries: {last}")
+
+
 def _read_json(path: str, default):
     if os.path.exists(path):
         with open(path) as f:

@@ -61,6 +61,82 @@ class TestCursorSource:
         assert client.calls == 2
 
 
+@pytest.fixture()
+def feed_http_server():
+    """In-process stdlib HTTP server speaking the cursor-feed protocol:
+    GET /feed?cursor=<c> returns the page whose predecessor emitted
+    cursor <c>; GET /flaky fails with 500 twice before serving. Lets
+    `RequestsHttpClient` be exercised end-to-end with zero network."""
+    import http.server
+    import threading
+
+    pages = feed_pages()
+    by_cursor = {"": pages[0], "None": pages[0]}
+    for p in range(1, len(pages)):
+        by_cursor[pages[p - 1]["end_cursor"]] = pages[p]
+    state = {"flaky_failures": 2, "calls": 0}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            import json as _json
+            from urllib.parse import parse_qs, urlparse
+
+            state["calls"] += 1
+            parsed = urlparse(self.path)
+            if parsed.path == "/flaky" and state["flaky_failures"] > 0:
+                state["flaky_failures"] -= 1
+                self.send_error(500, "planted failure")
+                return
+            q = parse_qs(parsed.query)
+            cursor = q.get("cursor", [""])[0]
+            body = _json.dumps(by_cursor[cursor]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+class TestRequestsHttpClient:
+    def test_cursor_source_over_real_http(self, spark, tmp_path, feed_http_server):
+        base, _ = feed_http_server
+        client = rest.RequestsHttpClient()
+        src = rest.CursorFeedSource(
+            client=client, url=f"{base}/feed", bronze_dir=str(tmp_path / "b")
+        )
+        state = src.scrape()
+        assert state["done"] and state["pages"] == 3
+        df = src.to_dataframe(spark)
+        assert df.count() == 3 and set(df.columns) == {"id", "shortcode", "likes"}
+
+    def test_retry_envelope_recovers_from_500s(self, feed_http_server):
+        base, state = feed_http_server
+        # client-level budget: two 500s then success within one get()
+        client = rest.RequestsHttpClient(max_tries=3)
+        doc = client.get(f"{base}/flaky", {"cursor": ""})
+        assert doc["items"][0]["id"] == "100"
+        assert state["flaky_failures"] == 0
+
+    def test_budget_exhaustion_raises_connectionerror(self, feed_http_server):
+        base, state = feed_http_server
+        state["flaky_failures"] = 99
+        client = rest.RequestsHttpClient(max_tries=2)
+        with pytest.raises(ConnectionError):
+            client.get(f"{base}/flaky", {"cursor": ""})
+
+
 class TestChunkedSource:
     def test_chunks_and_resume(self, spark, tmp_path):
         from datetime import datetime
