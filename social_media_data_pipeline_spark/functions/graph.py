@@ -30,21 +30,31 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node
     id reachable from the node (deterministic labeling)."""
-    sym = edges.selectExpr(f"{src} as a", f"{dst} as b").unionByName(
-        edges.selectExpr(f"{dst} as a", f"{src} as b")
-    )
-    sym = sym.distinct()
+    raw = edges.selectExpr(f"{src} as a", f"{dst} as b")
     if checkpoint:
         # edges usually arrive as a LAZY candidate-generation pipeline
-        # (MinHash-LSH banding, simhash blocking, ...). `sym` joins into
-        # EVERY round's job — left lazy, each round would re-execute the
-        # whole upstream pipeline. Materialize the (small) edge list
-        # once; rounds then start from the checkpointed pairs.
+        # (MinHash-LSH banding, simhash blocking, ...). Materialize the
+        # (small) pair list BEFORE symmetrizing: the union of a lazy
+        # plan with its own swap executes the whole candidate pipeline
+        # TWICE (exchange reuse does not span the union's two scans),
+        # which measured as the dominant cost of the whole CC query
+        # (~6 s of a 9.5 s construct at sf0.1). Checkpoint first, then
+        # the union/distinct runs over the materialized rows.
+        raw = raw.localCheckpoint(eager=True)
+    sym = raw.unionByName(raw.selectExpr("b as a", "a as b")).distinct()
+    if checkpoint:
+        # also pin the symmetrized list: it joins into EVERY round's job
         sym = sym.localCheckpoint(eager=True)
+    # seed component = min(node, min neighbor) — exactly what round 0's
+    # propagate would compute from the identity labeling, but as ONE
+    # aggregate instead of a join + aggregate; depth-1 clusters (the
+    # common near-dup case) then converge with a single confirming round
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("__nbr_min"))
+        .select(
+            "node", F.least(F.col("node"), F.col("__nbr_min")).alias("component")
+        )
     )
     for i in range(max_iterations):
         neighbor_min = (
