@@ -1350,56 +1350,32 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
-# 50 entries of this dict (CORRECTNESS_r0{1,2,3} all hold exactly the first
-# 50 in registry order). Every SURVEY §2 operator whose ONLY oracle lives
-# in a given query must therefore sit inside the first 50. With more than
-# 50 registered queries the window ROTATES each round: queries green in 3+
-# consecutive driver rounds may yield their slot to queries that have never
-# had a driver row (r4: numeric_describe→quantiles — both A5;
-# cube_agg→except_rows — grouping sets stay driver-covered via
-# rollup_revenue; embedding_ann_lsh→docs_segment_dedup — SRP-LSH green
-# r1-r3, segment dedup is new first-class capability;
-# events_daily→docs_llm_pipeline — calendar-window A1 stays driver-
-# covered via pricing_summary, the flagship composite takes the slot).
-# Rotated-out and tail queries are verified every session by
-# tools/check_correctness.py.
-# The tail (>50) otherwise holds redundant variants whose operator is
-# already covered by an earlier entry:
-#   - ngram_jaccard        → unpruned baseline of ngram_jaccard_pruned
-#   - embedding_near_dup   → exact baseline of embedding_near_dup_ivf
-#   - row_wise_total       → derived from events_pivot (A10 also via tests)
-#   - docs_fingerprint     → text.fingerprint also exercised in tests
-#   - date_format_labels   → date_format also covered by derive_columns
-# All tail entries remain registered (the driver runs rows-only checks and
-# the local tools/check_correctness.py verifies them each session).
+# 50 entries of this dict (CORRECTNESS_r01-r04 all hold exactly the first
+# 50 in registry order). With 85 registered queries the window ROTATES each
+# round; from r5 the rotation policy prioritizes DRIVER-NEVER-CHECKED
+# queries over re-confirming long-green ones: every registered query must
+# receive a driver row within 2 rounds (schedule in ROADMAP.md "Driver
+# window schedule"). r5 rotates IN the 21 queries below marked [r5-in]
+# (none had a driver row before) and OUT 21 queries green in 3-4
+# consecutive driver rounds whose operators remain verified every session
+# by tools/check_correctness.py (the local mirror of the driver gate) —
+# the rotated-out sole oracles return in r6.
+# Tail redundancy notes (variants whose operator is covered by an earlier
+# entry): ngram_jaccard → unpruned baseline of ngram_jaccard_pruned;
+# embedding_near_dup → exact baseline of embedding_near_dup_ivf;
+# row_wise_total → derived from events_pivot; docs_fingerprint →
+# text.fingerprint also tested; date_format_labels → date_format also
+# covered by derive_columns; simhash_near_pairs → blocked-pairs variant
+# of simhash.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- r5 driver window (50) ----
     "filter_project": q_filter_project,
-    "filter_in_contains": q_filter_in_contains,
-    "state_undone": q_state_undone,
     "dedup_first_wins": q_dedup_first_wins,
-    "sample_per_year": q_sample_per_year,
     "pricing_summary": q_pricing_summary,
     "docs_llm_pipeline": q_docs_llm_pipeline,
-    "events_weekly_by_type": q_events_weekly_by_type,
-    "token_frequency": q_token_frequency,
-    "price_histogram": q_price_histogram,
     "quantiles": q_quantiles,
-    "column_profile": q_column_profile,
-    "correlation": q_correlation,
-    "events_pivot": q_events_pivot,
-    "nation_share": q_nation_share,
-    "order_status_counts": q_order_status_counts,
     "region_revenue": q_region_revenue,
-    "customers_no_orders": q_customers_no_orders,
-    "customers_with_open_orders": q_customers_with_open_orders,
-    "series_align": q_series_align,
-    "union_overlap": q_union_overlap,
-    "top_revenue_orders": q_top_revenue_orders,
-    "top_parts_per_brand": q_top_parts_per_brand,
     "events_lag_lead": q_events_lag_lead,
-    "running_revenue": q_running_revenue,
-    "count_pushdown": q_count_pushdown,
-    "distinct_sorted": q_distinct_sorted,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
@@ -1416,47 +1392,68 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "except_rows": q_except_rows,
     "sessionize": q_sessionize,
-    "simhash_near_pairs": q_simhash_near_pairs,
     "docs_pipeline_chain": q_docs_pipeline_chain,
     "dedup_clusters": q_dedup_clusters,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "events_asof_purchase": q_events_asof_purchase,
     "docs_decontaminate": q_docs_decontaminate,
-    # ---- tail: redundant variants beyond the driver's 50-entry window ----
+    "docs_trim_spans": q_docs_trim_spans,  # [r5-in]
+    "docs_duplicate_spans": q_docs_duplicate_spans,  # [r5-in]
+    "events_retention": q_events_retention,  # [r5-in]
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # [r5-in]
+    "docs_zipf_slope": q_docs_zipf_slope,  # [r5-in]
+    "events_funnel": q_events_funnel,  # [r5-in]
+    "docs_split": q_docs_split,  # [r5-in]
+    "docs_shuffle": q_docs_shuffle,  # [r5-in]
+    "docs_mixture_sample": q_docs_mixture_sample,  # [r5-in]
+    "docs_unigram_logprob": q_docs_unigram_logprob,  # [r5-in]
+    "docs_tfidf_topk": q_docs_tfidf_topk,  # [r5-in]
+    "docs_bm25": q_docs_bm25,  # [r5-in]
+    "minhash_jaccard_est": q_minhash_jaccard_est,  # [r5-in]
+    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # [r5-in]
+    "dedup_survivors": q_dedup_survivors,  # [r5-in]
+    "events_in_windows": q_events_in_windows,  # [r5-in]
+    "docs_pack_sequences": q_docs_pack_sequences,  # [r5-in]
+    "docs_repetition": q_docs_repetition,  # [r5-in]
+    "docs_pii_redact": q_docs_pii_redact,  # [r5-in]
+    "embedding_quantize": q_embedding_quantize,  # [r5-in]
+    "docs_weighted_sample": q_docs_weighted_sample,  # [r5-in]
+    # ---- tail: scheduled to rotate in at r6 (never driver-checked) ----
+    "docs_token_pmi": q_docs_token_pmi,
+    "docs_containment": q_docs_containment,
+    "events_anomaly_days": q_events_anomaly_days,
+    "events_trailing_avg": q_events_trailing_avg,
+    "customer_quartiles": q_customer_quartiles,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dup": q_embedding_near_dup,
     "row_wise_total": q_row_wise_total,
     "docs_fingerprint": q_docs_fingerprint,
     "date_format_labels": q_date_format_labels,
-    "docs_repetition": q_docs_repetition,
-    "docs_pii_redact": q_docs_pii_redact,
-    "embedding_quantize": q_embedding_quantize,
-    "dedup_survivors": q_dedup_survivors,
-    "events_in_windows": q_events_in_windows,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "docs_split": q_docs_split,
-    "docs_shuffle": q_docs_shuffle,
-    "docs_mixture_sample": q_docs_mixture_sample,
-    "docs_unigram_logprob": q_docs_unigram_logprob,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_bm25": q_docs_bm25,
-    "minhash_jaccard_est": q_minhash_jaccard_est,
-    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,
-    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
-    "events_funnel": q_events_funnel,
-    "events_retention": q_events_retention,
-    "docs_duplicate_spans": q_docs_duplicate_spans,
-    "docs_trim_spans": q_docs_trim_spans,
-    "docs_zipf_slope": q_docs_zipf_slope,
-    "events_anomaly_days": q_events_anomaly_days,
-    "events_trailing_avg": q_events_trailing_avg,
-    "customer_quartiles": q_customer_quartiles,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    "docs_token_pmi": q_docs_token_pmi,
-    "docs_containment": q_docs_containment,
-    # rotated out of the driver window in r4 after 3 consecutive green
-    # driver rounds (see ORDERING CONTRACT above)
+    # ---- tail: rotated out r5 after 3-4 consecutive green driver rounds,
+    # return r6 (see ROADMAP.md) ----
+    "filter_in_contains": q_filter_in_contains,
+    "state_undone": q_state_undone,
+    "sample_per_year": q_sample_per_year,
+    "events_weekly_by_type": q_events_weekly_by_type,
+    "token_frequency": q_token_frequency,
+    "price_histogram": q_price_histogram,
+    "column_profile": q_column_profile,
+    "correlation": q_correlation,
+    "events_pivot": q_events_pivot,
+    "nation_share": q_nation_share,
+    "order_status_counts": q_order_status_counts,
+    "customers_no_orders": q_customers_no_orders,
+    "customers_with_open_orders": q_customers_with_open_orders,
+    "series_align": q_series_align,
+    "union_overlap": q_union_overlap,
+    "top_revenue_orders": q_top_revenue_orders,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "running_revenue": q_running_revenue,
+    "count_pushdown": q_count_pushdown,
+    "distinct_sorted": q_distinct_sorted,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    # ---- tail: rotated out r4 ----
     "numeric_describe": q_numeric_describe,
     "cube_agg": q_cube_agg,
     "embedding_ann_lsh": q_embedding_ann_lsh,
