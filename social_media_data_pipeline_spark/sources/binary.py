@@ -268,6 +268,37 @@ _PIXEL_DECODERS = {
 }
 
 
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 8-bit RGB PNG encoder (zlib, filter 0 per scanline) —
+    the write-side twin of `_decode_png`, used by the analytics PNG
+    renderer so chart artifacts need no imaging library."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer does not match dimensions")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     """Minimal lossless RGB container (P6) — the dependency-free way to
     round-trip pixels back into a binary column."""

@@ -48,6 +48,60 @@ class TestExplore:
         assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
 
 
+class TestPngRender:
+    """PNG artifact path (Exploration/plotting.py parity): the numpy
+    rasterizer writes real PNGs verified through the repo's own
+    decoder; the matplotlib backend is exercised only where the
+    library exists (not in this container)."""
+
+    def test_timeseries_png_with_trendline(self, spark, tmp_path, posts):
+        from social_media_data_pipeline_spark.analytics import png_render
+        from social_media_data_pipeline_spark.sources.binary import _decode_png
+
+        daily = posts.groupBy(F.to_date("timestamp").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        path = str(tmp_path / "ts.png")
+        out = png_render.timeseries_png(
+            daily, "day", "n", path, smooth_sigma=2.0, backend="raster"
+        )
+        w, h, c, px = _decode_png(open(out, "rb").read())
+        assert (w, h, c) == (640, 320, 3)
+        img = px.reshape(h, w, 3)
+        flat = img.reshape(-1, 3)
+        # bars in the first series color, trendline in the line color
+        assert (flat == png_render._SERIES_RGB[0]).all(axis=1).any()
+        assert (flat == png_render._SERIES_RGB[3]).all(axis=1).any()
+        # y-axis and tick digits rendered
+        assert (flat == png_render._AXIS).all(axis=1).sum() > 50
+
+    def test_catplot_png_category_colors(self, spark, tmp_path, posts):
+        from social_media_data_pipeline_spark.analytics import png_render
+        from social_media_data_pipeline_spark.sources.binary import _decode_png
+
+        counts = posts.groupBy("type").agg(F.count(F.lit(1)).alias("n"))
+        path = str(tmp_path / "cat.png")
+        out = png_render.catplot_png(counts, "type", "n", path, backend="raster")
+        w, h, c, px = _decode_png(open(out, "rb").read())
+        assert (w, h) == (640, 320)
+        flat = px.reshape(-1, 3)
+        n_cats = counts.count()
+        for i in range(min(n_cats, len(png_render._SERIES_RGB))):
+            assert (flat == png_render._SERIES_RGB[i]).all(axis=1).any(), i
+
+    def test_matplotlib_backend(self, spark, tmp_path, posts):  # pragma: no cover
+        pytest.importorskip("matplotlib")
+        from social_media_data_pipeline_spark.analytics import png_render
+
+        daily = posts.groupBy(F.to_date("timestamp").alias("day")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out = png_render.timeseries_png(
+            daily, "day", "n", str(tmp_path / "m.png"), backend="mpl"
+        )
+        assert open(out, "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 class TestCli:
     def test_cli_end_to_end(self, spark, posts, tmp_path):
         root = tmp_path / "data"
