@@ -729,6 +729,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "session_id")
 
 
+def q_sessionize_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 session windows, skew-tolerant formulation: identical
+    semantics to `sessionize` (same oracle), but computed inside
+    (user, 6 h chunk) partitions with a calendar-sized boundary-repair
+    pass — no per-user task holds a power-law user's whole history
+    (`streaming/events.py:sessionize_bounded`)."""
+    from social_media_data_pipeline_spark.streaming.events import sessionize_bounded
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = sessionize_bounded(ev, gap_minutes=30, tie_break="event_id", chunk_hours=6)
+    return out.select("user_id", "event_id", "session_id")
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the FULL documents table via pigeonhole
     prefix blocking (hamming <= 3, 4 blocks × 15 bits — recall exactly
@@ -1240,28 +1253,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) when a single group's history outgrows a task.
     """
     ev = _t(spark, sf_dir, "events")
-    e = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type").alias("t"))
-    seq = (
-        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"), e.alias("e"))
-        .groupBy("user_id", "day")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]), " "
-            ).alias("seq")
-        )
-    )
-    stage = (
-        F.when(F.col("seq").rlike("view.*click.*purchase"), 3)
-        .when(F.col("seq").rlike("view.*click"), 2)
-        .when(F.col("seq").rlike("view"), 1)
-        .otherwise(0)
-    )
-    return (
-        seq.select(stage.alias("funnel_stage"))
-        .groupBy("funnel_stage")
-        .agg(F.count(F.lit(1)).alias("n_user_days"))
-        .orderBy("funnel_stage")
-    )
+    return aggregates.funnel_stages(ev, stages=("view", "click", "purchase"))
 
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,6 +1412,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,  # [r5-in]
     "docs_weighted_sample": q_docs_weighted_sample,  # [r5-in]
     # ---- tail: scheduled to rotate in at r6 (never driver-checked) ----
+    "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,
     "events_anomaly_days": q_events_anomaly_days,

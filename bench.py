@@ -59,13 +59,18 @@ HEADLINE = [
     "docs_segment_dedup",
     "docs_duplicate_spans",
     "events_funnel",
+    # round 5: skew-tolerant sessionize; zipf corpus gate (now fully
+    # rank-decomposed, never a single-partition window)
+    "sessionize_bounded",
+    "docs_zipf_slope",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
 # materialize intermediate rounds while the DataFrame is being built;
-# docs_shuffle collects its bucket-count offsets at construction) —
-# for these construct time IS execution time and is counted.
-ITERATIVE = {"dedup_clusters", "docs_shuffle"}
+# docs_shuffle and docs_zipf_slope collect their bounded bucket/band
+# count offsets at construction) — for these construct time IS
+# execution time and is counted.
+ITERATIVE = {"dedup_clusters", "docs_shuffle", "docs_zipf_slope"}
 
 
 def main() -> None:

@@ -555,6 +555,11 @@ SELECT user_id, event_id,
 FROM gaps
 """
 
+# sessionize_bounded is semantically identical to sessionize (the
+# chunked formulation is a pure execution-strategy change), so it is
+# checked against the SAME oracle
+ORACLES["sessionize_bounded"] = ORACLES["sessionize"]
+
 _SIMHASH_FP_TABLE = f"""
     SELECT doc_id, ({_SIMHASH_VOTES})::BIGINT AS fp
     FROM (

@@ -195,3 +195,48 @@ def conditional_status_counts(df: DataFrame, conditions: dict[str, Column]) -> D
     predicate (`InstagramImageScraper.py:162-191`)."""
     aggs = [F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in conditions.items()]
     return df.agg(F.count(F.lit(1)).alias("total"), *aggs)
+
+
+def funnel_stages(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    stages: Sequence[str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Funnel analysis: user-days bucketed by the deepest stage chain
+    completed IN ORDER within that day → (funnel_stage, n_user_days).
+
+    Plan: one shuffle keyed (user, day); the per-group payload is the
+    ordered event-type sequence (bounded by per-user-day activity),
+    evaluated as a JVM regex subsequence match — no Python, no
+    self-joins; the final count is a (len(stages)+1)-row aggregate.
+    A power-law user splits across days by the composite key, so no
+    single task holds a hot user's whole history (measured in
+    tools/scale_sensitivity.py --skew).
+    """
+    e = F.struct(F.col(ts_col), F.col(order_col), F.col(type_col).alias("t"))
+    seq = (
+        ev.select(
+            F.col(user_col), F.date_trunc("day", F.col(ts_col)).alias("day"), e.alias("e")
+        )
+        .groupBy(user_col, "day")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["t"]), " "
+            ).alias("seq")
+        )
+    )
+    # build innermost-out so the DEEPEST chain is tested first
+    stage = F.lit(0)
+    for depth in range(1, len(stages) + 1):
+        stage = F.when(F.col("seq").rlike(".*".join(stages[:depth])), depth).otherwise(
+            stage
+        )
+    return (
+        seq.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("funnel_stage")
+    )

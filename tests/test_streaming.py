@@ -124,6 +124,46 @@ class TestStreaming:
         assert sessions[(10, 3)] == 2
         assert sessions[(20, 4)] == 1
 
+    def test_sessionize_bounded_matches_sessionize(self, spark):
+        """Property: the chunked skew-tolerant formulation is EXACTLY
+        sessionize — including a planted hot user (half of all events),
+        sessions spanning chunk boundaries, simultaneous events, and a
+        chunk small enough to force many boundary repairs."""
+        import random
+
+        rng = random.Random(42)
+        rows, eid = [], 0
+        for user in range(8):
+            # hot user 0 gets 400 events, others 25
+            n = 400 if user == 0 else 25
+            ts_min = 0.0
+            for _ in range(n):
+                # mixture of sub-gap steps and occasional session breaks
+                ts_min += rng.choice([1, 3, 9, 20, 70, 200]) * rng.random()
+                rows.append((eid, t(ts_min), user, "click", 1.0))
+                eid += 1
+                if rng.random() < 0.1:  # simultaneous event, same ts
+                    rows.append((eid, t(ts_min), user, "view", 1.0))
+                    eid += 1
+        df = spark.createDataFrame(rows, SCHEMA)
+        want = {
+            (r.user_id, r.event_id): r.session_id
+            for r in sev.sessionize(df, gap_minutes=30, tie_break="event_id").collect()
+        }
+        for chunk_hours in (1, 5, 24):
+            got = {
+                (r.user_id, r.event_id): r.session_id
+                for r in sev.sessionize_bounded(
+                    df, gap_minutes=30, tie_break="event_id", chunk_hours=chunk_hours
+                ).collect()
+            }
+            assert got == want, f"chunk_hours={chunk_hours}"
+
+    def test_sessionize_bounded_rejects_chunk_below_gap(self, spark):
+        df = spark.createDataFrame([(1, t(0), 10, "c", 1.0)], SCHEMA)
+        with pytest.raises(ValueError, match="chunk_hours"):
+            sev.sessionize_bounded(df, gap_minutes=120, chunk_hours=1)
+
     def test_session_window_stream(self, spark, tmp_path):
         src = str(tmp_path / "src")
         make_events(

@@ -108,6 +108,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
         ("bucketed window", r"Window"),
     ],
+    "sessionize_bounded": [
+        # the skew-tolerant formulation must never fall back to a bare
+        # per-user (or global) window over raw events: every Window
+        # carries a partition spec, and the event-grain window is keyed
+        # (user, chunk)
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("chunked event window", r"windowspecdefinition\(user_id[^\n]*__chunk"),
+    ],
     "docs_shuffle": [
         # rank decomposition: per-bucket window + tiny counts aggregate,
         # but never a single-partition global sort of the data

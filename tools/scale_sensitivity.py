@@ -143,7 +143,99 @@ def heavy_queries(spark, sf_dir: str):
     }
 
 
+def skew_mode(spark, factor: int = 8, hot_frac: float = 0.10) -> int:
+    """Planted power-law key demonstration for the sessionize/funnel
+    family: replicate sf0.1 events `factor`× (event_id/ts offsets keep
+    per-copy structure), then reassign `hot_frac` of ALL events to one
+    user id. Times each operator on the uniform vs skewed variant —
+    the 100 TB question is whether wall-time stays bounded when one key
+    concentrates (AQE cannot split a Window partition, so the bare
+    sessionize is expected to degrade; sessionize_bounded and the
+    (user, day)-keyed funnel must not)."""
+    from social_media_data_pipeline_spark.operators import aggregates as eagg
+    from social_media_data_pipeline_spark.streaming import events as sev
+
+    ev = eio.read_table(spark, BASE_SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * n)).alias("event_id"),
+            # shift each copy by its own year so copies do not merge
+            # into the same sessions/user-days
+            (F.col("ts") + F.expr(f"INTERVAL {k * 366} DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        for k in range(factor)
+    ]
+    uniform = parts[0]
+    for p in parts[1:]:
+        uniform = uniform.unionByName(p)
+    skew_dir = os.path.join(SCRATCH, "skew")
+    uniform.write.mode("overwrite").parquet(os.path.join(skew_dir, "uniform.parquet"))
+    # plant the power-law user: hot_frac of all events on ONE key,
+    # selected by a deterministic fingerprint of the event id
+    skewed = uniform.withColumn(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 1000
+            < int(hot_frac * 1000),
+            F.lit(1),
+        ).otherwise(F.col("user_id")),
+    )
+    skewed.write.mode("overwrite").parquet(os.path.join(skew_dir, "skewed.parquet"))
+
+    queries = {
+        "sessionize_window": lambda df: sev.sessionize(
+            df, gap_minutes=30, tie_break="event_id"
+        ).select("event_id", "session_id"),
+        "sessionize_bounded": lambda df: sev.sessionize_bounded(
+            df, gap_minutes=30, tie_break="event_id", chunk_hours=6
+        ).select("event_id", "session_id"),
+        "events_funnel": lambda df: eagg.funnel_stages(df),
+    }
+    print(
+        f"skew sweep: {factor}x events ({n * factor} rows), hot user holds "
+        f"{hot_frac:.0%} of all events\n"
+    )
+    print(f"{'query':22s} {'uniform':>9s} {'skewed':>9s} {'ratio':>7s}")
+    for name, make in queries.items():
+        times = {}
+        for variant in ("uniform", "skewed"):
+            df_in = spark.read.parquet(os.path.join(skew_dir, f"{variant}.parquet"))
+            make(df_in).write.mode("overwrite").format("noop").save()  # warm
+            times[variant] = min(
+                _timed(
+                    lambda: make(df_in).write.mode("overwrite").format("noop").save()
+                )
+                for _ in range(2)
+            )
+        ratio = times["skewed"] / times["uniform"]
+        print(
+            f"{name:22s} {times['uniform']:>8.2f}s {times['skewed']:>8.2f}s "
+            f"{ratio:>6.2f}x"
+        )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.10
+        return skew_mode(spark, factor, frac)
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     # the default 1g driver heap OOMs on the 8x pair joins (local[...]
     # runs executors in the driver JVM); must be set before JVM launch
