@@ -259,12 +259,21 @@ def _decode_gif(b: bytes):
     return decode_gif(b)
 
 
+def _decode_webp(b: bytes):
+    # lossless VP8L decodes for real; lossy VP8 raises the documented
+    # NotImplementedError codec boundary from inside decode_webp
+    from social_media_data_pipeline_spark.sources.webp import decode_webp
+
+    return decode_webp(b)
+
+
 _PIXEL_DECODERS = {
     "ppm": _decode_ppm,
     "bmp": _decode_bmp,
     "png": _decode_png,
     "jpeg": _decode_jpeg,
     "gif": _decode_gif,
+    "webp": _decode_webp,
 }
 
 
@@ -423,18 +432,19 @@ def resize_image(
 
 
 def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Remaining entropy-coded formats (webp, progressive jpeg) — STUB:
-    their pixel decode needs an imaging library absent from this
-    container. `decode_image` IS the real implementation of this
-    contract for ppm/bmp/png/baseline-jpeg/gif (`sources/jpeg.py`,
-    `sources/gif.py`); a webp-capable codec plugs into the same
-    mapInPandas signature.
+    """Remaining entropy-coded formats (LOSSY webp/VP8, progressive
+    jpeg) — STUB: their pixel decode needs an imaging library absent
+    from this container. `decode_image` IS the real implementation of
+    this contract for ppm/bmp/png/baseline-jpeg/gif/lossless-webp
+    (`sources/jpeg.py`, `sources/gif.py`, `sources/webp.py`); a
+    VP8-capable codec plugs into the same mapInPandas signature.
     """
     raise NotImplementedError(
-        "webp/progressive-jpeg pixel decode requires an imaging library "
-        "(PIL/cv2) not present in this container; decode_image() covers "
-        "ppm/bmp/png/baseline-jpeg/gif with the same contract, "
-        "image_metadata() gives header-level decode"
+        "lossy-webp (VP8) / progressive-jpeg pixel decode requires an "
+        "imaging library (PIL/cv2) not present in this container; "
+        "decode_image() covers ppm/bmp/png/baseline-jpeg/gif/lossless-"
+        "webp with the same contract, image_metadata() gives "
+        "header-level decode"
     )
 
 

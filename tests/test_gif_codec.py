@@ -145,6 +145,30 @@ class TestGifCodec:
             decode_gif(b"P6\n1 1\n255\nxyz")
 
 
+class TestRealWorldGifs:
+    """Cross-validation against files produced by real GIF encoders
+    (CPython's idlelib icons, present wherever the pyenv CPython tree
+    is) — these carry genuinely compressed LZW streams no test-local
+    encoder produced."""
+
+    ICONS = "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons"
+
+    def test_decodes_real_encoder_output(self):
+        import glob
+        import os
+
+        paths = sorted(glob.glob(os.path.join(self.ICONS, "*.gif")))
+        if not paths:
+            pytest.skip("no real-world gif fixtures on this machine")
+        for p in paths:
+            b = open(p, "rb").read()
+            w, h, c, px = decode_gif(b)
+            # the decode must fill the frame exactly — any LZW desync
+            # (bad width sync, bad dictionary) raises before this
+            assert w > 0 and h > 0 and c == 3
+            assert px.shape == (w * h * 3,) and px.dtype.name == "uint8"
+
+
 class TestGifThroughDecodeImage:
     def test_mapinpandas_decode(self, spark, tmp_path):
         rng = np.random.default_rng(9)
