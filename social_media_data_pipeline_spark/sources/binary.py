@@ -58,6 +58,8 @@ def _sniff_format(b: bytes) -> str:
         return "gif"
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         return "webp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
     if b[:9] == b"YUV4MPEG2":
         return "y4m"
     return "unknown"

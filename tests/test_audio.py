@@ -1,0 +1,143 @@
+"""Tests: audio modality — WAV codec round-trips, DSP features,
+Spark mapInPandas plumbing (decode / metadata / frame features /
+clip windowing)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from social_media_data_pipeline_spark.sources import audio
+from social_media_data_pipeline_spark.sources import binary as binary_source
+
+
+def sine(freq=440.0, sr=8000, dur=0.5, amp=0.5):
+    t = np.arange(int(sr * dur)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestWavCodec:
+    @pytest.mark.parametrize("bits,tol", [(8, 1e-2), (16, 1e-4), (24, 1e-6), (32, 1e-7), (33, 1e-7)])
+    def test_round_trip_mono(self, bits, tol):
+        x = sine()
+        b = audio.encode_wav(x, 8000, bits=bits)
+        y, sr = audio.decode_wav(b)
+        assert sr == 8000 and y.shape == (x.size, 1)
+        assert np.max(np.abs(y[:, 0] - x)) < tol
+
+    def test_round_trip_stereo(self):
+        left, right = sine(300), sine(600)
+        x = np.stack([left, right], axis=1)
+        b = audio.encode_wav(x, 16000, bits=16)
+        y, sr = audio.decode_wav(b)
+        assert sr == 16000 and y.shape == x.shape
+        assert np.max(np.abs(y - x)) < 1e-4
+
+    def test_info_and_sniff(self):
+        b = audio.encode_wav(sine(), 8000, bits=16)
+        info = audio.wav_info(b)
+        assert info["sample_rate"] == 8000 and info["n_channels"] == 1
+        assert info["bits_per_sample"] == 16 and info["n_frames"] == 4000
+        assert binary_source._sniff_format(b) == "wav"
+        assert audio._sniff_audio(b) == "wav"
+
+    def test_extensible_fmt_tag(self):
+        # rewrap a PCM wav as WAVE_FORMAT_EXTENSIBLE: tag 0xFFFE + GUID
+        import struct
+
+        x = sine(dur=0.1)
+        raw = np.round(np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 4)  # cbSize, valid bits, channel mask
+        fmt += struct.pack("<H", 1) + b"\x00" * 14  # subformat GUID, first 2 bytes = PCM
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(raw)) + raw
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        y, sr = audio.decode_wav(b)
+        assert sr == 8000 and abs(y.shape[0] - x.size) <= 1
+
+    def test_compressed_tag_is_boundary(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 0x0055, 1, 8000, 1000, 1, 0)  # MP3-in-WAV
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        b = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            audio.decode_wav(b)
+
+    def test_garbage_rejected(self):
+        with pytest.raises(ValueError):
+            audio.decode_wav(b"not a wav at all")
+
+
+class TestDsp:
+    def test_resample_preserves_duration_and_tone(self):
+        x = sine(440, 8000, 1.0)
+        y = audio.resample_linear(x, 8000, 16000)
+        assert abs(y.size - 16000) <= 1
+        feats = audio.frame_features(y, 16000, frame_len=2048, hop=1024)
+        # spectral centroid of a pure sine sits near its frequency
+        assert abs(feats["centroid_hz"].median() - 440) < 60
+
+    def test_frame_features_shapes(self):
+        x = sine(1000, 8000, 0.5, amp=0.25)
+        feats = audio.frame_features(x, 8000, frame_len=1024, hop=512)
+        assert len(feats) == 1 + (x.size - 1024) // 512
+        # RMS of a sine = amp / sqrt(2)
+        assert abs(feats["rms"].median() - 0.25 / np.sqrt(2)) < 0.01
+        # ZCR of a 1 kHz tone at 8 kHz = 2*f/sr = 0.25
+        assert abs(feats["zcr"].median() - 0.25) < 0.02
+
+    def test_silence_and_short_input(self):
+        z = np.zeros(4096, dtype=np.float32)
+        feats = audio.frame_features(z, 8000)
+        assert (feats["rms"] == 0).all() and (feats["centroid_hz"] == 0).all()
+        assert len(audio.frame_features(np.zeros(10, dtype=np.float32), 8000)) == 0
+
+    def test_log_mel_shape_and_energy_ordering(self):
+        lo, hi = sine(200, 8000, 0.5), sine(3000, 8000, 0.5)
+        m_lo = audio.log_mel_spectrogram(lo, 8000, n_mels=20)
+        m_hi = audio.log_mel_spectrogram(hi, 8000, n_mels=20)
+        assert m_lo.shape == m_hi.shape and m_lo.shape[1] == 20
+        # low tone concentrates energy in low mel bands, high in high
+        assert m_lo.mean(axis=0).argmax() < m_hi.mean(axis=0).argmax()
+
+
+class TestSparkAudio:
+    @pytest.fixture()
+    def wav_folder(self, tmp_path):
+        for name, freq, sr, dur in [("a.wav", 440, 8000, 0.6), ("b.wav", 880, 16000, 1.2)]:
+            (tmp_path / name).write_bytes(audio.encode_wav(sine(freq, sr, dur), sr, bits=16))
+        return str(tmp_path)
+
+    def test_metadata(self, spark, wav_folder):
+        df = binary_source.read_binary_folder(spark, wav_folder, glob="*.wav")
+        meta = audio.audio_metadata(df).select("image", "meta.*").orderBy("image").collect()
+        assert [r["format"] for r in meta] == ["wav", "wav"]
+        assert [r["sample_rate"] for r in meta] == [8000, 16000]
+        assert abs(meta[0]["duration_s"] - 0.6) < 1e-3
+
+    def test_decode_resample(self, spark, wav_folder):
+        df = binary_source.read_binary_folder(spark, wav_folder, glob="*.wav")
+        out = audio.decode_audio(df, target_sr=8000).select("image", "sample_rate", "n_samples")
+        rows = {r["image"]: r for r in out.collect()}
+        assert rows["a.wav"]["sample_rate"] == 8000 and rows["b.wav"]["sample_rate"] == 8000
+        # b.wav: 1.2 s at 16 kHz resampled to 8 kHz -> ~9600 samples
+        assert abs(rows["b.wav"]["n_samples"] - 9600) <= 2
+
+    def test_frame_features_df(self, spark, wav_folder):
+        df = binary_source.read_binary_folder(spark, wav_folder, glob="a.wav")
+        feats = audio.audio_frame_features(df, frame_len=1024, hop=512)
+        pdf = feats.select("image", "frame", "centroid_hz").toPandas()
+        assert (pdf["image"] == "a.wav").all() and len(pdf) == 1 + (4800 - 1024) // 512
+        assert abs(pdf["centroid_hz"].median() - 440) < 60
+
+    def test_clip_windows_round_trip(self, spark, wav_folder):
+        df = binary_source.read_binary_folder(spark, wav_folder, glob="b.wav")
+        clips = audio.sample_audio_windows(
+            df, window_s=0.25, every_s=0.5, max_windows=3
+        ).collect()
+        assert 1 <= len(clips) <= 3
+        x, sr = audio.decode_wav(bytes(clips[0]["clip"]))
+        assert sr == 16000 and x.shape[0] == 4000  # 0.25 s at 16 kHz
