@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from social_media_data_pipeline_spark import io as eio
 from social_media_data_pipeline_spark.functions import (
+    importance,
     retrieval,
     sketches,
     similarity,
@@ -1337,6 +1338,28 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etext.boilerplate_ngrams(docs, "text", k=3, min_df=5, top=100)
 
 
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how English-like its hashed (uni+bi)gram profile is — target
+    model fit on lang='en' rows, raw model on all rows, smoothed
+    log-ratio summed per doc (`functions/importance.py`). Broadcast
+    1024-row ratio table; map-side feature hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    return importance.dsir_logweights(
+        docs, F.col("lang") == "en", n_buckets=1024, alpha=0.5
+    ).orderBy("doc_id")
+
+
+def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resample: 100 docs drawn without replacement
+    with probability ∝ exp(dsir_logw), derandomized via md5 fingerprint
+    noise so the draw replays in DuckDB
+    (`functions/importance.py:dsir_resample`)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = importance.dsir_logweights(docs, F.col("lang") == "en", n_buckets=1024, alpha=0.5)
+    return importance.dsir_resample(w, k=100, seed="dsir")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1412,6 +1435,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,  # [r5-in]
     "docs_weighted_sample": q_docs_weighted_sample,  # [r5-in]
     # ---- tail: scheduled to rotate in at r6 (never driver-checked) ----
+    "docs_dsir_weights": q_docs_dsir_weights,
+    "docs_dsir_sample": q_docs_dsir_sample,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

@@ -1388,3 +1388,58 @@ WHERE ROUND(common / sa.n_shingles, 6) >= 0.5
    OR ROUND(common / sb.n_shingles, 6) >= 0.5
 ORDER BY id_a, id_b
 """
+
+# DSIR (Xie et al. 2023): hashed (uni+bi)gram buckets, smoothed
+# target-vs-raw log-ratio summed per document. alpha=0.5, B=1024 ->
+# alpha*B = 512. Bucket hash mirrors Spark's
+# conv(substr(md5(g),1,8),16,10) % 1024 exactly.
+_DSIR_FEATS = f"""
+WITH base AS (
+    SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+), grams AS (
+    SELECT doc_id, lang,
+           unnest(list_concat(toks,
+               list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                              i -> toks[i] || ' ' || toks[i + 1]))) AS g
+    FROM base
+), feats AS (
+    SELECT doc_id, (lang = 'en') AS is_target,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+    FROM grams
+), buckets AS (
+    SELECT b, COUNT(*)::DOUBLE AS r_cnt,
+           SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE AS t_cnt
+    FROM feats GROUP BY b
+), tot AS (
+    SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM buckets
+), ratio AS (
+    SELECT b, ln(t_cnt + 0.5) - ln(t_tot + 512.0)
+            - ln(r_cnt + 0.5) + ln(r_tot + 512.0) AS lam
+    FROM buckets, tot
+), weights AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           ROUND(SUM(lam), 4) AS dsir_logw
+    FROM feats JOIN ratio USING (b)
+    GROUP BY doc_id
+)
+"""
+
+ORACLES["docs_dsir_weights"] = (
+    _DSIR_FEATS + "SELECT doc_id, n_grams, dsir_logw FROM weights ORDER BY doc_id"
+)
+
+# Gumbel-top-k resample: key = logw - ln(-ln(u)), u from the md5
+# fingerprint (operators/splits.py idiom), rounded 4 dp pre-sort so the
+# cut is stable cross-engine; ties break by doc_id.
+ORACLES["docs_dsir_sample"] = (
+    _DSIR_FEATS
+    + """
+SELECT doc_id, n_grams, dsir_logw,
+       ROUND(dsir_logw - ln(-ln(
+           ((('0x' || substr(md5('dsir:' || doc_id), 1, 8))::BIGINT + 0.5)
+            / 4294967296.0))), 4) AS gumbel_key
+FROM weights
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 100
+"""
+)
