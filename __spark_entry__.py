@@ -1338,6 +1338,16 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etext.boilerplate_ngrams(docs, "text", k=3, min_df=5, top=100)
 
 
+def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score: mean transition
+    log-probability under the corpus's own bigram model with add-α
+    unigram backoff (`functions/text.py:bigram_logprob`) — catches
+    shuffled/stuffed word order the unigram filter can't see. Docs with
+    <2 tokens have no transitions and drop out (documented contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.bigram_logprob(docs).orderBy("doc_id")
+
+
 def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): score every document
     by how English-like its hashed (uni+bi)gram profile is — target
@@ -1437,6 +1447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- tail: scheduled to rotate in at r6 (never driver-checked) ----
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_dsir_sample": q_docs_dsir_sample,
+    "docs_bigram_logprob": q_docs_bigram_logprob,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

@@ -1443,3 +1443,37 @@ ORDER BY gumbel_key DESC, doc_id ASC
 LIMIT 100
 """
 )
+
+# Interpolated bigram LM: p(b|a) = 0.7*c_ab/c_a + (1.0-0.7)*(c_b+0.5)/(N+0.5*V).
+# (1.0-0.7) is written as the subtraction so both engines evaluate the
+# identical IEEE double. Parallel unnests zip positionally in DuckDB.
+ORACLES["docs_bigram_logprob"] = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), trans AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS a,
+           unnest(toks[2:len(toks)]) AS b
+    FROM base WHERE len(toks) >= 2
+), big AS (
+    SELECT a, b, COUNT(*)::DOUBLE AS c_ab FROM trans GROUP BY a, b
+), ctx AS (
+    SELECT a, COUNT(*)::DOUBLE AS c_a FROM trans GROUP BY a
+), uni AS (
+    SELECT t, COUNT(*)::DOUBLE AS c_t
+    FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+), scalars AS (
+    SELECT SUM(c_t) AS n_total, COUNT(*)::DOUBLE AS v_size FROM uni
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_transitions,
+       ROUND(AVG(ln(0.7 * c_ab / c_a
+                    + (1.0 - 0.7) * (c_t + 0.5) / (n_total + 0.5 * v_size))),
+             4) AS bigram_logprob
+FROM trans
+JOIN big USING (a, b)
+JOIN ctx USING (a)
+JOIN uni ON uni.t = trans.b
+CROSS JOIN scalars
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -365,3 +365,81 @@ def unigram_logprob(df, id_col: str = "doc_id", text_col: str = "text"):
             F.round(F.avg("logp"), 4).alias("unigram_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+):
+    """Interpolated bigram LM quality score (the KenLM-style upgrade of
+    `unigram_logprob`): per-document mean log-probability of each token
+    transition under the corpus's own bigram model, backed off to an
+    add-α unigram model:
+
+        p(b|a) = λ·c(a,b)/c(a·)  +  (1-λ)·(c(b)+α)/(N+αV)
+
+    (c(a·) = count of a as a left context; N = corpus tokens;
+    V = vocab size). Documents whose word ORDER is unusual — shuffled
+    text, keyword stuffing, boilerplate mashups — score low even when
+    every individual token is common, which is exactly what the unigram
+    filter cannot see.
+
+    Plan: transitions are built map-side (zip_with over the token
+    array, no window/shuffle per token); bigram and context counts are
+    map-side-combinable hash aggregates; the per-transition lookup
+    joins on the bigram key — an honest shuffle join, since a 100 TB
+    corpus's bigram table does not broadcast — then one doc-keyed
+    aggregate. Unigram/scalar factors ride on broadcasts. Output:
+    (id_col, n_transitions, bigram_logprob) rounded 4 dp after the
+    aggregate per the cross-engine fp policy.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"interpolation lam must be in (0,1), got {lam}")
+    if alpha <= 0:
+        raise ValueError(f"smoothing alpha must be > 0, got {alpha}")
+    toks = tokenize(text_col)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    trans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, n_bi),
+                F.slice(toks, 2, n_bi),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.a", "p.b")
+    big = trans.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = trans.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    scalars = uni.agg(
+        F.sum("c_t").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )  # 1 row
+    p = (
+        trans.join(big, ["a", "b"])
+        .join(broadcast(ctx), "a")
+        .join(broadcast(uni.withColumnRenamed("t", "b")), "b")
+        .crossJoin(broadcast(scalars))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * F.col("c_ab") / F.col("c_a")
+                + F.lit(1.0 - lam)
+                * (F.col("c_t") + alpha)
+                / (F.col("n_total") + alpha * F.col("v_size"))
+            ).alias("logp"),
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.avg("logp"), 4).alias("bigram_logprob"),
+    )

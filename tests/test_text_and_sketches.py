@@ -346,6 +346,65 @@ def test_unigram_logprob_matches_hand_computed(spark):
     assert got[1][1] > got[3][1]
 
 
+def test_bigram_logprob_hand_computed_and_order_sensitivity(spark):
+    """Interpolated bigram LM: exact hand computation on a toy corpus,
+    plus the property the unigram filter can't deliver — same bag of
+    words, scrambled order, lower score."""
+    import math
+
+    from pyspark.sql import Row
+
+    from social_media_data_pipeline_spark.functions import text as etext
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="b a"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_transitions, r.bigram_logprob)
+        for r in etext.bigram_logprob(docs, lam=0.7, alpha=0.5).collect()
+    }
+    # transitions: d1 = ab, ba, ab ; d2 = ba. c(ab)=2, c(ba)=2,
+    # ctx c(a.)=2, c(b.)=2; unigrams a=3,b=3 N=6 V=2 -> backoff is
+    # (c_t+0.5)/(6+1) for each target token
+    def p(c_ab, c_a, c_t):
+        return 0.7 * c_ab / c_a + (1.0 - 0.7) * (c_t + 0.5) / (6 + 0.5 * 2)
+
+    exp1 = round((2 * math.log(p(2, 2, 3)) + math.log(p(2, 2, 3))) / 3, 4)
+    exp2 = round(math.log(p(2, 2, 3)), 4)
+    assert got == {1: (3, exp1), 2: (1, exp2)}
+    # single-token docs drop out (no transitions)
+    single = spark.createDataFrame([Row(doc_id=9, text="only")])
+    assert etext.bigram_logprob(single).count() == 0
+    # order sensitivity: natural repeated phrasing vs scrambled bag
+    base = [Row(doc_id=i, text="the quick fox jumps the quick fox jumps") for i in range(8)]
+    probe = base + [
+        Row(doc_id=100, text="the quick fox jumps"),
+        Row(doc_id=101, text="jumps the fox quick"),
+    ]
+    scores = {
+        r.doc_id: r.bigram_logprob
+        for r in etext.bigram_logprob(spark.createDataFrame(probe)).collect()
+    }
+    assert scores[100] > scores[101]
+
+
+def test_bigram_logprob_guards(spark):
+    from pyspark.sql import Row
+
+    from social_media_data_pipeline_spark.functions import text as etext
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        etext.bigram_logprob(docs, lam=1.0)
+    with _pytest.raises(ValueError):
+        etext.bigram_logprob(docs, alpha=0)
+
+
 class TestSegmentDedup:
     def _corpus(self, spark):
         # 4-token segments; "shared boiler plate text" is the cross-doc dup
