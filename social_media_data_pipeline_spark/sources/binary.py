@@ -344,13 +344,14 @@ def decode_image(
     """Multimodal decode: binary column → row-major pixel tensor
     (width, height, channels, flat uint8 values as array<smallint>).
 
-    Real decode for ppm/bmp/png/baseline-jpeg (pure stdlib+numpy — see
-    module codecs and `sources/jpeg.py`); formats that still need an
-    external codec (webp/gif, progressive jpeg) raise per-batch with a
-    clear message rather than silently passing through — route those
-    through a library-backed decoder with the SAME mapInPandas
-    signature. Arrow-batched; one output row per image; partitioning is
-    whatever the binaryFile scan produced (size-based splits).
+    Real decode for ppm/bmp/png/gif/lossless-webp and jpeg — both
+    baseline AND progressive/SOF2 (pure stdlib+numpy — see module
+    codecs and `sources/jpeg.py`); formats that still need an external
+    codec (lossy-webp/VP8) raise per-batch with a clear message rather
+    than silently passing through — route those through a
+    library-backed decoder with the SAME mapInPandas signature.
+    Arrow-batched; one output row per image; partitioning is whatever
+    the binaryFile scan produced (size-based splits).
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -434,19 +435,19 @@ def resize_image(
 
 
 def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Remaining entropy-coded formats (LOSSY webp/VP8, progressive
-    jpeg) — STUB: their pixel decode needs an imaging library absent
-    from this container. `decode_image` IS the real implementation of
-    this contract for ppm/bmp/png/baseline-jpeg/gif/lossless-webp
+    """Remaining entropy-coded format (LOSSY webp/VP8) — STUB: its
+    pixel decode needs an imaging library absent from this container.
+    `decode_image` IS the real implementation of this contract for
+    ppm/bmp/png/gif/lossless-webp and jpeg incl. progressive
     (`sources/jpeg.py`, `sources/gif.py`, `sources/webp.py`); a
     VP8-capable codec plugs into the same mapInPandas signature.
     """
     raise NotImplementedError(
-        "lossy-webp (VP8) / progressive-jpeg pixel decode requires an "
-        "imaging library (PIL/cv2) not present in this container; "
-        "decode_image() covers ppm/bmp/png/baseline-jpeg/gif/lossless-"
-        "webp with the same contract, image_metadata() gives "
-        "header-level decode"
+        "lossy-webp (VP8) pixel decode requires an imaging library "
+        "(PIL/cv2) not present in this container; decode_image() covers "
+        "ppm/bmp/png/gif/lossless-webp and baseline+progressive jpeg "
+        "with the same contract, image_metadata() gives header-level "
+        "decode"
     )
 
 

@@ -103,11 +103,11 @@ class TestBoundaries:
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"nope")
 
-    def test_progressive_rejected_clearly(self):
-        # SOI + minimal SOF2 header: decoder must name the limitation
-        sof2 = bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-        with pytest.raises(NotImplementedError, match="progressive"):
-            decode_jpeg(b"\xff\xd8" + sof2)
+    def test_arithmetic_rejected_clearly(self):
+        # SOI + SOF9 (arithmetic sequential): decoder names the limitation
+        sof9 = bytes([0xFF, 0xC9, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(b"\xff\xd8" + sof9)
 
     def test_truncated_stream(self):
         img = _gradient(16, 16)
@@ -124,3 +124,68 @@ class TestBoundaries:
             encode_jpeg(
                 8, 8, np.zeros((8, 8, 3), np.uint8), subsample="422"
             )
+
+
+class TestProgressive:
+    """Progressive (SOF2) coverage. The encoder quantizes with the
+    exact op order of the baseline encoder, so decoding the progressive
+    file must yield pixels IDENTICAL to the baseline round-trip — a
+    full-pipeline equality check with the independently-validated
+    baseline path as the reference."""
+
+    def _both(self, img, scans=None, **kw):
+        from social_media_data_pipeline_spark.sources.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        base = encode_jpeg(w, h, img, channels=c, **kw)
+        prog = encode_jpeg_progressive(w, h, img, channels=c, scans=scans, **kw)
+        return decode_jpeg(base), decode_jpeg(prog), prog
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("q", [55, 85])
+    def test_matches_baseline_rgb(self, sub, q):
+        img = _gradient(37, 23)
+        b, p, prog = self._both(img, quality=q, subsample=sub)
+        assert b[:3] == p[:3]
+        assert np.array_equal(b[3], p[3])
+        # really progressive: SOF2 marker + multiple SOS scans
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 6
+
+    def test_matches_baseline_grayscale(self):
+        img = _gradient(24, 17)[:, :, 0]
+        b, p, _ = self._both(img, quality=70)
+        assert np.array_equal(b[3], p[3])
+
+    def test_spectral_selection_only_script(self):
+        # no successive approximation: DC then two AC bands, Ah=Al=0
+        img = _gradient(16, 16)
+        scans = [([0, 1, 2], 0, 0, 0, 0)]
+        scans += [([c], 1, 31, 0, 0) for c in range(3)]
+        scans += [([c], 32, 63, 0, 0) for c in range(3)]
+        b, p, _ = self._both(img, scans=scans, quality=80)
+        assert np.array_equal(b[3], p[3])
+
+    def test_deep_successive_approximation(self):
+        # three AC refinement levels exercises EOB-run + correction bits
+        img = _gradient(40, 32)
+        scans = [([0, 1, 2], 0, 0, 0, 2)]
+        scans += [([c], 1, 63, 0, 3) for c in range(3)]
+        scans += [([c], 1, 63, 3, 2) for c in range(3)]
+        scans += [([c], 1, 63, 2, 1) for c in range(3)]
+        scans += [([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0)]
+        scans += [([c], 1, 63, 1, 0) for c in range(3)]
+        b, p, _ = self._both(img, scans=scans, quality=75, subsample="420")
+        assert np.array_equal(b[3], p[3])
+
+    def test_truncated_progressive(self):
+        from social_media_data_pipeline_spark.sources.jpeg import (
+            encode_jpeg_progressive,
+        )
+
+        img = _gradient(16, 16)
+        enc = encode_jpeg_progressive(16, 16, img, channels=3, quality=80)
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[: len(enc) // 3])
