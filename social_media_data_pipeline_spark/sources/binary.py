@@ -60,6 +60,8 @@ def _sniff_format(b: bytes) -> str:
         return "webp"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     if b[:9] == b"YUV4MPEG2":
         return "y4m"
     return "unknown"
@@ -452,14 +454,17 @@ def decode_image_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def sample_video_frames_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Entropy-coded video (mp4/h264/vp9) — STUB: needs ffmpeg/pyav.
-    `sample_video_frames` IS the real implementation of this contract
-    for Y4M (YUV4MPEG2) — uncompressed raw-plane video; an ffmpeg-backed
-    decoder plugs into the same mapInPandas signature."""
+    """Inter-frame video codecs (h264/vp9/av1) — STUB: they need a
+    motion-compensation decoder (ffmpeg/pyav). `sample_video_frames`
+    IS the real implementation of this contract for Y4M (uncompressed
+    raw-plane video) AND MJPEG AVI (compressed, per-frame JPEG —
+    `sources/avi.py` walks the RIFF container, `sources/jpeg.py`
+    decodes the frames); an ffmpeg-backed decoder plugs into the same
+    mapInPandas signature."""
     raise NotImplementedError(
-        "compressed video (mp4/h264/vp9) needs a codec (ffmpeg/pyav) not "
-        "present in this container; sample_video_frames() covers Y4M "
-        "(uncompressed YUV4MPEG2) with the same contract"
+        "inter-frame video (h264/vp9/av1) needs a codec (ffmpeg/pyav) "
+        "not present in this container; sample_video_frames() covers "
+        "Y4M and MJPEG-AVI with the same contract"
     )
 
 
@@ -605,10 +610,11 @@ def sample_video_frames(
     content_col: str = "content",
     key_col: str = "video",
 ) -> DataFrame:
-    """Multimodal frame sampling, real for Y4M: binary video column →
-    one row per sampled frame (video, frame_idx, width, height, frame),
-    frame re-encoded as lossless P6 ppm — directly consumable by
-    `decode_image` / `resize_image` / the F3-F5 inference stages.
+    """Multimodal frame sampling, real for Y4M (uncompressed) and
+    MJPEG AVI (compressed): binary video column → one row per sampled
+    frame (video, frame_idx, width, height, frame), frame re-encoded as
+    lossless P6 ppm — directly consumable by `decode_image` /
+    `resize_image` / the F3-F5 inference stages.
 
     Reference parity: the scraper stores stills only; this is the video
     analog of its image bronze layer, built for training-data pipelines
@@ -623,12 +629,21 @@ def sample_video_frames(
             rows = []
             for key, buf in zip(pdf[key_col], pdf[content_col]):
                 b = bytes(buf)
-                if not b.startswith(_Y4M_MAGIC):
-                    raise NotImplementedError(
-                        f"{key}: not a Y4M stream — compressed video needs "
-                        "ffmpeg/pyav (see sample_video_frames_stub)"
+                if b.startswith(_Y4M_MAGIC):
+                    frames = _decode_y4m_frames(b, every_n)
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    from social_media_data_pipeline_spark.sources.avi import (
+                        decode_avi_mjpeg_frames,
                     )
-                for idx, w, h, rgb in _decode_y4m_frames(b, every_n):
+
+                    frames = decode_avi_mjpeg_frames(b, every_n)
+                else:
+                    raise NotImplementedError(
+                        f"{key}: not a Y4M or MJPEG-AVI stream — "
+                        "inter-frame codecs need ffmpeg/pyav (see "
+                        "sample_video_frames_stub)"
+                    )
+                for idx, w, h, rgb in frames:
                     rows.append(
                         {
                             "video": key,
