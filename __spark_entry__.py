@@ -1338,6 +1338,17 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etext.boilerplate_ngrams(docs, "text", k=3, min_df=5, top=100)
 
 
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG/embedding prep): 24-token windows,
+    8-token overlap, with token provenance
+    (`operators/packing.py:chunk_documents`). Entirely map-side — one
+    projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(
+        docs, chunk_tokens=24, overlap=8
+    ).orderBy("id", "chunk_id")
+
+
 def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM quality score: mean transition
     log-probability under the corpus's own bigram model with add-α
@@ -1448,6 +1459,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_dsir_sample": q_docs_dsir_sample,
     "docs_bigram_logprob": q_docs_bigram_logprob,
+    "docs_chunks": q_docs_chunks,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

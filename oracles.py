@@ -1477,3 +1477,26 @@ CROSS JOIN scalars
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# Sliding-window chunking: 24-token windows, step 16 (overlap 8).
+# n_chunks = 1 + ceil(max(n-24,0)/16); DuckDB list slice is 1-based
+# inclusive, mirroring Spark's slice(toks, start, length).
+ORACLES["docs_chunks"] = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), sized AS (
+    SELECT doc_id, toks, len(toks) AS n FROM base
+), chunks AS (
+    SELECT doc_id, i AS chunk_id, i * 16 AS token_start,
+           toks[i * 16 + 1 : i * 16 + 24] AS ctoks
+    FROM sized,
+         LATERAL unnest(generate_series(0,
+             CASE WHEN n > 24 THEN CAST(ceil((n - 24) / 16.0) AS INT)
+                  ELSE 0 END)) AS g(i)
+)
+SELECT doc_id AS id, chunk_id, token_start,
+       len(ctoks) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM chunks
+ORDER BY id, chunk_id
+"""

@@ -58,3 +58,61 @@ def pack_sequences(
         "seq_id", F.floor(F.col("_start") / F.lit(budget)).cast("long")
     ).withColumn("seq_offset", (F.col("_start") % F.lit(budget)).cast("long"))
     return out.drop("_start")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep
+    operator: split every document into `chunk_tokens`-token windows
+    with `overlap` shared tokens between consecutive chunks. The last
+    chunk keeps whatever remains (never empty, never duplicated); a
+    document shorter than one chunk yields exactly one chunk.
+
+    Output: (id, chunk_id, token_start, n_tokens, chunk_text), with
+    `token_start = chunk_id * (chunk_tokens - overlap)` so byte/token
+    provenance survives into the vector store.
+
+    Scale shape (100 TB): the whole operator is ONE map-side
+    projection — tokenize, `sequence` over chunk ids, `transform` +
+    `slice` to cut windows, `posexplode` to rows. No shuffle, no UDF,
+    no window function; Catalyst fuses it into the scan stage, and
+    downstream embedding/upsert stages key on (id, chunk_id).
+    """
+    from social_media_data_pipeline_spark.functions.text import tokenize
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # number of windows whose start < n and that add new tokens:
+    # 1 + ceil(max(n - chunk_tokens, 0) / step)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(float(step))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * step).alias("token_start"),
+            F.slice(toks, i * step + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    ).select(
+        "id",
+        "chunk_id",
+        F.col("c.token_start").alias("token_start"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk_text"),
+    )

@@ -187,3 +187,51 @@ def test_pack_sequences_no_group_is_global(spark):
     out = packing.pack_sequences(docs, "doc_id", "toks", 1000)
     got = {r.doc_id: r.seq_id for r in out.collect()}
     assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1, 6: 1, 7: 1}
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Sliding-window chunking: overlap, last-chunk remainder, short
+    docs, provenance offsets, and the no-shuffle plan shape."""
+    from pyspark.sql import Row
+
+    from social_media_data_pipeline_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10))),  # 10 toks
+            Row(doc_id=2, text="a b c"),  # shorter than one chunk
+            Row(doc_id=3, text=" ".join(f"u{i}" for i in range(4))),  # exact fit
+        ]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).orderBy("id", "chunk_id")
+    rows = [(r.id, r.chunk_id, r.token_start, r.n_tokens, r.chunk_text) for r in out.collect()]
+    # doc1: starts 0,2,4,6 — the start-6 window reaches the end, so no
+    # further (pure-duplicate) window is emitted
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+        (1, 3, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # remainder case: 9 tokens -> last window holds only the 3 leftovers
+    nine = spark.createDataFrame(
+        [Row(doc_id=9, text=" ".join(f"v{i}" for i in range(9)))]
+    )
+    tail = (
+        chunk_documents(nine, chunk_tokens=4, overlap=2)
+        .orderBy("chunk_id")
+        .collect()[-1]
+    )
+    assert (tail.token_start, tail.n_tokens, tail.chunk_text) == (6, 3, "v6 v7 v8")
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 3, "a b c")]
+    assert [r for r in rows if r[0] == 3] == [(3, 0, 0, 4, "u0 u1 u2 u3")]
+    # map-side only: the bare operator (no orderBy) plans zero exchanges
+    bare = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    plan = bare._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
