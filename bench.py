@@ -63,6 +63,11 @@ HEADLINE = [
     # rank-decomposed, never a single-partition window)
     "sessionize_bounded",
     "docs_zipf_slope",
+    # round 5: distribution-matching selection, bigram LM scoring,
+    # map-side RAG chunking
+    "docs_dsir_weights",
+    "docs_bigram_logprob",
+    "docs_chunks",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -402,11 +402,36 @@ def simhash_blocked_pairs(
     # function stays a pure lazy plan (callers running repeated actions
     # should persist `simhash_table` themselves), and the hash-join
     # keeps the spill-safe scale shape.
+    return hamming_blocked_pairs(fp, tau=tau, n_blocks=n_blocks, bits=bits)
+
+
+def hamming_blocked_pairs(
+    fp: DataFrame,
+    tau: int,
+    n_blocks: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic pigeonhole hamming near-pair join over a (doc, fp)
+    fingerprint table — the blocking core shared by text simhash and
+    image dhash. Same guarantee as `simhash_blocked_pairs`: recall
+    exactly 1.0 at hamming <= tau, equi-join only, never an n² nested
+    loop. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if n_blocks is None:
+        n_blocks = tau + 1
+    if n_blocks <= tau:
+        raise ValueError(f"pigeonhole needs n_blocks > tau (got {n_blocks} <= {tau})")
+    width = bits // n_blocks
+    if width < 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} > bits={bits}: block width must be >= 1 bit"
+        )
     block_exprs = []
     for i in range(n_blocks):
         lo = i * width
         hi = bits if i == n_blocks - 1 else lo + width
         mask = F.lit((1 << (hi - lo)) - 1).cast("long")
+        # arithmetic shiftright then mask is sign-safe for full 64-bit
+        # fingerprints (dhash uses bit 63; the mask cuts the sign fill)
         block_exprs.append(F.shiftright(F.col("fp"), lo).bitwiseAND(mask))
     blocks = fp.select(
         "doc", "fp", F.posexplode(F.array(*block_exprs)).alias("block_idx", "block_bits")

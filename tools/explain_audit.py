@@ -123,6 +123,29 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
         ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
+    "docs_dsir_weights": [
+        # the n_buckets-row log-ratio table must broadcast back into the
+        # per-gram join; feature hashing is map-side (no python)
+        ("ratio table broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"HashAggregate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_bigram_logprob": [
+        # bigram counts join on their natural key (honest shuffle join —
+        # a 100 TB bigram table does not broadcast); unigram/scalar
+        # factors ride broadcasts; no window anywhere
+        ("context/unigram broadcast", r"BroadcastHashJoin"),
+        ("no window sort", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_chunks": [
+        # one map-side projection: posexplode over transform/slice — the
+        # ONLY exchange allowed is the presentation orderBy's range
+        # partitioning; no aggregate, no join, no window
+        ("no join/aggregate/window", r"\A(?!.*(?:Join|HashAggregate|Window))"),
+        ("explode generator", r"Generate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
 }
 
 

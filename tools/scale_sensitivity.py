@@ -44,7 +44,9 @@ from social_media_data_pipeline_spark.functions import (  # noqa: E402
     sketches,
     text as etext,
 )
+from social_media_data_pipeline_spark.functions import importance as eimp  # noqa: E402
 from social_media_data_pipeline_spark.operators import dedup as ededup  # noqa: E402
+from social_media_data_pipeline_spark.operators import packing as epack  # noqa: E402
 from social_media_data_pipeline_spark.operators import splits as esplits  # noqa: E402
 from social_media_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -139,6 +141,15 @@ def heavy_queries(spark, sf_dir: str):
         ),
         "docs_duplicate_spans": lambda: ededup.duplicate_spans(
             docs, "doc_id", "text", k=8, min_docs=2
+        ),
+        # round 5: selection/scoring/chunking — per-copy token suffixes
+        # replicate the gram/bucket structure linearly
+        "docs_dsir_weights": lambda: eimp.dsir_logweights(
+            docs, F.col("lang") == "en", n_buckets=1024, alpha=0.5
+        ),
+        "docs_bigram_logprob": lambda: etext.bigram_logprob(docs),
+        "docs_chunks": lambda: epack.chunk_documents(
+            docs, chunk_tokens=24, overlap=8
         ),
     }
 
