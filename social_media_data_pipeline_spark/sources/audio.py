@@ -461,3 +461,82 @@ def sample_audio_windows(
         ]
     )
     return df.mapInPandas(_sample, schema)
+
+
+# -------------------------------------------------------- fingerprint
+
+
+def audio_fingerprint64(
+    x: np.ndarray, sr: int, frame_len: int = 1024, hop: int = 512, n_mels: int = 16
+) -> int:
+    """64-bit perceptual audio fingerprint — the audio analog of image
+    dHash (chromaprint-style, public construction): log-mel energies
+    over 16 bands, averaged into 4 time segments, then one bit per
+    (segment, band-neighbor) energy-gradient comparison + one bit per
+    (segment-neighbor, band) temporal gradient. Robust to re-encoding,
+    resampling, and gain changes (gradients ignore absolute level);
+    discriminative across different material.
+
+    Returned as a SIGNED 64-bit int (Spark LongType two's complement).
+
+    Input is first resampled to a fixed internal 8 kHz so fingerprints
+    are comparable ACROSS sample rates (the mel filterbank spans sr/2 —
+    without a canonical rate, the same material at 8 k and 16 k hashes
+    different band layouts; chromaprint does the same with 11025 Hz).
+    """
+    if sr != 8000:
+        x = resample_linear(np.asarray(x, dtype=np.float32), sr, 8000)
+        sr = 8000
+    mel = log_mel_spectrogram(x, sr, frame_len, hop, n_mels)
+    if mel.shape[0] == 0:
+        return 0
+    # collapse time into 4 equal segments (handles any clip length)
+    edges = (np.arange(5) * mel.shape[0] // 4).astype(int)
+    segs = np.stack(
+        [
+            mel[edges[i] : max(edges[i + 1], edges[i] + 1)].mean(axis=0)
+            for i in range(4)
+        ]
+    )  # (4, n_mels)
+    spectral = (segs[:, :-1] > segs[:, 1:]).reshape(-1)  # 4 × 15 = 60 bits
+    temporal = (segs[:-1, 0:4] > segs[1:, 0:4]).reshape(-1)  # 3 × 4 = 12 → take 4
+    bits = np.concatenate([spectral, temporal[:4]])  # 64 bits
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def audio_dhash(
+    df: DataFrame, content_col: str = "content", key_col: str = "image"
+) -> DataFrame:
+    """Binary WAV column → (audio, duration_s, afp) 64-bit fingerprint,
+    map-side. Near-dup pairs come from the same pigeonhole machinery as
+    text/image: `functions.sketches.hamming_blocked_pairs` over
+    (audio, afp) — the full multimodal dedup trio rides one join shape."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, buf in zip(pdf[key_col], pdf[content_col]):
+                x, sr = decode_wav(bytes(buf))
+                x1 = downmix_mono(x)
+                rows.append(
+                    {
+                        "audio": key,
+                        "duration_s": float(x1.size / max(sr, 1)),
+                        "afp": audio_fingerprint64(x1, sr),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["audio", "duration_s", "afp"])
+
+    schema = T.StructType(
+        [
+            T.StructField("audio", T.StringType()),
+            T.StructField("duration_s", T.FloatType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+    return df.mapInPandas(_fp, schema)

@@ -141,3 +141,64 @@ class TestSparkAudio:
         assert 1 <= len(clips) <= 3
         x, sr = audio.decode_wav(bytes(clips[0]["clip"]))
         assert sr == 16000 and x.shape[0] == 4000  # 0.25 s at 16 kHz
+
+
+class TestAudioFingerprint:
+    def _ham(self, a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def _tone_mix(self, seed, sr=8000, dur=1.0):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * dur)) / sr
+        x = np.zeros_like(t)
+        for f, a in zip(rng.uniform(100, 3000, 4), rng.uniform(0.1, 0.3, 4)):
+            x += a * np.sin(2 * np.pi * f * t)
+        return (x / np.max(np.abs(x)) * 0.8).astype(np.float32)
+
+    def test_invariance_and_discrimination(self):
+        x = self._tone_mix(1)
+        fp = audio.audio_fingerprint64(x, 8000)
+        # gain change: gradients unaffected
+        assert self._ham(fp, audio.audio_fingerprint64(x * 0.4, 8000)) <= 2
+        # 16-bit re-encode round trip: tiny distance
+        y16, _ = audio.decode_wav(audio.encode_wav(x, 8000, bits=16))
+        assert self._ham(fp, audio.audio_fingerprint64(y16[:, 0], 8000)) <= 2
+        # 8-bit re-encode (harsh -48 dB quantization noise): still well
+        # under the cross-material distances
+        y8, _ = audio.decode_wav(audio.encode_wav(x, 8000, bits=8))
+        assert self._ham(fp, audio.audio_fingerprint64(y8[:, 0], 8000)) <= 12
+        # resample to 16 kHz: near-identical (canonical internal rate)
+        z = audio.resample_linear(x, 8000, 16000)
+        assert self._ham(fp, audio.audio_fingerprint64(z, 16000)) <= 2
+        # different material: far
+        other = audio.audio_fingerprint64(self._tone_mix(77), 8000)
+        assert self._ham(fp, other) > 12
+
+    def test_spark_dedup_trio_machinery(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.functions.sketches import (
+            hamming_blocked_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        base = self._tone_mix(5)
+        (tmp_path / "a.wav").write_bytes(audio.encode_wav(base, 8000, bits=16))
+        # resampled re-encode: a true near-dup (canonical-rate hash)
+        (tmp_path / "b.wav").write_bytes(
+            audio.encode_wav(
+                audio.resample_linear(base, 8000, 16000), 16000, bits=16
+            )
+        )
+        (tmp_path / "c.wav").write_bytes(
+            audio.encode_wav(self._tone_mix(99), 8000, bits=16)
+        )
+        df = binary_source.read_binary_folder(spark, str(tmp_path), glob="*.wav")
+        hashes = audio.audio_dhash(df)
+        pairs = hamming_blocked_pairs(
+            hashes.select(F.col("audio").alias("doc"), F.col("afp").alias("fp")),
+            tau=8,
+            bits=64,
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a.wav", "b.wav")}
+
+    def test_empty_audio_fingerprint_zero(self):
+        assert audio.audio_fingerprint64(np.zeros(10, np.float32), 8000) == 0
