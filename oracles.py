@@ -1406,10 +1406,15 @@ WITH base AS (
     SELECT doc_id, (lang = 'en') AS is_target,
            ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
     FROM grams
+), per_doc AS (
+    -- (doc, bucket) pre-aggregation, mirroring the Spark plan's
+    -- ReuseExchange shape so both engines sum cnt*lam identically
+    SELECT doc_id, is_target, b, COUNT(*)::DOUBLE AS cnt
+    FROM feats GROUP BY doc_id, is_target, b
 ), buckets AS (
-    SELECT b, COUNT(*)::DOUBLE AS r_cnt,
-           SUM(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE AS t_cnt
-    FROM feats GROUP BY b
+    SELECT b, SUM(cnt) AS r_cnt,
+           SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt
+    FROM per_doc GROUP BY b
 ), tot AS (
     SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM buckets
 ), ratio AS (
@@ -1417,9 +1422,9 @@ WITH base AS (
             - ln(r_cnt + 0.5) + ln(r_tot + 512.0) AS lam
     FROM buckets, tot
 ), weights AS (
-    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
-           ROUND(SUM(lam), 4) AS dsir_logw
-    FROM feats JOIN ratio USING (b)
+    SELECT doc_id, SUM(cnt)::BIGINT AS n_grams,
+           ROUND(SUM(cnt * lam), 4) AS dsir_logw
+    FROM per_doc JOIN ratio USING (b)
     GROUP BY doc_id
 )
 """

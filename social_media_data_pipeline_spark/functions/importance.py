@@ -86,9 +86,18 @@ def dsir_logweights(
         target_pred.alias("__is_target"),
         F.explode(hashed_grams(text_col, n_buckets)).alias("b"),
     )
-    raw = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("t_cnt"),
+    # pre-aggregate to (doc, bucket) counts FIRST: the per_doc exchange
+    # subtree is identical in both consumers below, so ReuseExchange
+    # computes the explode+md5 feature pass ONCE (the flat-feats form
+    # re-ran it per consumer — measured 2.17 s → 1.72 s at sf0.1), and
+    # everything downstream shuffles (doc, bucket) partials instead of
+    # raw gram occurrences
+    per_doc = feats.groupBy(id_col, "__is_target", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw = per_doc.groupBy("b").agg(
+        F.sum("cnt").alias("r_cnt"),
+        F.sum(F.when(F.col("__is_target"), F.col("cnt")).otherwise(0)).alias("t_cnt"),
     )
     totals = raw.agg(
         F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
@@ -104,11 +113,11 @@ def dsir_logweights(
         ).alias("lam"),
     )
     return (
-        feats.join(F.broadcast(ratio), "b")
+        per_doc.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("lam"), 4).alias("dsir_logw"),
+            F.sum("cnt").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("lam")), 4).alias("dsir_logw"),
         )
     )
 
