@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from social_media_data_pipeline_spark import io as eio
 from social_media_data_pipeline_spark.functions import (
+    bpe,
     importance,
     retrieval,
     sketches,
@@ -1338,6 +1339,16 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etext.boilerplate_ngrams(docs, "text", k=3, min_df=5, top=100)
 
 
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 20 greedy merges over the
+    corpus word-frequency table (`functions/bpe.py`). One corpus pass,
+    then vocabulary-sized rounds with a 1-row argmax collect each —
+    iterative like dedup_clusters; oracle is a generated 20-round CTE
+    chain replaying the same tie-breaks and islands-parity merges."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, num_merges=20).orderBy("merge_rank")
+
+
 def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (RAG/embedding prep): 24-token windows,
     8-token overlap, with token provenance
@@ -1460,6 +1471,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_sample": q_docs_dsir_sample,
     "docs_bigram_logprob": q_docs_bigram_logprob,
     "docs_chunks": q_docs_chunks,
+    "docs_bpe_merges": q_docs_bpe_merges,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

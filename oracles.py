@@ -1505,3 +1505,11 @@ SELECT doc_id AS id, chunk_id, token_start,
 FROM chunks
 ORDER BY id, chunk_id
 """
+
+# Distributed BPE training: the oracle is GENERATED — one CTE chain per
+# merge round (materialized to avoid exponential CTE inlining),
+# replaying the exact argmax tie-break and islands-parity merge
+# application of functions/bpe.py. See build_oracle_sql's docstring.
+from social_media_data_pipeline_spark.functions.bpe import build_oracle_sql as _bpe_oracle
+
+ORACLES["docs_bpe_merges"] = _bpe_oracle(20)

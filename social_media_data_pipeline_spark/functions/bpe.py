@@ -1,0 +1,186 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, public
+paper — byte-pair encoding over a word-frequency table).
+
+The 100 TB shape: the CORPUS is touched exactly once — one
+map-side-combinable `groupBy(word).count()` — and every training round
+runs over the resulting VOCABULARY table (distinct words × frequency),
+which is sublinear in corpus size and independent of it once saturated.
+Each round is (a) one hash aggregate counting adjacent symbol pairs
+weighted by word frequency, (b) a 1-row argmax collect (the chosen
+merge — this is the bounded per-round driver collect, same class as
+`deterministic_shuffle`'s bucket offsets), and (c) a map-side merge
+application. `localCheckpoint` cuts lineage so round N's plan does not
+replay rounds 0..N-1.
+
+Merge application is a left-to-right non-overlapping fold (the BPE
+contract: in "aaaa", pair (a,a) merges positions 0-1 and 2-3, not
+1-2): an `F.aggregate` fold whose accumulator appends or fuses with
+its last element — after a fusion the last element is "lr" ≠ "l", so
+overlapping re-merges are impossible by construction. The DuckDB
+oracle reproduces the same semantics with an islands-parity window
+(consecutive match runs merge at even offsets), so the whole training
+run is differentially checked round by round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions.text import tokenize
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of adjacent (left, right)
+    symbol pairs inside one symbol array."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The single corpus pass: (word, freq, syms=chars). Everything
+    after this is vocabulary-sized."""
+    return (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", "freq", F.split("w", "").alias("syms"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Train `num_merges` BPE merges on the corpus; returns the merge
+    table (rank, left, right, pair_freq) in training order — the
+    artifact a tokenizer loads. Greedy argmax per round with
+    deterministic (freq DESC, left ASC, right ASC) tie-break."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    words = word_freq_table(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        syms = F.col("syms")
+        n = F.size(syms) - 1
+        pairs = words.filter(F.size(syms) >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, n),
+                    F.slice(syms, 2, n),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        words = words.withColumn("syms", _apply_merge(F.col("syms"), l, r))
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a trained merge list to a corpus: per word, replay merges
+    in rank order (the standard greedy encoder). Map-side only — the
+    merge list is a plan literal (broadcast-by-construction)."""
+    toks = tokenize(text_col)
+    word_syms = F.transform(toks, lambda w: F.split(w, ""))
+    for left, right in merges:
+        word_syms = F.transform(word_syms, lambda s: _apply_merge(s, left, right))
+    return df.withColumn(out_col, F.flatten(word_syms))
+
+
+def build_oracle_sql(num_merges: int) -> str:
+    """Generated DuckDB SQL replaying the exact training loop, round by
+    round: per-round argmax with the same tie-break, then merge
+    application via islands-parity windows — within each maximal run of
+    consecutive match positions, merges fire at odd run-ranks, which is
+    exactly what the left-to-right fold produces (overlap only arises
+    when lhs == rhs). One CTE chain per round; the final SELECT unions
+    the per-round argmax rows into the merge table."""
+    parts = [
+        """WITH w0 AS MATERIALIZED (
+    SELECT w, COUNT(*)::BIGINT AS freq, regexp_split_to_array(w, '') AS syms
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                         '\\s+')) AS w
+        FROM documents
+    ) WHERE length(w) > 0 GROUP BY w
+)"""
+    ]
+    for k in range(num_merges):
+        parts.append(
+            f""", b{k} AS MATERIALIZED (
+    SELECT l, r, cnt FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq)::BIGINT AS cnt
+        FROM w{k}, LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(i)
+        WHERE len(syms) >= 2
+        GROUP BY 1, 2
+    ) ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+), e{k} AS MATERIALIZED (
+    SELECT w, freq, i, syms[i] AS s, syms[i + 1] AS s_next,
+           COALESCE(syms[i] = b.l AND syms[i + 1] = b.r, FALSE) AS marked
+    FROM w{k}, LATERAL unnest(generate_series(1, len(syms))) AS g(i), b{k} AS b
+), a{k} AS MATERIALIZED (
+    SELECT w, freq, i, s, s_next,
+           CASE WHEN marked THEN
+               ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY i) % 2 = 1
+           ELSE FALSE END AS active
+    FROM (
+        SELECT *, CASE WHEN marked THEN
+                      i - ROW_NUMBER() OVER (PARTITION BY w, marked ORDER BY i)
+                  END AS isl
+        FROM e{k}
+    )
+), m{k} AS MATERIALIZED (
+    SELECT w, freq, i,
+           CASE WHEN active THEN s || s_next
+                WHEN lag(active, 1, FALSE) OVER (PARTITION BY w ORDER BY i)
+                    THEN NULL
+                ELSE s END AS out
+    FROM a{k}
+), w{k + 1} AS MATERIALIZED (
+    SELECT w, ANY_VALUE(freq) AS freq,
+           list(out ORDER BY i) FILTER (WHERE out IS NOT NULL) AS syms
+    FROM m{k} GROUP BY w
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_freq FROM b{k}"
+        for k in range(num_merges)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank")
+    return "".join(parts)
