@@ -24,7 +24,7 @@ run is differentially checked round by round.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark.functions.text import tokenize
