@@ -1349,6 +1349,29 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(docs, num_merges=20).orderBy("merge_rank")
 
 
+def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding composed with training: replay the 20 trained
+    merges over every document map-side (`functions/bpe.py:bpe_encode`)
+    and report per-doc word/BPE-token counts — compression the merges
+    bought. Oracle joins exploded tokens to the trained vocabulary's
+    final symbol arrays (every corpus word is in-vocab by
+    construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    trained = bpe.bpe_train(docs, num_merges=20)
+    merges = [(r["lhs"], r["rhs"]) for r in trained.orderBy("merge_rank").collect()]
+    enc = bpe.bpe_encode(docs, merges)
+    n_words = F.size(F.filter(etext.tokenize("text"), lambda w: F.length(w) > 0))
+    return (
+        enc.select(
+            "doc_id",
+            n_words.cast("bigint").alias("n_words"),
+            F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .filter(F.col("n_words") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (RAG/embedding prep): 24-token windows,
     8-token overlap, with token provenance
@@ -1472,6 +1495,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_logprob": q_docs_bigram_logprob,
     "docs_chunks": q_docs_chunks,
     "docs_bpe_merges": q_docs_bpe_merges,
+    "docs_bpe_tokens": q_docs_bpe_tokens,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

@@ -1513,3 +1513,9 @@ ORDER BY id, chunk_id
 from social_media_data_pipeline_spark.functions.bpe import build_oracle_sql as _bpe_oracle
 
 ORACLES["docs_bpe_merges"] = _bpe_oracle(20)
+
+from social_media_data_pipeline_spark.functions.bpe import (
+    build_encode_oracle_sql as _bpe_encode_oracle,
+)
+
+ORACLES["docs_bpe_tokens"] = _bpe_encode_oracle(20)

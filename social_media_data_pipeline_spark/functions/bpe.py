@@ -116,7 +116,7 @@ def bpe_encode(
     """Apply a trained merge list to a corpus: per word, replay merges
     in rank order (the standard greedy encoder). Map-side only — the
     merge list is a plan literal (broadcast-by-construction)."""
-    toks = tokenize(text_col)
+    toks = F.filter(tokenize(text_col), lambda w: F.length(w) > 0)
     word_syms = F.transform(toks, lambda w: F.split(w, ""))
     for left, right in merges:
         word_syms = F.transform(word_syms, lambda s: _apply_merge(s, left, right))
@@ -184,3 +184,31 @@ def build_oracle_sql(num_merges: int) -> str:
     )
     parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank")
     return "".join(parts)
+
+
+def build_encode_oracle_sql(num_merges: int) -> str:
+    """Generated DuckDB oracle for `bpe_encode` composed with
+    `bpe_train`: every corpus word appears in the trained vocabulary,
+    so encoding a document is a lookup of each word's FINAL symbol
+    array in w{num_merges} — the same CTE chain as the training oracle,
+    with the final select joining exploded document tokens back to the
+    trained word states. Output: (doc_id, n_words, n_bpe_tokens)."""
+    chain = build_oracle_sql(num_merges)
+    # strip the training oracle's final SELECT (after the last CTE ')')
+    cut = chain.rfind("\nSELECT * FROM (")
+    return (
+        chain[:cut]
+        + f"""
+, doc_words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+')) AS w
+    FROM documents
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(len(v.syms))::BIGINT AS n_bpe_tokens
+FROM doc_words d JOIN w{num_merges} v USING (w)
+GROUP BY doc_id
+ORDER BY doc_id"""
+    )
