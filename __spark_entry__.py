@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from social_media_data_pipeline_spark import io as eio
 from social_media_data_pipeline_spark.functions import (
     bpe,
+    classifier,
     importance,
     retrieval,
     sketches,
@@ -1349,6 +1350,27 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(docs, num_merges=20).orderBy("merge_rank")
 
 
+def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality filter: 10 deterministic batch-GD iterations
+    of logistic regression over 256 hashed (uni+bi)gram buckets
+    (lang='en' proxy label), then score every document
+    (`functions/classifier.py`). Iterative like dedup_clusters; the
+    oracle replays the full training loop as a generated CTE chain."""
+    docs = _t(spark, sf_dir, "documents")
+    w = classifier.logreg_train(
+        docs, F.col("lang") == "en", n_buckets=256, iters=10, lr=1.0
+    )
+    return (
+        classifier.quality_scores(docs, w, n_buckets=256)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding composed with training: replay the 20 trained
     merges over every document map-side (`functions/bpe.py:bpe_encode`)
@@ -1496,6 +1518,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunks": q_docs_chunks,
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_tokens": q_docs_bpe_tokens,
+    "docs_quality_classifier": q_docs_quality_classifier,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

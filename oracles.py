@@ -1519,3 +1519,9 @@ from social_media_data_pipeline_spark.functions.bpe import (
 )
 
 ORACLES["docs_bpe_tokens"] = _bpe_encode_oracle(20)
+
+from social_media_data_pipeline_spark.functions.classifier import (
+    build_logreg_oracle_sql as _logreg_oracle,
+)
+
+ORACLES["docs_quality_classifier"] = _logreg_oracle(n_buckets=256, iters=10, lr=1.0)
