@@ -136,6 +136,124 @@ def pandas_docs_duplicate_spans(sf_dir: str) -> pd.DataFrame:
     return spans.drop(columns=["grp"])
 
 
+def pandas_docs_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    # eager single-process DSIR: hashed (uni+bi)gram buckets via md5,
+    # smoothed target/raw log-ratio summed per doc
+    import hashlib
+    import math
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    B, alpha = 1024, 0.5
+
+    def buckets(text):
+        toks = str(text or "").lower().strip().split()
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in grams
+        ]
+
+    doc_buckets = [buckets(t) for t in docs["text"]]
+    is_target = (docs["lang"] == "en").tolist()
+    r_cnt, t_cnt = Counter(), Counter()
+    for bs, tgt in zip(doc_buckets, is_target):
+        for b in bs:
+            r_cnt[b] += 1
+            if tgt:
+                t_cnt[b] += 1
+    R, T = sum(r_cnt.values()), sum(t_cnt.values())
+    lam = {
+        b: math.log(t_cnt[b] + alpha)
+        - math.log(T + alpha * B)
+        - math.log(r_cnt[b] + alpha)
+        + math.log(R + alpha * B)
+        for b in r_cnt
+    }
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "n_grams": [len(bs) for bs in doc_buckets],
+            "dsir_logw": [round(sum(lam[b] for b in bs), 4) for bs in doc_buckets],
+        }
+    )
+
+
+def pandas_docs_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    import math
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tok_lists = [str(t or "").lower().strip().split() for t in docs["text"]]
+    big, ctx, uni = Counter(), Counter(), Counter()
+    for toks in tok_lists:
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] += 1
+            ctx[a] += 1
+    N, V = sum(uni.values()), len(uni)
+    out = []
+    for doc_id, toks in zip(docs["doc_id"], tok_lists):
+        trans = list(zip(toks, toks[1:]))
+        if not trans:
+            continue
+        lp = [
+            math.log(
+                0.7 * big[(a, b)] / ctx[a]
+                + (1.0 - 0.7) * (uni[b] + 0.5) / (N + 0.5 * V)
+            )
+            for a, b in trans
+        ]
+        out.append((doc_id, len(trans), round(sum(lp) / len(lp), 4)))
+    return pd.DataFrame(out, columns=["doc_id", "n_transitions", "bigram_logprob"])
+
+
+def pandas_docs_chunks(sf_dir: str) -> pd.DataFrame:
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    chunk, step = 24, 16
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = str(t or "").lower().strip().split()
+        n = len(toks)
+        n_chunks = 1 + max(0, -(-(n - chunk) // step)) if n > chunk else 1
+        for i in range(n_chunks):
+            ctoks = toks[i * step : i * step + chunk]
+            rows.append((doc_id, i, i * step, len(ctoks), " ".join(ctoks)))
+    return pd.DataFrame(
+        rows, columns=["id", "chunk_id", "token_start", "n_tokens", "chunk_text"]
+    )
+
+
+def pandas_docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    wf = Counter()
+    for t in docs["text"]:
+        for w in str(t or "").lower().strip().split():
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(20):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return pd.DataFrame(merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"])
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -144,7 +262,15 @@ PANDAS_IMPLS = {
     "sample_per_year": pandas_sample_per_year,
     "docs_segment_dedup": pandas_docs_segment_dedup,
     "docs_duplicate_spans": pandas_docs_duplicate_spans,
+    "docs_dsir_weights": pandas_docs_dsir_weights,
+    "docs_bigram_logprob": pandas_docs_bigram_logprob,
+    "docs_chunks": pandas_docs_chunks,
+    "docs_bpe_merges": pandas_docs_bpe_merges,
 }
+
+#: queries whose Spark side runs jobs during plan construction — the
+#: honest Spark number is a full construct+write cycle
+ITERATIVE_IMPLS = {"docs_bpe_merges"}
 
 
 def main() -> None:
@@ -162,7 +288,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()  # warm codegen
         t0 = time.time()
-        df.write.mode("overwrite").format("noop").save()
+        if name in ITERATIVE_IMPLS:
+            df2 = qs[name](spark, sf_dir)
+            df2.write.mode("overwrite").format("noop").save()
+        else:
+            df.write.mode("overwrite").format("noop").save()
         t_spark = time.time() - t0
         ratio = t_pandas / t_spark if t_spark > 0 else float("inf")
         print(f"{name:20} {t_pandas:>9.3f} {t_spark:>8.3f} {ratio:>6.2f}x")
