@@ -123,6 +123,27 @@ def bpe_encode(
     return df.withColumn(out_col, F.flatten(word_syms))
 
 
+def bpe_vocab(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(w, syms): final BPE segmentation of every distinct corpus word —
+    the merges replay over the VOCABULARY (once per distinct word), not
+    the token stream. Encoding a corpus is then a broadcast join of
+    tokens against this table, which is how a production encoder
+    amortizes at 100 TB: fold work ∝ vocab, corpus work ∝ one join.
+    (`bpe_encode` replays merges per token — same result, the right
+    tool only for out-of-vocab streams.)"""
+    words = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    syms = F.split("w", "")
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    return words.select("w", syms.alias("syms"))
+
+
 def build_oracle_sql(num_merges: int) -> str:
     """Generated DuckDB SQL replaying the exact training loop, round by
     round: per-round argmax with the same tie-break, then merge

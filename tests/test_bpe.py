@@ -85,3 +85,15 @@ class TestBpeEncode:
         for i, t in enumerate(TEXTS):
             exp_tokens = [s for w in t.lower().split() for s in exp_words[w]]
             assert got[i] == exp_tokens, f"doc {i}"
+
+
+class TestBpeVocab:
+    def test_vocab_join_equals_per_token_replay(self, spark):
+        exp_merges, _ = py_bpe(TEXTS, 8)
+        merges = [(l, r) for _, l, r, _ in exp_merges]
+        docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)])
+        vocab = {r.w: r.syms for r in bpe.bpe_vocab(docs, merges).collect()}
+        enc = {r.doc_id: r.bpe_tokens for r in bpe.bpe_encode(docs, merges).collect()}
+        for i, t in enumerate(TEXTS):
+            via_vocab = [s for w in t.lower().split() if w for s in vocab[w]]
+            assert enc[i] == via_vocab, f"doc {i}"
