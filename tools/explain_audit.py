@@ -138,6 +138,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window sort", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_quality_classifier": [
+        # scoring joins the 257-row weight table via broadcast; no
+        # window, no python — training-loop plans are per-iteration and
+        # audited implicitly by this final composed plan's shape
+        ("weights broadcast", r"BroadcastHashJoin"),
+        ("no window sort", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_bpe_tokens": [
+        # tokens join the folded vocabulary via broadcast; per-token
+        # merge replay must NOT appear (that is the OOV path)
+        ("vocab broadcast", r"BroadcastHashJoin"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_chunks": [
         # one map-side projection: posexplode over transform/slice — the
         # ONLY exchange allowed is the presentation orderBy's range
