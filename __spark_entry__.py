@@ -1350,6 +1350,27 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(docs, num_merges=20).orderBy("merge_rank")
 
 
+def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point queries vs exact counts for the 30 most
+    frequent tokens (`functions/sketches.py:cms_build/cms_estimate`,
+    depth 4 × width 512): the mergeable frequency structure whose
+    shuffle is bounded by sketch size, with the CMS overestimate
+    property visible in the output (cms_est >= exact_cnt always)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(etext.tokenize("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    sketch = sketches.cms_build(toks, "t", depth=4, width=512)
+    exact = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("t")).limit(30)
+    est = sketches.cms_estimate(sketch, top.select("t"), "t", depth=4, width=512)
+    return (
+        top.join(est, "t")
+        .select("t", "exact_cnt", "cms_est")
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+    )
+
+
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality filter: 10 deterministic batch-GD iterations
     of logistic regression over 256 hashed (uni+bi)gram buckets
@@ -1528,6 +1549,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "docs_bpe_tokens": q_docs_bpe_tokens,
     "docs_quality_classifier": q_docs_quality_classifier,
+    "token_cms_estimates": q_token_cms_estimates,
     "sessionize_bounded": q_sessionize_bounded,
     "docs_token_pmi": q_docs_token_pmi,
     "docs_containment": q_docs_containment,

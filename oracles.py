@@ -1525,3 +1525,33 @@ from social_media_data_pipeline_spark.functions.classifier import (
 )
 
 ORACLES["docs_quality_classifier"] = _logreg_oracle(n_buckets=256, iters=10, lr=1.0)
+
+# Count-Min Sketch point queries: cells are
+# ('0x'||substr(md5(d||':'||t),1,8))::BIGINT % 512 for d in 0..3,
+# mirroring sketches._cms_col exactly; est = min over the 4 rows.
+ORACLES["token_cms_estimates"] = f"""
+WITH toks AS (
+    SELECT unnest({_TOKS}) AS t FROM documents
+), nonempty AS (
+    SELECT t FROM toks WHERE length(t) > 0
+), cells AS (
+    SELECT d, ('0x' || substr(md5(d || ':' || t), 1, 8))::BIGINT % 512 AS col,
+           COUNT(*)::BIGINT AS cnt
+    FROM nonempty, LATERAL unnest(generate_series(0, 3)) AS g(d)
+    GROUP BY d, col
+), exact AS (
+    SELECT t, COUNT(*)::BIGINT AS exact_cnt FROM nonempty GROUP BY t
+), top AS (
+    SELECT t, exact_cnt FROM exact ORDER BY exact_cnt DESC, t ASC LIMIT 30
+), probes AS (
+    SELECT t, d, ('0x' || substr(md5(d || ':' || t), 1, 8))::BIGINT % 512 AS col
+    FROM top, LATERAL unnest(generate_series(0, 3)) AS g(d)
+), est AS (
+    SELECT t, MIN(COALESCE(cnt, 0))::BIGINT AS cms_est
+    FROM probes LEFT JOIN cells USING (d, col)
+    GROUP BY t
+)
+SELECT t, exact_cnt, cms_est
+FROM top JOIN est USING (t)
+ORDER BY exact_cnt DESC, t ASC
+"""

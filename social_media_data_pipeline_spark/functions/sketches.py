@@ -537,3 +537,79 @@ def decontaminate(
         F.col("doc").alias(id_col)
     )
     return train.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005, public paper)
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(item: Column, d: int, width: int) -> Column:
+    """Row-d hash column for an item: conv(md5('d:item')[:8]) % width —
+    the oracle-replayable md5 idiom shared by the whole sketch family."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), item)), 1, 8), 16, 10
+    ).cast("bigint")
+    return (h % width).cast("int")
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str = "t",
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min Sketch over an item stream → (d, col, cnt)
+    table with at most depth×width rows.
+
+    Scale shape (100 TB): ONE explode of `depth` (row, col) cells per
+    item feeds a map-side-combinable sum — the shuffle carries at most
+    depth×width partials per map partition no matter the stream size,
+    and two sketches built on different data MERGE by adding cell
+    counts (`cms_merge`), which is what makes this the streaming /
+    cross-shard frequency structure the exact `value_counts` can't be.
+    Estimates overestimate only: est(x) ≥ true(x), with
+    ε ≈ e/width · N at δ ≈ e^−depth (standard CMS bounds).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = items.select(
+        F.posexplode(
+            F.array(*[_cms_col(F.col(item_col), d, width) for d in range(depth)])
+        ).alias("d", "col"),
+        w.alias("__w"),
+    )
+    return cells.groupBy("d", "col").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two same-shape sketches by cell-wise addition."""
+    return (
+        a.unionByName(b).groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str = "t",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each row of `queries`: est = min over
+    the depth rows' cells. The sketch (≤ depth×width rows) broadcasts;
+    the probe is an equi-join per depth row + a min aggregate — no
+    shuffle of the query set beyond its own grouping."""
+    probes = queries.select(
+        F.col(item_col),
+        F.posexplode(
+            F.array(*[_cms_col(F.col(item_col), d, width) for d in range(depth)])
+        ).alias("d", "col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -627,3 +627,57 @@ def test_containment_catches_subset_duplication(spark):
     assert len(cont) == 1 and cont[0].containment_a == 1.0
     jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
     assert jac == []  # symmetric Jaccard misses the subset-dup
+
+
+class TestCountMinSketch:
+    def _items(self, spark):
+        from pyspark.sql import Row
+
+        rows = [Row(t="hot")] * 50 + [Row(t=f"cold{i}") for i in range(40)]
+        return spark.createDataFrame(rows)
+
+    def test_overestimate_and_exactness(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+        from pyspark.sql import Row, functions as F
+
+        items = self._items(spark)
+        queries = spark.createDataFrame(
+            [Row(t="hot"), Row(t="cold0"), Row(t="absent")]
+        )
+        # tiny width forces collisions: estimates may only OVERestimate
+        tight = sk.cms_estimate(
+            sk.cms_build(items, depth=3, width=4), queries, depth=3, width=4
+        )
+        got = {r["t"]: r["cms_est"] for r in tight.collect()}
+        assert got["hot"] >= 50 and got["cold0"] >= 1
+        # wide sketch: with 41 distinct items in 4096 cells x 4 rows the
+        # min over rows is exact for every query here
+        wide = sk.cms_estimate(
+            sk.cms_build(items, depth=4, width=4096), queries, depth=4, width=4096
+        )
+        got = {r["t"]: r["cms_est"] for r in wide.collect()}
+        assert got == {"hot": 50, "cold0": 1, "absent": 0}
+
+    def test_merge_equals_union_build(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+        from pyspark.sql import Row
+
+        a = spark.createDataFrame([Row(t="x")] * 5 + [Row(t="y")] * 2)
+        b = spark.createDataFrame([Row(t="x")] * 3 + [Row(t="z")] * 7)
+        merged = sk.cms_merge(
+            sk.cms_build(a, depth=3, width=64), sk.cms_build(b, depth=3, width=64)
+        )
+        direct = sk.cms_build(a.unionByName(b), depth=3, width=64)
+        m = {(r["d"], r["col"]): r["cnt"] for r in merged.collect()}
+        d = {(r["d"], r["col"]): r["cnt"] for r in direct.collect()}
+        assert m == d
+
+    def test_guards(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+        import pytest as _pytest
+
+        items = self._items(spark)
+        with _pytest.raises(ValueError):
+            sk.cms_build(items, depth=0)
+        with _pytest.raises(ValueError):
+            sk.cms_build(items, width=1)
