@@ -213,3 +213,80 @@ class TestSubdocProperties:
             # maximal spans cannot touch or overlap (they would have merged)
             for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
                 assert s2 > e1 - 2  # next window start beyond previous run
+
+
+class TestHammingBlockingProperties:
+    """The generic pigeonhole join must equal the brute-force O(n²)
+    pair scan for ANY fingerprint multiset and any tau — this is the
+    recall-1.0 guarantee the image/audio near-dup paths inherit."""
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        fps=st.lists(
+            st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            min_size=2,
+            max_size=14,
+        ),
+        tau=st.integers(min_value=1, max_value=6),
+    )
+    def test_blocked_equals_bruteforce(self, spark, fps, tau):
+        from social_media_data_pipeline_spark.functions.sketches import (
+            hamming_blocked_pairs,
+        )
+
+        rows = [(i, v) for i, v in enumerate(fps)]
+        df = spark.createDataFrame(rows, "doc long, fp long")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_blocked_pairs(df, tau=tau, bits=64).collect()
+        }
+        exp = set()
+        for i, a in enumerate(fps):
+            for j in range(i + 1, len(fps)):
+                h = bin((a ^ fps[j]) & ((1 << 64) - 1)).count("1")
+                if h <= tau:
+                    exp.add((i, j, h))
+        assert got == exp
+
+
+class TestChunkingProperties:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(
+        n_tokens=st.integers(min_value=1, max_value=60),
+        chunk=st.integers(min_value=2, max_value=12),
+        overlap=st.integers(min_value=0, max_value=6),
+    )
+    def test_coverage_and_overlap_invariants(self, spark, n_tokens, chunk, overlap):
+        from social_media_data_pipeline_spark.operators.packing import chunk_documents
+
+        overlap = min(overlap, chunk - 1)
+        toks = [f"t{i}" for i in range(n_tokens)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        step = chunk - overlap
+        # every token covered exactly by the reconstructed windows
+        seen = []
+        for r in rows:
+            assert r.token_start == r.chunk_id * step
+            body = r.chunk_text.split(" ")
+            assert body == toks[r.token_start : r.token_start + chunk]
+            assert r.n_tokens == len(body) <= chunk
+            seen.extend(body)
+        assert set(seen) == set(toks)
+        # consecutive chunks share exactly `overlap` tokens (full chunks)
+        for a, b in zip(rows, rows[1:]):
+            a_body = a.chunk_text.split(" ")
+            b_body = b.chunk_text.split(" ")
+            if len(a_body) == chunk:
+                assert a_body[step:] == b_body[: len(a_body) - step]
+        # no trailing pure-duplicate window
+        if len(rows) > 1:
+            assert rows[-1].token_start + 1 <= n_tokens
+            assert rows[-2].token_start + chunk < n_tokens
