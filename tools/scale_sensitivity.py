@@ -44,6 +44,8 @@ from social_media_data_pipeline_spark.functions import (  # noqa: E402
     sketches,
     text as etext,
 )
+from social_media_data_pipeline_spark.functions import bpe as ebpe  # noqa: E402
+from social_media_data_pipeline_spark.functions import classifier as eclf  # noqa: E402
 from social_media_data_pipeline_spark.functions import importance as eimp  # noqa: E402
 from social_media_data_pipeline_spark.operators import dedup as ededup  # noqa: E402
 from social_media_data_pipeline_spark.operators import packing as epack  # noqa: E402
@@ -150,6 +152,17 @@ def heavy_queries(spark, sf_dir: str):
         "docs_bigram_logprob": lambda: etext.bigram_logprob(docs),
         "docs_chunks": lambda: epack.chunk_documents(
             docs, chunk_tokens=24, overlap=8
+        ),
+        # trainable components: the whole train(+score) cycle runs at
+        # construction (argmax/weight collects per round), so the thunk
+        # rebuilds it inside the timed region like dedup_clusters
+        "docs_bpe_merges": lambda: ebpe.bpe_train(docs, num_merges=10),
+        "docs_quality_classifier": lambda: eclf.quality_scores(
+            docs,
+            eclf.logreg_train(
+                docs, F.col("lang") == "en", n_buckets=256, iters=5
+            ),
+            n_buckets=256,
         ),
     }
 
