@@ -829,6 +829,18 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
 
 
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) semantic dedup: cluster embeddings,
+    drop τ-similar same-cluster neighbors, keep the example farthest
+    from its centroid. Deterministic centroids (vec_id % 50 == 0, the
+    `embedding_ivf_topk` convention) keep it oracle-checkable; τ=0.3
+    sits inside this corpus's within-cluster cosine range (max ≈ 0.48)
+    so real pruning happens at every sf."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return similarity.semdedup(emb, centroids, threshold=0.3).orderBy("vec_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: connected components over the
     MinHash-LSH candidate graph; canonical doc = min id per component."""
@@ -1371,6 +1383,33 @@ def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketches (`functions/sketches.py:kmv_build`):
+    per-(event_type, week) sketches of distinct users, MERGED across
+    weeks with `kmv_merge`, estimated with the (k-1)/coverage
+    estimator, side-by-side with the exact distinct count. The merge
+    path is the point: persistable per-slice sketches unioned later —
+    what `approx_count_distinct` (opaque HLL registers) can't do — and
+    deterministic md5 hashing makes the whole thing exact-SQL
+    oracle-checkable (the oracle computes the global k-smallest
+    directly; the weekly merge is provably lossless)."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+    )
+    sk = sketches.kmv_build(weekly, ["event_type", "wk"], "user_id", k=64)
+    merged = sketches.kmv_merge(sk, ["event_type"], k=64)
+    est = sketches.kmv_estimate(merged, k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "exact_distinct", "distinct_est")
+        .orderBy("event_type")
+    )
+
+
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality filter: 10 deterministic batch-GD iterations
     of logistic regression over 256 hashed (uni+bi)gram buckets
@@ -1561,6 +1600,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_wise_total": q_row_wise_total,
     "docs_fingerprint": q_docs_fingerprint,
     "date_format_labels": q_date_format_labels,
+    "embedding_semdedup": q_embedding_semdedup,  # registered late r5 → r6 window
+    "events_kmv_distinct": q_events_kmv_distinct,  # registered late r5 → r6 window
     # ---- tail: rotated out r5 after 3-4 consecutive green driver rounds,
     # return r6 (see ROADMAP.md) ----
     "filter_in_contains": q_filter_in_contains,

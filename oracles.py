@@ -640,6 +640,36 @@ WHERE {_cos('a.vec', 'b.vec')} >= 0.95
 ORDER BY id_a, id_b
 """
 
+# SemDeDup (arXiv:2303.09540), relational dominance formulation: x is
+# dropped iff a same-cluster y has cos(x,y) >= 0.3 and (c_cos(y), y.id)
+# < (c_cos(x), x.id) — survivors are the minimal elements, i.e. the
+# paper's "keep farthest from centroid" rule made one-pass.
+ORACLES["embedding_semdedup"] = f"""
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
+    FROM embeddings WHERE vec_id % 50 = 0
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, vec, centroid_id AS cluster,
+           ROUND({_cos('vec', 'c_vec')}, 6) AS c_cos
+    FROM v, c
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+    WHERE ROUND({_cos('a.vec', 'b.vec')}, 6) >= 0.3
+      AND (b.c_cos < a.c_cos OR (b.c_cos = a.c_cos AND b.vec_id < a.vec_id))
+)
+SELECT vec_id, cluster, c_cos
+FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+"""
+
 ORACLES["embedding_ivf_topk"] = f"""
 WITH c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
@@ -1529,6 +1559,39 @@ ORACLES["docs_quality_classifier"] = _logreg_oracle(n_buckets=256, iters=10, lr=
 # Count-Min Sketch point queries: cells are
 # ('0x'||substr(md5(d||':'||t),1,8))::BIGINT % 512 for d in 0..3,
 # mirroring sketches._cms_col exactly; est = min over the 4 rows.
+# KMV distinct sketch: the oracle computes the global k-smallest distinct
+# hashes per group directly; the Spark side builds per-week sketches and
+# merges them — provably lossless (any hash in the global top-k is top-k
+# within its own week), so both paths produce identical sketches.
+ORACLES["events_kmv_distinct"] = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM events
+), ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+), sk AS (
+    SELECT event_type, max(rn) AS sz,
+           max(CASE WHEN rn = 64 THEN h END) AS h_k
+    FROM ranked WHERE rn <= 64
+    GROUP BY event_type
+), est AS (
+    SELECT event_type,
+           CASE WHEN sz < 64 THEN sz::DOUBLE
+                ELSE ROUND(63.0 * 1152921504606846976.0 / h_k, 4)
+           END AS distinct_est
+    FROM sk
+), exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT exact.event_type, exact.exact_distinct, est.distinct_est
+FROM exact JOIN est USING (event_type)
+ORDER BY event_type
+"""
+
 ORACLES["token_cms_estimates"] = f"""
 WITH toks AS (
     SELECT unnest({_TOKS}) AS t FROM documents

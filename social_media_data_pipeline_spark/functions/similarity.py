@@ -360,6 +360,69 @@ def ivf_assign(
         F.col("best.vec").alias(vec_col),
         F.col("best.v_norm").alias("v_norm"),
         (-F.col("best.neg_id")).cast("int").alias("cluster"),
+        F.col("best.c_cos").alias("c_cos"),
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding-cluster pruning. Cluster the corpus
+    (here: deterministic IVF assignment — production swaps k-means
+    centroids without touching this), then within each cluster drop
+    every vector that has a τ-similar neighbor ranked ahead of it.
+
+    The paper keeps, per ε-ball, the example FARTHEST from its cluster
+    centroid (low centroid-cosine = more informative / less generic);
+    its greedy sequential sweep is replaced here with a one-pass
+    relational dominance rule so the operator stays a pure DataFrame
+    plan: x is dropped iff some same-cluster y has cos(x, y) ≥ τ and
+    (c_cos(y), y.id) < (c_cos(x), x.id) lexicographically. Minimal
+    elements of that order survive — for a clique of mutual τ-neighbors
+    this is exactly the paper's keep-one-farthest choice; for chains it
+    is slightly more aggressive (a dropped y can still dominate x),
+    which is the conservative direction for dedup.
+
+    Scale shape (100 TB): the only shuffle is the cluster-keyed
+    self-join; cells are ~√n (see `select_ivf_centroids`) so candidate
+    pairs stay ~n·√n, never n². No iteration, no driver state. Returns
+    survivors as (id, cluster, c_cos).
+    """
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("v_norm").alias("na"),
+        F.col("c_cos").alias("cc_a"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("v_norm").alias("nb"),
+        F.col("c_cos").alias("cc_b"),
+        "cluster",
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .filter(
+            (F.col("cc_b") < F.col("cc_a"))
+            | ((F.col("cc_b") == F.col("cc_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cluster", "c_cos").join(
+        dominated, id_col, "left_anti"
     )
 
 

@@ -544,6 +544,93 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
+# ------------------------------------------------------------------ KMV
+
+_KMV_SPACE = float(1 << 60)  # hash domain: 15 md5 hex chars
+
+
+def _kmv_hash(col: Column) -> Column:
+    """60-bit md5-derived hash, non-negative bigint — the same
+    oracle-replayable idiom as `_cms_col` / `_SIMHASH` (DuckDB:
+    ('0x' || substr(md5(v), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    subgroups: int = 16,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group: the k smallest
+    distinct hash values of `value_col` (Bar-Yossef et al. 2002). The
+    sketch Spark's own HLL++ (`approx_count_distinct`) can't give you:
+    a MERGEABLE, persistable column (array<bigint>) with a DETERMINISTIC
+    value — build per shard/day, store, union later with `kmv_merge`,
+    and every engine that hashes the same way reproduces it bit-for-bit
+    (the exact-SQL oracle property HLL's opaque registers lack).
+
+    Scale shape (100 TB): two-level bounded-state aggregation. Level 1
+    groups on (group, h % subgroups) — collect_set state is the distinct
+    values in one hash-range slice, 1/subgroups of the group's distinct
+    set; raise `subgroups` to bound memory at any cardinality. Level 2
+    merges subgroup minima: since subgroups partition the hash space,
+    the union of per-subgroup k-smallest contains the global k-smallest
+    (each global top-k hash is top-k in its own slice) — the merge is
+    LOSSLESS, not approximate-on-approximate. Shuffle carries ≤
+    subgroups × k hashes per group.
+    """
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    h = _kmv_hash(F.col(value_col)).alias("__h")
+    level1 = (
+        df.select(*group_cols, h)
+        .withColumn("__sub", F.col("__h") % subgroups)
+        .groupBy(*group_cols, "__sub")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__mins"))
+    )
+    return (
+        level1.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k
+            ).alias("kmv")
+        )
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge KMV sketches built over different data slices (days,
+    shards) down to `group_cols`: k smallest of the deduplicated union.
+    Unlike the build's hash-range subgroups, independent slices can
+    contain the SAME value, so the merge dedups before truncating.
+    Exactness is preserved: any hash in the merged top-k was top-k in
+    every slice that contained it."""
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_distinct(F.array_sort(F.flatten(F.collect_list("kmv")))),
+                1,
+                k,
+            ).alias("kmv")
+        )
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64, out_col: str = "distinct_est") -> DataFrame:
+    """Distinct-count estimate from a KMV sketch column: exact when the
+    group has < k distinct values (the sketch holds them all), else the
+    classical (k-1) / fraction-of-hash-space-covered estimator, RSE ≈
+    1/√(k-2). Deterministic → exact-SQL oracle."""
+    kmv = F.col("kmv")
+    est = F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.element_at(kmv, k), 4)
+    )
+    return sketch.withColumn(out_col, est).drop("kmv")
+
+
 def _cms_col(item: Column, d: int, width: int) -> Column:
     """Row-d hash column for an item: conv(md5('d:item')[:8]) % width —
     the oracle-replayable md5 idiom shared by the whole sketch family."""

@@ -14,10 +14,15 @@ Codec coverage is REAL, not stubbed:
   - `encode_wav` writes the same subset (fixture generation + sink).
   - Linear resampling, frame windowing, per-frame RMS / zero-crossing
     rate / spectral centroid (numpy rFFT), HTK log-mel spectrogram.
-Compressed audio (mp3/ogg/flac/aac) is a documented NotImplementedError
-boundary, exactly like progressive-jpeg in the image path: the operator
-plumbing (schema, batching) is identical, only `_decode_audio_bytes`
-would grow a branch.
+  - FLAC decode via the in-repo `sources/flac.py` codec (constant /
+    verbatim / fixed / LPC subframes, all stereo decorrelations,
+    Rice/Rice2 partitions, wasted bits, CRC + MD5 verification) —
+    every audio operator accepts WAV and FLAC bytes transparently
+    through `decode_audio_bytes`.
+Remaining compressed audio (mp3/ogg/aac — perceptual codecs needing
+psychoacoustic filterbanks) is the documented NotImplementedError
+boundary: the operator plumbing (schema, batching) is identical, only
+`decode_audio_bytes` would grow a branch.
 
 Scale shape (100 TB of audio): decode and feature extraction are
 map-side only — one task per parquet/binary-file split, no shuffle; the
@@ -178,6 +183,24 @@ def encode_wav(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_audio_bytes(b: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatched decode: bytes → (float32 samples (n, ch),
+    sample_rate). WAV (PCM/IEEE-float) and FLAC decode for real via the
+    in-repo codecs; mp3/ogg/aac are the documented perceptual-codec
+    boundary."""
+    fmt = _sniff_audio(bytes(b))
+    if fmt == "wav":
+        return decode_wav(b)
+    if fmt == "flac":
+        from .flac import decode_flac
+
+        return decode_flac(b)
+    raise NotImplementedError(
+        f"audio format {fmt!r} is a codec boundary (wav and flac are "
+        "decoded for real; mp3/ogg/aac need a perceptual-codec library)"
+    )
+
+
 # ------------------------------------------------------------------ dsp
 
 
@@ -328,6 +351,21 @@ def audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                         )
                     except (ValueError, struct.error):
                         pass
+                elif fmt == "flac":
+                    try:
+                        from .flac import flac_info
+
+                        info = flac_info(b)
+                        row.update(
+                            n_channels=info["n_channels"],
+                            sample_rate=info["sample_rate"],
+                            bits_per_sample=info["bits_per_sample"],
+                            n_frames=info["total_samples"],
+                            duration_s=float(info["total_samples"])
+                            / max(info["sample_rate"], 1),
+                        )
+                    except (ValueError, struct.error):
+                        pass
                 rows.append(row)
             out = pdf.drop(columns=[content_col])
             out["meta"] = rows
@@ -355,7 +393,7 @@ def decode_audio(
         for pdf in batches:
             samples, rates, counts = [], [], []
             for b in pdf[content_col]:
-                x, sr = decode_wav(bytes(b))
+                x, sr = decode_audio_bytes(bytes(b))
                 x1 = downmix_mono(x) if mono else x.reshape(-1)
                 if target_sr is not None:
                     x1 = resample_linear(x1, sr, target_sr)
@@ -396,7 +434,7 @@ def audio_frame_features(
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
-                x, sr = decode_wav(bytes(row[content_col]))
+                x, sr = decode_audio_bytes(bytes(row[content_col]))
                 feats = frame_features(downmix_mono(x), sr, frame_len, hop)
                 for f in keep:
                     feats[f.name] = row[f.name]
@@ -435,7 +473,7 @@ def sample_audio_windows(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                x, sr = decode_wav(bytes(row[content_col]))
+                x, sr = decode_audio_bytes(bytes(row[content_col]))
                 x1 = downmix_mono(x)
                 step, width = int(sr * every_s), int(sr * window_s)
                 for w, start in enumerate(range(0, max(x1.size - width + 1, 1), max(step, 1))):
@@ -521,7 +559,7 @@ def audio_dhash(
         for pdf in batches:
             rows = []
             for key, buf in zip(pdf[key_col], pdf[content_col]):
-                x, sr = decode_wav(bytes(buf))
+                x, sr = decode_audio_bytes(bytes(buf))
                 x1 = downmix_mono(x)
                 rows.append(
                     {

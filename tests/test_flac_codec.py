@@ -1,0 +1,194 @@
+"""Tests: FLAC codec (`sources/flac.py`) — bit-exact lossless
+round-trips through the subset encoder, full decoder path coverage via
+the scriptable encoder (LPC, stereo decorrelation, Rice2, partitions,
+escapes, wasted bits), corruption detection, and end-to-end composition
+with the Spark audio operator surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from social_media_data_pipeline_spark.sources import audio
+from social_media_data_pipeline_spark.sources.flac import (
+    _crc8,
+    _crc16,
+    decode_flac,
+    decode_flac_int,
+    encode_flac,
+    encode_flac_int,
+    encode_flac_scripted,
+    flac_info,
+)
+
+
+def _noise(n, lo=-30000, hi=30000, seed=3, ch=1):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(lo, hi, (n, ch)).astype(np.int64)
+    return x if ch > 1 else x[:, 0]
+
+
+class TestCrc:
+    def test_crc8_vector(self):
+        # CRC-8/SMBUS check value: "123456789" -> 0xF4
+        assert _crc8(b"123456789") == 0xF4
+
+    def test_crc16_vector(self):
+        # CRC-16/BUYPASS (poly 0x8005, init 0, no reflect): "123456789" -> 0xFEE8
+        assert _crc16(b"123456789") == 0xFEE8
+
+
+class TestSubsetEncoderRoundTrip:
+    @pytest.mark.parametrize("bits", [8, 16, 24, 32])
+    def test_bit_exact_mono(self, bits):
+        hi = 1 << (bits - 2)
+        x = _noise(5003, -hi, hi)
+        b = encode_flac_int(x, 44100, bits=bits, block_size=1024)
+        y, sr, got_bits = decode_flac_int(b, verify_md5=True)
+        assert sr == 44100 and got_bits == bits
+        assert np.array_equal(y[:, 0].astype(np.int64), x)
+
+    def test_bit_exact_stereo_and_constant(self):
+        n = 4096 + 777  # exercises a short trailing block
+        st = np.stack(
+            [
+                np.concatenate([np.zeros(1000, dtype=np.int64), _noise(n - 1000)]),
+                (np.arange(n) % 977) - 488,  # linear ramps favor order-2
+            ],
+            axis=1,
+        )
+        b = encode_flac_int(st, 22050, bits=16, block_size=1024)
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y.astype(np.int64), st)
+
+    def test_float_interface_matches_wav_quantization(self):
+        t = np.arange(4000)
+        x = 0.5 * np.sin(2 * np.pi * 440 * t / 8000)
+        b = encode_flac(x, 8000, bits=16)
+        y, sr = decode_flac(b)
+        assert sr == 8000
+        assert np.max(np.abs(y[:, 0] - x)) < 1e-4
+
+    def test_compresses_predictable_signal(self):
+        x = np.round(20000 * np.sin(np.arange(20000) * 0.01)).astype(np.int64)
+        b = encode_flac_int(x, 16000, bits=16)
+        assert len(b) < x.size * 2 * 0.7  # beats raw PCM by >30%
+
+    def test_streaminfo(self):
+        b = encode_flac_int(_noise(300), 7000, bits=16, block_size=128)
+        info = flac_info(b)
+        assert info["sample_rate"] == 7000
+        assert info["n_channels"] == 1
+        assert info["bits_per_sample"] == 16
+        assert info["total_samples"] == 300
+
+
+class TestScriptedEncoderDecoderPaths:
+    @pytest.mark.parametrize(
+        "mode", ["independent", "left_side", "right_side", "mid_side"]
+    )
+    def test_stereo_decorrelation(self, mode):
+        st = _noise(3000, ch=2, seed=7)
+        b = encode_flac_scripted(st, 22050, bits=16, block_size=1024, channel_mode=mode)
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y.astype(np.int64), st)
+
+    def test_lpc_with_shift_rice2_partitions(self):
+        st = _noise(4096, ch=2, seed=9)
+        b = encode_flac_scripted(
+            st, 22050, bits=16, block_size=2048,
+            lpc=([8, -4], 2), partition_order=3, rice2=True,
+        )
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y.astype(np.int64), st)
+
+    def test_high_order_lpc(self):
+        x = _noise(5000, seed=13)
+        b = encode_flac_scripted(x, 96000, bits=24, lpc=([3, -2, 1, 0, 1, -1, 2, -1], 1))
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y[:, 0].astype(np.int64), x)
+
+    def test_escape_partitions(self):
+        st = _noise(2048, ch=2, seed=5)
+        b = encode_flac_scripted(
+            st, 22050, bits=16, block_size=1024, escape_bits=20, partition_order=2
+        )
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y.astype(np.int64), st)
+
+    def test_wasted_bits(self):
+        x = (_noise(3000, seed=21) >> 3) << 3
+        b = encode_flac_scripted(x, 48000, bits=16, wasted_bits=3)
+        y, _, _ = decode_flac_int(b, verify_md5=True)
+        assert np.array_equal(y[:, 0].astype(np.int64), x)
+
+    def test_wasted_bits_guard(self):
+        with pytest.raises(ValueError, match="wasted_bits"):
+            encode_flac_scripted(np.array([1, 3, 5]), 8000, wasted_bits=2)
+
+
+class TestCorruptionDetection:
+    def test_frame_crc_mismatch(self):
+        b = bytearray(encode_flac_int(_noise(2000), 8000, block_size=512))
+        b[-10] ^= 0x40  # flip a bit inside the last frame body
+        with pytest.raises(ValueError, match="CRC"):
+            decode_flac_int(bytes(b))
+
+    def test_header_crc_mismatch(self):
+        b = encode_flac_int(_noise(2000), 8000, block_size=512)
+        off = flac_info(b)["frames_offset"]
+        mutated = bytearray(b)
+        mutated[off + 2] ^= 0x08  # frame header byte
+        with pytest.raises(ValueError, match="flac"):
+            decode_flac_int(bytes(mutated))
+
+    def test_not_flac(self):
+        with pytest.raises(ValueError, match="FLAC"):
+            flac_info(b"RIFF....WAVE")
+
+
+class TestAudioSurfaceComposition:
+    """FLAC bytes flow through the same Spark operators as WAV."""
+
+    def test_dispatcher(self):
+        x = 0.25 * np.sin(np.arange(4000) * 0.3)
+        b = encode_flac(x, 8000, bits=16)
+        y, sr = audio.decode_audio_bytes(b)
+        assert sr == 8000 and y.shape == (4000, 1)
+        assert audio._sniff_audio(b) == "flac"
+
+    def test_mp3_still_boundary(self):
+        with pytest.raises(NotImplementedError, match="mp3"):
+            audio.decode_audio_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
+
+    def test_spark_metadata_and_features(self, spark, tmp_path):
+        sr = 8000
+        t = np.arange(sr)  # 1 s
+        clip = 0.5 * np.sin(2 * np.pi * 440 * t / sr)
+        (tmp_path / "a.flac").write_bytes(encode_flac(clip, sr, bits=16))
+        (tmp_path / "b.wav").write_bytes(audio.encode_wav(clip, sr, bits=16))
+        df = (
+            spark.read.format("binaryFile")
+            .load(str(tmp_path))
+            .select("path", "content")
+        )
+        meta = {
+            r["path"].rsplit(".", 1)[-1]: r["meta"]
+            for r in audio.audio_metadata(df).collect()
+        }
+        assert meta["flac"]["format"] == "flac"
+        assert meta["flac"]["sample_rate"] == sr
+        assert meta["flac"]["n_frames"] == sr
+        assert meta["wav"]["sample_rate"] == sr
+
+        dec = audio.decode_audio(df, target_sr=4000).collect()
+        assert {r["sample_rate"] for r in dec} == {4000}
+        # identical material → identical decoded length from either codec
+        assert len({r["n_samples"] for r in dec}) == 1
+
+        fps = {
+            r["audio"].rsplit(".", 1)[-1]: r["afp"]
+            for r in audio.audio_dhash(df, key_col="path").collect()
+        }
+        # same material through wav and flac must fingerprint identically
+        assert fps["flac"] == fps["wav"]

@@ -681,3 +681,120 @@ class TestCountMinSketch:
             sk.cms_build(items, depth=0)
         with _pytest.raises(ValueError):
             sk.cms_build(items, width=1)
+
+
+class TestKmvSketch:
+    def _events(self, spark, n_users=500):
+        from pyspark.sql import Row
+
+        rows = [
+            Row(grp="a", slice=i % 4, user=i)  # 500 distinct across 4 slices
+            for i in range(n_users)
+        ] + [
+            Row(grp="b", slice=0, user=i)  # 10 distinct, < k: exact path
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_merge_equals_direct_build(self, spark):
+        """Per-slice sketches merged down == sketch built directly on
+        the union: the lossless-merge property the scale story rests
+        on."""
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        ev = self._events(spark)
+        per_slice = sk.kmv_build(ev, ["grp", "slice"], "user", k=32)
+        merged = {
+            r["grp"]: r["kmv"]
+            for r in sk.kmv_merge(per_slice, ["grp"], k=32).collect()
+        }
+        direct = {
+            r["grp"]: r["kmv"] for r in sk.kmv_build(ev, ["grp"], "user", k=32).collect()
+        }
+        assert merged == direct
+
+    def test_estimate_accuracy_and_exact_small_groups(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        ev = self._events(spark)
+        est = {
+            r["grp"]: r["distinct_est"]
+            for r in sk.kmv_estimate(
+                sk.kmv_build(ev, ["grp"], "user", k=64), k=64
+            ).collect()
+        }
+        assert est["b"] == 10.0  # below k → sketch holds all values, exact
+        # RSE ≈ 1/sqrt(62) ≈ 13%; allow 3 sigma around the true 500
+        assert 300 < est["a"] < 700
+
+    def test_subgroup_count_does_not_change_sketch(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        ev = self._events(spark)
+        a = {r["grp"]: r["kmv"] for r in sk.kmv_build(ev, ["grp"], "user", k=16, subgroups=2).collect()}
+        b = {r["grp"]: r["kmv"] for r in sk.kmv_build(ev, ["grp"], "user", k=16, subgroups=64).collect()}
+        assert a == b
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from pyspark.sql import Row
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        dup = spark.createDataFrame([Row(grp="g", user=i % 20) for i in range(1000)])
+        est = sk.kmv_estimate(sk.kmv_build(dup, ["grp"], "user", k=64), k=64).collect()
+        assert est[0]["distinct_est"] == 20.0
+
+    def test_k_guard(self, spark):
+        import pytest as _pytest
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        with _pytest.raises(ValueError):
+            sk.kmv_build(self._events(spark), ["grp"], "user", k=1)
+
+
+class TestSemDeDup:
+    def _corpus(self, spark):
+        """Two well-separated directions + τ-similar variants of one."""
+        base = [1.0] + [0.0] * 7
+        ortho = [0.0] * 7 + [1.0]
+        near1 = [0.99, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        near2 = [0.98, 0.0, 0.08, 0.0, 0.0, 0.0, 0.0, 0.0]
+        rows = [(0, base), (1, near1), (2, near2), (3, ortho)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_prunes_tau_neighbors_keeps_farthest(self, spark):
+        from social_media_data_pipeline_spark.functions import similarity as sim
+
+        vecs = self._corpus(spark)
+        cents = vecs.filter("vec_id in (0, 3)")  # two cluster anchors
+        out = {r["vec_id"]: r for r in sim.semdedup(vecs, cents, threshold=0.9).collect()}
+        # 0,1,2 cluster together (mutual cos > 0.9); exactly one survives,
+        # and it is the one FARTHEST from the centroid (lowest c_cos)
+        cluster0 = [k for k in out if out[k]["cluster"] == 0]
+        assert len(cluster0) == 1
+        assert 3 in out  # orthogonal vector untouched
+        # survivor must be the min (c_cos, id) element: vec 2 is farther
+        # from centroid 0 than 1 and 0
+        assert cluster0 == [2]
+
+    def test_high_threshold_keeps_everything(self, spark):
+        from social_media_data_pipeline_spark.functions import similarity as sim
+
+        vecs = self._corpus(spark)
+        cents = vecs.filter("vec_id in (0, 3)")
+        out = sim.semdedup(vecs, cents, threshold=0.999999).collect()
+        assert len(out) == 4
+
+    def test_survivors_are_subset_with_cluster_metadata(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from social_media_data_pipeline_spark.functions import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter("vec_id % 50 = 0")
+        out = sim.semdedup(emb, cents, threshold=0.3)
+        n_all = emb.count()
+        survivors = out.count()
+        assert 0 < survivors < n_all  # τ=0.3 prunes some but not all
+        assert set(out.columns) == {"vec_id", "cluster", "c_cos"}
+        # idempotence on the survivor set's ids: re-running drops nothing
+        # already-minimal (dominance is defined within original clusters)
+        assert out.filter(F.col("c_cos") > 1.0).count() == 0
