@@ -841,6 +841,22 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, centroids, threshold=0.3).orderBy("vec_id")
 
 
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`functions/pq.py`, Jégou et al. 2011):
+    64 floats → 8 nibble codes (deterministic first-16-vectors
+    codebooks), then ADC top-5 for 5 query vectors — the 16-64×
+    compression path a 100 TB embedding corpus scans instead of raw
+    vectors. Encode and ADC are literal-codebook map-side expressions;
+    the per-query window is the only shuffle."""
+    from social_media_data_pipeline_spark.functions import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq.pq_codebook(emb, m=8, ksub=16)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.pq_adc_topk(queries, codes, cb, k=5).orderBy("query_id", "rank")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: connected components over the
     MinHash-LSH candidate graph; canonical doc = min id per component."""
@@ -1602,6 +1618,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_format_labels": q_date_format_labels,
     "embedding_semdedup": q_embedding_semdedup,  # registered late r5 → r6 window
     "events_kmv_distinct": q_events_kmv_distinct,  # registered late r5 → r6 window
+    "embedding_pq_topk": q_embedding_pq_topk,  # registered late r5 → r6 window
     # ---- tail: rotated out r5 after 3-4 consecutive green driver rounds,
     # return r6 (see ROADMAP.md) ----
     "filter_in_contains": q_filter_in_contains,

@@ -670,6 +670,55 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY vec_id
 """
 
+# Product quantization + ADC (functions/pq.py): codebook = subvectors of
+# the first 16 vectors; codes = per-subspace argmin L2 (dot identity,
+# terms rounded 6dp); ADC = sum of per-subspace rounded terms, rounded
+# 4dp. Mirrors the Spark literal-codebook expressions exactly.
+ORACLES["embedding_pq_topk"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+cw AS (
+    SELECT vec_id AS c, j, list_slice(vec, j*8+1, j*8+8) AS csub
+    FROM v, js WHERE vec_id < 16
+),
+subs AS (
+    SELECT vec_id, j, list_slice(vec, j*8+1, j*8+8) AS sub FROM v, js
+),
+dists AS (
+    SELECT subs.vec_id, subs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM subs JOIN cw ON subs.j = cw.j
+),
+codes AS (
+    SELECT vec_id, j, c AS code
+    FROM dists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+adc_terms AS (
+    SELECT qs.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.j,
+           ROUND(list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub), 6) AS term
+    FROM codes
+    JOIN cw ON cw.j = codes.j AND cw.c = codes.code
+    JOIN subs qs ON qs.j = codes.j
+    WHERE qs.vec_id < 5 AND qs.vec_id <> codes.vec_id
+),
+adc AS (
+    SELECT query_id, neighbor_id, ROUND(SUM(term), 4) AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
 ORACLES["embedding_ivf_topk"] = f"""
 WITH c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec

@@ -1,0 +1,186 @@
+"""Product Quantization (PQ) for embedding compression + ADC search.
+
+Jégou et al. 2011 ("Product quantization for nearest neighbor
+search"): split each D-dim vector into M subvectors, quantize each
+subvector to one of K_sub codewords, store M small codes instead of D
+floats. Asymmetric Distance Computation (ADC) scores an UNCOMPRESSED
+query against COMPRESSED corpus codes by summing per-subspace
+query↔codeword distances.
+
+This is the missing piece between the repo's other embedding-scale
+tools: IVF (`similarity.py`) prunes WHICH vectors to score; SQ8
+(`quantize.py`) shrinks floats 4×; PQ shrinks them 16-64× (64 floats →
+8 nibble codes here) so a 100 TB embedding corpus's codes fit hot
+storage and scans stream codes, not vectors. IVF-PQ (assign cells via
+`ivf_assign`, PQ-encode residuals per cell) composes from these two
+pieces without new machinery.
+
+Codebooks here are DETERMINISTIC — subvectors of the first `ksub`
+corpus vectors (id order), the same oracle-reproducible convention as
+`select_ivf_centroids`'s id-stride. Production swaps per-subspace
+k-means codebooks without touching encode/ADC. The codebook is tiny
+(m × ksub × dsub doubles ≤ a few KB) and is embedded as a LITERAL in
+the plan (the `deterministic_planes` pattern): encode and ADC are pure
+map-side column expressions — zero shuffle, no UDF, whole-stage
+codegen eligible.
+
+Cross-engine float discipline (see module docstring in
+`similarity.py`): all distances use the dot-product identity
+‖a−b‖² = a·a − 2a·b + b·b so Spark's fold matches DuckDB's
+`list_dot_product`; per-subspace terms are rounded to 6dp before
+summing and ADC totals to 4dp where they feed equality checks.
+
+Reference: the reference pipeline retrieves by exact cosine over DIR
+feature vectors (`Preprocessing/FeatureVectors/readme.md`); PQ is the
+LLM-pipeline scale path for the same retrieval contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions.similarity import dot
+
+
+def _normsq(xs: list[float]) -> float:
+    """Driver-side ‖x‖²: a left-fold over doubles — the same sequence
+    of operations Spark's `dot(x, x)` fold and DuckDB's
+    list_dot_product perform, so the literal is engine-exact."""
+    acc = 0.0
+    for v in xs:
+        acc = acc + v * v
+    return acc
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebook: CB[j][c] = subvector j of the corpus
+    vector with the c-th smallest id among `id < ksub`. Returns nested
+    Python lists (doubles) — a driver-side LITERAL, not a DataFrame:
+    ksub rows is a bounded collect by construction."""
+    rows = (
+        vectors.filter(F.col(id_col) < ksub)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need {ksub} seed vectors with {id_col} < {ksub}, got {len(rows)}")
+    dim = len(rows[0][0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    return [
+        [[float(v) for v in rows[c][0][j * dsub : (j + 1) * dsub]] for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def _subvec(vec: Column, j: int, dsub: int) -> Column:
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector → array<int> of M codes (argmin codeword per subspace,
+    ties to the lower code). Pure map-side expression over the literal
+    codebook: encoding 100 TB is an embarrassingly parallel scan."""
+    m, dsub = len(codebook), len(codebook[0][0])
+    # ‖a−b‖² = a·a − 2a·b + b·b, VECTORIZED over the codeword axis: one
+    # F.transform over the literal ksub-codeword array computes all
+    # candidate dots per subspace (a single higher-order expression
+    # instead of ksub separate folds — both plan-construction time and
+    # codegen size drop ~10×); b·b comes from a driver-side literal
+    # array, a·a is computed once per subspace.
+    with_subs = vectors.select(
+        F.col(id_col),
+        *[_subvec(F.col(vec_col), j, dsub).alias(f"__s{j}") for j in range(m)],
+    )
+
+    def _code(j: int) -> Column:
+        sub = F.col(f"__s{j}")
+        sn = dot(sub, sub)
+        norms = F.lit([_normsq(cw) for cw in codebook[j]])
+        cands = F.transform(
+            F.lit(codebook[j]),
+            lambda cw, i: F.struct(
+                F.round(
+                    sn - 2.0 * dot(sub, cw) + F.element_at(norms, i + 1), 6
+                ).alias("d"),
+                i.cast("int").alias("c"),
+            ),
+        )
+        return F.array_min(cands)["c"]
+
+    return with_subs.select(
+        F.col(id_col), F.array(*[_code(j) for j in range(m)]).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: uncompressed queries vs PQ codes. Per (query,
+    neighbor) the distance is Σ_j ‖q_j − CB[j][code_j]‖² — each term a
+    lookup into the literal codebook, each rounded to 6dp so the sum
+    is engine-exact. Broadcast the query side; the corpus side streams
+    codes map-side; per-query top-k is the only window.
+
+    Returns (query_id, neighbor_id, adc_dist, rank) — ADC is an
+    APPROXIMATION of true distance (quantization error), which is the
+    16-64× compression trade; rank by (adc, neighbor_id) is
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    m, dsub = len(codebook), len(codebook[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        *[
+            dot(_subvec(F.col(vec_col), j, dsub), _subvec(F.col(vec_col), j, dsub)).alias(
+                f"__qn{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    code_j = lambda j: (F.element_at("codes", j + 1) + 1).cast("int")  # noqa: E731
+    terms = [
+        F.round(
+            F.col(f"__qn{j}")
+            - 2.0
+            * dot(
+                _subvec(F.col("q_vec"), j, dsub),
+                F.element_at(F.lit(codebook[j]), code_j(j)),
+            )
+            + F.element_at(
+                F.lit([_normsq(cw) for cw in codebook[j]]), code_j(j)
+            ),
+            6,
+        )
+        for j in range(m)
+    ]
+    adc = F.round(sum(terms[1:], terms[0]), 4)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
