@@ -68,6 +68,11 @@ HEADLINE = [
     "docs_dsir_weights",
     "docs_bigram_logprob",
     "docs_chunks",
+    # round 5 (late): semantic dedup, mergeable distinct sketch,
+    # product-quantization ANN
+    "embedding_semdedup",
+    "events_kmv_distinct",
+    "embedding_pq_topk",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -75,7 +80,14 @@ HEADLINE = [
 # docs_shuffle and docs_zipf_slope collect their bounded bucket/band
 # count offsets at construction) — for these construct time IS
 # execution time and is counted.
-ITERATIVE = {"dedup_clusters", "docs_shuffle", "docs_zipf_slope"}
+ITERATIVE = {
+    "dedup_clusters",
+    "docs_shuffle",
+    "docs_zipf_slope",
+    # pq_codebook collects its ksub seed rows at construction — a real
+    # (bounded) Spark job, so construct time is counted
+    "embedding_pq_topk",
+}
 
 
 def main() -> None:

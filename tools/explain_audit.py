@@ -160,6 +160,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("explode generator", r"Generate"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_semdedup": [
+        # centroid assignment broadcasts the small centroid table; the
+        # dominance pair join is cluster-EQUI (never cartesian); the
+        # survivor filter is a broadcast anti join on dropped ids
+        ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no cartesian pair join", r"\A(?!.*CartesianProduct)"),
+        ("anti join survivors", r"LeftAnti"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "events_kmv_distinct": [
+        # two-level sketch build = object-hash aggregates with map-side
+        # partials; no window, no python
+        ("partial aggregation", r"ObjectHashAggregate|HashAggregate"),
+        ("no window sort", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "embedding_pq_topk": [
+        # encode is a pure map over the literal codebook (no join to a
+        # codebook table); ADC joins the 5-query side via broadcast; the
+        # only window is the per-query top-k
+        ("query side broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no equi-join to codebook table", r"\A(?!.*SortMergeJoin)"),
+        ("per-query top-k window", r"Window"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
 }
 
 

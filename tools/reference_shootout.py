@@ -254,6 +254,89 @@ def pandas_docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"])
 
 
+def pandas_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    seed = ids % 50 == 0
+    C, cid = V[seed], ids[seed]
+
+    def _n(M):
+        return np.sqrt((M * M).sum(axis=1))
+
+    S = np.round((V @ C.T) / np.maximum(np.outer(_n(V), _n(C)), 1e-300), 6)
+    best = S.argmax(axis=1)  # first max = lowest centroid id on ties
+    cluster, c_cos = cid[best], S[np.arange(len(ids)), best]
+    keep = np.ones(len(ids), dtype=bool)
+    for cl in np.unique(cluster):
+        m = np.where(cluster == cl)[0]
+        sub = V[m]
+        P = np.round((sub @ sub.T) / np.maximum(np.outer(_n(sub), _n(sub)), 1e-300), 6)
+        for a_i, a in enumerate(m):
+            for b_i, b in enumerate(m):
+                if a == b or P[a_i, b_i] < 0.3:
+                    continue
+                if (c_cos[b], ids[b]) < (c_cos[a], ids[a]):
+                    keep[a] = False
+                    break
+    return pd.DataFrame(
+        {"vec_id": ids[keep], "cluster": cluster[keep], "c_cos": c_cos[keep]}
+    )
+
+
+def pandas_events_kmv_distinct(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    out = []
+    for et, g in ev.groupby("event_type"):
+        hs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in g["user_id"].unique()
+        )
+        if len(hs) < 64:
+            est = float(len(hs))
+        else:
+            est = round(63.0 * float(1 << 60) / hs[63], 4)
+        out.append((et, g["user_id"].nunique(), est))
+    return pd.DataFrame(out, columns=["event_type", "exact_distinct", "distinct_est"])
+
+
+def pandas_embedding_pq_topk(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    m, ksub = 8, 16
+    dsub = V.shape[1] // m
+    CB = V[ids < ksub].reshape(ksub, m, dsub).transpose(1, 0, 2)  # (m, ksub, dsub)
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        sub = V[:, j * dsub : (j + 1) * dsub]
+        d = ((sub[:, None, :] - CB[j][None, :, :]) ** 2).sum(axis=2).round(6)
+        codes[:, j] = d.argmin(axis=1)
+    rows = []
+    for qi in np.where(ids < 5)[0]:
+        terms = np.zeros(len(ids))
+        for j in range(m):
+            qsub = V[qi, j * dsub : (j + 1) * dsub]
+            dt = ((qsub[None, :] - CB[j]) ** 2).sum(axis=1).round(6)
+            terms += dt[codes[:, j]]
+        adc = terms.round(4)
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], adc[mask]))[:5]
+        nid, nadc = ids[mask][order], adc[mask][order]
+        rows += [
+            (ids[qi], nid[r], nadc[r], r + 1) for r in range(len(order))
+        ]
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc_dist", "rank"])
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -266,11 +349,14 @@ PANDAS_IMPLS = {
     "docs_bigram_logprob": pandas_docs_bigram_logprob,
     "docs_chunks": pandas_docs_chunks,
     "docs_bpe_merges": pandas_docs_bpe_merges,
+    "embedding_semdedup": pandas_embedding_semdedup,
+    "events_kmv_distinct": pandas_events_kmv_distinct,
+    "embedding_pq_topk": pandas_embedding_pq_topk,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk"}
 
 
 def main() -> None:

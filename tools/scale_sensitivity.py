@@ -47,6 +47,7 @@ from social_media_data_pipeline_spark.functions import (  # noqa: E402
 from social_media_data_pipeline_spark.functions import bpe as ebpe  # noqa: E402
 from social_media_data_pipeline_spark.functions import classifier as eclf  # noqa: E402
 from social_media_data_pipeline_spark.functions import importance as eimp  # noqa: E402
+from social_media_data_pipeline_spark.functions import pq as epq  # noqa: E402
 from social_media_data_pipeline_spark.operators import dedup as ededup  # noqa: E402
 from social_media_data_pipeline_spark.operators import packing as epack  # noqa: E402
 from social_media_data_pipeline_spark.operators import splits as esplits  # noqa: E402
@@ -164,6 +165,18 @@ def heavy_queries(spark, sf_dir: str):
             ),
             n_buckets=256,
         ),
+        # round 5 (late): semantic dedup (cluster-equi pair join; the
+        # fixed-%50 centroid rule means cells GROW with n, so the
+        # exponent here is the worst case — production k ~ √n flattens
+        # it) and PQ ADC (codebook collect + map-side encode + top-k)
+        "embedding_semdedup": lambda: similarity.semdedup(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), threshold=0.3
+        ),
+        "embedding_pq_topk": lambda: (
+            lambda cb: epq.pq_adc_topk(
+                emb.filter("vec_id < 5"), epq.pq_encode(emb, cb), cb, k=5
+            )
+        )(epq.pq_codebook(emb, m=8, ksub=16)),
     }
 
 
