@@ -1426,6 +1426,33 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (`sketches.sample_quantile_sketch`):
+    per-(event_type, week) deterministic bottom-k-by-hash samples of
+    `value`, merged across weeks, then p50/p90/p99 order statistics —
+    the persistable quantile structure percentile_approx's opaque
+    state can't be. Same lossless-merge machinery as
+    events_kmv_distinct; exact-SQL oracle replays the global bottom-k
+    directly."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        "event_id",
+        "value",
+    )
+    sk = sketches.sample_quantile_sketch(
+        weekly, ["event_type", "wk"], "event_id", "value", k=256
+    )
+    merged = sketches.sample_quantile_merge(sk, ["event_type"], k=256)
+    est = sketches.sample_quantile_estimate(
+        merged, {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99}
+    )
+    return est.select(
+        "event_type", "n_sample", "p50_est", "p90_est", "p99_est"
+    ).orderBy("event_type")
+
+
 def q_docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainable quality filter: 10 deterministic batch-GD iterations
     of logistic regression over 256 hashed (uni+bi)gram buckets
@@ -1619,6 +1646,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_semdedup": q_embedding_semdedup,  # registered late r5 → r6 window
     "events_kmv_distinct": q_events_kmv_distinct,  # registered late r5 → r6 window
     "embedding_pq_topk": q_embedding_pq_topk,  # registered late r5 → r6 window
+    "events_quantile_sketch": q_events_quantile_sketch,  # registered late r5 → r6 window
     # ---- tail: rotated out r5 after 3-4 consecutive green driver rounds,
     # return r6 (see ROADMAP.md) ----
     "filter_in_contains": q_filter_in_contains,

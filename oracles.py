@@ -670,6 +670,35 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY vec_id
 """
 
+# Mergeable quantile sketch: deterministic bottom-256-by-md5(event_id)
+# row sample per event_type (the weekly build + merge on the Spark side
+# is lossless, same argument as events_kmv_distinct), then 'lower'
+# order statistics at p50/p90/p99.
+ORACLES["events_quantile_sketch"] = """
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+           ) AS rn
+    FROM events
+), sampled AS (
+    SELECT event_type, value::DOUBLE AS v FROM ranked WHERE rn <= 256
+), ordered AS (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM sampled
+)
+SELECT event_type, max(n) AS n_sample,
+       max(CASE WHEN vr = floor(0.5  * (n-1))::BIGINT + 1 THEN v END) AS p50_est,
+       max(CASE WHEN vr = floor(0.9  * (n-1))::BIGINT + 1 THEN v END) AS p90_est,
+       max(CASE WHEN vr = floor(0.99 * (n-1))::BIGINT + 1 THEN v END) AS p99_est
+FROM ordered
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # Product quantization + ADC (functions/pq.py): codebook = subvectors of
 # the first 16 vectors; codes = per-subspace argmin L2 (dot identity,
 # terms rounded 6dp); ADC = sum of per-subspace rounded terms, rounded

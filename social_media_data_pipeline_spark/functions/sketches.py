@@ -631,6 +631,84 @@ def kmv_estimate(sketch: DataFrame, k: int = 64, out_col: str = "distinct_est") 
     return sketch.withColumn(out_col, est).drop("kmv")
 
 
+def sample_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+    subgroups: int = 16,
+) -> DataFrame:
+    """Mergeable quantile sketch per group: a deterministic uniform
+    k-row sample — the rows whose md5(key) hashes are the k smallest —
+    each carrying its value. Bottom-k-by-hash IS a uniform sample of
+    the row population (the hash is independent of the value), so order
+    statistics of the sample estimate the group's quantiles with the
+    classical √k error, and the same lossless-merge argument as
+    `kmv_build` applies: the k smallest (hash, value) pairs of a union
+    are contained in the union of per-slice k smallest. `key_col` must
+    identify rows uniquely (e.g. event_id) or duplicates collapse.
+
+    This is the quantile entry of the sketch family (frequency → CMS,
+    distinct → KMV, membership → Bloom, similarity → MinHash/SimHash):
+    unlike Spark's percentile_approx (opaque, non-persistable
+    aggregation state), the sketch is a plain array<struct<h,v>> column
+    you can store per shard/day and merge later — and it is
+    deterministic, so an exact-SQL oracle can replay it.
+
+    Scale shape: identical to `kmv_build` — two-level bounded-state
+    aggregation over hash-range subgroups; shuffle ≤ subgroups × k
+    pairs per group."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    pair = F.struct(
+        _kmv_hash(F.col(key_col)).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    level1 = (
+        df.select(*group_cols, pair.alias("__p"))
+        .withColumn("__sub", F.col("__p.h") % subgroups)
+        .groupBy(*group_cols, "__sub")
+        .agg(F.slice(F.array_sort(F.collect_list("__p")), 1, k).alias("__mins"))
+    )
+    return level1.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__mins"))), 1, k).alias(
+            "qsketch"
+        )
+    )
+
+
+def sample_quantile_merge(
+    sketches: DataFrame, group_cols: list[str], k: int = 256
+) -> DataFrame:
+    """Merge per-slice quantile sketches down to `group_cols`: k
+    smallest (hash, value) pairs of the union. Requires globally unique
+    sample keys across slices (rows partition, values ride along)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("qsketch"))), 1, k).alias(
+            "qsketch"
+        )
+    )
+
+
+def sample_quantile_estimate(
+    sketch: DataFrame, probs: dict[str, float]
+) -> DataFrame:
+    """Order-statistic quantile estimates from the sketch: for each
+    (name, p) emit the sample value at rank ⌊p·(n−1)⌋+1 ('lower'
+    interpolation — an actually-observed value, deterministic). Adds
+    `n_sample` and one column per name; drops the sketch."""
+    vals = F.array_sort(F.transform(F.col("qsketch"), lambda s: s["v"]))
+    n = F.size(vals)
+    out = sketch.withColumn("n_sample", n.cast("long"))
+    for name, p in probs.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"prob {name}={p} outside [0, 1]")
+        idx = (F.floor(F.lit(float(p)) * (n - 1)) + 1).cast("int")
+        out = out.withColumn(name, F.element_at(vals, idx))
+    return out.drop("qsketch")
+
+
 def _cms_col(item: Column, d: int, width: int) -> Column:
     """Row-d hash column for an item: conv(md5('d:item')[:8]) % width —
     the oracle-replayable md5 idiom shared by the whole sketch family."""

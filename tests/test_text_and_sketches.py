@@ -798,3 +798,55 @@ class TestSemDeDup:
         # idempotence on the survivor set's ids: re-running drops nothing
         # already-minimal (dominance is defined within original clusters)
         assert out.filter(F.col("c_cos") > 1.0).count() == 0
+
+
+class TestSampleQuantileSketch:
+    def _values(self, spark):
+        from pyspark.sql import Row
+
+        # group "u": uniform 0..9999 (known quantiles); group "s": tiny
+        rows = [Row(grp="u", slice=i % 5, key=i, val=float(i % 10000)) for i in range(20000)]
+        rows += [Row(grp="s", slice=0, key=100000 + i, val=float(i)) for i in range(9)]
+        return spark.createDataFrame(rows)
+
+    def test_merge_equals_direct_build(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        df = self._values(spark)
+        per_slice = sk.sample_quantile_sketch(df, ["grp", "slice"], "key", "val", k=64)
+        merged = {
+            r["grp"]: r["qsketch"]
+            for r in sk.sample_quantile_merge(per_slice, ["grp"], k=64).collect()
+        }
+        direct = {
+            r["grp"]: r["qsketch"]
+            for r in sk.sample_quantile_sketch(df, ["grp"], "key", "val", k=64).collect()
+        }
+        assert merged == direct
+
+    def test_estimates_near_true_quantiles(self, spark):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        df = self._values(spark)
+        est = {
+            r["grp"]: r
+            for r in sk.sample_quantile_estimate(
+                sk.sample_quantile_sketch(df, ["grp"], "key", "val", k=256),
+                {"p50": 0.5, "p90": 0.9},
+            ).collect()
+        }
+        # uniform 0..9999: true p50=5000, p90=9000; sample err ~ 1/sqrt(256)
+        assert abs(est["u"]["p50"] - 5000) < 1500
+        assert abs(est["u"]["p90"] - 9000) < 1200
+        # below k: the sample IS the group; order statistics are exact
+        assert est["s"]["n_sample"] == 9
+        assert est["s"]["p50"] == 4.0  # floor(0.5*8)+1 = rank 5 → value 4
+
+    def test_prob_guard(self, spark):
+        import pytest as _pytest
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        df = self._values(spark)
+        sketch = sk.sample_quantile_sketch(df, ["grp"], "key", "val", k=16)
+        with _pytest.raises(ValueError, match="outside"):
+            sk.sample_quantile_estimate(sketch, {"bad": 1.5})

@@ -176,6 +176,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window sort", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "events_quantile_sketch": [
+        # same two-level bounded-state shape as the KMV build: object
+        # aggregates, no per-group sort window, no python
+        ("partial aggregation", r"ObjectHashAggregate|HashAggregate"),
+        ("no window sort", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_pq_topk": [
         # encode is a pure map over the literal codebook (no join to a
         # codebook table); ADC joins the 5-query side via broadcast; the
