@@ -89,3 +89,40 @@ class TestPq:
         for r in rows:
             assert len(r["codes"]) == 8
             assert all(0 <= c < 16 for c in r["codes"])
+
+
+class TestIvfPq:
+    def test_neighbors_come_from_query_cell(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+        from social_media_data_pipeline_spark.functions import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = emb.filter("vec_id % 50 = 0")
+        cb = pq.pq_codebook(emb, m=8, ksub=16)
+        out = pq.ivf_pq_topk(emb.filter("vec_id < 20"), emb, cents, cb, k=5)
+        cell = {
+            r["vec_id"]: r["cluster"]
+            for r in sim.ivf_assign(emb, cents).select("vec_id", "cluster").collect()
+        }
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert cell[r["query_id"]] == cell[r["neighbor_id"]]
+
+    def test_clustered_data_top1_is_in_own_cluster(self, spark):
+        rng = np.random.default_rng(12)
+        a = rng.standard_normal(16)
+        b = rng.standard_normal(16) + 10.0
+        mat = np.concatenate(
+            [
+                a + 0.01 * rng.standard_normal((20, 16)),
+                b + 0.01 * rng.standard_normal((20, 16)),
+            ]
+        )
+        df = _df(spark, mat)
+        cents = df.filter("vec_id in (0, 20)")
+        cb = pq.pq_codebook(df, m=4, ksub=16)
+        top1 = pq.ivf_pq_topk(df, df, cents, cb, k=1).collect()
+        assert len(top1) == 40
+        for r in top1:
+            assert (r["query_id"] < 20) == (r["neighbor_id"] < 20)
