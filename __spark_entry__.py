@@ -857,6 +857,24 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(queries, codes, cb, k=5).orderBy("query_id", "rank")
 
 
+def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (`pq.ivf_pq_topk`): cell pruning × code
+    compression — the architecture a 100 TB vector corpus actually
+    deploys (corpus partitioned by cell, each cell stored as 8-byte
+    codes). Deterministic centroids (vec_id % 50) and codebooks (first
+    16 vectors) keep the whole composition oracle-checkable; 20 query
+    vectors, top-5 within the query's cell by ADC."""
+    from social_media_data_pipeline_spark.functions import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    cb = pq.pq_codebook(emb, m=8, ksub=16)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return pq.ivf_pq_topk(queries, emb, centroids, cb, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: connected components over the
     MinHash-LSH candidate graph; canonical doc = min id per component."""
@@ -1647,6 +1665,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kmv_distinct": q_events_kmv_distinct,  # registered late r5 → r6 window
     "embedding_pq_topk": q_embedding_pq_topk,  # registered late r5 → r6 window
     "events_quantile_sketch": q_events_quantile_sketch,  # registered late r5 → r6 window
+    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # registered late r5 → r6 window
     # ---- tail: rotated out r5 after 3-4 consecutive green driver rounds,
     # return r6 (see ROADMAP.md) ----
     "filter_in_contains": q_filter_in_contains,

@@ -748,6 +748,66 @@ QUALIFY rank <= 5
 ORDER BY query_id, rank
 """
 
+# IVF-PQ composition: the pq oracle's codes restricted to the query's
+# IVF cell (the ivf_topk oracle's assignment), ADC within the cell only.
+ORACLES["embedding_ivf_pq_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+cw AS (
+    SELECT vec_id AS c, j, list_slice(vec, j*8+1, j*8+8) AS csub
+    FROM v, js WHERE vec_id < 16
+),
+subs AS (
+    SELECT vec_id, j, list_slice(vec, j*8+1, j*8+8) AS sub FROM v, js
+),
+pq_dists AS (
+    SELECT subs.vec_id, subs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM subs JOIN cw ON subs.j = cw.j
+),
+codes AS (
+    SELECT vec_id, j, c AS code
+    FROM pq_dists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+cent AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+assigned AS (
+    SELECT vec_id, centroid_id AS cluster
+    FROM v, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+),
+adc_terms AS (
+    SELECT qa.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.j,
+           ROUND(list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub), 6) AS term
+    FROM codes
+    JOIN assigned ca ON ca.vec_id = codes.vec_id
+    JOIN assigned qa ON qa.cluster = ca.cluster AND qa.vec_id < 20
+    JOIN cw ON cw.j = codes.j AND cw.c = codes.code
+    JOIN subs qs ON qs.j = codes.j AND qs.vec_id = qa.vec_id
+    WHERE qa.vec_id <> codes.vec_id
+),
+adc AS (
+    SELECT query_id, neighbor_id, ROUND(SUM(term), 4) AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
 ORACLES["embedding_ivf_topk"] = f"""
 WITH c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec

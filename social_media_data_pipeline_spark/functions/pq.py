@@ -91,10 +91,12 @@ def pq_encode(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Vector → array<int> of M codes (argmin codeword per subspace,
     ties to the lower code). Pure map-side expression over the literal
-    codebook: encoding 100 TB is an embarrassingly parallel scan."""
+    codebook: encoding 100 TB is an embarrassingly parallel scan.
+    `keep_cols` ride through (e.g. the IVF cell id for IVF-PQ)."""
     m, dsub = len(codebook), len(codebook[0][0])
     # ‖a−b‖² = a·a − 2a·b + b·b, VECTORIZED over the codeword axis: one
     # F.transform over the literal ksub-codeword array computes all
@@ -104,6 +106,7 @@ def pq_encode(
     # array, a·a is computed once per subspace.
     with_subs = vectors.select(
         F.col(id_col),
+        *(keep_cols or []),
         *[_subvec(F.col(vec_col), j, dsub).alias(f"__s{j}") for j in range(m)],
     )
 
@@ -123,8 +126,32 @@ def pq_encode(
         return F.array_min(cands)["c"]
 
     return with_subs.select(
-        F.col(id_col), F.array(*[_code(j) for j in range(m)]).alias("codes")
+        F.col(id_col),
+        *(keep_cols or []),
+        F.array(*[_code(j) for j in range(m)]).alias("codes"),
     )
+
+
+def _adc_dist(codebook: list[list[list[float]]], q_vec: str = "q_vec") -> Column:
+    """ADC distance expression between an uncompressed query column and
+    a `codes` column: Σ_j ‖q_j − CB[j][code_j]‖², each term a literal
+    codebook lookup rounded to 6dp, total rounded to 4dp."""
+    m, dsub = len(codebook), len(codebook[0][0])
+    code_j = lambda j: (F.element_at("codes", j + 1) + 1).cast("int")  # noqa: E731
+    terms = [
+        F.round(
+            dot(_subvec(F.col(q_vec), j, dsub), _subvec(F.col(q_vec), j, dsub))
+            - 2.0
+            * dot(
+                _subvec(F.col(q_vec), j, dsub),
+                F.element_at(F.lit(codebook[j]), code_j(j)),
+            )
+            + F.element_at(F.lit([_normsq(cw) for cw in codebook[j]]), code_j(j)),
+            6,
+        )
+        for j in range(m)
+    ]
+    return F.round(sum(terms[1:], terms[0]), 4)
 
 
 def pq_adc_topk(
@@ -147,40 +174,60 @@ def pq_adc_topk(
     deterministic."""
     from pyspark.sql.window import Window
 
-    m, dsub = len(codebook), len(codebook[0][0])
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        *[
-            dot(_subvec(F.col(vec_col), j, dsub), _subvec(F.col(vec_col), j, dsub)).alias(
-                f"__qn{j}"
-            )
-            for j in range(m)
-        ],
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    code_j = lambda j: (F.element_at("codes", j + 1) + 1).cast("int")  # noqa: E731
-    terms = [
-        F.round(
-            F.col(f"__qn{j}")
-            - 2.0
-            * dot(
-                _subvec(F.col("q_vec"), j, dsub),
-                F.element_at(F.lit(codebook[j]), code_j(j)),
-            )
-            + F.element_at(
-                F.lit([_normsq(cw) for cw in codebook[j]]), code_j(j)
-            ),
-            6,
-        )
-        for j in range(m)
-    ]
-    adc = F.round(sum(terms[1:], terms[0]), 4)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
         .crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .select("query_id", "neighbor_id", _adc_dist(codebook).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN architecture at 100 TB — IVF cell
+    pruning (scan one cell per query, corpus written partitioned by
+    `cluster`) × PQ compression (the scanned cell is CODES, 16-64×
+    smaller than vectors). Composes `similarity.ivf_assign` with
+    `pq_encode`/ADC untouched: candidates = the query's cell only, each
+    scored against codes via the literal-codebook ADC expression. In
+    full IVF-PQ the codebook quantizes cell RESIDUALS (vector −
+    centroid); here it quantizes raw vectors so the composition stays
+    exactly the two audited pieces — the residual variant changes only
+    what `pq_codebook` is trained on."""
+    from pyspark.sql.window import Window
+
+    from social_media_data_pipeline_spark.functions.similarity import ivf_assign
+
+    c_codes = pq_encode(
+        ivf_assign(corpus, centroids, id_col, vec_col),
+        codebook,
+        id_col,
+        vec_col,
+        keep_cols=["cluster"],
+    ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "cluster",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        c_codes.join(F.broadcast(q_assigned), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _adc_dist(codebook).alias("adc_dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

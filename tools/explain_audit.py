@@ -183,6 +183,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window sort", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_pq_topk": [
+        # candidates come from the query's IVF cell: the pair join must
+        # be cluster-EQUI (broadcast hash on the 20-query side), never a
+        # cartesian or nested-loop over the whole corpus
+        ("cell-equi candidate join", r"BroadcastHashJoin.*cluster|SortMergeJoin.*cluster"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_pq_topk": [
         # encode is a pure map over the literal codebook (no join to a
         # codebook table); ADC joins the 5-query side via broadcast; the
