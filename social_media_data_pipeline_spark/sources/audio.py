@@ -46,7 +46,177 @@ from pyspark.sql import types as T
 
 _WAVE_FORMAT_PCM = 1
 _WAVE_FORMAT_IEEE_FLOAT = 3
+_WAVE_FORMAT_ALAW = 6
+_WAVE_FORMAT_MULAW = 7
+_WAVE_FORMAT_IMA_ADPCM = 0x11
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+# ------------------------------------------------------- G.711 / ADPCM
+#
+# Telephony codecs carried inside WAVE containers — real decodes, not
+# boundaries: μ-law/A-law are table-free bit formulas (G.711), IMA
+# ADPCM (fmt 0x11) is the 4-bit block-predictive codec. mp3/ogg/aac
+# (psychoacoustic transforms) remain the documented boundary.
+
+
+def _mulaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 μ-law bytes → int16 samples (±32124)."""
+    u = (~b.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 samples → G.711 μ-law bytes."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    m = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.clip(np.int64(np.log2(1)) + (63 - _clz64(m)) - 7, 0, 7)
+    mant = (m >> (exp + 3)) & 0xF
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_decode(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 samples (±32256)."""
+    a = b.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 samples → G.711 A-law bytes."""
+    x = x.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    m = np.minimum(np.abs(x), 32767)
+    exp = np.clip((63 - _clz64(np.maximum(m, 1))) - 7, 0, 7)
+    mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0xF)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def _clz64(m: np.ndarray) -> np.ndarray:
+    """63 - floor(log2(m)) for positive int64 arrays (bit-length helper)."""
+    out = np.zeros_like(m)
+    v = m.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (1 << shift)
+        out = np.where(big, out + shift, out)
+        v = np.where(big, v >> shift, v)
+    return 63 - out
+
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int64,
+)
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, predictor: int, index: int) -> np.ndarray:
+    """Core IMA ADPCM loop: 4-bit codes → int16 samples."""
+    out = np.empty(nibbles.size, dtype=np.int16)
+    pred, idx = int(predictor), int(index)
+    step_t, idx_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    for i, n in enumerate(nibbles):
+        n = int(n)
+        step = int(step_t[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(idx_t[n])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_block(x: np.ndarray, index: int) -> tuple[bytes, int]:
+    """Encode one mono block: first sample becomes the header
+    predictor; remaining samples quantize to nibbles. Returns (block
+    bytes incl. 4-byte header, final step index)."""
+    pred, idx = int(x[0]), int(index)
+    header = struct.pack("<hBB", pred, idx, 0)
+    nibbles = []
+    for v in map(int, x[1:]):
+        step = int(_IMA_STEP_TABLE[idx])
+        diff = v - pred
+        n = 8 if diff < 0 else 0
+        diff = abs(diff)
+        d = step >> 3
+        if diff >= step:
+            n |= 4
+            diff -= step
+            d += step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+            d += step >> 1
+        if diff >= step >> 2:
+            n |= 1
+            d += step >> 2
+        pred = pred - d if n & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[n])))
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    return header + packed, idx
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """float mono samples in [-1, 1] → IMA-ADPCM WAV bytes (fmt 0x11),
+    the fixture generator for the ADPCM decode path."""
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    xi = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int64)
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    blocks, idx = [], 0
+    for start in range(0, xi.size, samples_per_block):
+        blk = xi[start : start + samples_per_block]
+        if blk.size == 0:
+            break
+        body, idx = _ima_encode_block(blk, idx)
+        body = body.ljust(block_align, b"\x00")
+        blocks.append(body)
+    raw = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHH",
+        _WAVE_FORMAT_IMA_ADPCM,
+        1,
+        sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align,
+        4,
+    ) + struct.pack("<HH", 2, samples_per_block)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, xi.size)
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _parse_wav_chunks(b: bytes) -> dict[str, tuple[int, int]]:
