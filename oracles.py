@@ -727,16 +727,16 @@ codes AS (
 ),
 adc_terms AS (
     SELECT qs.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.j,
-           ROUND(list_dot_product(qs.sub, qs.sub)
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
                  - 2 * list_dot_product(qs.sub, cw.csub)
-                 + list_dot_product(cw.csub, cw.csub), 6) AS term
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
     FROM codes
     JOIN cw ON cw.j = codes.j AND cw.c = codes.code
     JOIN subs qs ON qs.j = codes.j
     WHERE qs.vec_id < 5 AND qs.vec_id <> codes.vec_id
 ),
 adc AS (
-    SELECT query_id, neighbor_id, ROUND(SUM(term), 4) AS adc_dist
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
     FROM adc_terms GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, adc_dist,
@@ -785,9 +785,9 @@ assigned AS (
 ),
 adc_terms AS (
     SELECT qa.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.j,
-           ROUND(list_dot_product(qs.sub, qs.sub)
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
                  - 2 * list_dot_product(qs.sub, cw.csub)
-                 + list_dot_product(cw.csub, cw.csub), 6) AS term
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
     FROM codes
     JOIN assigned ca ON ca.vec_id = codes.vec_id
     JOIN assigned qa ON qa.cluster = ca.cluster AND qa.vec_id < 20
@@ -796,7 +796,7 @@ adc_terms AS (
     WHERE qa.vec_id <> codes.vec_id
 ),
 adc AS (
-    SELECT query_id, neighbor_id, ROUND(SUM(term), 4) AS adc_dist
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
     FROM adc_terms GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, adc_dist,

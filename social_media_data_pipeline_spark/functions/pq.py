@@ -132,26 +132,40 @@ def pq_encode(
     )
 
 
-def _adc_dist(codebook: list[list[list[float]]], q_vec: str = "q_vec") -> Column:
-    """ADC distance expression between an uncompressed query column and
-    a `codes` column: Σ_j ‖q_j − CB[j][code_j]‖², each term a literal
-    codebook lookup rounded to 6dp, total rounded to 4dp."""
+def _adc_micro(codebook: list[list[list[float]]], q_vec: str = "q_vec") -> Column:
+    """ADC distance in exact integer MICRO-units (1e-6) between an
+    uncompressed query column and a `codes` column: Σ_j round(1e6 ·
+    ‖q_j − CB[j][code_j]‖²), each term a literal codebook lookup. The
+    per-term round-to-integer makes the SUM order-independent and
+    bit-exact across engines — summing 6dp-rounded DOUBLES is not
+    (different accumulation orders differ by 1 ulp, which flips a
+    final decimal round at a half boundary)."""
     m, dsub = len(codebook), len(codebook[0][0])
     code_j = lambda j: (F.element_at("codes", j + 1) + 1).cast("int")  # noqa: E731
     terms = [
         F.round(
-            dot(_subvec(F.col(q_vec), j, dsub), _subvec(F.col(q_vec), j, dsub))
-            - 2.0
-            * dot(
-                _subvec(F.col(q_vec), j, dsub),
-                F.element_at(F.lit(codebook[j]), code_j(j)),
+            (
+                dot(_subvec(F.col(q_vec), j, dsub), _subvec(F.col(q_vec), j, dsub))
+                - 2.0
+                * dot(
+                    _subvec(F.col(q_vec), j, dsub),
+                    F.element_at(F.lit(codebook[j]), code_j(j)),
+                )
+                + F.element_at(F.lit([_normsq(cw) for cw in codebook[j]]), code_j(j))
             )
-            + F.element_at(F.lit([_normsq(cw) for cw in codebook[j]]), code_j(j)),
-            6,
-        )
+            * 1000000.0,
+            0,
+        ).cast("long")
         for j in range(m)
     ]
-    return F.round(sum(terms[1:], terms[0]), 4)
+    return sum(terms[1:], terms[0])
+
+
+def _adc_dist(codebook: list[list[list[float]]], q_vec: str = "q_vec") -> Column:
+    """ADC distance as a double: exact integer micro-unit sum / 1e6 —
+    the division of the SAME integer yields a bit-identical double in
+    every engine, so no lossy final round is needed."""
+    return _adc_micro(codebook, q_vec) / F.lit(1000000.0)
 
 
 def pq_adc_topk(

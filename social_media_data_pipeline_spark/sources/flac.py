@@ -468,8 +468,12 @@ def _rice_cost(resid: np.ndarray, k: int) -> int:
 
 
 def _stream_md5(x: np.ndarray, bits: int) -> bytes:
-    """MD5 of the raw interleaved little-endian PCM stream (spec 9.1)."""
-    width = bits // 8
+    """MD5 of the raw interleaved little-endian PCM stream (spec 9.1).
+
+    Samples are packed into ceil(bits/8) bytes each — 12-bit streams hash
+    2-byte samples and 20-bit streams 3-byte samples, matching libFLAC.
+    """
+    width = (bits + 7) // 8
     flat = x.astype(np.int64).reshape(-1)
     if width == 1:
         raw = (flat & 0xFF).astype(np.uint8).tobytes()
@@ -602,7 +606,7 @@ def encode_flac_scripted(
         "right_side": 9,
         "mid_side": 10,
     }[channel_mode]
-    ss_code = {8: 1, 16: 4, 24: 6, 32: 7}[bits]
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
 
     def _subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         eff = bps - wasted_bits

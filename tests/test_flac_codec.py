@@ -126,6 +126,17 @@ class TestScriptedEncoderDecoderPaths:
         with pytest.raises(ValueError, match="wasted_bits"):
             encode_flac_scripted(np.array([1, 3, 5]), 8000, wasted_bits=2)
 
+    @pytest.mark.parametrize("bits", [12, 20])
+    def test_odd_sample_sizes_md5(self, bits):
+        # spec 9.1: the stream MD5 packs samples into ceil(bits/8) bytes
+        # (12-bit -> 2, 20-bit -> 3), not bits // 8
+        hi = 1 << (bits - 2)
+        x = _noise(4001, -hi, hi, seed=17)
+        b = encode_flac_scripted(x, 44100, bits=bits, block_size=1024)
+        y, sr, got_bits = decode_flac_int(b, verify_md5=True)
+        assert (sr, got_bits) == (44100, bits)
+        assert np.array_equal(y[:, 0].astype(np.int64), x)
+
 
 class TestCorruptionDetection:
     def test_frame_crc_mismatch(self):
