@@ -87,7 +87,8 @@ def _alaw_decode(b: np.ndarray) -> np.ndarray:
     exp = (a >> 4) & 0x7
     mant = a & 0xF
     mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-    return np.where(sign != 0, -mag, mag).astype(np.int16)
+    # after the 0x55 toggle the MSB is 1 for POSITIVE values (G.711)
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
 
 
 def _alaw_encode(x: np.ndarray) -> np.ndarray:
@@ -185,6 +186,31 @@ def _ima_encode_block(x: np.ndarray, index: int) -> tuple[bytes, int]:
     return header + packed, idx
 
 
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mulaw") -> bytes:
+    """float samples in [-1, 1] (1-D mono or (n, ch)) → G.711 WAV bytes
+    (fmt tag 7 μ-law / 6 A-law) — the fixture generator for the G.711
+    decode path."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, n_ch = x.shape
+    xi = np.round(np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int64).reshape(-1)
+    if law == "mulaw":
+        tag, raw = _WAVE_FORMAT_MULAW, _mulaw_encode(xi).tobytes()
+    elif law == "alaw":
+        tag, raw = _WAVE_FORMAT_ALAW, _alaw_encode(xi).tobytes()
+    else:
+        raise ValueError(f"law must be mulaw or alaw, got {law!r}")
+    fmt = struct.pack("<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8)
+    fmt += struct.pack("<H", 0)  # cbSize=0 (non-PCM fmt carries the field)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n_frames)
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_wav_ima_adpcm(
     samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
 ) -> bytes:
@@ -252,6 +278,19 @@ def wav_info(b: bytes) -> dict:
     d_off, d_size = chunks["data"]
     d_size = min(d_size, len(b) - d_off)  # tolerate truncated writes
     n_frames = d_size // block_align if block_align else 0
+    samples_per_block = None
+    if tag == _WAVE_FORMAT_IMA_ADPCM:
+        # extended fmt: cbSize at fmt+16, wSamplesPerBlock at fmt+18
+        if size < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+        samples_per_block = int.from_bytes(b[off + 18 : off + 20], "little")
+        n_blocks = d_size // block_align if block_align else 0
+        if "fact" in chunks and chunks["fact"][1] >= 4:
+            # fact dwSampleLength = per-channel sample frames
+            f_off = chunks["fact"][0]
+            n_frames = int.from_bytes(b[f_off : f_off + 4], "little")
+        else:
+            n_frames = n_blocks * samples_per_block
     return {
         "format_tag": tag,
         "n_channels": n_ch,
@@ -259,6 +298,7 @@ def wav_info(b: bytes) -> dict:
         "bits_per_sample": bits,
         "block_align": block_align,
         "n_frames": n_frames,
+        "samples_per_block": samples_per_block,
         "data_offset": d_off,
         "data_size": d_size,
     }
@@ -266,8 +306,9 @@ def wav_info(b: bytes) -> dict:
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float32 samples in [-1, 1], shape (n_frames,
-    n_channels); sample_rate). Supports PCM u8/s16/s24/s32 LE and IEEE
-    float32/float64, any channel count."""
+    n_channels); sample_rate). Supports PCM u8/s16/s24/s32 LE, IEEE
+    float32/float64 (any channel count), G.711 μ-law/A-law, and mono
+    IMA ADPCM (fmt 0x11, block-wise via wSamplesPerBlock)."""
     info = wav_info(b)
     tag, bits = info["format_tag"], info["bits_per_sample"]
     n_ch = info["n_channels"]
@@ -299,14 +340,37 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             x = np.frombuffer(raw, dtype="<f8", count=n).astype(np.float32)
         else:
             raise NotImplementedError(f"float bit depth {bits} not supported")
+    elif tag == _WAVE_FORMAT_MULAW:
+        x = _mulaw_decode(np.frombuffer(raw, dtype=np.uint8, count=n)).astype(np.float32) / 32768.0
+    elif tag == _WAVE_FORMAT_ALAW:
+        x = _alaw_decode(np.frombuffer(raw, dtype=np.uint8, count=n)).astype(np.float32) / 32768.0
+    elif tag == _WAVE_FORMAT_IMA_ADPCM:
+        if n_ch != 1:
+            raise NotImplementedError("IMA ADPCM decode supports mono streams")
+        spb = info["samples_per_block"]
+        block_align = info["block_align"]
+        pieces = []
+        for boff in range(0, size - size % block_align, block_align):
+            block = raw[boff : boff + block_align]
+            pred, idx, _ = struct.unpack_from("<hBB", block, 0)
+            nib_bytes = np.frombuffer(block, dtype=np.uint8, offset=4)
+            nibbles = np.empty(nib_bytes.size * 2, dtype=np.uint8)
+            nibbles[0::2] = nib_bytes & 0xF
+            nibbles[1::2] = nib_bytes >> 4
+            decoded = _ima_decode_nibbles(nibbles[: spb - 1], pred, idx)
+            pieces.append(np.int16(pred))
+            pieces.append(decoded)
+        flat = np.concatenate([np.atleast_1d(p) for p in pieces]) if pieces else np.empty(0, np.int16)
+        x = flat[: info["n_frames"]].astype(np.float32) / 32768.0
     else:
         # mp3/ogg/flac arrive as other containers entirely; a non-PCM
-        # fmt tag inside WAVE (e.g. 0x0055 MP3, 0x0011 ADPCM) is the
-        # documented compressed-audio boundary.
+        # fmt tag inside WAVE (e.g. 0x0055 MP3) is the documented
+        # compressed-audio boundary; G.711 μ-law/A-law (6/7) and IMA
+        # ADPCM (0x11) are decoded for real above.
         raise NotImplementedError(
             f"compressed WAVE format tag 0x{tag:04x} is a codec boundary "
-            "(PCM and IEEE-float are decoded for real; swap in a codec "
-            "lib for ADPCM/MP3-in-WAV)"
+            "(PCM, IEEE-float, G.711 and IMA ADPCM are decoded for real; "
+            "swap in a codec lib for MP3-in-WAV)"
         )
     return x.reshape(-1, n_ch), info["sample_rate"]
 

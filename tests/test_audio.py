@@ -71,6 +71,62 @@ class TestWavCodec:
             audio.decode_wav(b"not a wav at all")
 
 
+class TestTelephonyCodecs:
+    @pytest.mark.parametrize("law,tol", [("mulaw", 0.04), ("alaw", 0.04)])
+    def test_g711_round_trip(self, law, tol):
+        x = sine()
+        b = audio.encode_wav_g711(x, 8000, law=law)
+        info = audio.wav_info(b)
+        assert info["format_tag"] == (7 if law == "mulaw" else 6)
+        assert info["n_frames"] == x.size and info["bits_per_sample"] == 8
+        y, sr = audio.decode_wav(b)
+        assert sr == 8000 and y.shape == (x.size, 1)
+        # logarithmic companding: max step near full scale bounds error
+        assert np.max(np.abs(y[:, 0] - x)) < tol
+
+    @pytest.mark.parametrize("law", ["mulaw", "alaw"])
+    def test_g711_requantization_fixed_point(self, law):
+        # encode(decode(encode(x))) == encode(x): decoded values are
+        # exact quantizer reconstruction levels
+        x = sine(freq=123.0, dur=0.2)
+        b1 = audio.encode_wav_g711(x, 8000, law=law)
+        y, _ = audio.decode_wav(b1)
+        b2 = audio.encode_wav_g711(y[:, 0], 8000, law=law)
+        assert b1 == b2
+
+    def test_g711_stereo(self):
+        x = np.stack([sine(300, dur=0.1), sine(600, dur=0.1)], axis=1)
+        y, sr = audio.decode_wav(audio.encode_wav_g711(x, 16000, law="alaw"))
+        assert sr == 16000 and y.shape == x.shape
+        assert np.max(np.abs(y - x)) < 0.04
+
+    @pytest.mark.parametrize("n", [505, 505 * 3, 505 * 2 + 101])
+    def test_ima_adpcm_round_trip(self, n):
+        # partial final block exercises the fact-chunk frame trim
+        sr = 8000
+        t = np.arange(n) / sr
+        x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+        b = audio.encode_wav_ima_adpcm(x, sr)
+        info = audio.wav_info(b)
+        assert info["format_tag"] == 0x11 and info["samples_per_block"] == 505
+        assert info["n_frames"] == n
+        y, got_sr = audio.decode_wav(b)
+        assert got_sr == sr and y.shape == (n, 1)
+        # adaptive 4-bit prediction tracks a smooth signal closely once
+        # the step size has ramped up from its block-1 cold start
+        assert np.max(np.abs(y[64:, 0] - x[64:])) < 0.06
+        assert np.mean(np.abs(y[:, 0] - x)) < 0.03
+
+    def test_ima_adpcm_block_headers_resync(self):
+        # a step discontinuity at a block boundary: each block header
+        # re-seeds the predictor, so the decode must re-lock immediately
+        sr = 8000
+        x = np.concatenate([np.full(505, -0.6), np.full(505, 0.6)])
+        y, _ = audio.decode_wav(audio.encode_wav_ima_adpcm(x, sr))
+        assert abs(y[505, 0] - 0.6) < 1e-3  # block-2 header predictor is exact
+        assert np.max(np.abs(y[600:1010, 0] - 0.6)) < 0.02
+
+
 class TestDsp:
     def test_resample_preserves_duration_and_tone(self):
         x = sine(440, 8000, 1.0)
