@@ -832,12 +832,14 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) semantic dedup: cluster embeddings,
     drop τ-similar same-cluster neighbors, keep the example farthest
-    from its centroid. Deterministic centroids (vec_id % 50 == 0, the
-    `embedding_ivf_topk` convention) keep it oracle-checkable; τ=0.3
+    from its centroid. K ≈ √n centroids via `select_ivf_centroids`
+    (id-stride, oracle-reproducible) — cells stay ~√n so the
+    within-cluster pair join scales n·√n, never n²·const (the r5
+    registration pinned K=n/50, which went quadratic-per-cell). τ=0.3
     sits inside this corpus's within-cluster cosine range (max ≈ 0.48)
     so real pruning happens at every sf."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = similarity.select_ivf_centroids(emb)
     return similarity.semdedup(emb, centroids, threshold=0.3).orderBy("vec_id")
 
 
@@ -873,6 +875,36 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivf_pq_topk(queries, emb, centroids, cb, k=5).orderBy(
         "query_id", "rank"
     )
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed deterministic k-means (`functions/kmeans.py`): 5
+    Lloyd rounds over the embeddings corpus, K ≈ √n, id-stride seeds.
+    Assignment is a map-side broadcast-struct argmin in exact integer
+    micro-space (no float rounding anywhere); the only shuffle per
+    round is the (cluster, dim) partial-aggregated mean. Output is the
+    flat model (centroid_id, j, c, n_members); the oracle replays all
+    5 rounds as a generated CTE chain and matches bit-for-bit."""
+    from social_media_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans.kmeans_model_df(emb, iters=5).orderBy("centroid_id", "j")
+
+
+def q_embedding_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED centroids: `kmeans_centroids` (5 Lloyd
+    rounds) replaces the id-stride cells of `embedding_ivf_topk` —
+    trained cells are balanced around the data's actual modes, which
+    is where IVF recall comes from at 100 TB. Same search shape:
+    assign corpus + queries to cells (broadcast, shuffle-free), score
+    only the query's cell, per-query top-5 window. The oracle replays
+    training AND search in one generated SQL chain."""
+    from social_media_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans.kmeans_centroids(emb, iters=5)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,7 +1605,7 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
 # 50 entries of this dict (CORRECTNESS_r01-r05 all hold exactly the first
-# 50 in registry order). With 99 registered queries the window ROTATES each
+# 50 in registry order). With 101 registered queries the window ROTATES each
 # round; the rotation policy prioritizes DRIVER-NEVER-CHECKED queries over
 # re-confirming long-green ones: every registered query must receive a
 # driver row within 2 rounds (schedule in ROADMAP.md "Driver window
@@ -1639,14 +1671,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_revenue": q_running_revenue,  # [r6-in-return]
     "count_pushdown": q_count_pushdown,  # [r6-in-return]
     "distinct_sorted": q_distinct_sorted,  # [r6-in-return]
-    # longest-stale returns: r4-out (last row r3) + r5-out variant (6)
-    "numeric_describe": q_numeric_describe,  # [r6-in-return]
-    "cube_agg": q_cube_agg,  # [r6-in-return]
+    # new in r6 (k-means training + trained-centroid IVF)
+    "kmeans_train": q_kmeans_train,  # [r6-in-new]
+    "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,  # [r6-in-new]
+    # longest-stale returns: r4-out (last row r3) + r5-out variant (4)
     "embedding_ann_lsh": q_embedding_ann_lsh,  # [r6-in-return]
     "events_daily": q_events_daily,  # [r6-in-return]
     "simhash_near_pairs": q_simhash_near_pairs,  # [r6-in-return]
     "docs_llm_pipeline": q_docs_llm_pipeline,  # flagship keeper
     # ---- tail: green in the r5 driver run, return r7 ----
+    "numeric_describe": q_numeric_describe,  # variant of driver-green describe
+    "cube_agg": q_cube_agg,  # variant of driver-green rollup
     "filter_project": q_filter_project,
     "dedup_first_wins": q_dedup_first_wins,
     "pricing_summary": q_pricing_summary,

@@ -645,9 +645,12 @@ ORDER BY id_a, id_b
 # < (c_cos(x), x.id) — survivors are the minimal elements, i.e. the
 # paper's "keep farthest from centroid" rule made one-pass.
 ORACLES["embedding_semdedup"] = f"""
-WITH c AS (
+WITH params AS (
+    SELECT GREATEST(n // GREATEST(CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT), 4), 1) AS stride
+    FROM (SELECT COUNT(*) AS n FROM embeddings)
+), c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
-    FROM embeddings WHERE vec_id % 50 = 0
+    FROM embeddings, params WHERE vec_id % stride = 0
 ), v AS (
     SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
 ), assigned AS (
@@ -1756,3 +1759,35 @@ SELECT t, exact_cnt, cms_est
 FROM top JOIN est USING (t)
 ORDER BY exact_cnt DESC, t ASC
 """
+
+# Distributed deterministic k-means: generated CTE chain replaying all
+# Lloyd rounds in exact integer micro-space (see
+# functions/kmeans.py:build_kmeans_oracle_sql).
+from social_media_data_pipeline_spark.functions.kmeans import (
+    build_kmeans_centroid_cte as _kmeans_cent_cte,
+    build_kmeans_oracle_sql as _kmeans_oracle,
+)
+
+ORACLES["kmeans_train"] = _kmeans_oracle(iters=5)
+
+# IVF top-k over the TRAINED centroids: the k-means chain feeds the
+# same assigned/scored/top-k body as embedding_ivf_topk.
+ORACLES["embedding_ivf_topk_trained"] = _kmeans_cent_cte(iters=5) + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), scored AS (
+    SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+           {_cos('q.vec', 's.vec')} AS cos
+    FROM assigned q JOIN assigned s ON q.cluster = s.cluster
+    WHERE q.vec_id < 20 AND q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank"""

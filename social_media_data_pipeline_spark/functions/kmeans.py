@@ -1,0 +1,247 @@
+"""Distributed deterministic k-means (Lloyd) for vector clustering —
+the trained-centroid upgrade for IVF cells (`similarity.ivf_assign`),
+PQ codebooks (`functions/pq.py`), and SemDeDup clusters.
+
+Why not MLlib KMeans: its k-means|| init and per-partition float
+accumulation are run-order dependent — not replayable in another
+engine. Fixed-seed Lloyd with a fixed round count is exactly as
+expressive, and here every quantity is BIT-EXACT across engines:
+
+- Vectors are quantized ONCE to integer micro-units (round(x·1e6) —
+  the `pq._adc_micro` discipline): all distances are int64 sums of
+  squared integer differences, so assignment has no float rounding
+  anywhere, in any engine.
+- Centroid update is floor(Σx / count) back into micro-units: integer
+  sums are exact, and the one double division is the same IEEE op on
+  the same operands in Spark and DuckDB.
+- Seeds are the `select_ivf_centroids` id-stride rule (k ≈ √n), so the
+  oracle replays the whole run from the raw table (generated
+  round-chain CTE SQL — the `classifier.build_logreg_oracle_sql` /
+  `bpe.build_oracle_sql` bounded-state pattern).
+
+Scale shape (100 TB): per round, assignment is MAP-SIDE — the K
+centroids collapse to one broadcast row of (cid, c) structs (the
+`ivf_assign_multiprobe` shape), each vector scores all K in a
+higher-order expression with no shuffle and no UDF; the only shuffle
+is the (cluster, dim) partial-aggregated mean update (map-side
+combine, k·dim result rows). Driver state is the model itself —
+k·dim micro-ints (the bounded per-round collect, same class as the
+classifier's 257 weights and BPE's 1-row argmax).
+
+Reference semantics: the reference retrieves by exact cosine over DIR
+feature vectors (Preprocessing/FeatureVectors/readme.md); k-means is
+how the IVF/PQ/SemDeDup approximations of that contract earn their
+recall at scale (Jégou et al. 2011 trains exactly these codebooks).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def quantize_micro(vec_col: Column | str) -> Column:
+    """array<float|double> → array<long> in 1e-6 units (exact integer
+    space: every downstream distance/sum is engine-exact)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(c, lambda x: F.round(x.cast("double") * float(MICRO), 0).cast("long"))
+
+
+def _assign_expr(cents_col: str = "__cents", xq_col: str = "xq") -> Column:
+    """argmin_c Σ_j (xq_j − c_j)² over a broadcast struct array —
+    int64 arithmetic, ties to the lower centroid id."""
+    return F.array_min(
+        F.transform(
+            F.col(cents_col),
+            lambda ct: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col(xq_col), ct["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                ct["centroid_id"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_size: int | None = None,
+) -> list[tuple[int, int, list[int]]]:
+    """Train Lloyd k-means; returns the model as a driver-side list of
+    (centroid_id, n_members, centroid_micro) — n_members from the final
+    assignment round, centroids in integer micro-units.
+
+    Seeds: id-stride (stride = max(1, n // k), k defaults to
+    max(4, floor(√n)) — the `select_ivf_centroids` scale rule), indexed
+    0..len(seeds)-1 in id order. Each round assigns every vector to its
+    nearest centroid by integer squared-L2 in micro space (ties → lower
+    cid) and re-centers with floor(Σx/count); empty clusters keep their
+    previous centroid.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = vectors.sparkSession
+    xq_df = vectors.select(
+        F.col(id_col).alias("id"), quantize_micro(vec_col).alias("xq")
+    ).localCheckpoint()
+    n = corpus_size if corpus_size is not None else xq_df.count()
+    if k is None:
+        k = max(4, math.floor(math.sqrt(n)))
+    stride = max(1, n // k)
+    seed_rows = xq_df.filter(F.col("id") % stride == 0).orderBy("id").collect()
+    if not seed_rows:
+        raise ValueError("no seed vectors selected — empty corpus?")
+    cents: list[tuple[int, list[int]]] = [
+        (i, list(r["xq"])) for i, r in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1])
+    counts: dict[int, int] = {}
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "centroid_id int, c array<bigint>")
+        c_row = cdf.agg(F.collect_list(F.struct("centroid_id", "c")).alias("__cents"))
+        assigned = xq_df.crossJoin(F.broadcast(c_row)).select(
+            "id", "xq", _assign_expr().alias("cluster")
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("xq").alias("j", "v"))
+            .groupBy("cluster", "j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cluster"], {})[r["j"]] = (r["s"], r["cnt"])
+        new_cents = []
+        counts = {}
+        for cid, old in cents:
+            dims = by_cid.get(cid)
+            if not dims:
+                counts[cid] = 0
+                new_cents.append((cid, old))
+                continue
+            counts[cid] = dims[0][1]
+            # floor of the SAME IEEE double division the oracle performs
+            new_cents.append((cid, [math.floor(dims[j][0] / dims[j][1]) for j in range(dim)]))
+        cents = new_cents
+    return [(cid, counts[cid], c) for cid, c in cents]
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_size: int | None = None,
+) -> DataFrame:
+    """Trained centroids as a (id_col, vec_col) DataFrame of DOUBLES
+    (micro/1e6) — drop-in for every `centroids=` parameter
+    (`ivf_assign`, `ivf_topk`, `semdedup`, ...)."""
+    model = kmeans_train(vectors, k, iters, id_col, vec_col, corpus_size)
+    spark = vectors.sparkSession
+    rows = [(cid, [v / MICRO for v in c]) for cid, _n, c in model]
+    return spark.createDataFrame(rows, f"{id_col} int, {vec_col} array<double>")
+
+
+def kmeans_model_df(
+    vectors: DataFrame,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flat oracle-comparable model view: (centroid_id, j, c,
+    n_members) — one row per centroid × dimension, c in doubles."""
+    model = kmeans_train(vectors, k, iters, id_col, vec_col)
+    spark = vectors.sparkSession
+    rows = [
+        (cid, j, c[j] / MICRO, n)
+        for cid, n, c in model
+        for j in range(len(c))
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, j int, c double, n_members bigint"
+    )
+
+
+def build_kmeans_chain_sql(
+    iters: int = 5, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """The WITH-chain prefix replaying the training run (CTEs v, params,
+    c0, a0..a{iters-1}, c1..c{iters}) — compose a final SELECT onto it,
+    or a `cent(centroid_id, c_vec)` CTE for downstream IVF oracles."""
+    parts = [
+        f"""WITH v AS MATERIALIZED (
+    SELECT vec_id AS id, j,
+           CAST(ROUND(embedding[j + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS x
+    FROM {table}, (SELECT unnest(generate_series(0, {dim - 1})) AS j) js
+), params AS MATERIALIZED (
+    SELECT GREATEST(n // GREATEST(CAST(FLOOR(SQRT(n::DOUBLE)) AS BIGINT), 4), 1) AS stride
+    FROM (SELECT COUNT(*) AS n FROM {table})
+), c0 AS MATERIALIZED (
+    SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS INT) AS cid, j, x AS c
+    FROM v, params WHERE id % stride = 0
+)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f""", a{r} AS MATERIALIZED (
+    SELECT id, cid FROM (
+        SELECT v.id, c.cid, SUM((v.x - c.c) * (v.x - c.c)) AS d
+        FROM v JOIN c{r} c USING (j)
+        GROUP BY v.id, c.cid
+    ) QUALIFY row_number() OVER (PARTITION BY id ORDER BY d, cid) = 1
+), c{r + 1} AS MATERIALIZED (
+    SELECT c.cid, c.j,
+           COALESCE(CAST(FLOOR(m.s::DOUBLE / m.cnt) AS BIGINT), c.c) AS c
+    FROM c{r} c LEFT JOIN (
+        SELECT a.cid, v.j, SUM(v.x)::BIGINT AS s, COUNT(*) AS cnt
+        FROM a{r} a JOIN v USING (id) GROUP BY a.cid, v.j
+    ) m ON m.cid = c.cid AND m.j = c.j
+)"""
+        )
+    return "".join(parts)
+
+
+def build_kmeans_oracle_sql(
+    iters: int = 5, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """Generated DuckDB SQL replaying the exact training run from the
+    raw table: same micro quantization, same id-stride seeds with the
+    √n scale rule, same int64 distances, same floor-mean update, same
+    tie-breaks. Output matches `kmeans_model_df`."""
+    return (
+        build_kmeans_chain_sql(iters, dim, table)
+        + f"""
+SELECT c.cid AS centroid_id, c.j, c.c / 1000000.0 AS c,
+       COALESCE(m.n_members, 0) AS n_members
+FROM c{iters} c LEFT JOIN (
+    SELECT cid, COUNT(*) AS n_members FROM a{iters - 1} GROUP BY cid
+) m USING (cid)
+ORDER BY centroid_id, j"""
+    )
+
+
+def build_kmeans_centroid_cte(
+    iters: int = 5, dim: int = 64, table: str = "embeddings"
+) -> str:
+    """Chain prefix plus `cent(centroid_id, c_vec)` — trained centroids
+    as DOUBLE lists (micro / 1e6), the exact values
+    `kmeans_centroids` hands to Spark-side IVF callers."""
+    return (
+        build_kmeans_chain_sql(iters, dim, table)
+        + f""", cent AS MATERIALIZED (
+    SELECT CAST(cid AS INT) AS centroid_id, list(c / 1000000.0 ORDER BY j) AS c_vec
+    FROM c{iters} GROUP BY cid
+)"""
+    )
