@@ -1791,3 +1791,50 @@ SELECT query_id, neighbor_id, cos,
 FROM scored
 QUALIFY rank <= 5
 ORDER BY query_id, rank"""
+
+# PQ over TRAINED codebooks: per-subspace k-means chain (exact integer
+# micro-space replay) ending in cw(c, j, csub), then the standard
+# encode + ADC body in integer micro-unit sums.
+from social_media_data_pipeline_spark.functions.pq import (
+    build_pq_kmeans_chain_sql as _pq_kmeans_chain,
+)
+
+ORACLES["embedding_pq_topk_trained"] = _pq_kmeans_chain(m=8, ksub=16, iters=3) + """
+, v2 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+js2 AS (SELECT unnest(generate_series(0, 7)) AS j),
+subs AS (
+    SELECT vec_id, j, list_slice(vec, j*8+1, j*8+8) AS sub FROM v2, js2
+),
+dists AS (
+    SELECT subs.vec_id, subs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM subs JOIN cw ON subs.j = cw.j
+),
+codes AS (
+    SELECT vec_id, j, c AS code
+    FROM dists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+adc_terms AS (
+    SELECT qs.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.j,
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
+    FROM codes
+    JOIN cw ON cw.j = codes.j AND cw.c = codes.code
+    JOIN subs qs ON qs.j = codes.j
+    WHERE qs.vec_id < 5 AND qs.vec_id <> codes.vec_id
+),
+adc AS (
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= 5
+ORDER BY query_id, rank"""

@@ -245,3 +245,151 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_codebook_kmeans(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """TRAINED codebook: per-subspace Lloyd k-means in exact integer
+    micro-space (the `functions/kmeans.py` discipline), all M subspaces
+    batched into ONE distributed job per round. Seeds are the
+    `pq_codebook` convention (subvectors of the ksub lowest-id
+    vectors); assignment is an int64 argmin over a broadcast struct
+    array joined on the subspace id; update is floor(Σx/count); empty
+    codewords keep their previous value. Driver state is the codebook
+    itself (m·ksub·dsub micro-ints). Returns nested float lists
+    (micro/1e6) — a drop-in for `pq_encode`/`pq_adc_topk`, whose
+    literal-codebook plans do not change shape.
+
+    Replayable: `build_pq_kmeans_chain_sql` regenerates the exact run
+    as a DuckDB CTE chain ending in a `cw(c, j, csub)` codeword table.
+    """
+    import math as _math
+
+    from social_media_data_pipeline_spark.functions.kmeans import (
+        MICRO,
+        _assign_expr,
+        quantize_micro,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = vectors.sparkSession
+    first = vectors.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    sub_df = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        quantize_micro(_subvec(F.col(vec_col), j, dsub))
+                        for j in range(m)
+                    ]
+                )
+            ).alias("j", "sq"),
+        )
+    ).localCheckpoint()
+    seed_rows = sub_df.filter(F.col("id") < ksub).orderBy("id", "j").collect()
+    if len(seed_rows) < m * ksub:
+        raise ValueError(
+            f"need {ksub} seed vectors with {id_col} < {ksub}, got {len(seed_rows) // m}"
+        )
+    seed_ids = sorted({r["id"] for r in seed_rows})
+    rank_of = {vid: i for i, vid in enumerate(seed_ids)}
+    cents: dict[tuple[int, int], list[int]] = {
+        (r["j"], rank_of[r["id"]]): list(r["sq"]) for r in seed_rows
+    }
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(j, cid, c) for (j, cid), c in sorted(cents.items())],
+            "j int, cid int, c array<bigint>",
+        )
+        crow = cdf.groupBy("j").agg(
+            F.collect_list(
+                F.struct(F.col("cid").alias("centroid_id"), "c")
+            ).alias("__cents")
+        )
+        assigned = sub_df.join(F.broadcast(crow), "j").select(
+            "id", "j", "sq", _assign_expr("__cents", "sq").alias("cid")
+        )
+        stats = (
+            assigned.select("j", "cid", F.posexplode("sq").alias("p", "v"))
+            .groupBy("j", "cid", "p")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_key.setdefault((r["j"], r["cid"]), {})[r["p"]] = (r["s"], r["cnt"])
+        new_cents = {}
+        for key, old in cents.items():
+            dims = by_key.get(key)
+            if not dims:
+                new_cents[key] = old
+                continue
+            new_cents[key] = [
+                _math.floor(dims[p][0] / dims[p][1]) for p in range(dsub)
+            ]
+        cents = new_cents
+    return [
+        [[v / MICRO for v in cents[(j, c)]] for c in range(ksub)] for j in range(m)
+    ]
+
+
+def build_pq_kmeans_chain_sql(
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """Generated WITH-chain replaying `pq_codebook_kmeans` exactly,
+    ending in `cw(c, j, csub)` — codeword id, subspace, DOUBLE[] —
+    the same shape the hand-written PQ oracles build from id-seeds."""
+    dsub = dim // m
+    parts = [
+        f"""WITH sv AS MATERIALIZED (
+    SELECT vec_id AS id, j, p,
+           CAST(ROUND(embedding[j * {dsub} + p + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS x
+    FROM {table},
+         (SELECT unnest(generate_series(0, {m - 1})) AS j) js,
+         (SELECT unnest(generate_series(0, {dsub - 1})) AS p) ps
+), k0 AS MATERIALIZED (
+    SELECT CAST(dense_rank() OVER (ORDER BY id) - 1 AS INT) AS cid, j, p, x AS cv
+    FROM sv WHERE id < {ksub}
+)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f""", ka{r} AS MATERIALIZED (
+    SELECT id, j, cid FROM (
+        SELECT sv.id, sv.j, k.cid, SUM((sv.x - k.cv) * (sv.x - k.cv)) AS d
+        FROM sv JOIN k{r} k ON k.j = sv.j AND k.p = sv.p
+        GROUP BY sv.id, sv.j, k.cid
+    ) QUALIFY row_number() OVER (PARTITION BY id, j ORDER BY d, cid) = 1
+), k{r + 1} AS MATERIALIZED (
+    SELECT k.cid, k.j, k.p,
+           COALESCE(CAST(FLOOR(mm.s::DOUBLE / mm.cnt) AS BIGINT), k.cv) AS cv
+    FROM k{r} k LEFT JOIN (
+        SELECT a.cid, sv.j, sv.p, SUM(sv.x)::BIGINT AS s, COUNT(*) AS cnt
+        FROM ka{r} a JOIN sv ON sv.id = a.id AND sv.j = a.j
+        GROUP BY a.cid, sv.j, sv.p
+    ) mm ON mm.cid = k.cid AND mm.j = k.j AND mm.p = k.p
+)"""
+        )
+    parts.append(
+        f""", cw AS MATERIALIZED (
+    SELECT cid AS c, j, list(cv / 1000000.0 ORDER BY p) AS csub
+    FROM k{iters} GROUP BY cid, j
+)"""
+    )
+    return "".join(parts)

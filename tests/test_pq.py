@@ -126,3 +126,55 @@ class TestIvfPq:
         assert len(top1) == 40
         for r in top1:
             assert (r["query_id"] < 20) == (r["neighbor_id"] < 20)
+
+
+class TestTrainedCodebook:
+    def test_kmeans_codebook_cuts_quantization_error(self, spark):
+        """Trained codewords must not lose to the id-seed codebook on
+        total quantization error (sum of squared distances to the
+        assigned codeword)."""
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((120, 16))
+        df = _df(spark, mat)
+        seed_cb = pq.pq_codebook(df, m=4, ksub=8)
+        trained_cb = pq.pq_codebook_kmeans(df, m=4, ksub=8, iters=4)
+
+        def total_err(cb):
+            codes = {r["vec_id"]: r["codes"] for r in pq.pq_encode(df, cb).collect()}
+            err = 0.0
+            for i, row in enumerate(mat):
+                for j in range(4):
+                    sub = row[j * 4 : (j + 1) * 4]
+                    err += float(np.sum((sub - np.array(cb[j][codes[i][j]])) ** 2))
+            return err
+
+        e_seed, e_trained = total_err(seed_cb), total_err(trained_cb)
+        assert e_trained < e_seed * 0.8
+
+    def test_kmeans_codebook_oracle_chain_bit_exact(self, spark, sf_dir):
+        import duckdb
+
+        from social_media_data_pipeline_spark.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        cb = pq.pq_codebook_kmeans(emb, m=8, ksub=16, iters=2)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        rows = con.execute(
+            pq.build_pq_kmeans_chain_sql(m=8, ksub=16, iters=2)
+            + " SELECT c, j, csub FROM cw ORDER BY j, c"
+        ).fetchall()
+        got = {}
+        for c, j, csub in rows:
+            got[(j, c)] = list(csub)
+        for j in range(8):
+            for c in range(16):
+                assert got[(j, c)] == cb[j][c], (j, c)
+
+    def test_kmeans_codebook_shape(self, spark):
+        rng = np.random.default_rng(3)
+        df = _df(spark, rng.standard_normal((40, 8)))
+        cb = pq.pq_codebook_kmeans(df, m=2, ksub=4, iters=1)
+        assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
