@@ -1551,26 +1551,12 @@ def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     trained = bpe.bpe_train(docs, num_merges=20)
     merges = [(r["lhs"], r["rhs"]) for r in trained.orderBy("merge_rank").collect()]
-    # encode via the vocabulary table: merges fold ONCE per distinct
-    # word, tokens broadcast-join against it (bpe_encode's per-token
-    # replay measured ~4x slower at sf0.1 — fine for OOV streams, not
-    # for corpus encoding)
-    vocab = bpe.bpe_vocab(docs, merges)
-    toks = docs.select(
+    enc = bpe.bpe_encode_corpus(docs, merges)
+    return enc.select(
         "doc_id",
-        F.explode(F.filter(etext.tokenize("text"), lambda w: F.length(w) > 0)).alias(
-            "w"
-        ),
-    )
-    return (
-        toks.join(F.broadcast(vocab), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.size("syms")).alias("n_bpe_tokens"),
-        )
-        .orderBy("doc_id")
-    )
+        "n_words",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
 
 
 def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,14 +59,32 @@ def logreg_train(
     n_buckets: int = 256,
     iters: int = 10,
     lr: float = 1.0,
+    sample_frac: float | None = None,
+    sample_seed: str = "logreg",
 ) -> list[tuple[int, float]]:
     """Batch-GD logistic regression: returns [(bucket, weight)] with the
     bias at bucket -1. Deterministic: zero init, fixed step, fixed
-    iteration count; w_b ← w_b − lr · Σ_d (σ(s_d) − y_d)·x_db / N."""
+    iteration count; w_b ← w_b − lr · Σ_d (σ(s_d) − y_d)·x_db / N.
+
+    `sample_frac` is the SCALE lever: train on a bounded deterministic
+    sample (the `operators/splits.py` salted-md5 draw — reproducible,
+    partitioning-independent) and score everything in one broadcast
+    pass afterwards. A linear filter's weights converge long before the
+    corpus does, so each GD iteration rescans sample_frac·N feature
+    rows instead of N — at 100 TB that is the difference between 10
+    corpus scans and 10 sample scans. Full-corpus training
+    (sample_frac=None) remains the default and the oracle path."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if sample_frac is not None and not 0.0 < sample_frac <= 1.0:
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    if sample_frac is not None and sample_frac < 1.0:
+        from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+        cut = int(sample_frac * 4294967296)
+        df = df.filter(fingerprint32(id_col, sample_seed) < cut)
     spark = df.sparkSession
     labeled = df.select(
         F.col(id_col).alias("id"), label.cast("double").alias("y")

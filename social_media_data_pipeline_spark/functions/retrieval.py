@@ -175,5 +175,22 @@ def bm25_score(
     )
     scored = per_term.groupBy(id_col).agg(F.round(F.sum("s"), 6).alias("bm25"))
     top = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topn)
-    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
-    return top.select(F.col(id_col), "bm25", F.row_number().over(w).alias("rank"))
+    # rank WITHOUT a window: the <= topn survivors collapse to one
+    # bounded array, sort (desc bm25 via negation, asc id), posexplode.
+    # Keeps the plan Window-free — TakeOrderedAndProject + a 1-row agg.
+    one = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("bm25")).alias("nb"),
+                    F.col(id_col).alias("id"),
+                    F.col("bm25").alias("bm25"),
+                )
+            )
+        ).alias("xs")
+    )
+    return one.select(F.posexplode("xs").alias("pos", "x")).select(
+        F.col("x.id").alias(id_col),
+        F.col("x.bm25").alias("bm25"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )

@@ -97,3 +97,20 @@ class TestBpeVocab:
         for i, t in enumerate(TEXTS):
             via_vocab = [s for w in t.lower().split() if w for s in vocab[w]]
             assert enc[i] == via_vocab, f"doc {i}"
+
+
+class TestBpeEncodeCorpus:
+    def test_corpus_encoder_agrees_token_for_token(self, spark):
+        exp_merges, _ = py_bpe(TEXTS, 8)
+        merges = [(l, r) for _, l, r, _ in exp_merges]
+        docs = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+        ).repartition(3)
+        per_token = {r.doc_id: r.bpe_tokens for r in bpe.bpe_encode(docs, merges).collect()}
+        corpus = {r.doc_id: (r.n_words, r.bpe_tokens)
+                  for r in bpe.bpe_encode_corpus(docs, merges).collect()}
+        assert set(corpus) == set(per_token)
+        for i, t in enumerate(TEXTS):
+            n_words, toks = corpus[i]
+            assert toks == per_token[i], f"doc {i}"
+            assert n_words == len([w for w in t.lower().split() if w])

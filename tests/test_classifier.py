@@ -57,3 +57,35 @@ class TestLogregTrain:
             classifier.logreg_train(corpus, F.lit(True), iters=0)
         with pytest.raises(ValueError):
             classifier.logreg_train(corpus, F.lit(True), n_buckets=1)
+
+    def test_sampled_training_still_separates(self, corpus):
+        # train on a deterministic ~half sample, score EVERY doc: the
+        # linear filter still separates the classes
+        w = classifier.logreg_train(
+            corpus, F.col("label") == 1, n_buckets=64, iters=20, lr=2.0,
+            sample_frac=0.5,
+        )
+        scores = {
+            r["id"]: r["score"]
+            for r in classifier.quality_scores(corpus, w, n_buckets=64).collect()
+        }
+        pos = [scores[i] for i in range(30)]
+        neg = [scores[i] for i in range(30, 60)]
+        assert min(pos) > max(neg)
+
+    def test_sampled_training_deterministic_and_proper_subset(self, corpus):
+        a = classifier.logreg_train(
+            corpus, F.col("label") == 1, n_buckets=32, iters=3, sample_frac=0.5
+        )
+        b = classifier.logreg_train(
+            corpus, F.col("label") == 1, n_buckets=32, iters=3, sample_frac=0.5
+        )
+        full = classifier.logreg_train(
+            corpus, F.col("label") == 1, n_buckets=32, iters=3
+        )
+        assert a == b  # md5 draw: same sample, same weights, every run
+        assert a != full  # the sample really is a subset, not the corpus
+
+    def test_sample_frac_guard(self, corpus):
+        with pytest.raises(ValueError, match="sample_frac"):
+            classifier.logreg_train(corpus, F.lit(True), sample_frac=1.5)

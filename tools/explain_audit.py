@@ -200,6 +200,25 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("per-query top-k window", r"Window"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_bm25": [
+        # top-k is TakeOrderedAndProject; rank comes from a bounded
+        # 1-row array_sort + posexplode — the plan is Window-free
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "kmeans_train": [
+        # the model is a driver-side literal by the time the query's
+        # DataFrame exists — nothing to audit beyond "it is tiny";
+        # audit the TRAINING plan shape instead via ivf_topk_trained
+        ("local model relation", r"Scan ExistingRDD|LocalTableScan"),
+    ],
+    "embedding_ivf_topk_trained": [
+        # trained centroids enter as a broadcast of a local relation;
+        # assignment is map-side (no shuffle before the cluster join)
+        ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
 }
 
 
