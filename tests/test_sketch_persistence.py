@@ -1,0 +1,98 @@
+"""Tests: sketch-state persistence round-trips — the build-per-shard /
+store / union-later contract the CMS/KMV/quantile docstrings promise.
+Each test writes per-slice sketches to parquet, reads them back in a
+fresh DataFrame, merges, and asserts the ESTIMATES equal the
+single-pass build exactly (the merges are lossless by construction:
+KMV hash-space argument, CMS cell additivity, quantile bottom-k-by-key
+union)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions import sketches
+
+
+def _tokens(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    rid = 0
+    for i in range(3000):
+        rows.append((rid, words[i % len(words)], i % 2))
+        rid += 1
+    # skewed head token
+    for i in range(500):
+        rows.append((rid, "alpha", i % 2))
+        rid += 1
+    return spark.createDataFrame(rows, "row_id long, t string, slice int")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestCmsPersistence:
+    def test_shard_build_store_merge_equals_single_pass(self, spark, tmp_path):
+        toks = _tokens(spark)
+        for s in (0, 1):
+            sketches.cms_build(
+                toks.filter(F.col("slice") == s), "t", depth=4, width=64
+            ).write.parquet(str(tmp_path / f"cms_{s}"))
+        a = spark.read.parquet(str(tmp_path / "cms_0"))
+        b = spark.read.parquet(str(tmp_path / "cms_1"))
+        merged = sketches.cms_merge(a, b)
+        single = sketches.cms_build(toks, "t", depth=4, width=64)
+        queries = toks.select("t").distinct()
+        est_m = sketches.cms_estimate(merged, queries, "t", depth=4, width=64)
+        est_s = sketches.cms_estimate(single, queries, "t", depth=4, width=64)
+        assert _sorted_rows(est_m) == _sorted_rows(est_s)
+        # and the sketch STATE itself is identical cell-for-cell
+        assert _sorted_rows(merged) == _sorted_rows(single)
+
+
+class TestKmvPersistence:
+    def test_shard_build_store_merge_equals_single_pass(self, spark, tmp_path):
+        toks = _tokens(spark)
+        # distinct values overlap across slices -> merge must dedup
+        for s in (0, 1):
+            sketches.kmv_build(
+                toks.filter(F.col("slice") == s).select(
+                    F.lit("g").alias("g"), (F.col("row_id") % 200).alias("v")
+                ),
+                ["g"],
+                "v",
+                k=32,
+            ).write.parquet(str(tmp_path / f"kmv_{s}"))
+        a = spark.read.parquet(str(tmp_path / "kmv_0"))
+        b = spark.read.parquet(str(tmp_path / "kmv_1"))
+        merged = sketches.kmv_merge(a.unionByName(b), ["g"], k=32)
+        single = sketches.kmv_build(
+            toks.select(F.lit("g").alias("g"), (F.col("row_id") % 200).alias("v")),
+            ["g"],
+            "v",
+            k=32,
+        )
+        est_m = _sorted_rows(sketches.kmv_estimate(merged, k=32))
+        est_s = _sorted_rows(sketches.kmv_estimate(single, k=32))
+        assert est_m == est_s
+        assert _sorted_rows(merged.select(F.explode("kmv"))) == _sorted_rows(
+            single.select(F.explode("kmv"))
+        )
+
+
+class TestQuantileSketchPersistence:
+    def test_shard_build_store_merge_equals_single_pass(self, spark, tmp_path):
+        rows = [(i, "g", float((i * 37) % 1000)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "key long, g string, v double")
+        for s in (0, 1):
+            sketches.sample_quantile_sketch(
+                df.filter(F.col("key") % 2 == s), ["g"], "key", "v", k=128
+            ).write.parquet(str(tmp_path / f"qs_{s}"))
+        a = spark.read.parquet(str(tmp_path / "qs_0"))
+        b = spark.read.parquet(str(tmp_path / "qs_1"))
+        merged = sketches.sample_quantile_merge(a.unionByName(b), ["g"], k=128)
+        single = sketches.sample_quantile_sketch(df, ["g"], "key", "v", k=128)
+        probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+        est_m = _sorted_rows(sketches.sample_quantile_estimate(merged, probs))
+        est_s = _sorted_rows(sketches.sample_quantile_estimate(single, probs))
+        assert est_m == est_s
