@@ -261,7 +261,123 @@ def skew_mode(spark, factor: int = 8, hot_frac: float = 0.10) -> int:
     return 0
 
 
+def skew_dedup_mode(spark, factor: int = 4, hot_frac: float = 0.05) -> int:
+    """Planted hot-key demonstration for the DEDUP PAIR JOINS — the
+    paths where the hot key is a JOIN key (LSH band bucket, shingle),
+    not a window key. The plant is the realistic one: `hot_frac` of all
+    documents become byte-identical boilerplate, so one band bucket and
+    every boilerplate shingle go hot.
+
+    What the rows demonstrate:
+    - lsh_pairs (naive): a hot bucket of h identical docs emits h²/2
+      candidate pairs — the blow-up is the OUTPUT, so no join strategy
+      (AQE skew-split, salting) can bound it. The quadratic ratio
+      printed here is the disease, measured.
+    - lsh_pairs_dedup_first: the structural cure — collapse identical
+      texts first (md5 groupBy, linear), run LSH over the ~h× smaller
+      representative set; duplicate membership stays a linear column.
+      Ratio vs uniform must stay bounded.
+    - ngram_jaccard (pruned): hot shingles are stop-shingles; the
+      max_doc_freq prefilter drops them BEFORE the self-join. Bounded.
+      (The unpruned variant is the same disease as naive LSH and is
+      omitted — its output alone is quadratic.)
+
+    AQE's skew-join split (spark.sql.adaptive.skewJoin.*) stays enabled
+    throughout; it splits oversized JOIN partitions at real partition
+    sizes (256 MB-class), which this local corpus never reaches — the
+    measured levers here are the structural ones, which is the point:
+    for dedup pair joins, partition splitting cannot fix a quadratic
+    pair OUTPUT, only composition (dedup-first) and pruning can.
+    """
+    docs = eio.read_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * n)).alias("doc_id"),
+            # copy-suffix tokens: cross-copy shingles stay disjoint
+            F.regexp_replace("text", r"(\w+)", rf"$1x{k}").alias("text")
+            if k
+            else F.col("text"),
+        )
+        for k in range(factor)
+    ]
+    uniform = parts[0]
+    for p in parts[1:]:
+        uniform = uniform.unionByName(p)
+    skew_dir = os.path.join(SCRATCH, "skew_dedup")
+    uniform.write.mode("overwrite").parquet(os.path.join(skew_dir, "uniform.parquet"))
+    boiler = "subscribe to our newsletter for updates terms of service apply all rights reserved"
+    skewed = uniform.withColumn(
+        "text",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 1000
+            < int(hot_frac * 1000),
+            F.lit(boiler),
+        ).otherwise(F.col("text")),
+    )
+    skewed.write.mode("overwrite").parquet(os.path.join(skew_dir, "skewed.parquet"))
+
+    def lsh_naive(df):
+        return sketches.minhash_lsh_pairs(df, "doc_id", "text", num_hashes=16, bands=4)
+
+    def lsh_dedup_first(df):
+        reps = (
+            df.groupBy(F.md5("text").alias("__h"))
+            .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+            .drop("__h")
+        )
+        return sketches.minhash_lsh_pairs(reps, "doc_id", "text", num_hashes=16, bands=4)
+
+    def jaccard_pruned(df):
+        return sketches.ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=3, threshold=0.8, max_doc_freq=50
+        )
+
+    queries = {
+        "lsh_pairs_naive": lsh_naive,
+        "lsh_pairs_dedup_first": lsh_dedup_first,
+        "ngram_jaccard_pruned": jaccard_pruned,
+    }
+    print(
+        f"dedup skew sweep: {factor}x documents ({n * factor} rows), "
+        f"{hot_frac:.0%} of docs are one identical boilerplate text\n"
+    )
+    print(f"{'query':24s} {'uniform':>9s} {'skewed':>9s} {'ratio':>7s}  rows(u/s)")
+    for name, make in queries.items():
+        times, counts = {}, {}
+        for variant in ("uniform", "skewed"):
+            df_in = spark.read.parquet(os.path.join(skew_dir, f"{variant}.parquet"))
+            make(df_in).write.mode("overwrite").format("noop").save()  # warm
+            times[variant] = min(
+                _timed(
+                    lambda: make(df_in).write.mode("overwrite").format("noop").save()
+                )
+                for _ in range(2)
+            )
+            counts[variant] = make(df_in).count()
+        ratio = times["skewed"] / times["uniform"]
+        print(
+            f"{name:24s} {times['uniform']:>8.2f}s {times['skewed']:>8.2f}s "
+            f"{ratio:>6.2f}x  {counts['uniform']}/{counts['skewed']}"
+        )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-dedup":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
+        return skew_dedup_mode(spark, factor, frac)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         spark = get_spark(
             "scale-sensitivity",
