@@ -1602,6 +1602,30 @@ def q_docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance.dsir_resample(w, k=100, seed="dsir")
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round PageRank (`functions/graph.py:pagerank`) over the
+    customer→supplier purchase graph (orders ⋈ lineitem edges,
+    suppliers offset to a disjoint id space). Exact integer micro-unit
+    arithmetic → the full 5-round run replays bit-for-bit in the
+    generated DuckDB WITH-chain (`build_pagerank_sql`), the same
+    differential-oracle trick as kmeans_train/docs_quality_classifier.
+    Scale shape: the edge list is deduped, hash-partitioned by src and
+    pinned once; each round is one contribution shuffle + rank
+    co-partition with lineage cut — O(rounds) flat plans, no collect."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return egraph.pagerank(edges, iters=5).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1735,6 +1759,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redact": q_docs_pii_redact,
     "embedding_quantize": q_embedding_quantize,
     "docs_weighted_sample": q_docs_weighted_sample,
+    # ---- new in r6 (never driver-checked; rotate into the r7 window) ----
+    "graph_pagerank": q_graph_pagerank,  # [r7-in-new]
 }
 
 

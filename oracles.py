@@ -1838,3 +1838,17 @@ SELECT query_id, neighbor_id, adc_dist,
 FROM adc
 QUALIFY rank <= 5
 ORDER BY query_id, rank"""
+
+# graph_pagerank: generated WITH-chain replaying the exact 5-round
+# integer micro-unit run (functions/graph.py:build_pagerank_sql)
+from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
+    build_pagerank_sql as _pagerank_sql,
+)
+
+ORACLES["graph_pagerank"] = _pagerank_sql(
+    """
+    SELECT DISTINCT o_custkey AS src, 1000000000 + l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    iters=5,
+) + """
+SELECT node, rank_micro FROM r5 ORDER BY node"""

@@ -122,3 +122,100 @@ def dedup_clusters(
     )
     out = out.withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
     return out.withColumn("is_canonical", F.col(id_col) == F.col("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded-round PageRank over a directed edge list → (node,
+    rank_micro).
+
+    Arithmetic is EXACT integer micro-units (rank 1.0 ≡ 1_000_000, the
+    `functions/kmeans.py` convention): each round a node receives
+        150_000 + Σ_{u→v} (rank(u) * 85) div (100 * outdeg(u))
+    — the damping-0.85 update with per-node teleport mass (the
+    "R(v) = (1-d) + d·Σ R(u)/deg(u)" n-scaled formulation; dangling
+    mass is dropped, the standard simplification). Integer div/sum are
+    associative and order-independent, so the whole run replays
+    bit-for-bit in ANSI SQL (`build_pagerank_sql`) — the property the
+    float formulation can never give a differential oracle.
+
+    Scale shape: the edge list (the 100 TB side) is deduped, hash-
+    partitioned by `src` and pinned ONCE (localCheckpoint); every round
+    then joins the K-row rank table against the SAME pre-partitioned
+    edges and partially aggregates contributions by `dst` — per round
+    exactly one shuffle of (edge-count) contribution rows plus the
+    rank-table co-partition, lineage cut per round so plans stay flat
+    (the `connected_components` pattern above).
+    """
+    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
+    if checkpoint:
+        e = e.repartition("src").localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("__d"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("rank_micro"))
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_micro * 85) div (100 * __d)").alias("__c"),
+            )
+        )
+        ranks = (
+            nodes.join(contribs.groupBy("node").agg(F.sum("__c").alias("__s")),
+                       "node", "left")
+            .select(
+                "node",
+                (F.lit(150_000) + F.coalesce(F.col("__s"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def build_pagerank_sql(edges_cte: str, iters: int = 5) -> str:
+    """Generated DuckDB WITH-chain replaying `pagerank` exactly:
+    `edges_cte` is the body of an `e(src, dst)` CTE (rows must be
+    distinct); output (node, rank_micro) matches bit-for-bit because
+    both sides use the same integer micro-unit update."""
+    parts = [
+        f"""WITH e AS MATERIALIZED ({edges_cte}
+), deg AS MATERIALIZED (
+    SELECT src, COUNT(*) AS d FROM e GROUP BY src
+), nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    )
+), r0 AS MATERIALIZED (
+    SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
+)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f""", r{r + 1} AS MATERIALIZED (
+    SELECT n.node,
+           CAST(150000 + COALESCE(SUM((r.rank_micro * 85) // (100 * deg.d)), 0)
+                AS BIGINT) AS rank_micro
+    FROM nodes n
+    LEFT JOIN e ON e.dst = n.node
+    LEFT JOIN deg ON deg.src = e.src
+    LEFT JOIN r{r} r ON r.node = e.src
+    GROUP BY n.node
+)"""
+        )
+    return "".join(parts)

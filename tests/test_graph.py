@@ -31,3 +31,85 @@ class TestConnectedComponents:
         cc = graph.connected_components(edges, max_iterations=50)
         comps = {r.component for r in cc.collect()}
         assert comps == {0}
+
+
+def _pagerank_reference(edges, iters=5):
+    """Straight-line integer replay of the documented update rule."""
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = sorted({n for e in edges for n in e})
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        recv = defaultdict(int)
+        for s, d in edges:
+            recv[d] += (ranks[s] * 85) // (100 * deg[s])
+        ranks = {n: 150_000 + recv[n] for n in nodes}
+    return ranks
+
+
+class TestPagerank:
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 6)]
+
+    def test_matches_integer_reference(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(df, iters=5, checkpoint=False).collect()
+        }
+        assert got == _pagerank_reference(self.EDGES, iters=5)
+
+    def test_checkpointed_path_identical(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src bigint, dst bigint")
+        a = sorted(pagerank(df, iters=3, checkpoint=True).collect())
+        b = sorted(pagerank(df, iters=3, checkpoint=False).collect())
+        assert a == b
+
+    def test_sink_accumulates_source_only_decays(self, spark):
+        """Chain 1→2→3: the sink (3) must outrank the source (1), and a
+        pure source settles at the teleport floor after round 1."""
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(df, iters=5, checkpoint=False).collect()
+        }
+        assert got[3] > got[2] > got[1]
+        assert got[1] == 150_000
+
+    def test_duplicate_edges_collapse(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        base = spark.createDataFrame(self.EDGES, "src bigint, dst bigint")
+        doubled = base.unionByName(base)
+        assert sorted(pagerank(doubled, iters=2, checkpoint=False).collect()) == sorted(
+            pagerank(base, iters=2, checkpoint=False).collect()
+        )
+
+    def test_oracle_sql_replays_run(self, spark):
+        import duckdb
+
+        from social_media_data_pipeline_spark.functions.graph import (
+            build_pagerank_sql,
+            pagerank,
+        )
+
+        df = spark.createDataFrame(self.EDGES, "src bigint, dst bigint")
+        got = sorted(
+            (r["node"], r["rank_micro"])
+            for r in pagerank(df, iters=4, checkpoint=False).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(f"({s}, {d})" for s, d in self.EDGES)
+        sql = build_pagerank_sql(
+            f"SELECT * FROM (VALUES {vals}) t(src, dst)", iters=4
+        ) + "\nSELECT node, rank_micro FROM r4 ORDER BY node"
+        assert got == [tuple(r) for r in con.execute(sql).fetchall()]
