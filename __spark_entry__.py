@@ -1626,6 +1626,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.pagerank(edges, iters=5).orderBy("node")
 
 
+def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, epoch-day)
+    (`scale.py:zorder_key`): the multi-dimensional layout key behind
+    `write_zordered` + `file_skipping_index` — pure shift/mask JVM
+    expression, oracle = the identical generated bit expression
+    (`build_zorder_sql`). Pruning power is measured in SCALING.md;
+    this query pins the key itself bit-for-bit."""
+    from social_media_data_pipeline_spark import scale as escale
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            day.alias("day"),
+            escale.zorder_key([F.col("user_id"), day], bits=16).alias("zkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1761,6 +1783,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_sample": q_docs_weighted_sample,
     # ---- new in r6 (never driver-checked; rotate into the r7 window) ----
     "graph_pagerank": q_graph_pagerank,  # [r7-in-new]
+    "events_zorder_key": q_events_zorder_key,  # [r7-in-new]
 }
 
 

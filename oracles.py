@@ -1852,3 +1852,16 @@ ORACLES["graph_pagerank"] = _pagerank_sql(
     iters=5,
 ) + """
 SELECT node, rank_micro FROM r5 ORDER BY node"""
+
+# events_zorder_key: generated bit-interleave expression
+# (scale.py:build_zorder_sql) over (user_id, epoch-day)
+from social_media_data_pipeline_spark.scale import (  # noqa: E402
+    build_zorder_sql as _zorder_sql,
+)
+
+ORACLES["events_zorder_key"] = f"""
+SELECT event_id, user_id,
+       date_diff('day', DATE '1970-01-01', ts::DATE) AS day,
+       {_zorder_sql(['user_id', "date_diff('day', DATE '1970-01-01', ts::DATE)"], bits=16)} AS zkey
+FROM events
+ORDER BY event_id"""

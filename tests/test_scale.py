@@ -137,3 +137,104 @@ class TestScale:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+def _z_ref(vals, bits=16):
+    """Python replay of the documented interleave."""
+    n = len(vals)
+    mask = (1 << bits) - 1
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            z += (((v & mask) >> b) & 1) << (b * n + i)
+    return z
+
+
+class TestZorderLayout:
+    def test_zorder_key_matches_reference(self, spark):
+        rows = [(0, 0), (1, 0), (0, 1), (255, 255), (65535, 1), (12345, 54321)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", scale.zorder_key(["x", "y"]).alias("z")
+            ).collect()
+        }
+        for x, y in rows:
+            assert got[(x, y)] == _z_ref([x, y])
+
+    def test_zorder_sql_form_identical(self, spark):
+        import duckdb
+
+        rows = [(i * 37 % 100, i * 91 % 100) for i in range(50)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        got = sorted(
+            (r["x"], r["y"], r["z"])
+            for r in df.select("x", "y", scale.zorder_key(["x", "y"], 8).alias("z")).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT x, y, {scale.build_zorder_sql(['x', 'y'], 8)} FROM t"
+            ).fetchall()
+        )
+        assert got == want
+
+    def _grid(self, spark, side=64):
+        return spark.range(side * side).selectExpr(
+            "id", f"id % {side} AS x", f"id div {side} AS y"
+        )
+
+    def test_pruned_read_row_identical(self, spark, tmp_path):
+        path = str(tmp_path / "z")
+        df = self._grid(spark)
+        scale.write_zordered(df, path, ["x", "y"], bits=8, num_files=16)
+        idx = scale.file_skipping_index(spark, path, ["x", "y"])
+        preds = {"x": (10, 20), "y": (30, 40)}
+        got = sorted(r["id"] for r in scale.pruned_read(spark, idx, preds).collect())
+        want = sorted(
+            r["id"]
+            for r in spark.read.parquet(path)
+            .filter("x BETWEEN 10 AND 20 AND y BETWEEN 30 AND 40")
+            .collect()
+        )
+        assert got == want and len(got) == 11 * 11
+
+    def test_zorder_beats_linear_sort_on_2d_box(self, spark, tmp_path):
+        """A 2-D box predicate must overlap strictly fewer files under
+        the Morton layout than under a sort on the leading column only
+        (which spreads the second dimension across every file)."""
+        zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+        df = self._grid(spark)
+        scale.write_zordered(df, zpath, ["x", "y"], bits=8, num_files=64)
+        (
+            df.repartitionByRange(64, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+        preds = {"x": (10, 20), "y": (30, 40)}
+
+        def overlapping(path):
+            idx = scale.file_skipping_index(spark, path, ["x", "y"])
+            cond = (
+                (F.col("max_x") >= 10) & (F.col("min_x") <= 20)
+                & (F.col("max_y") >= 30) & (F.col("min_y") <= 40)
+            )
+            return idx.filter(cond).count(), idx.count()
+
+        z_hit, z_total = overlapping(zpath)
+        l_hit, l_total = overlapping(lpath)
+        assert z_total == l_total == 64
+        # linear sort on x: every x-slice file spans the full y range,
+        # so ~all x-overlapping files stay; Morton confines the box
+        assert z_hit < l_hit
+
+    def test_pruned_read_empty_box(self, spark, tmp_path):
+        path = str(tmp_path / "z")
+        scale.write_zordered(self._grid(spark), path, ["x", "y"], bits=8, num_files=8)
+        idx = scale.file_skipping_index(spark, path, ["x", "y"])
+        assert scale.pruned_read(spark, idx, {"x": (1000, 2000)}).count() == 0

@@ -389,7 +389,91 @@ def skew_dedup_mode(spark, factor: int = 4, hot_frac: float = 0.05) -> int:
     return 0
 
 
+def layout_mode(spark, factor: int = 8) -> int:
+    """Z-order layout pruning demo on the REAL events table: replicate
+    sf0.1 events `factor`× (per-copy day offsets), write (a) the naive
+    arrival layout (sorted by ts — tight stats on day, none on user) and
+    (b) the Morton layout on (user_id, day), same file count. Then probe
+    a 2-D box (one user decile × one month) through the file-skipping
+    index and report files read + wall time for each layout. The file
+    fraction IS the 100 TB scan saving — the layout job is a one-time
+    linear write, exactly Delta/Iceberg OPTIMIZE ZORDER."""
+    from social_media_data_pipeline_spark import scale as escale
+
+    ev = eio.read_table(spark, BASE_SF, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    n = ev.count()
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * n)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {k * 31} DAYS")).alias("ts"),
+            "user_id",
+            "value",
+        )
+        for k in range(factor)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big = big.withColumn(
+        "day", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    )
+    num_files = 64
+    nat_path = os.path.join(SCRATCH, "layout_natural")
+    z_path = os.path.join(SCRATCH, "layout_zorder")
+    t0 = time.time()
+    (
+        big.repartitionByRange(num_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(nat_path)
+    )
+    t_nat = time.time() - t0
+    t0 = time.time()
+    escale.write_zordered(
+        big, z_path, ["user_id", "day"], bits=16, num_files=num_files
+    )
+    t_z = time.time() - t0
+    lo_u, hi_u = 10, 19
+    day0 = big.agg(F.min("day")).collect()[0][0]
+    preds = {"user_id": (lo_u, hi_u), "day": (day0 + 40, day0 + 69)}
+    print(
+        f"layout demo: {n * factor} events, {num_files} files each; "
+        f"write natural {t_nat:.1f}s vs zorder {t_z:.1f}s"
+    )
+    print(f"box predicate: user_id in [{lo_u},{hi_u}], one month of days\n")
+    print(f"{'layout':10s} {'files read':>10s} {'of':>4s} {'scan_s':>7s} {'rows':>8s}")
+    for label, path in (("natural", nat_path), ("zorder", z_path)):
+        idx = escale.file_skipping_index(spark, path, ["user_id", "day"])
+        pruned = escale.pruned_read(spark, idx, preds)
+        pruned.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        pruned = escale.pruned_read(spark, idx, preds)
+        pruned.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+        n_files = idx.count()
+        cond = F.lit(True)
+        for c, (lo, hi) in preds.items():
+            cond = cond & (F.col(f"max_{c}") >= lo) & (F.col(f"min_{c}") <= hi)
+        hit = idx.filter(cond).count()
+        rows = pruned.count()
+        print(f"{label:10s} {hit:>10d} {n_files:>4d} {dt:>6.2f}s {rows:>8d}")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--layout":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        return layout_mode(spark, factor)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew-dedup":
         spark = get_spark(
             "scale-sensitivity",
