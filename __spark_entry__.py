@@ -1648,13 +1648,35 @@ def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with EXPLICIT registers
+    (`functions/sketches.py:hll_build`): per-(event_type, week) user
+    sketches, merged across weeks (element-wise register max —
+    lossless over the union stream), estimated next to the exact
+    count. Registers are a plain mergeable array<int> column —
+    persistable per slice, unlike `approx_count_distinct`'s opaque
+    state — and the integer-exact harmonic sum + literal correction
+    table make the whole estimate replay bit-for-bit in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+    )
+    sk = sketches.hll_build(weekly, ["event_type", "wk"], "user_id", p=8)
+    merged = sketches.hll_merge(sk, ["event_type"], p=8)
+    est = sketches.hll_estimate(merged, p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
 # 50 entries of this dict (CORRECTNESS_r01-r05 all hold exactly the first
-# 50 in registry order). With 102 registered queries the window ROTATES each
+# 50 in registry order). With 104 registered queries the window ROTATES each
 # round; the rotation policy prioritizes DRIVER-NEVER-CHECKED queries over
 # re-confirming long-green ones: every registered query must receive a
 # driver row within 2 rounds (schedule in ROADMAP.md "Driver window
@@ -1784,6 +1806,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- new in r6 (never driver-checked; rotate into the r7 window) ----
     "graph_pagerank": q_graph_pagerank,  # [r7-in-new]
     "events_zorder_key": q_events_zorder_key,  # [r7-in-new]
+    "events_hll_distinct": q_events_hll_distinct,  # [r7-in-new]
 }
 
 

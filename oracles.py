@@ -1865,3 +1865,21 @@ SELECT event_id, user_id,
        {_zorder_sql(['user_id', "date_diff('day', DATE '1970-01-01', ts::DATE)"], bits=16)} AS zkey
 FROM events
 ORDER BY event_id"""
+
+# events_hll_distinct: generated register replay
+# (functions/sketches.py:build_hll_estimate_sql); the weekly merge is
+# lossless (element-wise max over a partition of the stream), so the
+# oracle builds registers over the whole group directly.
+from social_media_data_pipeline_spark.functions.sketches import (  # noqa: E402
+    build_hll_estimate_sql as _hll_sql,
+)
+
+ORACLES["events_hll_distinct"] = f"""
+WITH est AS ({_hll_sql(['event_type'], 'user_id', 'events', p=8)}
+), ex AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.distinct_est, ex.n_exact
+FROM est JOIN ex USING (event_type)
+ORDER BY event_type"""

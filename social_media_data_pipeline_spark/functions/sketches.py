@@ -778,3 +778,154 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# -- HyperLogLog with EXPLICIT registers (mergeable + oracle-checkable) ----
+
+_HLL_HASH_BITS = 60  # same md5-derived domain as _kmv_hash
+_HLL_SUM_SHIFT = 54  # Σ 2^-M replayed exactly as Σ 2^(54-M) in int64
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog sketch per group with EXPLICIT registers (Flajolet
+    et al. 2007): `hll` = array<int> of m = 2^p register maxima. What
+    Spark's own `approx_count_distinct` keeps opaque, this keeps as a
+    plain mergeable column — build per shard/day, store as parquet,
+    `hll_merge` later — and the deterministic 60-bit md5 hash makes
+    build/merge/estimate replay exactly in ANSI SQL (the KMV property,
+    now for the industry-standard register sketch; KMV remains the
+    exact-below-k option, HLL the fixed-256-byte one).
+
+    Scale shape (100 TB): register maxima aggregate with map-side
+    combine on (group, bucket) — state is ONE int per live bucket,
+    shuffle ≤ m rows per group, merge is element-wise max. rho uses the
+    exact bit-length of the 52-bit suffix (no float log anywhere)."""
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    h = _kmv_hash(F.col(value_col))
+    w = F.expr(f"__h div {m}")
+    # rho = leading-zeros-in-w_bits + 1 = w_bits + 1 - bitlength(w);
+    # integer bit length via base-2 conv, never log2 (float-exact)
+    bitlen = F.when(
+        w > 0, F.length(F.conv(w.cast("string"), 10, 2))
+    ).otherwise(F.lit(0))
+    rho = (F.lit(w_bits + 1) - bitlen).cast("int")
+    regs = (
+        df.select(*group_cols, h.alias("__h"))
+        .withColumn("__bucket", (F.col("__h") % m).cast("int"))
+        .withColumn("__rho", rho)
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    reg_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__bucket"), F.col("__mj")))
+    )
+    fill = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.coalesce(F.element_at(F.col("__regmap"), j), F.lit(0)),
+    )
+    return (
+        regs.groupBy(*group_cols)
+        .agg(reg_map.alias("__regmap"))
+        .withColumn("hll", fill.cast("array<int>"))
+        .drop("__regmap")
+    )
+
+
+def hll_merge(sketches: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Merge HLL sketches across slices down to `group_cols`:
+    element-wise register max — associative, lossless w.r.t. the union
+    stream (the defining HLL property, exercised by the golden
+    persistence tests like CMS/KMV)."""
+    m = 1 << p
+    merged = F.aggregate(
+        F.collect_list("hll"),
+        F.array_repeat(F.lit(0), m),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+    )
+    return sketches.groupBy(*group_cols).agg(merged.cast("array<int>").alias("hll"))
+
+
+def hll_estimate(
+    sketch: DataFrame, p: int = 8, out_col: str = "distinct_est"
+) -> DataFrame:
+    """Distinct estimate from explicit registers. The harmonic sum
+    Σ 2^-M_j is replayed EXACTLY as the int64 sum Σ 2^(54-M_j) (M_j ≤
+    53, ≤ 2^62 total), so no float accumulation order exists; the
+    small-range correction m·ln(m/V) is a PRECOMPUTED literal table
+    indexed by V — every float in the estimate is a single deterministic
+    op, which is what makes the oracle hash-match. Large-range (E >
+    2^60/30) correction is omitted: irrelevant below 10^17 distincts."""
+    m = 1 << p
+    c = _hll_alpha(m) * m * m * float(1 << _HLL_SUM_SHIFT)
+    import math
+
+    corr = [round(m * math.log(m / v), 4) for v in range(1, m + 1)]
+    # 2^(54-M) as a literal lookup (shiftleft needs a literal amount)
+    pow2 = F.array(
+        *[
+            F.lit(1 << (_HLL_SUM_SHIFT - r)).cast("bigint")
+            for r in range(_HLL_SUM_SHIFT + 1)
+        ]
+    )
+    s = F.aggregate(
+        F.col("hll"),
+        F.lit(0).cast("bigint"),
+        lambda acc, r: acc + F.element_at(pow2, r + 1),
+    )
+    v = F.size(F.filter(F.col("hll"), lambda r: r == 0))
+    raw = F.lit(c) / s.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.element_at(F.array(*[F.lit(x) for x in corr]), v),
+    ).otherwise(F.round(raw, 4))
+    return sketch.withColumn(out_col, est).drop("hll")
+
+
+def build_hll_estimate_sql(
+    group_cols: list[str], value_expr: str, from_sql: str, p: int = 8
+) -> str:
+    """Generated DuckDB replay of hll_build + hll_estimate over
+    `from_sql` — same hash, same integer bit-length rho, same exact
+    int64 harmonic sum, same literal correction table."""
+    m = 1 << p
+    w_bits = _HLL_HASH_BITS - p
+    c = repr(_hll_alpha(m) * m * m * float(1 << _HLL_SUM_SHIFT))
+    import math
+
+    corr = ", ".join(repr(round(m * math.log(m / v), 4)) for v in range(1, m + 1))
+    g = ", ".join(group_cols)
+    return f"""
+WITH hh AS (
+    SELECT {g},
+           ('0x' || substr(md5(({value_expr})::VARCHAR), 1, 15))::BIGINT AS h
+    FROM {from_sql}
+), rr AS (
+    SELECT {g}, h % {m} AS bucket,
+           MAX(CASE WHEN h // {m} = 0 THEN {w_bits + 1}
+               ELSE {w_bits + 1} - length(printf('%b', h // {m})) END) AS mj
+    FROM hh GROUP BY {g}, bucket
+), ss AS (
+    SELECT {g},
+           SUM(1::BIGINT << ({_HLL_SUM_SHIFT} - mj))
+             + ({m} - COUNT(*)) * (1::BIGINT << {_HLL_SUM_SHIFT}) AS s,
+           {m} - COUNT(*) AS v
+    FROM rr GROUP BY {g}
+)
+SELECT {g},
+       CASE WHEN {c} / s <= {2.5 * m} AND v > 0
+            THEN list_extract([{corr}], v::INT)
+            ELSE round({c} / s, 4) END AS distinct_est
+FROM ss"""

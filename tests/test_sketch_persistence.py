@@ -96,3 +96,62 @@ class TestQuantileSketchPersistence:
         est_m = _sorted_rows(sketches.sample_quantile_estimate(merged, probs))
         est_s = _sorted_rows(sketches.sample_quantile_estimate(single, probs))
         assert est_m == est_s
+
+
+class TestHllPersistence:
+    def test_shard_build_store_merge_equals_single_pass(self, spark, tmp_path):
+        """HLL: per-slice registers written to parquet, read back,
+        merged — estimates equal the single-pass build exactly
+        (element-wise max is lossless over a stream partition)."""
+        toks = _tokens(spark)
+        for s in (0, 1):
+            sketches.hll_build(
+                toks.filter(F.col("slice") == s), ["slice"], "t", p=8
+            ).select(F.lit("all").alias("g"), "hll").write.parquet(
+                str(tmp_path / f"hll_{s}")
+            )
+        stored = spark.read.parquet(
+            str(tmp_path / "hll_0"), str(tmp_path / "hll_1")
+        )
+        merged = sketches.hll_estimate(
+            sketches.hll_merge(stored, ["g"], p=8), p=8
+        )
+        single = sketches.hll_estimate(
+            sketches.hll_build(
+                toks.select(F.lit("all").alias("g"), "t"), ["g"], "t", p=8
+            ),
+            p=8,
+        )
+        assert _sorted_rows(merged) == _sorted_rows(single)
+
+    def test_small_range_estimate_near_exact(self, spark):
+        """Handful of distinct tokens per slice → small-range
+        correction path; the estimate must land within the sketch's
+        RSE of each slice's true distinct count."""
+        toks = _tokens(spark)
+        exact = {
+            r["slice"]: r["n"]
+            for r in toks.groupBy("slice")
+            .agg(F.countDistinct("t").alias("n"))
+            .collect()
+        }
+        est = sketches.hll_estimate(
+            sketches.hll_build(toks, ["slice"], "t", p=8), p=8
+        ).collect()
+        for r in est:
+            assert abs(r["distinct_est"] - exact[r["slice"]]) < 2.5
+
+    def test_larger_cardinality_accuracy(self, spark):
+        """5 000 distinct ids through 256 registers: raw-estimate path,
+        expect within ~3 RSE (RSE ≈ 1.04/√256 ≈ 6.5%)."""
+        df = spark.range(5000).selectExpr("'g' AS g", "id AS v")
+        est = sketches.hll_estimate(
+            sketches.hll_build(df, ["g"], "v", p=8), p=8
+        ).collect()[0]["distinct_est"]
+        assert abs(est - 5000) / 5000 < 0.20
+
+    def test_registers_are_fixed_width(self, spark):
+        toks = _tokens(spark)
+        rows = sketches.hll_build(toks, ["slice"], "t", p=8).collect()
+        assert all(len(r["hll"]) == 256 for r in rows)
+        assert all(0 <= x <= 53 for r in rows for x in r["hll"])
