@@ -219,6 +219,28 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "graph_pagerank": [
+        # rounds are checkpointed — the final plan joins the last rank
+        # table against pinned nodes; nothing cartesian, nothing Python
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+    ],
+    "events_zorder_key": [
+        # the layout key is a pure JVM bit expression: scan → project →
+        # presentation sort, nothing else
+        ("no join or aggregate", r"\A(?!.*(?:Join|HashAggregate))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
+    ],
+    "events_hll_distinct": [
+        # register maxima via map-side-combinable aggregation; the
+        # whole sketch path stays JVM-side
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+    ],
 }
 
 
