@@ -429,9 +429,16 @@ def decode_audio_bytes(b: bytes) -> tuple[np.ndarray, int]:
         from .flac import decode_flac
 
         return decode_flac(b)
+    if fmt == "ogg":
+        from .ogg import decode_ogg
+
+        # Ogg-FLAC decodes for real (container demux + in-repo FLAC
+        # codec); Vorbis/Opus payloads raise the perceptual boundary
+        return decode_ogg(b)
     raise NotImplementedError(
-        f"audio format {fmt!r} is a codec boundary (wav and flac are "
-        "decoded for real; mp3/ogg/aac need a perceptual-codec library)"
+        f"audio format {fmt!r} is a codec boundary (wav, flac and "
+        "ogg-flac are decoded for real; mp3/ogg-vorbis/opus/aac need a "
+        "perceptual-codec library)"
     )
 
 

@@ -299,10 +299,17 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     return x
 
 
-def decode_flac_int(b: bytes, verify_md5: bool = False) -> tuple[np.ndarray, int, int]:
+def decode_flac_int(
+    b: bytes, verify_md5: bool = False, collect_boundaries: list | None = None
+) -> tuple[np.ndarray, int, int]:
     """FLAC bytes → (int32 samples shape (n_frames, n_channels),
     sample_rate, bits_per_sample). Lossless: values are the exact PCM
-    the encoder saw. CRC-8/CRC-16 verified per frame."""
+    the encoder saw. CRC-8/CRC-16 verified per frame.
+
+    `collect_boundaries`: optional list that receives (start, end) byte
+    offsets of every frame — frames have no length field, so boundary
+    discovery IS a decode; the Ogg-FLAC muxer (`sources/ogg.py`) uses
+    this to emit one packet per frame as the mapping requires."""
     info = flac_info(b)
     sr0, n_ch0, bps0 = info["sample_rate"], info["n_channels"], info["bits_per_sample"]
     total = info["total_samples"]
@@ -382,6 +389,8 @@ def decode_flac_int(b: bytes, verify_md5: bool = False) -> tuple[np.ndarray, int
         frame_crc = br.read(16)
         if _crc16(b[frame_start : br.byte_pos() - 2]) != frame_crc:
             raise ValueError("flac: frame CRC-16 mismatch")
+        if collect_boundaries is not None:
+            collect_boundaries.append((frame_start, br.byte_pos()))
         chunks.append(np.stack(subs, axis=1))
         got += block_size
 
@@ -806,3 +815,11 @@ def encode_flac_int(
         frame_no += 1
 
     return bytes(out)
+
+
+def split_frames(b: bytes) -> list[bytes]:
+    """The stream's audio frames as individual byte strings (decode is
+    the only way to find boundaries — FLAC frames carry no length)."""
+    bounds: list[tuple[int, int]] = []
+    decode_flac_int(b, collect_boundaries=bounds)
+    return [b[s:e] for s, e in bounds]

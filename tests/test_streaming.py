@@ -284,3 +284,53 @@ class TestStreamingBloom:
         q.awaitTermination()
         hits = {r.doc_id for r in spark.sql("select * from bloom_hits").collect()}
         assert hits == {2, 4}
+
+
+class TestStreamingSketchRollup:
+    def test_per_batch_hll_build_merges_to_batch_answer(self, spark, tmp_path):
+        """The build-per-shard / merge-later sketch contract, driven by
+        Structured Streaming: each micro-batch builds HLL registers for
+        its slice (foreachBatch appends them to a sketch table); the
+        stored per-batch sketches then merge to EXACTLY the registers a
+        single batch build over all data produces — the streaming
+        ingest path for the 100 TB 'sketch per day, union at query
+        time' deployment, with no float drift anywhere."""
+        from social_media_data_pipeline_spark.functions import sketches
+
+        src = str(tmp_path / "ev_stream")
+        sink = str(tmp_path / "sketches")
+        rows = [(i, "t%d" % (i % 3), "u%d" % (i % 97)) for i in range(500)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, user_id string")
+        # two files → at most two micro-batches with maxFilesPerTrigger=1
+        df.filter("event_id % 2 = 0").write.parquet(src + "/part_a")
+        df.filter("event_id % 2 = 1").write.parquet(src + "/part_b")
+
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, user_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/part_*")
+        )
+
+        def build_batch(batch_df, batch_id):
+            sketches.hll_build(batch_df, ["event_type"], "user_id", p=8).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            stream.writeStream.foreachBatch(build_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        merged = sketches.hll_merge(spark.read.parquet(sink), ["event_type"], p=8)
+        single = sketches.hll_build(df, ["event_type"], "user_id", p=8)
+        got = {r["event_type"]: list(r["hll"]) for r in merged.collect()}
+        want = {r["event_type"]: list(r["hll"]) for r in single.collect()}
+        assert got == want
+        est = {
+            r["event_type"]: r["distinct_est"]
+            for r in sketches.hll_estimate(merged, p=8).collect()
+        }
+        for v in est.values():
+            assert abs(v - 97) < 10
