@@ -1670,6 +1670,34 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").orderBy("event_type")
 
 
+def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set operations (`sketches.kmv_overlap_pairs`, Beyer et al.
+    2007): pairwise Jaccard + intersection-size estimates between
+    event types' distinct-user sketches, next to the exact overlap —
+    the 100 TB cross-source-overlap / contamination-rate answer at
+    256 B per group instead of a distinct×distinct join. Deterministic
+    hashes → the whole pair table replays in DuckDB list ops."""
+    ev = _t(spark, sf_dir, "events")
+    sk = sketches.kmv_build(ev, ["event_type"], "user_id", k=64)
+    est = sketches.kmv_overlap_pairs(
+        sk.select(F.col("event_type"), F.col("kmv")), "event_type", k=64
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("a"), F.col("y.event_type").alias("b")
+        )
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, ["a", "b"], "left").orderBy("a", "b")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1807,6 +1835,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,  # [r7-in-new]
     "events_zorder_key": q_events_zorder_key,  # [r7-in-new]
     "events_hll_distinct": q_events_hll_distinct,  # [r7-in-new]
+    "events_kmv_overlap": q_events_kmv_overlap,  # [r7-in-new]
 }
 
 

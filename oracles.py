@@ -1883,3 +1883,47 @@ WITH est AS ({_hll_sql(['event_type'], 'user_id', 'events', p=8)}
 SELECT est.event_type, est.distinct_est, ex.n_exact
 FROM est JOIN ex USING (event_type)
 ORDER BY event_type"""
+
+# events_kmv_overlap: per-type k-smallest hash sketches paired with the
+# same list math as sketches.kmv_overlap_pairs (union's k smallest =
+# union KMV; shared fraction = Jaccard; x union estimate = overlap)
+ORACLES["events_kmv_overlap"] = """
+WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+    FROM events
+), ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+), sk AS (
+    SELECT event_type, list_sort(list(h)) AS kmv
+    FROM ranked WHERE rn <= 64 GROUP BY event_type
+), pairs AS (
+    SELECT sa.event_type AS a, sb.event_type AS b,
+           sa.kmv AS ka, sb.kmv AS kb,
+           list_slice(list_sort(list_distinct(sa.kmv || sb.kmv)), 1, 64) AS u
+    FROM sk sa JOIN sk sb ON sa.event_type < sb.event_type
+), calc AS (
+    SELECT a, b, u, len(u) AS nu,
+           len(list_filter(list_intersect(ka, kb),
+                           x -> x <= u[len(u)])) AS shared
+    FROM pairs
+), est AS (
+    SELECT a, b,
+           ROUND(shared::DOUBLE / nu, 6) AS jaccard_est,
+           CASE WHEN nu < 64 THEN shared::DOUBLE
+                ELSE ROUND((shared::DOUBLE / nu)
+                           * (63.0 * 1152921504606846976.0 / u[64]), 4)
+           END AS intersect_est
+    FROM calc
+), ex AS (
+    SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_exact
+    FROM (SELECT DISTINCT event_type, user_id FROM events) x
+    JOIN (SELECT DISTINCT event_type, user_id FROM events) y
+      ON x.user_id = y.user_id AND x.event_type < y.event_type
+    GROUP BY x.event_type, y.event_type
+)
+SELECT est.a, est.b, est.jaccard_est, est.intersect_est, ex.n_exact
+FROM est LEFT JOIN ex USING (a, b)
+ORDER BY a, b"""

@@ -929,3 +929,64 @@ SELECT {g},
             THEN list_extract([{corr}], v::INT)
             ELSE round({c} / s, 4) END AS distinct_est
 FROM ss"""
+
+
+def kmv_overlap_pairs(
+    sketches: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Set-operation estimates between every pair of KMV sketches
+    (Beyer et al. 2007): the k smallest hashes of the UNION are the
+    union's own KMV sample, the fraction of them present in both
+    sketches estimates Jaccard, and Jaccard × the union estimate gives
+    the intersection size — cross-source audience overlap or train/eval
+    contamination rate at sketch cost (256 B per group) instead of a
+    distinct-×-distinct join. Exact when both groups hold < k distinct
+    values (their sketches ARE the sets). Deterministic md5 hashes →
+    the whole pair table replays in SQL.
+
+    Input: one row per group with the `kmv` array from `kmv_build`;
+    output: (a, b, jaccard_est, intersect_est) for a < b.
+    """
+    left = sketches.select(
+        F.col(group_col).alias("a"), F.col("kmv").alias("__ka")
+    )
+    right = sketches.select(
+        F.col(group_col).alias("b"), F.col("kmv").alias("__kb")
+    )
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("__ka"), F.col("__kb")))),
+        1,
+        k,
+    )
+    pairs = pairs.withColumn("__u", u).withColumn("__nu", F.size(F.col("__u")))
+    theta = F.element_at(F.col("__u"), F.col("__nu"))
+    shared = F.size(
+        F.filter(
+            F.array_intersect(F.col("__ka"), F.col("__kb")), lambda h: h <= theta
+        )
+    )
+    pairs = pairs.withColumn("__shared", shared)
+    union_est = F.when(
+        F.col("__nu") < k, F.col("__nu").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.element_at(F.col("__u"), k)
+    )
+    jacc = F.round(
+        F.col("__shared").cast("double") / F.col("__nu").cast("double"), 6
+    )
+    inter = F.when(
+        F.col("__nu") < k, F.col("__shared").cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("__shared").cast("double") / F.col("__nu").cast("double"))
+            * union_est,
+            4,
+        )
+    )
+    return pairs.select(
+        "a",
+        "b",
+        jacc.alias("jaccard_est"),
+        inter.alias("intersect_est"),
+    )

@@ -155,3 +155,30 @@ class TestHllPersistence:
         rows = sketches.hll_build(toks, ["slice"], "t", p=8).collect()
         assert all(len(r["hll"]) == 256 for r in rows)
         assert all(0 <= x <= 53 for r in rows for x in r["hll"])
+
+
+class TestKmvOverlap:
+    def test_exact_below_k(self, spark):
+        """Two small sets (< k distinct) → sketches are the sets, the
+        pair estimates must be EXACT."""
+        rows = [("a", "u%d" % i) for i in range(20)] + [
+            ("b", "u%d" % i) for i in range(10, 40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = sketches.kmv_build(df, ["g"], "v", k=64)
+        out = sketches.kmv_overlap_pairs(sk.select("g", "kmv"), "g", k=64).collect()[0]
+        # |A|=20, |B|=30, overlap=10, union=40
+        assert out["intersect_est"] == 10.0
+        assert abs(out["jaccard_est"] - 10 / 40) < 1e-6
+
+    def test_estimate_tracks_planted_overlap(self, spark):
+        """5k/5k sets with 2k planted overlap through k=256 sketches:
+        the overlap estimate must land within ~3 RSE of truth."""
+        rows = [("a", "x%d" % i) for i in range(5000)] + [
+            ("b", "x%d" % i) for i in range(3000, 8000)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = sketches.kmv_build(df, ["g"], "v", k=256)
+        out = sketches.kmv_overlap_pairs(sk.select("g", "kmv"), "g", k=256).collect()[0]
+        assert abs(out["intersect_est"] - 2000) / 2000 < 0.30
+        assert abs(out["jaccard_est"] - 2000 / 8000) < 0.08
