@@ -557,7 +557,10 @@ def _sniff_audio(b: bytes) -> str:
         return "flac"
     if b[:4] == b"OggS":
         return "ogg"
-    if b[:3] == b"ID3" or b[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio frame sync (11 set bits) or leading ID3v2 tag
         return "mp3"
     return "unknown"
 
@@ -604,6 +607,22 @@ def audio_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                             n_frames=info["total_samples"],
                             duration_s=float(info["total_samples"])
                             / max(info["sample_rate"], 1),
+                        )
+                    except (ValueError, struct.error):
+                        pass
+                elif fmt == "mp3":
+                    # frame-HEADER walk (sources/mp3.py): duration /
+                    # rate / channels without touching the perceptual
+                    # codec boundary
+                    try:
+                        from .mp3 import mp3_info
+
+                        info = mp3_info(b)
+                        row.update(
+                            n_channels=info["n_channels"],
+                            sample_rate=info["sample_rate"],
+                            n_frames=info["total_samples"],
+                            duration_s=info["duration_s"],
                         )
                     except (ValueError, struct.error):
                         pass
