@@ -73,6 +73,13 @@ HEADLINE = [
     "embedding_semdedup",
     "events_kmv_distinct",
     "embedding_pq_topk",
+    # round 6: integer-exact PageRank (iterative — rounds run at
+    # construction), Z-order layout key, explicit-register HLL,
+    # KMV set-operation overlap estimates
+    "graph_pagerank",
+    "events_zorder_key",
+    "events_hll_distinct",
+    "events_kmv_overlap",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -87,6 +94,8 @@ ITERATIVE = {
     # pq_codebook collects its ksub seed rows at construction — a real
     # (bounded) Spark job, so construct time is counted
     "embedding_pq_topk",
+    # pagerank's per-round localCheckpoints materialize during construction
+    "graph_pagerank",
 }
 
 

@@ -193,3 +193,143 @@ def pruned_read(
     for c, (lo, hi) in predicates.items():
         out = out.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return out
+
+
+def footer_stats_index(path: str, cols: Sequence[str]) -> "object":
+    """File/row-group min-max stats read from parquet FOOTERS (pyarrow
+    metadata) — zero data pages touched, unlike the scan-based
+    `file_skipping_index`. This is how the stats table is maintained at
+    100 TB: collected at write time (every writer already computes
+    them), refreshed per ingest partition by listing footers only.
+    Returns a pandas DataFrame (file, row_group, n_rows, min_c/max_c
+    per col) — driver-sized: rows = row groups, not data rows."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as _pd
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    rows = []
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            row = {"file": f, "row_group": g, "n_rows": rg.num_rows}
+            for c in cols:
+                st = rg.column(name_to_idx[c]).statistics
+                row[f"min_{c}"] = st.min if st and st.has_min_max else None
+                row[f"max_{c}"] = st.max if st and st.has_min_max else None
+            rows.append(row)
+    return _pd.DataFrame(rows)
+
+
+def pruned_read_footer(
+    spark: SparkSession,
+    path: str,
+    cols_index: "object",
+    predicates: dict,
+) -> DataFrame:
+    """File-level pruned read driven by the footer-stats index: keep a
+    file if ANY of its row groups overlaps every predicate interval,
+    then let the parquet reader's own row-group pushdown finish the
+    job. Row-identical to a full scan + filter."""
+    from pyspark.sql import functions as _F
+
+    df = cols_index
+    keep = set()
+    for _, r in df.iterrows():
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            mn, mx = r[f"min_{c}"], r[f"max_{c}"]
+            if mn is None or mx is None:
+                continue  # no stats → cannot prune this group
+            if mx < lo or mn > hi:
+                ok = False
+                break
+        if ok:
+            keep.add(r["file"])
+    if not keep:
+        empty = spark.read.parquet(path).limit(0)
+        for c, (lo, hi) in predicates.items():
+            empty = empty.filter((_F.col(c) >= lo) & (_F.col(c) <= hi))
+        return empty
+    out = spark.read.parquet(*sorted(keep))
+    for c, (lo, hi) in predicates.items():
+        out = out.filter((_F.col(c) >= _F.lit(lo)) & (_F.col(c) <= _F.lit(hi)))
+    return out
+
+
+def selective_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+) -> dict:
+    """Copy-on-write MERGE (upsert by `key`) that rewrites ONLY the
+    files whose footer key range can contain an updated key; every
+    other file is left byte-identical. This is the Delta/Iceberg MERGE
+    mechanic built from the primitives above: footer stats pick the
+    rewrite set (a broadcast range semi-join, no target scan), the
+    rewrite reads just those files (anti-join old keys, union the
+    updates — inserts with out-of-range keys land here too), and the
+    swap is a file move. At 100 TB the swap is a transaction-log
+    commit; on a plain filesystem it is the direct file replacement
+    done here. Sort/cluster the table by `key` (`write_zordered` or a
+    range sort) and the rewrite set shrinks to ~updates/file_span.
+
+    Returns {"files_total", "files_rewritten", "rows_written"}.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    idx = footer_stats_index(path, [key])
+    files = sorted(set(idx["file"]))
+    # per-file key ranges → which files can hold an updated key
+    ranges = (
+        idx.groupby("file")
+        .agg(lo=(f"min_{key}", "min"), hi=(f"max_{key}", "max"))
+        .reset_index()
+    )
+    ranges_df = spark.createDataFrame(ranges)
+    hit = (
+        ranges_df.join(
+            updates.select(F.col(key).alias("__k")).distinct(),
+            (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
+            "left_semi",
+        )
+        .select("file")
+        .collect()
+    )
+    rewrite = sorted({r["file"] for r in hit})
+    target_cols = spark.read.parquet(path).columns
+    if rewrite:
+        old = spark.read.parquet(*rewrite)
+        keep = old.join(updates.select(key).distinct(), key, "left_anti")
+        merged = keep.unionByName(updates.select(*target_cols))
+    else:
+        merged = updates.select(*target_cols)
+    staging = path.rstrip("/") + f"__upsert_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    rows_written = spark.read.parquet(staging).count()
+    for f in rewrite:
+        _os.remove(f)
+    moved = 0
+    for f in sorted(_os.listdir(staging)):
+        if f.endswith(".parquet"):
+            _shutil.move(
+                _os.path.join(staging, f),
+                _os.path.join(path, f"upsert-{_uuid.uuid4().hex[:8]}-{moved}.parquet"),
+            )
+            moved += 1
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "files_total": len(files),
+        "files_rewritten": len(rewrite),
+        "rows_written": rows_written,
+    }

@@ -238,3 +238,75 @@ class TestZorderLayout:
         scale.write_zordered(self._grid(spark), path, ["x", "y"], bits=8, num_files=8)
         idx = scale.file_skipping_index(spark, path, ["x", "y"])
         assert scale.pruned_read(spark, idx, {"x": (1000, 2000)}).count() == 0
+
+
+class TestFooterStatsAndUpsert:
+    def _table(self, spark, path, n=4096, files=16):
+        df = spark.range(n).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 7 AS STRING) AS tag"
+        )
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return df
+
+    def test_footer_index_no_data_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        idx = scale.footer_stats_index(path, ["k", "v"])
+        assert idx["n_rows"].sum() == 4096
+        assert len(set(idx["file"])) == 16
+        # ranges must tile [0, 4095] without overlap (sorted write)
+        spans = sorted(
+            (g["min_k"].min(), g["max_k"].max())
+            for _, g in idx.groupby("file")
+        )
+        assert spans[0][0] == 0 and spans[-1][1] == 4095
+        for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+            assert hi < lo2
+
+    def test_pruned_read_footer_row_identical(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        idx = scale.footer_stats_index(path, ["k"])
+        got = sorted(
+            r["k"]
+            for r in scale.pruned_read_footer(
+                spark, path, idx, {"k": (100, 300)}
+            ).collect()
+        )
+        assert got == list(range(100, 301))
+
+    def test_selective_upsert_rewrites_minimal_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        before = {r["k"]: (r["v"], r["tag"]) for r in spark.read.parquet(path).collect()}
+        # updates touch keys 10..19 (one file's range) + brand-new keys
+        updates = spark.createDataFrame(
+            [(k, -1, "upd") for k in range(10, 20)]
+            + [(9000, -2, "new"), (9001, -2, "new")],
+            "k long, v long, tag string",
+        )
+        stats = scale.selective_upsert(spark, path, updates, "k")
+        assert stats["files_total"] == 16
+        # keys 10-19 live in the first range file; new keys overlap none
+        assert stats["files_rewritten"] == 1
+        after = {r["k"]: (r["v"], r["tag"]) for r in spark.read.parquet(path).collect()}
+        assert len(after) == 4096 + 2
+        for k in range(10, 20):
+            assert after[k] == (-1, "upd")
+        assert after[9000] == (-2, "new")
+        # untouched keys byte-identical in value
+        for k in (0, 5, 2000, 4095):
+            assert after[k] == before[k]
+
+    def test_selective_upsert_no_overlap_appends_only(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        updates = spark.createDataFrame([(10**6, 1, "x")], "k long, v long, tag string")
+        stats = scale.selective_upsert(spark, path, updates, "k")
+        assert stats["files_rewritten"] == 0
+        assert spark.read.parquet(path).count() == 4097
