@@ -1,7 +1,9 @@
 """MPEG audio (mp3/mp2/mp1) FRAME-HEADER metadata — no decode.
 
 The transform codec (polyphase filterbank / MDCT / Huffman) stays the
-documented perceptual boundary (`sources/audio.py`), but a 100 TB
+documented perceptual boundary (`sources/audio.py`; the reference's
+library-based media decode is `Preprocessing/ImageLabeler.py:133-151`
+— audio is this engine's multimodal extension), but a 100 TB
 audio corpus still needs duration / bitrate / rate / channel metadata
 for every scraped mp3 WITHOUT decoding it. This walks the physical
 frame sequence exactly as written: skip ID3v2 (syncsafe length),

@@ -1,7 +1,9 @@
 """Dependency-free Ogg container layer + FLAC-in-Ogg demux.
 
-The reference pipeline would read any scraped audio through a media
-library; this module extends the in-repo codec family
+Reference semantics: the reference pipeline's media handling decodes
+scraped binaries through a library (`Preprocessing/ImageLabeler.py:133-151`
+for images; audio is the modality this engine adds for multimodal
+corpora). This module extends the in-repo codec family
 (`sources/audio.py` WAV, `sources/flac.py` FLAC) to FLAC streams
 wrapped in the Ogg transport (the public "Ogg FLAC" mapping): parse
 Ogg pages (capture pattern, segment lacing, page CRC), reassemble
