@@ -290,3 +290,115 @@ class TestChunkingProperties:
         if len(rows) > 1:
             assert rows[-1].token_start + 1 <= n_tokens
             assert rows[-2].token_start + chunk < n_tokens
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+class TestPagerankProperties:
+    @given(edges=edges_strategy, iters=st.integers(min_value=1, max_value=4))
+    @settings(**SETTINGS)
+    def test_matches_python_replay_on_random_graphs(self, spark, edges, iters):
+        from collections import defaultdict
+
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(df, iters=iters, checkpoint=False).collect()
+        }
+        es = sorted(set(edges))
+        deg = defaultdict(int)
+        for s, _ in es:
+            deg[s] += 1
+        nodes = sorted({n for e in es for n in e})
+        ranks = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            recv = defaultdict(int)
+            for s, d in es:
+                recv[d] += (ranks[s] * 85) // (100 * deg[s])
+            ranks = {n: 150_000 + recv[n] for n in nodes}
+        assert got == ranks
+
+    @given(edges=edges_strategy)
+    @settings(**SETTINGS)
+    def test_total_mass_bounded(self, spark, edges):
+        """Damped update with dangling-mass drop: total rank stays in
+        [0.15·n, n] micro-mass — no node family can blow up."""
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        rows = pagerank(df, iters=3, checkpoint=False).collect()
+        n = len(rows)
+        total = sum(r["rank_micro"] for r in rows)
+        assert 150_000 * n <= total <= 1_000_000 * n
+
+
+class TestZorderProperties:
+    @given(
+        pts=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_bijective_within_bit_range(self, spark, pts):
+        """Distinct (x, y) in [0, 2^bits) must get distinct Morton keys
+        (bit interleave is a bijection on the masked domain)."""
+        from social_media_data_pipeline_spark import scale
+
+        df = spark.createDataFrame(pts, "x bigint, y bigint")
+        keys = [
+            r["z"]
+            for r in df.select(scale.zorder_key(["x", "y"], 8).alias("z")).collect()
+        ]
+        assert len(set(keys)) == len(pts)
+        assert all(0 <= z < 1 << 16 for z in keys)
+
+
+class TestHllProperties:
+    @given(
+        vals_a=st.lists(st.integers(min_value=0, max_value=400), max_size=60),
+        vals_b=st.lists(st.integers(min_value=0, max_value=400), max_size=60),
+    )
+    @settings(**SETTINGS)
+    def test_merge_equals_union_build_and_is_idempotent(self, spark, vals_a, vals_b):
+        """merge(build(A), build(B)) register-equals build(A ∪ B); and
+        merging a sketch with itself is a no-op (max is idempotent)."""
+        from social_media_data_pipeline_spark.functions import sketches
+
+        if not vals_a and not vals_b:
+            return
+        mk = lambda vals: spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v long"
+        )
+        parts = []
+        if vals_a:
+            parts.append(sketches.hll_build(mk(vals_a), ["g"], "v", p=6))
+        if vals_b:
+            parts.append(sketches.hll_build(mk(vals_b), ["g"], "v", p=6))
+        both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        merged = sketches.hll_merge(both, ["g"], p=6).collect()[0]["hll"]
+        union = sketches.hll_build(
+            mk(vals_a + vals_b), ["g"], "v", p=6
+        ).collect()[0]["hll"]
+        assert list(merged) == list(union)
+        twice = sketches.hll_merge(
+            both.unionByName(both), ["g"], p=6
+        ).collect()[0]["hll"]
+        assert list(twice) == list(merged)
