@@ -1698,6 +1698,22 @@ def q_events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["a", "b"], "left").orderBy("a", "b")
 
 
+def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget output sharding
+    (`operators/packing.py:assign_training_shards`): documents in
+    deterministic shuffle order packed greedily into ~2000-token
+    shards (chars/4 token estimate). The global token prefix-sum is
+    decomposed into fixed md5 key-range buckets + a broadcast offset
+    table — no global window; the oracle replays the same integer
+    cumsum with a plain SQL window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.greatest(F.lit(1), F.expr("n_chars div 4"))
+    out = packing.assign_training_shards(
+        docs.select("doc_id", "n_chars"), "doc_id", toks, tokens_per_shard=2000
+    )
+    return out.select("doc_id", "shard").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1836,6 +1852,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_key": q_events_zorder_key,  # [r7-in-new]
     "events_hll_distinct": q_events_hll_distinct,  # [r7-in-new]
     "events_kmv_overlap": q_events_kmv_overlap,  # [r7-in-new]
+    "docs_training_shards": q_docs_training_shards,  # [r7-in-new]
 }
 
 

@@ -1927,3 +1927,22 @@ WITH h AS (
 SELECT est.a, est.b, est.jaccard_est, est.intersect_est, ex.n_exact
 FROM est LEFT JOIN ex USING (a, b)
 ORDER BY a, b"""
+
+# docs_training_shards: deterministic-shuffle greedy token packing —
+# same md5 order key as docs_shuffle, integer cumsum window, shard =
+# start-offset div budget
+ORACLES["docs_training_shards"] = """
+WITH t AS (
+    SELECT doc_id, GREATEST(1, n_chars // 4) AS toks,
+           ('0x' || substr(md5('shards-v1:' || doc_id), 1, 8))::BIGINT AS skey
+    FROM documents
+), c AS (
+    SELECT doc_id,
+           SUM(toks) OVER (
+               ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - toks AS start
+    FROM t
+)
+SELECT doc_id, (start // 2000)::BIGINT AS shard
+FROM c ORDER BY doc_id"""

@@ -116,3 +116,63 @@ def chunk_documents(
         F.size("c.toks").alias("n_tokens"),
         F.array_join("c.toks", " ").alias("chunk_text"),
     )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    tokens_per_shard: int,
+    seed: str = "shards-v1",
+    num_buckets: int | None = None,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Fixed-token-budget output sharding — the final-mile layout of a
+    training corpus: documents in deterministic shuffle order are
+    packed greedily into shards of ~`tokens_per_shard` (each document
+    lands in the shard its cumulative START offset falls in; a shard
+    overruns by at most one document, the standard contract).
+
+    The global token prefix-sum is decomposed exactly like
+    `splits.deterministic_shuffle`'s rank: fixed equal-width md5 key
+    ranges → per-bucket token totals (a bucket-count-row broadcast) →
+    within-bucket cumulative window. No global window, no single-task
+    sort — at 100 TB the only shuffle is the per-bucket window, and
+    the offsets table stays driver-tiny. Integer arithmetic end to
+    end → the assignment replays exactly in SQL (docs_training_shards
+    oracle)."""
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    if tokens_per_shard <= 0:
+        raise ValueError(f"need tokens_per_shard > 0, got {tokens_per_shard}")
+    n = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    width = (1 << 32) // n + 1
+    toks = (token_col if not isinstance(token_col, str) else F.col(token_col)).cast(
+        "bigint"
+    )
+    keyed = (
+        df.withColumn("__toks", toks)
+        .withColumn("__skey", fingerprint32(id_col, seed))
+        .withColumn("__bucket", (F.col("__skey") / width).cast("int"))
+    )
+    sums = (
+        keyed.groupBy("__bucket").agg(F.sum("__toks").alias("s")).collect()
+    )
+    offsets, acc = {}, 0
+    for r in sorted(sums, key=lambda r: r["__bucket"]):
+        offsets[r["__bucket"]] = acc
+        acc += r["s"]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = Window.partitionBy("__bucket").orderBy("__skey", id_col)
+    start = (
+        off[F.col("__bucket")]
+        + F.sum("__toks").over(local)
+        - F.col("__toks")
+    )
+    return (
+        keyed.withColumn("__start", start.cast("bigint"))
+        .withColumn(out_col, F.expr(f"__start div {tokens_per_shard}").cast("bigint"))
+        .drop("__toks", "__skey", "__bucket", "__start")
+    )

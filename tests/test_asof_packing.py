@@ -235,3 +235,90 @@ def test_chunk_documents_window_semantics(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=0)
+
+
+class TestTrainingShards:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, 40 + (i * 53) % 400) for i in range(n)], "doc_id long, toks long"
+        )
+
+    def test_budget_respected_start_offsets(self, spark):
+        """Every doc's shard equals its cumulative START offset div
+        budget (greedy packing contract), verified against a Python
+        replay of the md5 shuffle order."""
+        import hashlib
+
+        from social_media_data_pipeline_spark.operators import packing
+
+        df = self._docs(spark)
+        out = {
+            r["doc_id"]: r["shard"]
+            for r in packing.assign_training_shards(
+                df, "doc_id", "toks", tokens_per_shard=1500
+            ).collect()
+        }
+        rows = [(i, 40 + (i * 53) % 400) for i in range(200)]
+        key = lambda d: (
+            int(hashlib.md5(f"shards-v1:{d}".encode()).hexdigest()[:8], 16),
+            d,
+        )
+        acc = 0
+        want = {}
+        for d, t in sorted(rows, key=lambda r: key(r[0])):
+            want[d] = acc // 1500
+            acc += t
+        assert out == want
+
+    def test_shard_sizes_near_budget(self, spark):
+        from social_media_data_pipeline_spark.operators import packing
+
+        df = self._docs(spark, n=400)
+        out = packing.assign_training_shards(
+            df, "doc_id", "toks", tokens_per_shard=2000
+        )
+        sizes = {
+            r["shard"]: r["s"]
+            for r in out.groupBy("shard").agg(F.sum("toks").alias("s")).collect()
+        }
+        last = max(sizes)
+        for sh, s in sizes.items():
+            # start-offset packing: a boundary doc belongs to the shard
+            # its START falls in, so totals deviate from the budget by
+            # at most one max-size doc in either direction (except the
+            # final partial shard)
+            if sh != last:
+                assert 2000 - 440 < s < 2000 + 440
+        assert len(sizes) == (sum(40 + (i * 53) % 400 for i in range(400)) // 2000) + 1
+
+    def test_bucket_decomposition_invariant(self, spark):
+        """Shard assignment must not depend on the bucket count (the
+        decomposition is an implementation detail)."""
+        from social_media_data_pipeline_spark.operators import packing
+
+        df = self._docs(spark)
+        a = sorted(
+            map(
+                tuple,
+                packing.assign_training_shards(
+                    df, "doc_id", "toks", 1000, num_buckets=4
+                ).select("doc_id", "shard").collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                packing.assign_training_shards(
+                    df, "doc_id", "toks", 1000, num_buckets=64
+                ).select("doc_id", "shard").collect(),
+            )
+        )
+        assert a == b
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.operators import packing
+
+        with _pytest.raises(ValueError, match="tokens_per_shard"):
+            packing.assign_training_shards(self._docs(spark), "doc_id", "toks", 0)
