@@ -1720,7 +1720,7 @@ def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
 # 50 entries of this dict (CORRECTNESS_r01-r05 all hold exactly the first
-# 50 in registry order). With 104 registered queries the window ROTATES each
+# 50 in registry order). With 107 registered queries the window ROTATES each
 # round; the rotation policy prioritizes DRIVER-NEVER-CHECKED queries over
 # re-confirming long-green ones: every registered query must receive a
 # driver row within 2 rounds (schedule in ROADMAP.md "Driver window

@@ -233,6 +233,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_training_shards": [
+        # prefix sum must stay decomposed: per-bucket windows only
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
+    ],
     "events_hll_distinct": [
         # register maxima via map-side-combinable aggregation; the
         # whole sketch path stays JVM-side
