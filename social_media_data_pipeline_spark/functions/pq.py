@@ -432,3 +432,81 @@ def build_pq_kmeans_chain_sql(
 )"""
     )
     return "".join(parts)
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULL residual IVF-PQ (Jégou et al. 2011 §IV-A): the codebook
+    quantizes RESIDUALS (vector − its cell centroid), not raw vectors —
+    residual energy ≪ vector energy, so the same m×ksub code budget
+    spends its precision on the part IVF didn't already explain; a
+    query is compared in each probed cell against ITS residual in that
+    cell. This is the deployed 100 TB vector-search architecture in
+    final form; the raw-vector `ivf_pq_topk` stays as the
+    oracle-replayable composition of the two audited pieces.
+
+    Plan shape: assignment map-side (broadcast centroid row), residuals
+    a zip_with projection, codebook trained by the batched Lloyd job
+    (`pq_codebook_kmeans` on the residual column), encode/ADC pure
+    literal-codebook expressions, candidates = cluster-equi join
+    against ≤`probes` cells, per-query top-k the only window. Recall is
+    MEASURED against brute force in `tools/ann_recall.py`.
+    """
+    from pyspark.sql.window import Window
+
+    from social_media_data_pipeline_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_multiprobe,
+    )
+
+    cents = centroids.select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.col(vec_col).alias("__cent"),
+    )
+    _res = lambda v: F.zip_with(  # noqa: E731
+        v, F.col("__cent"), lambda a, b: (a - b).cast("double")
+    )
+    c_res = (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .join(F.broadcast(cents), "cluster")
+        .select(id_col, "cluster", _res(F.col(vec_col)).alias("__resid"))
+    )
+    codebook = pq_codebook_kmeans(
+        c_res, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="__resid"
+    )
+    codes = pq_encode(c_res, codebook, id_col, "__resid", keep_cols=["cluster"]).select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+    )
+    q_cells = (
+        ivf_assign_multiprobe(queries, centroids, id_col, vec_col, probes=probes)
+        if probes > 1
+        else ivf_assign(queries, centroids, id_col, vec_col)
+    )
+    q_res = (
+        q_cells.join(F.broadcast(cents), "cluster")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cluster",
+            _res(F.col(vec_col)).alias("q_res"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        codes.join(F.broadcast(q_res), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _adc_dist(codebook, "q_res").alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

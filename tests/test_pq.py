@@ -178,3 +178,74 @@ class TestTrainedCodebook:
         df = _df(spark, rng.standard_normal((40, 8)))
         cb = pq.pq_codebook_kmeans(df, m=2, ksub=4, iters=1)
         assert len(cb) == 2 and len(cb[0]) == 4 and len(cb[0][0]) == 4
+
+
+class TestResidualIvfPq:
+    def _clustered(self, spark, per=10, dim=16):
+        """4 well-separated clusters; vectors = center + small offset."""
+        import numpy as np
+
+        rng_base = np.eye(4)
+        rows = []
+        vid = 0
+        for c in range(4):
+            center = np.zeros(dim)
+            center[c * 4 : c * 4 + 4] = 10.0
+            for i in range(per):
+                off = np.array([((vid * 31 + j * 7) % 5 - 2) * 0.1 for j in range(dim)])
+                rows.append((vid, (center + off).tolist()))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_near_optimal_vs_exact_in_cell_l2(self, spark):
+        """For same-cell pairs, residual ADC approximates the true
+        ‖q−x‖² (identity: q−c − (x−c) = q−x). The approximation
+        contract: the top hit matches exactly (clusters are well
+        separated there) and every returned neighbor's TRUE distance is
+        within a small quantization margin of the exact k-th distance —
+        ADC may swap near-ties, never miss by a margin."""
+        import numpy as np
+
+        from social_media_data_pipeline_spark.functions import pq, similarity
+
+        df = self._clustered(spark)
+        centroids = similarity.select_ivf_centroids(df, k=4, corpus_size=40)
+        got = pq.ivf_pq_residual_topk(
+            df.filter("vec_id < 4"), df, centroids, m=4, ksub=16, iters=4, k=3
+        ).collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        cells = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.ivf_assign(df, centroids).collect()
+        }
+        for q in range(4):
+            mine = sorted(
+                (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+            )
+            assert len(mine) == 3
+            same_cell = [v for v in vecs if v != q and cells[v] == cells[q]]
+            true_d = lambda v: float(np.sum((vecs[q] - vecs[v]) ** 2))  # noqa: E731
+            exact = sorted(same_cell, key=lambda v: (true_d(v), v))[:3]
+            assert mine[0]["neighbor_id"] == exact[0]
+            margin = 0.1  # quantization slack ≪ inter-cluster distances
+            for r in mine:
+                assert cells[r["neighbor_id"]] == cells[q]
+                assert true_d(r["neighbor_id"]) <= true_d(exact[-1]) + margin
+
+    def test_multiprobe_widens_candidates(self, spark):
+        from social_media_data_pipeline_spark.functions import pq, similarity
+
+        df = self._clustered(spark)
+        centroids = similarity.select_ivf_centroids(df, k=4, corpus_size=40)
+        one = pq.ivf_pq_residual_topk(
+            df.filter("vec_id < 2"), df, centroids, m=4, ksub=16, iters=2, k=3, probes=1
+        )
+        two = pq.ivf_pq_residual_topk(
+            df.filter("vec_id < 2"), df, centroids, m=4, ksub=16, iters=2, k=3, probes=2
+        )
+        assert one.count() == 6 and two.count() == 6
+        # 2-probe candidates are a superset → distances can only improve
+        d1 = {(r["query_id"], r["rank"]): r["adc_dist"] for r in one.collect()}
+        d2 = {(r["query_id"], r["rank"]): r["adc_dist"] for r in two.collect()}
+        for key in d1:
+            assert d2[key] <= d1[key] + 1e-9

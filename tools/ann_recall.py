@@ -127,6 +127,14 @@ def main() -> int:
         ("ivf trained, 8-probe",
          lambda: ivf_multiprobe_topk(trained_cents, 8),
          8 * cell_fraction(trained_cents)),
+        ("ivf-pq RESIDUAL, 1-probe",
+         lambda: epq.ivf_pq_residual_topk(
+             queries, emb, trained_cents, m=8, ksub=16, iters=3, k=k, probes=1),
+         cell_fraction(trained_cents)),
+        ("ivf-pq RESIDUAL, 8-probe",
+         lambda: epq.ivf_pq_residual_topk(
+             queries, emb, trained_cents, m=8, ksub=16, iters=3, k=k, probes=8),
+         8 * cell_fraction(trained_cents)),
     ]
     print(f"{'variant':30s} {'recall@'+str(k):>9s} {'cand_frac':>10s}")
     print(f"{'brute force (truth)':30s} {'1.000':>9s} {'1.000':>10s}")
