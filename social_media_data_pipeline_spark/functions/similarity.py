@@ -509,3 +509,16 @@ def lsh_bucketed_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def l2_normalize(vec_col: Column | str) -> Column:
+    """Unit-normalize an embedding column (array<float/double> →
+    array<double>): the standard ingest step that makes cosine and L2
+    rankings coincide — do it ONCE at write time and every downstream
+    consumer (IVF, PQ ADC, SemDeDup thresholds) speaks one metric.
+    Zero vectors pass through unchanged."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: (x / n).cast("double"))).otherwise(
+        F.transform(v, lambda x: x.cast("double"))
+    )

@@ -46,6 +46,12 @@ def main() -> int:
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     spark = get_spark("ann-recall")
     emb = eio.read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    if os.environ.get("ANN_RECALL_NORMALIZE"):
+        # unit-normalize at "ingest": cosine and L2 rankings coincide,
+        # which is the convention real embedding corpora ship with
+        emb = emb.select(
+            "vec_id", sim.l2_normalize("embedding").alias("embedding")
+        ).localCheckpoint()
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < n_queries)
     print(f"corpus {n} vectors, {n_queries} queries, recall@{k}\n")
