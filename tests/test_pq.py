@@ -249,3 +249,24 @@ class TestResidualIvfPq:
         d2 = {(r["query_id"], r["rank"]): r["adc_dist"] for r in two.collect()}
         for key in d1:
             assert d2[key] <= d1[key] + 1e-9
+
+
+class TestL2Normalize:
+    def test_unit_norm_and_zero_passthrough(self, spark):
+        import math
+
+        from social_media_data_pipeline_spark.functions import similarity
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+            "vec_id int, embedding array<double>",
+        )
+        rows = {
+            r["vec_id"]: r["v"]
+            for r in df.select(
+                "vec_id", similarity.l2_normalize("embedding").alias("v")
+            ).collect()
+        }
+        assert rows[1] == [0.6, 0.8]
+        assert rows[2] == [0.0, 0.0]
+        assert abs(math.hypot(*rows[3]) - 1.0) < 1e-12
