@@ -337,6 +337,120 @@ def pandas_embedding_pq_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc_dist", "rank"])
 
 
+def pandas_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    e = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    e = (
+        pd.DataFrame(
+            {"src": e["o_custkey"], "dst": 1_000_000_000 + e["l_suppkey"]}
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    deg = e.groupby("src").size()
+    nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+    ranks = pd.Series(1_000_000, index=nodes, dtype="int64")
+    for _ in range(5):
+        contrib = (ranks.loc[e["src"]].to_numpy() * 85) // (
+            100 * deg.loc[e["src"]].to_numpy()
+        )
+        recv = pd.Series(contrib, index=e["dst"].to_numpy()).groupby(level=0).sum()
+        ranks = pd.Series(150_000, index=nodes, dtype="int64").add(
+            recv, fill_value=0
+        ).astype("int64")
+    return (
+        ranks.rename("rank_micro").rename_axis("node").reset_index().sort_values("node")
+    )
+
+
+def pandas_events_zorder_key(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_id", "ts", "user_id"]]
+    day = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days.to_numpy()
+    u = ev["user_id"].to_numpy().astype(np.int64) & 0xFFFF
+    d = day.astype(np.int64) & 0xFFFF
+    z = np.zeros(len(ev), dtype=np.int64)
+    for b in range(16):
+        z |= (((u >> b) & 1) << (2 * b)) | (((d >> b) & 1) << (2 * b + 1))
+    out = pd.DataFrame(
+        {"event_id": ev["event_id"], "user_id": ev["user_id"], "day": day, "zkey": z}
+    )
+    return out.sort_values("event_id")
+
+
+def pandas_events_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+    import math
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "user_id"]]
+    alpha_c = (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * float(1 << 54)
+    corr = [round(256 * math.log(256 / v), 4) for v in range(1, 257)]
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        regs = [0] * 256
+        for u in g["user_id"].unique():
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            w = h // 256
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            b = h % 256
+            regs[b] = max(regs[b], rho)
+        ssum = sum(1 << (54 - r) for r in regs)
+        v = regs.count(0)
+        raw = alpha_c / ssum
+        est = round(corr[v - 1], 4) if (raw <= 640 and v > 0) else round(raw, 4)
+        rows.append((et, est, g["user_id"].nunique()))
+    return pd.DataFrame(rows, columns=["event_type", "distinct_est", "n_exact"])
+
+
+def pandas_events_kmv_overlap(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "user_id"]]
+    sk, users = {}, {}
+    for et, g in ev.groupby("event_type"):
+        us = set(g["user_id"])
+        users[et] = us
+        sk[et] = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) for u in us
+        )[:64]
+    rows = []
+    types = sorted(sk)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            u = sorted(set(sk[a]) | set(sk[b]))[:64]
+            nu = len(u)
+            theta = u[-1]
+            shared = len([h for h in set(sk[a]) & set(sk[b]) if h <= theta])
+            jacc = round(shared / nu, 6)
+            if nu < 64:
+                inter = float(shared)
+            else:
+                inter = round((shared / nu) * (63.0 * float(1 << 60) / u[63]), 4)
+            rows.append((a, b, jacc, inter, len(users[a] & users[b])))
+    return pd.DataFrame(
+        rows, columns=["a", "b", "jaccard_est", "intersect_est", "n_exact"]
+    )
+
+
+def pandas_docs_training_shards(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "n_chars"]]
+    docs = docs.assign(
+        toks=docs["n_chars"].floordiv(4).clip(lower=1),
+        skey=[
+            int(hashlib.md5(f"shards-v1:{d}".encode()).hexdigest()[:8], 16)
+            for d in docs["doc_id"]
+        ],
+    ).sort_values(["skey", "doc_id"])
+    start = docs["toks"].cumsum() - docs["toks"]
+    docs = docs.assign(shard=start // 2000)
+    return docs[["doc_id", "shard"]].sort_values("doc_id")
+
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -352,15 +466,23 @@ PANDAS_IMPLS = {
     "embedding_semdedup": pandas_embedding_semdedup,
     "events_kmv_distinct": pandas_events_kmv_distinct,
     "embedding_pq_topk": pandas_embedding_pq_topk,
+    "graph_pagerank": pandas_graph_pagerank,
+    "events_zorder_key": pandas_events_zorder_key,
+    "events_hll_distinct": pandas_events_hll_distinct,
+    "events_kmv_overlap": pandas_events_kmv_overlap,
+    "docs_training_shards": pandas_docs_training_shards,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank"}
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = {q for q in os.environ.get("SHOOTOUT_ONLY", "").split(",") if q}
     import __spark_entry__ as entry_mod
     from social_media_data_pipeline_spark.session import get_spark
 
@@ -368,6 +490,8 @@ def main() -> None:
     qs = entry_mod.queries()
     print(f"{'query':20} {'pandas_s':>9} {'spark_s':>8} {'ratio':>7}")
     for name, pfn in PANDAS_IMPLS.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         pfn(sf_dir)
         t_pandas = time.time() - t0
