@@ -1714,13 +1714,31 @@ def q_docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard").orderBy("doc_id")
 
 
+def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL residual IVF-PQ (`pq.ivf_pq_residual_topk`, Jégou 2011
+    §IV-A): trained Lloyd centroids (5 rounds), codebook trained on
+    vector−centroid residuals (3 rounds, batched), queries compared
+    via their per-cell residuals — the production vector-search form,
+    end-to-end differential-checked: the oracle chains the kmeans
+    centroid CTE → cosine assignment → residual CTE → the pq-kmeans
+    codeword chain over residuals → encode → integer-micro ADC."""
+    from social_media_data_pipeline_spark.functions import kmeans, pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.kmeans_centroids(emb, iters=5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.ivf_pq_residual_topk(
+        queries, emb, cents, m=8, ksub=16, iters=3, k=5
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
 # ORDERING CONTRACT: the driver's correctness gate verifies only the FIRST
 # 50 entries of this dict (CORRECTNESS_r01-r05 all hold exactly the first
-# 50 in registry order). With 107 registered queries the window ROTATES each
+# 50 in registry order). With 108 registered queries the window ROTATES each
 # round; the rotation policy prioritizes DRIVER-NEVER-CHECKED queries over
 # re-confirming long-green ones: every registered query must receive a
 # driver row within 2 rounds (schedule in ROADMAP.md "Driver window
@@ -1853,6 +1871,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_distinct": q_events_hll_distinct,  # [r7-in-new]
     "events_kmv_overlap": q_events_kmv_overlap,  # [r7-in-new]
     "docs_training_shards": q_docs_training_shards,  # [r7-in-new]
+    "embedding_ivf_pq_residual": q_embedding_ivf_pq_residual,  # [r7-in-new]
 }
 
 

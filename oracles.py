@@ -1946,3 +1946,59 @@ WITH t AS (
 )
 SELECT doc_id, (start // 2000)::BIGINT AS shard
 FROM c ORDER BY doc_id"""
+
+# embedding_ivf_pq_residual: the full residual IVF-PQ replay — kmeans
+# centroid chain -> cosine assignment -> residual CTE -> pq-kmeans
+# codeword chain TRAINED ON RESIDUALS (continue_chain mode) -> encode
+# -> integer-micro ADC within the query's cell.
+ORACLES["embedding_ivf_pq_residual"] = (
+    _kmeans_cent_cte(iters=5)
+    + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS MATERIALIZED (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), resid_t AS MATERIALIZED (
+    SELECT a.vec_id, a.cluster,
+           list_transform(generate_series(1, 64), i -> a.vec[i] - c.c_vec[i]) AS embedding
+    FROM assigned a JOIN cent c ON c.centroid_id = a.cluster
+)"""
+    + _pq_kmeans_chain(m=8, ksub=16, iters=3, table="resid_t", continue_chain=True)
+    + """
+, rsubs AS MATERIALIZED (
+    SELECT vec_id, cluster, j, list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sub
+    FROM resid_t, (SELECT unnest(generate_series(0, 7)) AS j) js2
+), rdists AS (
+    SELECT rsubs.vec_id, rsubs.cluster, rsubs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM rsubs JOIN cw ON rsubs.j = cw.j
+), rcodes AS MATERIALIZED (
+    SELECT vec_id, cluster, j, c AS code
+    FROM rdists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+), adc_terms AS (
+    SELECT qs.vec_id AS query_id, rcodes.vec_id AS neighbor_id, rcodes.j,
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
+    FROM rcodes
+    JOIN cw ON cw.j = rcodes.j AND cw.c = rcodes.code
+    JOIN rsubs qs ON qs.j = rcodes.j AND qs.cluster = rcodes.cluster
+    WHERE qs.vec_id < 5 AND qs.vec_id <> rcodes.vec_id
+), adc AS (
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= 5
+ORDER BY query_id, rank"""
+)

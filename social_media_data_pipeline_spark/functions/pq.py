@@ -390,13 +390,19 @@ def build_pq_kmeans_chain_sql(
     iters: int = 3,
     dim: int = 64,
     table: str = "embeddings",
+    continue_chain: bool = False,
 ) -> str:
     """Generated WITH-chain replaying `pq_codebook_kmeans` exactly,
     ending in `cw(c, j, csub)` — codeword id, subspace, DOUBLE[] —
-    the same shape the hand-written PQ oracles build from id-seeds."""
+    the same shape the hand-written PQ oracles build from id-seeds.
+    `continue_chain=True` emits `, sv AS ...` instead of `WITH sv AS`
+    so the chain can extend an existing WITH list (e.g. a residual CTE
+    for `ivf_pq_residual_topk`'s oracle)."""
     dsub = dim // m
+    head = ", sv AS MATERIALIZED (" if continue_chain else "WITH sv AS MATERIALIZED ("
     parts = [
-        f"""WITH sv AS MATERIALIZED (
+        head
+        + f"""
     SELECT vec_id AS id, j, p,
            CAST(ROUND(embedding[j * {dsub} + p + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS x
     FROM {table},
