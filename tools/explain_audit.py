@@ -219,6 +219,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_pq_residual": [
+        # assignment + codebook are literals/broadcasts by execution
+        # time; candidates stay a cluster-equi join, ADC is JVM-side
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+    ],
+    "events_kmv_overlap": [
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+    ],
     "graph_pagerank": [
         # rounds are checkpointed — the final plan joins the last rank
         # table against pinned nodes; nothing cartesian, nothing Python
