@@ -322,3 +322,28 @@ class TestTrainingShards:
 
         with _pytest.raises(ValueError, match="tokens_per_shard"):
             packing.assign_training_shards(self._docs(spark), "doc_id", "toks", 0)
+
+
+class TestWriteTrainingShards:
+    def test_partitioned_layout_round_trips(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, 40 + (i * 53) % 400) for i in range(300)], "doc_id long, toks long"
+        )
+        path = str(tmp_path / "shards")
+        packing.write_training_shards(df, path, "doc_id", "toks", 2000)
+        back = spark.read.parquet(path)
+        assert back.count() == 300
+        # partition column survives and matches a fresh assignment
+        want = {
+            r["doc_id"]: r["shard"]
+            for r in packing.assign_training_shards(
+                df, "doc_id", "toks", 2000
+            ).collect()
+        }
+        got = {r["doc_id"]: r["shard"] for r in back.collect()}
+        assert got == want
+        # every shard is one hive directory readable on its own
+        sh0 = spark.read.parquet(f"{path}/shard=0")
+        assert sh0.count() == sum(1 for v in want.values() if v == 0)
