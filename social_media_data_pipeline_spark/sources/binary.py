@@ -64,6 +64,8 @@ def _sniff_format(b: bytes) -> str:
         return "avi"
     if b[:9] == b"YUV4MPEG2":
         return "y4m"
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -271,6 +273,12 @@ def _decode_webp(b: bytes):
     return decode_webp(b)
 
 
+def _decode_tiff(b: bytes):
+    from social_media_data_pipeline_spark.sources.tiff import decode_tiff
+
+    return decode_tiff(b)
+
+
 _PIXEL_DECODERS = {
     "ppm": _decode_ppm,
     "bmp": _decode_bmp,
@@ -278,6 +286,7 @@ _PIXEL_DECODERS = {
     "jpeg": _decode_jpeg,
     "gif": _decode_gif,
     "webp": _decode_webp,
+    "tiff": _decode_tiff,
 }
 
 
