@@ -665,3 +665,87 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES.fields])
 
     return df.mapInPandas(_sample, VIDEO_FRAMES)
+
+
+def read_archive_members(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    member_glob: str = "*",
+) -> DataFrame:
+    """Archive-shard ingestion: a binaryFile scan of .zip / .tar /
+    .tar.gz shards, exploded to one row per member file —
+    (archive, member, length, content). Scraped dumps ship as archives
+    of many small files; reading them member-by-member through the
+    archive (stdlib zipfile/tarfile inside the Arrow-batched map)
+    avoids the small-files problem entirely: the SHARD is the task
+    unit, exactly like the WARC reader (`sources/warc.py`). Members
+    filter with a glob BEFORE extraction so unwanted payload bytes are
+    never inflated.
+    """
+    import fnmatch
+    import io as _io
+    import tarfile
+    import zipfile
+
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    ).select("path", "content")
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                name = path_.rsplit("/", 1)[-1]
+                buf = _io.BytesIO(blob)
+                if blob[:4] == b"PK\x03\x04":
+                    with zipfile.ZipFile(buf) as zf:
+                        for info in zf.infolist():
+                            if info.is_dir():
+                                continue
+                            if not fnmatch.fnmatch(info.filename, member_glob):
+                                continue
+                            data = zf.read(info)
+                            rows.append(
+                                {
+                                    "archive": name,
+                                    "member": info.filename,
+                                    "length": len(data),
+                                    "content": data,
+                                }
+                            )
+                else:
+                    # tarfile sniffs plain/gz/bz2/xz itself
+                    try:
+                        tf = tarfile.open(fileobj=buf)
+                    except tarfile.TarError as e:
+                        raise ValueError(f"{name}: not a zip or tar archive") from e
+                    with tf:
+                        for info in tf:
+                            if not info.isfile():
+                                continue
+                            if not fnmatch.fnmatch(info.name, member_glob):
+                                continue
+                            data = tf.extractfile(info).read()
+                            rows.append(
+                                {
+                                    "archive": name,
+                                    "member": info.name,
+                                    "length": len(data),
+                                    "content": data,
+                                }
+                            )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "length", "content"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("archive", T.StringType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return files.mapInPandas(_explode, schema)
