@@ -181,14 +181,21 @@ def pruned_read(
     row-identical to a full scan + filter, touching a fraction of the
     files (measured in SCALING.md; the fraction IS the scan saving at
     100 TB). `predicates` maps column → (lo, hi) inclusive bounds."""
+    all_files = [r["file"] for r in index.select("file").limit(1).collect()]
+    if not all_files:
+        raise ValueError(
+            "empty file-skipping index: no files to derive a schema from "
+            "(build the index over a non-empty table, or read the table "
+            "directly)"
+        )
     cond = F.lit(True)
     for c, (lo, hi) in predicates.items():
         cond = cond & (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
     files = [r["file"] for r in index.filter(cond).select("file").collect()]
     if not files:
-        return spark.createDataFrame([], spark.read.parquet(
-            *[r["file"] for r in index.select("file").limit(1).collect()]
-        ).schema)
+        return spark.createDataFrame(
+            [], spark.read.parquet(*all_files).schema
+        )
     out = spark.read.parquet(*files)
     for c, (lo, hi) in predicates.items():
         out = out.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
@@ -226,6 +233,132 @@ def footer_stats_index(path: str, cols: Sequence[str]) -> "object":
                 row[f"max_{c}"] = st.max if st and st.has_min_max else None
             rows.append(row)
     return _pd.DataFrame(rows)
+
+
+def footer_stats_index_table(
+    spark: SparkSession, path: str, cols: Sequence[str], slices: int = 64
+) -> DataFrame:
+    """`footer_stats_index` as a DISTRIBUTED Spark table: the file list
+    fans out across executors and each task reads only parquet FOOTERS
+    (pyarrow metadata, zero data pages). This is the 100 TB shape — the
+    stats index over millions of files is itself a Spark table you
+    persist beside the data and refresh per ingest partition; the
+    pandas variant above stays for driver-sized tables and tests.
+
+    Output schema: (file, row_group, n_rows, min_c/max_c per col) with
+    min/max typed as the underlying column type.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    table_schema = spark.read.parquet(files[0]).schema
+    by_name = {f.name: f.dataType for f in table_schema.fields}
+    out_fields = [
+        T.StructField("file", T.StringType()),
+        T.StructField("row_group", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+    ]
+    for c in cols:
+        out_fields.append(T.StructField(f"min_{c}", by_name[c]))
+        out_fields.append(T.StructField(f"max_{c}", by_name[c]))
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+    cols_l = list(cols)
+
+    def _read_footers(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for b in batches:
+            rows = []
+            for f in b["file"]:
+                md = _pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    row = {"file": f, "row_group": g, "n_rows": rg.num_rows}
+                    for c in cols_l:
+                        st = rg.column(idx[c]).statistics
+                        has = st is not None and st.has_min_max
+                        row[f"min_{c}"] = st.min if has else None
+                        row[f"max_{c}"] = st.max if has else None
+                    rows.append(row)
+            df = _pd.DataFrame(rows, columns=out_names)
+            # object dtype keeps int/None mixes Arrow-convertible
+            for c in cols_l:
+                df[f"min_{c}"] = df[f"min_{c}"].astype(object)
+                df[f"max_{c}"] = df[f"max_{c}"].astype(object)
+            yield df
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), slices))
+    return paths_df.mapInPandas(_read_footers, schema=out_schema)
+
+
+def upsert_rewrite_set(
+    file_ranges: DataFrame,
+    updates: DataFrame,
+    key: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Files whose [lo, hi] key range can contain an update key, as an
+    EQUI hash join — never a BroadcastNestedLoopJoin.
+
+    Same time-bucket blocking as `interval_join_bucketed`
+    (operators/joins.py), on the integer key line: each file range
+    explodes into the fixed-width buckets it covers, each update key
+    maps to its single bucket, the join is equi on the bucket with the
+    exact range containment as a residual predicate. At 100 TB
+    (millions of files × large update batches) this stays
+    O(|files| · span/width + |updates|) instead of the naive theta
+    join's O(|files| · |updates|) nested loop.
+
+    `file_ranges` columns: file, lo, hi (numeric key stats; rows with
+    NULL lo/hi — footer had no stats — are returned unconditionally:
+    an unprunable file must be rewritten, not silently skipped).
+    Returns a 1-column (file) DataFrame.
+    """
+    missing = file_ranges.filter(
+        F.col("lo").isNull() | F.col("hi").isNull()
+    ).select("file")
+    ranged = file_ranges.filter(F.col("lo").isNotNull() & F.col("hi").isNotNull())
+    bounds = ranged.agg(
+        F.min("lo").alias("glo"), F.max("hi").alias("ghi")
+    ).collect()[0]
+    if bounds["glo"] is None:
+        return missing.distinct()
+    glo, ghi = int(bounds["glo"]), int(bounds["ghi"])
+    width = max(1, (ghi - glo) // buckets + 1)
+    exploded = ranged.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                ((F.col("lo").cast("bigint") - F.lit(glo)) / F.lit(width)).cast("bigint"),
+                ((F.col("hi").cast("bigint") - F.lit(glo)) / F.lit(width)).cast("bigint"),
+            )
+        ),
+    )
+    upd = updates.select(F.col(key).cast("bigint").alias("__k")).distinct().withColumn(
+        "__bucket",
+        ((F.col("__k") - F.lit(glo)) / F.lit(width)).cast("bigint"),
+    )
+    hit = exploded.join(
+        upd,
+        (exploded["__bucket"] == upd["__bucket"])
+        & (upd["__k"] >= exploded["lo"])
+        & (upd["__k"] <= exploded["hi"]),
+        "left_semi",
+    ).select("file")
+    return hit.unionByName(missing).distinct()
 
 
 def pruned_read_footer(
@@ -288,25 +421,20 @@ def selective_upsert(
     import shutil as _shutil
     import uuid as _uuid
 
-    idx = footer_stats_index(path, [key])
-    files = sorted(set(idx["file"]))
-    # per-file key ranges → which files can hold an updated key
-    ranges = (
-        idx.groupby("file")
-        .agg(lo=(f"min_{key}", "min"), hi=(f"max_{key}", "max"))
-        .reset_index()
+    # distributed footer-stats index → per-file key ranges (Spark-side;
+    # a NULL range means the footer carried no stats for `key` — such a
+    # file is unconditionally in the rewrite set, never silently kept)
+    idx = footer_stats_index_table(spark, path, [key])
+    ranges_df = idx.groupBy("file").agg(
+        F.min(f"min_{key}").alias("lo"), F.max(f"max_{key}").alias("hi")
     )
-    ranges_df = spark.createDataFrame(ranges)
-    hit = (
-        ranges_df.join(
-            updates.select(F.col(key).alias("__k")).distinct(),
-            (F.col("__k") >= F.col("lo")) & (F.col("__k") <= F.col("hi")),
-            "left_semi",
-        )
-        .select("file")
-        .collect()
+    files_total = ranges_df.count()
+    # equi bucket-blocked semi-join (upsert_rewrite_set): no
+    # BroadcastNestedLoopJoin anywhere in the MERGE plan
+    rewrite = sorted(
+        r["file"]
+        for r in upsert_rewrite_set(ranges_df, updates, key).collect()
     )
-    rewrite = sorted({r["file"] for r in hit})
     target_cols = spark.read.parquet(path).columns
     if rewrite:
         old = spark.read.parquet(*rewrite)
@@ -317,8 +445,9 @@ def selective_upsert(
     staging = path.rstrip("/") + f"__upsert_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
     rows_written = spark.read.parquet(staging).count()
-    for f in rewrite:
-        _os.remove(f)
+    # swap order: move the staged files IN first, remove the replaced
+    # files after — a crash mid-swap leaves transient duplicate keys
+    # (recoverable by re-running the merge) instead of missing rows
     moved = 0
     for f in sorted(_os.listdir(staging)):
         if f.endswith(".parquet"):
@@ -327,9 +456,11 @@ def selective_upsert(
                 _os.path.join(path, f"upsert-{_uuid.uuid4().hex[:8]}-{moved}.parquet"),
             )
             moved += 1
+    for f in rewrite:
+        _os.remove(f)
     _shutil.rmtree(staging, ignore_errors=True)
     return {
-        "files_total": len(files),
+        "files_total": files_total,
         "files_rewritten": len(rewrite),
         "rows_written": rows_written,
     }

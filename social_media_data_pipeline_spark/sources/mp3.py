@@ -126,6 +126,7 @@ def mp3_info(b: bytes, max_resync: int = 4096) -> dict:
     n_frames = 0
     total_samples = 0
     total_bits = 0
+    duration = 0.0
     bitrates_seen: set[int] = set()
     while pos < len(b):
         hdr = parse_frame_header(b, pos)
@@ -134,12 +135,22 @@ def mp3_info(b: bytes, max_resync: int = 4096) -> dict:
             if rest[:3] == b"TAG" or all(x == 0 for x in rest[:64]):
                 break  # ID3v1 trailer / zero padding
             raise ValueError(f"lost MPEG frame sync at byte {pos}")
+        if pos + hdr["frame_len"] > len(b):
+            # a header whose declared length points past EOF is a
+            # truncated frame — report, don't count it as complete
+            raise ValueError(
+                f"truncated final MPEG frame at byte {pos}: header "
+                f"declares {hdr['frame_len']} bytes, {len(b) - pos} remain"
+            )
         n_frames += 1
         total_samples += hdr["samples"]
-        total_bits += hdr["bitrate"] * hdr["samples"]
+        # per-frame seconds: mid-stream sample-rate changes (legal to
+        # the walker) contribute at their own rate, not the first
+        # frame's
+        duration += hdr["samples"] / hdr["sample_rate"]
+        total_bits += hdr["bitrate"] * (hdr["samples"] / hdr["sample_rate"])
         bitrates_seen.add(hdr["bitrate"])
         pos += hdr["frame_len"]
-    duration = total_samples / first["sample_rate"]
     return {
         "version": first["version"],
         "layer": first["layer"],
@@ -149,8 +160,8 @@ def mp3_info(b: bytes, max_resync: int = 4096) -> dict:
         "n_frames": n_frames,
         "total_samples": total_samples,
         "duration_s": duration,
-        # bit-time weighted: exact average rate over VBR streams
-        "avg_bitrate": int(round(total_bits / total_samples)) if total_samples else 0,
+        # time-weighted: exact average rate over VBR and mixed-rate streams
+        "avg_bitrate": int(round(total_bits / duration)) if duration else 0,
         "vbr": len(bitrates_seen) > 1,
     }
 

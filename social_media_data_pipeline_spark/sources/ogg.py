@@ -210,6 +210,11 @@ def _emit_page(
             lacing.append(rem)
         elif rem:
             raise ValueError("open chunk must be a multiple of 255 bytes")
+    if len(lacing) > 255:
+        raise ValueError(
+            f"page lacing table has {len(lacing)} entries (max 255): "
+            "split the packet across pages (_paginate_packets does this)"
+        )
     header = bytearray(b"OggS\x00")
     header.append(header_type)
     header.extend(struct.pack("<qIIIB", granule, serial, seq, 0, len(lacing)))
@@ -217,6 +222,46 @@ def _emit_page(
     page = bytes(header) + bytes(body)
     crc = _ogg_crc(page)
     return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def _paginate_packets(
+    pages: list[bytes], serial: int, seq: int, packets: list[bytes], eos: bool
+) -> int:
+    """Emit `packets` as one or more conforming pages, splitting any
+    packet whose lacing would overflow a page's 255-entry table across
+    pages via the continued path (header_type 0x1 on the continuation
+    page, open 255-multiple chunk before it). Returns the next page
+    sequence number. A packet ending exactly on a page boundary gets
+    its closing 0-lacing entry on the next page, per the spec."""
+    cur: list[bytes] = []
+    used = 0
+    cont_in = False
+
+    def flush(cont_out: bool, last: bool) -> None:
+        nonlocal cur, used, seq, cont_in
+        ht = (0x1 if cont_in else 0x0) | (0x4 if eos and last else 0x0)
+        gran = -1 if eos and last else 0
+        pages.append(_emit_page(serial, seq, gran, ht, cur, cont_out))
+        seq += 1
+        cont_in = cont_out
+        cur = []
+        used = 0
+
+    for p in packets:
+        rest = p
+        while len(rest) // 255 + 1 > 255 - used:
+            slots = 255 - used
+            if slots == 0:
+                flush(False, False)
+                continue
+            cur.append(rest[: 255 * slots])  # multiple of 255 → open
+            used += slots
+            flush(True, False)
+            rest = rest[255 * slots :]
+        cur.append(rest)
+        used += len(rest) // 255 + 1
+    flush(False, True)
+    return seq
 
 
 def encode_ogg_flac(
@@ -265,8 +310,16 @@ def encode_ogg_flac(
     for i in range(0, len(frame_packets), page_audio_packets):
         chunk = frame_packets[i : i + page_audio_packets]
         eos = i + page_audio_packets >= len(frame_packets)
-        pages.append(
-            _emit_page(serial, seq, 0 if not eos else -1, 0x4 if eos else 0x0, chunk, False)
-        )
-        seq += 1
+        lace_needed = sum(len(c) // 255 + 1 for c in chunk)
+        if lace_needed <= 255:
+            pages.append(
+                _emit_page(
+                    serial, seq, 0 if not eos else -1, 0x4 if eos else 0x0, chunk, False
+                )
+            )
+            seq += 1
+        else:
+            # oversized packets (> ~65 KB, e.g. long verbatim FLAC
+            # frames) span pages via the continued path
+            seq = _paginate_packets(pages, serial, seq, chunk, eos)
     return b"".join(pages)

@@ -67,3 +67,25 @@ class TestSparkMetadataPath:
         assert row["n_frames"] == 50 * 1152
         # meta struct stores float32 — compare at that precision
         assert abs(row["duration_s"] - 50 * 1152 / 32000) < 1e-5
+
+
+class TestTruncationAndMixedRate:
+    """r7: truncated final frames are REPORTED; duration accumulates at
+    each frame's own sample rate."""
+
+    def test_truncated_final_frame_raises(self):
+        b = mp3.encode_mp3_skeleton(10)
+        flen = 144 * 128000 // 44100
+        with pytest.raises(ValueError, match="truncated final MPEG frame"):
+            mp3.mp3_info(b[: -flen // 2])  # cut the last frame in half
+
+    def test_mixed_sample_rate_duration_per_frame(self):
+        # two structurally-valid streams at different rates concatenated:
+        # walker accepts mid-stream rate changes, duration must weight
+        # each frame by its own rate (not the first frame's)
+        a = mp3.encode_mp3_skeleton(10, sample_rate=44100)
+        b = mp3.encode_mp3_skeleton(10, sample_rate=32000)
+        info = mp3.mp3_info(a + b)
+        assert info["n_frames"] == 20
+        want = 10 * 1152 / 44100 + 10 * 1152 / 32000
+        assert abs(info["duration_s"] - want) < 1e-9

@@ -76,3 +76,44 @@ class TestOggPages:
         assert len(frames) == (9000 + 1023) // 1024
         info = eflac.flac_info(native)
         assert native[info["frames_offset"]:] == b"".join(frames)
+
+
+class TestOversizedPackets:
+    """r7: a packet whose lacing exceeds one page's 255-entry table
+    must split across pages (continued path), not raise struct.error."""
+
+    def test_emit_page_rejects_overlong_lacing(self):
+        big = b"x" * (70 * 1024)  # 70 KB → 281 lacing entries
+        with pytest.raises(ValueError, match="255"):
+            eogg._emit_page(1, 0, 0, 0, [big], False)
+
+    def test_paginate_splits_and_reassembles(self):
+        rng = np.random.default_rng(7)
+        packets = [
+            bytes(rng.integers(0, 256, 70 * 1024, dtype=np.uint8)),  # > 1 page
+            b"small",
+            bytes(rng.integers(0, 256, 200 * 1024, dtype=np.uint8)),  # ~4 pages
+        ]
+        pages: list[bytes] = []
+        eogg._paginate_packets(pages, 42, 0, packets, eos=True)
+        assert len(pages) >= 4
+        parsed = eogg.parse_pages(b"".join(pages))
+        # continuation pages carry the continued flag
+        assert any(p.header_type & 0x1 for p in parsed)
+        assert eogg.assemble_packets(parsed) == packets
+
+    def test_packet_ending_on_page_boundary(self):
+        # exactly fills one page's lacing open-chunk path: 255*255 bytes
+        p = b"y" * (255 * 255)
+        pages: list[bytes] = []
+        eogg._paginate_packets(pages, 1, 0, [p, b"tail"], eos=True)
+        parsed = eogg.parse_pages(b"".join(pages))
+        assert eogg.assemble_packets(parsed) == [p, b"tail"]
+
+    def test_encode_ogg_flac_large_packet_path(self):
+        # force the paginator through encode_ogg_flac with many packets
+        # per page so the group lacing overflows 255 entries
+        x, sr = _tone(n=300000, ch=1)
+        native = eflac.encode_flac(x, sr, block_size=4096)
+        wrapped = eogg.encode_ogg_flac(native, page_audio_packets=300)
+        assert eogg.ogg_flac_to_native(wrapped) == native

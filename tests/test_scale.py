@@ -310,3 +310,112 @@ class TestFooterStatsAndUpsert:
         stats = scale.selective_upsert(spark, path, updates, "k")
         assert stats["files_rewritten"] == 0
         assert spark.read.parquet(path).count() == 4097
+
+
+class TestScaleSafeUpsertJoin:
+    """r7: stats index as a distributed Spark table; rewrite-set
+    selection as an equi bucket-blocked join (no BNLJ)."""
+
+    def _table(self, spark, path, n=4096, files=16):
+        df = spark.range(n).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 7 AS STRING) AS tag"
+        )
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def test_footer_index_table_matches_pandas(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        got = sorted(
+            (r["file"], r["row_group"], r["n_rows"], r["min_k"], r["max_k"])
+            for r in scale.footer_stats_index_table(spark, path, ["k"]).collect()
+        )
+        pdf = scale.footer_stats_index(path, ["k"])
+        want = sorted(
+            (r["file"], r["row_group"], r["n_rows"], r["min_k"], r["max_k"])
+            for _, r in pdf.iterrows()
+        )
+        assert got == want
+
+    def test_rewrite_set_equi_join_matches_naive_256_files(self, spark, tmp_path):
+        """256 files x 10k update keys: the bucket-blocked equi join
+        selects exactly the same rewrite set as the naive range
+        predicate, and its plan contains no BroadcastNestedLoopJoin."""
+        path = str(tmp_path / "big")
+        self._table(spark, path, n=65536, files=256)
+        idx = scale.footer_stats_index_table(spark, path, ["k"])
+        ranges = idx.groupBy("file").agg(
+            F.min("min_k").alias("lo"), F.max("max_k").alias("hi")
+        )
+        updates = spark.range(10000).selectExpr("id * 13 AS k")  # 0..129987
+        hit_df = scale.upsert_rewrite_set(ranges, updates, "k")
+        plan = plan_of(hit_df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = sorted(r["file"] for r in hit_df.collect())
+        rng = {r["file"]: (r["lo"], r["hi"]) for r in ranges.collect()}
+        keys = [i * 13 for i in range(10000)]
+        want = sorted(
+            f for f, (lo, hi) in rng.items() if any(lo <= k <= hi for k in keys)
+        )
+        assert got == want and len(got) > 0
+
+    def test_missing_stats_file_always_rewritten(self, spark, tmp_path):
+        """A file whose footer lacks key stats must land in the rewrite
+        set unconditionally (an unprunable file silently skipped would
+        leave a stale duplicate after MERGE)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = tmp_path / "t"
+        path.mkdir()
+        pq.write_table(
+            pa.table({"k": [1, 2], "v": [10, 20], "tag": ["a", "b"]}),
+            str(path / "part-withstats.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [100, 101], "v": [1, 2], "tag": ["c", "d"]}),
+            str(path / "part-nostats.parquet"),
+            write_statistics=False,
+        )
+        idx = scale.footer_stats_index_table(spark, str(path), ["k"])
+        ranges = idx.groupBy("file").agg(
+            F.min("min_k").alias("lo"), F.max("max_k").alias("hi")
+        )
+        # update key 1 overlaps only the stats file's range, but the
+        # stats-free file must be selected too
+        updates = spark.createDataFrame([(1,)], "k long")
+        got = sorted(r["file"] for r in scale.upsert_rewrite_set(ranges, updates, "k").collect())
+        assert len(got) == 2 and any("nostats" in f for f in got)
+
+    def test_upsert_with_stats_free_file_keeps_merge_semantics(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = tmp_path / "t"
+        path.mkdir()
+        pq.write_table(
+            pa.table({"k": [1, 2], "v": [10, 20], "tag": ["a", "b"]}),
+            str(path / "part-withstats.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [100, 101], "v": [1, 2], "tag": ["c", "d"]}),
+            str(path / "part-nostats.parquet"),
+            write_statistics=False,
+        )
+        updates = spark.createDataFrame([(100, -1, "upd")], "k long, v long, tag string")
+        stats = scale.selective_upsert(spark, str(path), updates, "k")
+        # key 100 overlaps no stats range, but the stats-free file is
+        # forced into the rewrite set — and it indeed held key 100
+        assert stats["files_rewritten"] == 1
+        after = {r["k"]: (r["v"], r["tag"]) for r in spark.read.parquet(str(path)).collect()}
+        assert after[100] == (-1, "upd") and len(after) == 4
+        assert after[1] == (10, "a") and after[2] == (20, "b")
+
+    def test_pruned_read_empty_index_raises(self, spark):
+        empty = spark.createDataFrame([], "file string, min_x long, max_x long")
+        with pytest.raises(ValueError, match="empty file-skipping index"):
+            scale.pruned_read(spark, empty, {"x": (0, 1)})
