@@ -1626,6 +1626,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.pagerank(edges, iters=5).orderBy("node")
 
 
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution
+    (`functions/graph.py:pagerank(dangling="redistribute")`) on the
+    same customer→supplier purchase graph as `graph_pagerank` — every
+    supplier node is a sink there, so this is the mode that keeps
+    total rank ≈ n·1e6 (textbook PageRank; the drop variant loses the
+    sink mass). Per-round the summed sink rank is an observe metric on
+    the checkpoint job (1 scalar to the driver, no extra job) and the
+    uniform integer share replays exactly in the generated DuckDB
+    WITH-chain (`build_pagerank_sql(dangling="redistribute")`)."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return egraph.pagerank(edges, iters=5, dangling="redistribute").orderBy("node")
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, epoch-day)
     (`scale.py:zorder_key`): the multi-dimensional layout key behind
@@ -1876,6 +1900,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,  # variant: embedding_near_dup (r6)
     "minhash_jaccard_est": q_minhash_jaccard_est,  # minhash family (r6/r7)
     "sessionize": q_sessionize,  # variant: sessionize_bounded (r6)
+    # ---- new in r7 (never driver-checked; rotate into the r8 window) ----
+    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r8-in-new]
 }
 
 

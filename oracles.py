@@ -1853,6 +1853,18 @@ ORACLES["graph_pagerank"] = _pagerank_sql(
 ) + """
 SELECT node, rank_micro FROM r5 ORDER BY node"""
 
+# graph_pagerank_dangling: same graph, dangling mass redistributed —
+# per-round d{r} CTE (summed sink rank) folds the uniform integer
+# share into the update, replaying the Spark observe-scalar run exactly
+ORACLES["graph_pagerank_dangling"] = _pagerank_sql(
+    """
+    SELECT DISTINCT o_custkey AS src, 1000000000 + l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey""",
+    iters=5,
+    dangling="redistribute",
+) + """
+SELECT node, rank_micro FROM r5 ORDER BY node"""
+
 # events_zorder_key: generated bit-interleave expression
 # (scale.py:build_zorder_sql) over (user_id, epoch-day)
 from social_media_data_pipeline_spark.scale import (  # noqa: E402

@@ -130,6 +130,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 5,
     checkpoint: bool = True,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Bounded-round PageRank over a directed edge list → (node,
     rank_micro).
@@ -138,11 +139,22 @@ def pagerank(
     `functions/kmeans.py` convention): each round a node receives
         150_000 + Σ_{u→v} (rank(u) * 85) div (100 * outdeg(u))
     — the damping-0.85 update with per-node teleport mass (the
-    "R(v) = (1-d) + d·Σ R(u)/deg(u)" n-scaled formulation; dangling
-    mass is dropped, the standard simplification). Integer div/sum are
-    associative and order-independent, so the whole run replays
-    bit-for-bit in ANSI SQL (`build_pagerank_sql`) — the property the
-    float formulation can never give a differential oracle.
+    "R(v) = (1-d) + d·Σ R(u)/deg(u)" n-scaled formulation). Integer
+    div/sum are associative and order-independent, so the whole run
+    replays bit-for-bit in ANSI SQL (`build_pagerank_sql`) — the
+    property the float formulation can never give a differential
+    oracle.
+
+    `dangling`: "drop" (the lean simplification — sink mass leaves the
+    system, ranks undershoot n·1e6 on graphs with sinks) or
+    "redistribute" (textbook PageRank: each round the summed rank of
+    out-degree-0 nodes is added back uniformly,
+    `(dangling_sum * 85) div (100 * n)` per node, so total mass stays
+    ≈ n·1e6 up to integer-truncation loss bounded by (|E|+2n)/0.15
+    micro-units — the mass-conservation property test pins this).
+    The per-round dangling sum is an `observe` metric collected by the
+    checkpoint's own materialization (the `connected_components` delta
+    pattern): no extra job, 1 scalar to the driver per round.
 
     Scale shape: the edge list (the 100 TB side) is deduped, hash-
     partitioned by `src` and pinned ONCE (localCheckpoint); every round
@@ -152,6 +164,8 @@ def pagerank(
     rank-table co-partition, lineage cut per round so plans stay flat
     (the `connected_components` pattern above).
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute': {dangling!r}")
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
     if checkpoint:
         e = e.repartition("src").localCheckpoint(eager=True)
@@ -163,36 +177,76 @@ def pagerank(
     )
     if checkpoint:
         nodes = nodes.localCheckpoint(eager=True)
+    redistribute = dangling == "redistribute"
+    if redistribute:
+        # (node, __dang) rides through every round so the next round's
+        # dangling sum is an observe metric, never a second aggregate
+        nodes = nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("__out")),
+            "node",
+            "left",
+        ).select("node", F.coalesce(F.col("__out"), F.lit(True)).alias("__dang"))
+        if checkpoint:
+            nodes = nodes.localCheckpoint(eager=True)
+        counts = nodes.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("__dang").cast("bigint")).alias("nd"),
+        ).collect()[0]
+        n_nodes, n_dang = int(counts["n"]), int(counts["nd"] or 0)
+        dang_sum = 1_000_000 * n_dang  # round-0 ranks are uniform
     ranks = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("rank_micro"))
-    for _ in range(iters):
+    dang_metric = F.sum(
+        F.when(F.col("__dang"), F.col("rank_micro")).otherwise(F.lit(0))
+    ).alias("dang_sum")
+    for i in range(iters):
         contribs = (
             e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank_micro"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(rank_micro * 85) div (100 * __d)").alias("__c"),
             )
         )
+        share = (
+            F.lit((dang_sum * 85) // (100 * n_nodes)) if redistribute else F.lit(0)
+        )
         ranks = (
             nodes.join(contribs.groupBy("node").agg(F.sum("__c").alias("__s")),
                        "node", "left")
             .select(
-                "node",
-                (F.lit(150_000) + F.coalesce(F.col("__s"), F.lit(0)))
+                *nodes.columns,
+                (F.lit(150_000) + share + F.coalesce(F.col("__s"), F.lit(0)))
                 .cast("bigint")
                 .alias("rank_micro"),
             )
         )
-        if checkpoint:
+        if redistribute and i + 1 < iters:
+            if checkpoint:
+                obs = Observation(f"pr_dang_{i}")
+                ranks = ranks.observe(obs, dang_metric)
+                ranks = ranks.localCheckpoint(eager=True)
+                dang_sum = int(obs.get["dang_sum"] or 0)
+            else:
+                dang_sum = int(
+                    ranks.agg(dang_metric).collect()[0]["dang_sum"] or 0
+                )
+        elif checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank_micro")
 
 
-def build_pagerank_sql(edges_cte: str, iters: int = 5) -> str:
+def build_pagerank_sql(edges_cte: str, iters: int = 5, dangling: str = "drop") -> str:
     """Generated DuckDB WITH-chain replaying `pagerank` exactly:
     `edges_cte` is the body of an `e(src, dst)` CTE (rows must be
     distinct); output (node, rank_micro) matches bit-for-bit because
-    both sides use the same integer micro-unit update."""
+    both sides use the same integer micro-unit update. With
+    `dangling="redistribute"` each round adds a `d{r}` CTE (the summed
+    rank of out-degree-0 nodes) and folds the uniform integer share
+    `(dm * 85) // (100 * n)` into the update — the same Python-int
+    arithmetic the Spark loop applies from its observe scalar."""
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute': {dangling!r}")
+    redistribute = dangling == "redistribute"
     parts = [
         f"""WITH e AS MATERIALIZED ({edges_cte}
 ), deg AS MATERIALIZED (
@@ -201,15 +255,28 @@ def build_pagerank_sql(edges_cte: str, iters: int = 5) -> str:
     SELECT DISTINCT node FROM (
         SELECT src AS node FROM e UNION ALL SELECT dst FROM e
     )
+), nc AS MATERIALIZED (
+    SELECT COUNT(*) AS n FROM nodes
 ), r0 AS MATERIALIZED (
     SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes
 )"""
     ]
     for r in range(iters):
+        share = "0"
+        if redistribute:
+            parts.append(
+                f""", d{r} AS MATERIALIZED (
+    SELECT COALESCE(SUM(r.rank_micro), 0) AS dm
+    FROM r{r} r LEFT JOIN deg ON deg.src = r.node
+    WHERE deg.src IS NULL
+)"""
+            )
+            share = f"(SELECT (d{r}.dm * 85) // (100 * nc.n) FROM d{r}, nc)"
         parts.append(
             f""", r{r + 1} AS MATERIALIZED (
     SELECT n.node,
-           CAST(150000 + COALESCE(SUM((r.rank_micro * 85) // (100 * deg.d)), 0)
+           CAST(150000 + {share}
+                + COALESCE(SUM((r.rank_micro * 85) // (100 * deg.d)), 0)
                 AS BIGINT) AS rank_micro
     FROM nodes n
     LEFT JOIN e ON e.dst = n.node

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from social_media_data_pipeline_spark.functions import graph
 
 
@@ -113,3 +115,89 @@ class TestPagerank:
             f"SELECT * FROM (VALUES {vals}) t(src, dst)", iters=4
         ) + "\nSELECT node, rank_micro FROM r4 ORDER BY node"
         assert got == [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+class TestPagerankDangling:
+    """r7: dangling="redistribute" — textbook PageRank mass handling.
+    Per-round the summed sink rank returns uniformly as the exact
+    integer share (dm * 85) div (100 * n); mass conservation holds up
+    to truncation loss bounded by (|E| + 2n)/0.15 micro-units."""
+
+    def _random_sink_graph(self, seed, n_src=60, n_dst=80, m=300):
+        import random
+
+        rng = random.Random(seed)
+        return list(
+            {(rng.randint(0, n_src), rng.randint(0, n_dst)) for _ in range(m)}
+        )
+
+    def test_mass_conserved_on_random_sink_graphs(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        for seed in (1, 7, 23):
+            edges = self._random_sink_graph(seed)
+            df = spark.createDataFrame(edges, "src bigint, dst bigint")
+            rows = pagerank(df, iters=5, dangling="redistribute").collect()
+            n = len(rows)
+            total = sum(r["rank_micro"] for r in rows)
+            bound = (len(edges) + 2 * n) / 0.15
+            assert abs(n * 1_000_000 - total) <= bound
+
+    def test_drop_mode_loses_sink_mass(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = self._random_sink_graph(3)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        rows = pagerank(df, iters=5, dangling="drop").collect()
+        n = len(rows)
+        total = sum(r["rank_micro"] for r in rows)
+        # this bipartite-ish graph has many sinks: drop undershoots by
+        # far more than the redistribute truncation bound
+        assert n * 1_000_000 - total > (len(edges) + 2 * n) / 0.15 * 100
+
+    def test_redistribute_oracle_replays_run(self, spark):
+        import duckdb
+
+        from social_media_data_pipeline_spark.functions.graph import (
+            build_pagerank_sql,
+            pagerank,
+        )
+
+        edges = self._random_sink_graph(11, n_src=20, n_dst=30, m=80)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = sorted(
+            (r["node"], r["rank_micro"])
+            for r in pagerank(df, iters=4, dangling="redistribute").collect()
+        )
+        vals = ", ".join(f"({s}, {d})" for s, d in edges)
+        sql = build_pagerank_sql(
+            f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+            iters=4,
+            dangling="redistribute",
+        ) + "\nSELECT node, rank_micro FROM r4 ORDER BY node"
+        want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+        assert got == want
+
+    def test_observe_path_matches_agg_path(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = self._random_sink_graph(5, n_src=15, n_dst=25, m=60)
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        a = sorted(
+            (r["node"], r["rank_micro"])
+            for r in pagerank(df, iters=3, dangling="redistribute").collect()
+        )
+        b = sorted(
+            (r["node"], r["rank_micro"])
+            for r in pagerank(
+                df, iters=3, dangling="redistribute", checkpoint=False
+            ).collect()
+        )
+        assert a == b
+
+    def test_bad_mode_raises(self, spark):
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(df, dangling="nope")

@@ -237,6 +237,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
     ],
+    "graph_pagerank_dangling": [
+        # the dangling share is a plan LITERAL (observe scalar folded in
+        # by the driver) — same checkpointed-round shape as the sibling
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+    ],
     "events_zorder_key": [
         # the layout key is a pure JVM bit expression: scan → project →
         # presentation sort, nothing else
