@@ -829,6 +829,25 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
 
 
+def q_embedding_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF retrieval
+    (`functions/similarity.py:ivf_topk_multiprobe`, probes=4) — the
+    production ANN default: the recall harness (tools/ann_recall.py)
+    shows probes are THE recall lever (1→8 probes: recall@10
+    0.156→0.590 at 2.3%→18% of the corpus scanned); this registers the
+    probes=4 point with a differential oracle. Exact cosine within the
+    probed cells (reference semantics:
+    Preprocessing/FeatureVectors/readme.md); candidates bounded by
+    probes × cell size; same deterministic centroid set as
+    embedding_ivf_topk so the two are directly comparable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk_multiprobe(
+        queries, emb, centroids, k=5, probes=4
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) semantic dedup: cluster embeddings,
     drop τ-similar same-cluster neighbors, keep the example farthest
@@ -1902,6 +1921,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,  # variant: sessionize_bounded (r6)
     # ---- new in r7 (never driver-checked; rotate into the r8 window) ----
     "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r8-in-new]
+    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r8-in-new]
 }
 
 

@@ -836,6 +836,44 @@ QUALIFY rank <= 5
 ORDER BY query_id, rank
 """
 
+# embedding_ivf_topk_multiprobe: corpus single-cell, queries probe
+# their top-4 cells (row_number <= 4 mirrors ivf_assign_multiprobe's
+# desc-rounded-cos / asc-centroid ranking); exact cosine in the union
+# of probed cells — each corpus vec is in one cell and probe cells are
+# distinct, so pairs are unique without dedup
+ORACLES["embedding_ivf_topk_multiprobe"] = f"""
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_vec
+    FROM embeddings WHERE vec_id % 50 = 0
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM v, c
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), qprobe AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM v, c
+    WHERE vec_id < 20
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) <= 4
+), scored AS (
+    SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+           {_cos('q.vec', 's.vec')} AS cos
+    FROM qprobe q JOIN assigned s ON q.cluster = s.cluster
+    WHERE q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def _srp_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     # EXACT mirror of similarity.deterministic_planes — md5-derived
     # uniform weights; repr() round-trips the identical doubles into SQL

@@ -850,3 +850,54 @@ class TestSampleQuantileSketch:
         sketch = sk.sample_quantile_sketch(df, ["grp"], "key", "val", k=16)
         with _pytest.raises(ValueError, match="outside"):
             sk.sample_quantile_estimate(sketch, {"bad": 1.5})
+
+
+class TestIvfTopkMultiprobe:
+    """r7: multiprobe retrieval (`similarity.ivf_topk_multiprobe`)."""
+
+    def test_probes_1_equals_single_probe_ivf(self, spark, sf_dir):
+        full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = full.filter("vec_id % 50 = 0")
+        queries = full.filter("vec_id < 10")
+        a = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in similarity.ivf_topk(queries, full, centroids, k=5).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in similarity.ivf_topk_multiprobe(
+                queries, full, centroids, k=5, probes=1
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_more_probes_never_worse_cosine(self, spark, sf_dir):
+        # the rank-r neighbor under P probes has cosine >= the rank-r
+        # neighbor under 1 probe (candidate set is a superset)
+        full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = full.filter("vec_id % 50 = 0")
+        queries = full.filter("vec_id < 10")
+        one = {
+            (r["query_id"], r["rank"]): r["cos"]
+            for r in similarity.ivf_topk_multiprobe(
+                queries, full, centroids, k=5, probes=1
+            ).collect()
+        }
+        four = {
+            (r["query_id"], r["rank"]): r["cos"]
+            for r in similarity.ivf_topk_multiprobe(
+                queries, full, centroids, k=5, probes=4
+            ).collect()
+        }
+        for key, cos1 in one.items():
+            assert four[key] >= cos1 - 1e-9
+
+    def test_no_duplicate_pairs(self, spark, sf_dir):
+        full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centroids = full.filter("vec_id % 50 = 0")
+        queries = full.filter("vec_id < 10")
+        rows = similarity.ivf_topk_multiprobe(
+            queries, full, centroids, k=50, probes=4
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))

@@ -63,6 +63,7 @@ def main() -> int:
 
     kc = math.isqrt(n)
     stride_cents = sim.select_ivf_centroids(emb, corpus_size=n)
+    mod50_cents = emb.filter(F.col("vec_id") % 50 == 0)
     trained_cents = ekm.kmeans_centroids(emb, iters=5, corpus_size=n)
     cb_seed = epq.pq_codebook(emb, m=8, ksub=16)
     cb_trained = epq.pq_codebook_kmeans(emb, m=8, ksub=16, iters=3)
@@ -79,37 +80,12 @@ def main() -> int:
         # scored pairs ≈ Σ c_i² when queries distribute like the corpus
         return sizes / (n * n)
 
+    # multiprobe retrieval is the LIBRARY path now
+    # (similarity.ivf_topk_multiprobe, registered as
+    # embedding_ivf_topk_multiprobe) — the harness measures the same
+    # code the oracle checks
     def ivf_multiprobe_topk(cents, probes):
-        """Queries probe their top-P cells (ivf_assign_multiprobe);
-        corpus stays single-cell — candidates = union of P cells."""
-        from pyspark.sql.window import Window
-
-        c_assigned = sim.ivf_assign(emb, cents).select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_vec"),
-            F.col("v_norm").alias("c_norm"),
-            "cluster",
-        )
-        q_assigned = sim.ivf_assign_multiprobe(queries, cents, probes=probes).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("v_norm").alias("q_norm"),
-            "cluster",
-        )
-        scored = c_assigned.join(F.broadcast(q_assigned), "cluster").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        denom = F.col("q_norm") * F.col("c_norm")
-        cos = F.when(denom > 0, sim.dot(F.col("q_vec"), F.col("c_vec")) / denom).otherwise(
-            F.lit(0.0)
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-        return (
-            scored.select("query_id", "neighbor_id", cos.alias("cos"))
-            .distinct()
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
+        return sim.ivf_topk_multiprobe(queries, emb, cents, k=k, probes=probes)
 
     variants = [
         ("ivf (id-stride centroids)",
@@ -133,6 +109,14 @@ def main() -> int:
         ("ivf trained, 8-probe",
          lambda: ivf_multiprobe_topk(trained_cents, 8),
          8 * cell_fraction(trained_cents)),
+        # the registered-query configuration (embedding_ivf_topk /
+        # embedding_ivf_topk_multiprobe): %50-stride centroids
+        ("ivf %50 cents, 1-probe",
+         lambda: sim.ivf_topk(queries, emb, mod50_cents, k=k),
+         cell_fraction(mod50_cents)),
+        ("ivf %50 cents, 4-probe",
+         lambda: ivf_multiprobe_topk(mod50_cents, 4),
+         4 * cell_fraction(mod50_cents)),
         ("ivf-pq RESIDUAL, 1-probe",
          lambda: epq.ivf_pq_residual_topk(
              queries, emb, trained_cents, m=8, ksub=16, iters=3, k=k, probes=1),

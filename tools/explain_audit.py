@@ -191,6 +191,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", r"\A(?!.*CartesianProduct)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_topk_multiprobe": [
+        # candidates bounded by probes × cell: the candidate join must
+        # stay cluster-EQUI with the probed query side broadcast —
+        # never a nested loop over the corpus; per-query top-k is the
+        # only window
+        ("cell-equi candidate join", r"BroadcastHashJoin.*cluster|SortMergeJoin.*cluster"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop candidate join",
+         r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_pq_topk": [
         # encode is a pure map over the literal codebook (no join to a
         # codebook table); ADC joins the 5-query side via broadcast; the
