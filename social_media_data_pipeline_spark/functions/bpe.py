@@ -107,6 +107,268 @@ def bpe_train(
     )
 
 
+def _apply_merge_py(syms: list, l: str, r: str) -> list:
+    """Python twin of `_apply_merge` (left-to-right non-overlapping) —
+    the driver-side replay in `bpe_train_batched` must fuse exactly
+    like the executor-side fold."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def _certified_merges(
+    head: dict,
+    global_pairs: dict,
+    cutoff: int,
+    max_merges: int,
+) -> list[tuple[str, str, int]]:
+    """Driver-side EXACT sequential-BPE replay over the collected head
+    words, certified against the uncollected tail by per-pair count
+    intervals. Emits merges provably identical (choice, tie-break AND
+    pair_freq) to running one global argmax round per merge.
+
+    State per pair p: exact head count h(p) (maintained incrementally
+    over `head`) and a tail interval [tlo, thi] — exact at collection
+    time (global − head), widened only when a merge's own tail mass
+    (d_hi > 0) could have rewritten tail occurrences of adjacent
+    pairs. A merge (l, r) with head count + tlo = c is certified the
+    global argmax iff its tail count is exact (tlo == thi), c beats
+    every other pair's h + thi (ties only when (l, r) wins the
+    lexicographic tie-break), and c strictly exceeds both the
+    collection cutoff (pairs never collected) and the ghost bound
+    (pairs a tail-side merge may have created). Certification failing
+    ends the batch; the caller recollects and continues — each
+    collection certifies at least the first argmax, so progress is
+    guaranteed.
+    """
+    import heapq
+
+    h: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set] = {}
+    for w, (syms, f) in head.items():
+        for p in zip(syms, syms[1:]):
+            h[p] = h.get(p, 0) + f
+            index.setdefault(p, set()).add(w)
+    ti: dict[tuple[str, str], tuple[int, int]] = {}
+    for p, gc in global_pairs.items():
+        t = gc - h.get(p, 0)
+        if t > 0:
+            ti[p] = (t, t)
+    for p, hc in h.items():
+        if p not in global_pairs and cutoff > hc:
+            # pair below the collection cutoff: tail ∈ [0, cutoff − h]
+            ti[p] = (0, cutoff - hc)
+
+    def lo(p):
+        return h.get(p, 0) + ti.get(p, (0, 0))[0]
+
+    def hi(p):
+        return h.get(p, 0) + ti.get(p, (0, 0))[1]
+
+    lo_heap = [(-lo(p), p) for p in set(h) | set(ti)]
+    hi_heap = [(-hi(p), p) for p in set(h) | set(ti)]
+    heapq.heapify(lo_heap)
+    heapq.heapify(hi_heap)
+
+    def push(p):
+        heapq.heappush(lo_heap, (-lo(p), p))
+        heapq.heappush(hi_heap, (-hi(p), p))
+
+    ghost_bound = 0  # pairs a tail-side merge may have created
+    out: list[tuple[str, str, int]] = []
+    while len(out) < max_merges:
+        # current argmax by lower bound (heap ties = lexicographic)
+        p1 = None
+        while lo_heap:
+            negv, p = lo_heap[0]
+            if -negv != lo(p) or (h.get(p, 0) == 0 and p not in ti):
+                heapq.heappop(lo_heap)
+                continue
+            p1 = p
+            break
+        if p1 is None:
+            break
+        c = lo(p1)
+        if c <= 0 or c <= cutoff or c <= ghost_bound:
+            break
+        tlo1, thi1 = ti.get(p1, (0, 0))
+        if tlo1 != thi1:
+            break  # pair_freq would be inexact
+        # strongest competitor by upper bound
+        stash = []
+        comp = None
+        while hi_heap:
+            negv, p = hi_heap[0]
+            if -negv != hi(p) or (h.get(p, 0) == 0 and p not in ti):
+                heapq.heappop(hi_heap)
+                continue
+            if p == p1:
+                stash.append(heapq.heappop(hi_heap))
+                continue
+            comp = (-negv, p)
+            break
+        for e in stash:
+            heapq.heappush(hi_heap, e)
+        if comp is not None:
+            cv, q = comp
+            if cv > c or (cv == c and not (p1 < q)):
+                break
+        l, r = p1
+        lr = l + r
+        out.append((l, r, c))
+        # --- head: fuse in affected words only (inverted index) ---
+        for w in list(index.get((l, r), ())):
+            syms, f = head[w]
+            old = list(zip(syms, syms[1:]))
+            syms = _apply_merge_py(syms, l, r)
+            head[w] = (syms, f)
+            new = list(zip(syms, syms[1:]))
+            for p in old:
+                h[p] -= f
+                if h[p] <= 0:
+                    h.pop(p, None)
+                index.get(p, set()).discard(w)
+                push(p)
+            for p in new:
+                h[p] = h.get(p, 0) + f
+                index.setdefault(p, set()).add(w)
+                push(p)
+        # --- tail intervals ---
+        d_lo, d_hi = ti.pop((l, r), (0, 0))
+        push((l, r))
+        if d_hi > 0:
+            # tail occurrences of (l, r) also merged: adjacent tail
+            # pairs may have lost up to min(their thi, d_hi); created
+            # (·, lr)/(lr, ·) pairs gained up to the same; pairs we
+            # never tracked may have been created too (ghost bound)
+            for p, (plo, phi) in list(ti.items()):
+                a, b = p
+                if b == l:
+                    dmax = min(phi, d_hi)
+                    ti[p] = (max(0, plo - dmax), phi)
+                    cl, ch = ti.get((a, lr), (0, 0))
+                    ti[(a, lr)] = (0, ch + dmax)
+                    push(p)
+                    push((a, lr))
+                if a == r:
+                    dmax = min(phi, d_hi)
+                    plo2, phi2 = ti[p]
+                    ti[p] = (max(0, plo2 - dmax), phi2)
+                    cl, ch = ti.get((lr, b), (0, 0))
+                    ti[(lr, b)] = (0, ch + dmax)
+                    push(p)
+                    push((lr, b))
+            cl, ch = ti.get((lr, lr), (0, 0))
+            ti[(lr, lr)] = (0, ch + d_hi)
+            push((lr, lr))
+            ghost_bound = max(ghost_bound, d_hi)
+    return out
+
+
+def bpe_train_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 1000,
+    head_words: int = 65536,
+    top_pairs: int = 65536,
+    apply_chunk: int = 16,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Production-vocabulary BPE training: identical output to
+    `bpe_train` (same merges, same order, same pair_freq — the
+    agreement test pins this), but the per-merge cost is amortized:
+    one Spark ROUND (global pair aggregate + top-`head_words` word
+    collection) certifies as many sequential merges as the collected
+    slice can prove, instead of one round per merge.
+
+    How: each round collects (a) the exact global pair-count table
+    (top-`top_pairs`, with the cutoff bounding everything below) and
+    (b) the `head_words` most frequent words. The driver then replays
+    EXACT sequential BPE over the head (`_certified_merges`), keeping
+    a per-pair interval for the uncollected tail's contribution; every
+    emitted merge is provably the global argmax with its exact global
+    count. When certification runs dry the batch is applied to the
+    distributed vocabulary table (chunked merge folds + checkpoint)
+    and the next round recollects. Guaranteed ≥1 merge per round
+    (the first argmax after a collection is always exact), so the
+    worst case degrades to `bpe_train`'s round-per-merge; when the
+    head covers the corpus vocabulary the whole training finishes in
+    ONE round (32k merges = 1 aggregate + 1 collect + a local replay,
+    not 32k Spark jobs). Rounds-vs-coverage measured in SCALING.md.
+
+    At 100 TB: the corpus pass is the same single
+    `word_freq_table` aggregate `bpe_train` does; per round the
+    top-pair aggregate shuffles vocabulary-sized data and the head
+    collection is bounded by `head_words` — driver memory is
+    O(head_words · word_len + top_pairs), independent of corpus size.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    words = word_freq_table(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    rounds = 0
+    batch_sizes: list[int] = []
+    while len(merges) < num_merges:
+        rounds += 1
+        syms = F.col("syms")
+        n = F.size(syms) - 1
+        pairs = (
+            words.filter(F.size(syms) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, n),
+                        F.slice(syms, 2, n),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(top_pairs + 1)
+            .collect()
+        )
+        if not pairs:
+            break
+        cutoff = int(pairs[top_pairs]["cnt"]) if len(pairs) > top_pairs else 0
+        gp = {(row["l"], row["r"]): int(row["cnt"]) for row in pairs[:top_pairs]}
+        head_rows = (
+            words.orderBy(F.desc("freq"), F.asc("w")).limit(head_words).collect()
+        )
+        head = {row["w"]: (list(row["syms"]), int(row["freq"])) for row in head_rows}
+        batch = _certified_merges(head, gp, cutoff, num_merges - len(merges))
+        if not batch:
+            # certification could not even confirm the first argmax
+            # (only possible with a non-zero cutoff tie): fall back to
+            # one exact global merge — the collected top-1 IS the
+            # global argmax because collection order matches tie-break
+            row = pairs[0]
+            batch = [(row["l"], row["r"], int(row["cnt"]))]
+        for l, r, cnt in batch:
+            merges.append((len(merges), l, r, cnt))
+        batch_sizes.append(len(batch))
+        if len(merges) >= num_merges:
+            break  # no need to apply: the merge table is complete
+        for i in range(0, len(batch), apply_chunk):
+            col = F.col("syms")
+            for l, r, _ in batch[i : i + apply_chunk]:
+                col = _apply_merge(col, l, r)
+            words = words.withColumn("syms", col).localCheckpoint()
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["batch_sizes"] = batch_sizes
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
