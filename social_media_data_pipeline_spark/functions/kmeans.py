@@ -112,26 +112,37 @@ def kmeans_train(
         assigned = xq_df.crossJoin(F.broadcast(c_row)).select(
             "id", "xq", _assign_expr().alias("cluster")
         )
+        # per-cluster per-dimension sums WITHOUT row inflation: the r6
+        # formulation posexploded to dim×n rows before the partial agg;
+        # here each dimension is its own sum column, so map-side combine
+        # runs on unexploded rows and the shuffle carries K rows of
+        # (cnt, dim sums) — identical integer sums, dim× fewer shuffle
+        # rows (measured in SCALING.md)
         stats = (
-            assigned.select("cluster", F.posexplode("xq").alias("j", "v"))
-            .groupBy("cluster", "j")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("xq", j + 1)).alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
             .collect()
         )
-        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cid.setdefault(r["cluster"], {})[r["j"]] = (r["s"], r["cnt"])
+        by_cid = {r["cluster"]: r for r in stats}
         new_cents = []
         counts = {}
         for cid, old in cents:
-            dims = by_cid.get(cid)
-            if not dims:
+            row = by_cid.get(cid)
+            if row is None:
                 counts[cid] = 0
                 new_cents.append((cid, old))
                 continue
-            counts[cid] = dims[0][1]
+            counts[cid] = row["cnt"]
             # floor of the SAME IEEE double division the oracle performs
-            new_cents.append((cid, [math.floor(dims[j][0] / dims[j][1]) for j in range(dim)]))
+            new_cents.append(
+                (cid, [math.floor(row[f"s{j}"] / row["cnt"]) for j in range(dim)])
+            )
         cents = new_cents
     return [(cid, counts[cid], c) for cid, c in cents]
 
