@@ -99,6 +99,39 @@ ITERATIVE = {
 }
 
 
+# queries whose run-to-run variance exceeded the deltas cross-round
+# comparisons reason about (r6 verdict: embedding_near_dup_ivf measured
+# 3.7 vs 4.66 s across idle sessions): best-of-3 instead of best-of-2,
+# and the recorded plan hash says whether a drift was a plan flip (AQE)
+# or machine noise.
+VARIANCE_PINNED = {"embedding_near_dup_ivf"}
+
+
+def plan_hash(df) -> str:
+    """Stable hash of the physical plan SHAPE: operator tree with
+    per-run identifiers (expression ids, plan ids, codegen stage ids,
+    file sizes/paths) stripped — two runs with the same hash executed
+    the same plan, so a timing delta between them is machine state,
+    not Catalyst/AQE."""
+    import hashlib
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    s = s.split("===== Subqueries =====")[0]  # subquery ids reorder freely
+    s = re.sub(r"#\d+[L]?", "#x", s)
+    s = re.sub(r"\[plan_id=\d+\]", "", s)
+    s = re.sub(r"\(\d+\)", "(n)", s)
+    s = re.sub(r"Location:.*", "Location: <path>", s)
+    s = re.sub(r"Statistics:.*", "", s)
+    s = re.sub(r"\d+\.\d+ [KMG]i?B", "<size>", s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -109,18 +142,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     cold: dict[str, float] = {}
+    plan_hashes: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         construct[name] = round(time.time() - t0, 3)
+        plan_hashes[name] = plan_hash(df)
         # run 1 (cold): includes whole-stage-codegen compilation of the
         # query shape; runs 2-3 (steady state): the recurring cost a
-        # production pipeline pays per batch — report the best of 2.
+        # production pipeline pays per batch — report the best of 2
+        # (best of 3 for VARIANCE_PINNED queries).
         t0 = time.time()
         df.write.mode("overwrite").format("noop").save()
         cold[name] = round(time.time() - t0, 3)
         steady = []
-        for _ in range(2):
+        for _ in range(3 if name in VARIANCE_PINNED else 2):
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
             steady.append(time.time() - t0)
@@ -146,7 +182,8 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "headline": HEADLINE,
                 "iterative": sorted(ITERATIVE),
-                "timing_model": "v3: steady-state execution, best of 2; construct separate except iterative",
+                "plan_hashes": plan_hashes,
+                "timing_model": "v3.1: steady-state execution, best of 2 (3 for variance-pinned); construct separate except iterative; plan_hashes detect AQE flips",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
