@@ -1325,16 +1325,21 @@ def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative plan — exact dedup (first-wins on md5 of normalized
     text) → quality filter → eval-set decontamination (broadcast
     shingle anti-join) → per-source mixture sampling (map-side
-    fingerprint draw) → train/val/test split (map-side) → per-split
-    doc/token totals.
+    fingerprint draw) → train/val/test split (map-side) → TRAINING
+    SHARDS for the train split (`assign_training_shards`: greedy
+    token-budget packing in deterministic shuffle order, the global
+    prefix-sum decomposed into md5 key-range buckets so there is no
+    unpartitioned window) → per (split, shard) doc/token totals
+    (val/test carry shard −1).
 
-    Catalyst sees every stage at once: the quality filter and both
-    map-side fingerprint stages collapse into the scans around the two
-    real shuffles (dedup's aggregate, the contamination count), and
-    column pruning drops `text` the moment the last text-derived value
-    is computed. This is the chain the reference runs as nine separate
-    imperative scripts (SURVEY.md §3) — here it is one plan the
-    optimizer can see end to end.
+    Catalyst sees every stage at once: the quality filter and the
+    map-side fingerprint stages collapse into the scans around the
+    real shuffles (dedup's aggregate, the contamination count, the
+    per-bucket packing window), and column pruning drops `text` the
+    moment the last text-derived value is computed. This is the chain
+    the reference runs as nine separate imperative scripts
+    (SURVEY.md §3) plus the output sharding it doesn't have — one plan
+    the optimizer can see end to end, raw bytes to shard layout.
     """
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 37 == 0)
@@ -1347,13 +1352,26 @@ def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d3, "source", rates, "doc_id", default_rate=0.6
     )
     d5 = splits.assign_split(d4, "doc_id")
+    toks = F.greatest(F.lit(1), etext.token_count("text"))
+    sharded = packing.assign_training_shards(
+        d5.filter(F.col("split") == "train").select("doc_id", "text", "split"),
+        "doc_id",
+        toks,
+        tokens_per_shard=2000,
+    )
+    rest = (
+        d5.filter(F.col("split") != "train")
+        .select("doc_id", "text", "split")
+        .withColumn("shard", F.lit(-1).cast("bigint"))
+    )
+    d6 = sharded.select("doc_id", "text", "split", "shard").unionByName(rest)
     return (
-        d5.groupBy("split")
+        d6.groupBy("split", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(etext.token_count("text")).alias("total_tokens"),
         )
-        .orderBy("split")
+        .orderBy("split", "shard")
     )
 
 

@@ -1403,13 +1403,30 @@ WITH ev AS (
                 WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM d4
+), tr6 AS (
+    SELECT doc_id, text, split,
+           GREATEST(1, len({_TOKS}))::BIGINT AS toks,
+           ('0x' || substr(md5('shards-v1:' || doc_id), 1, 8))::BIGINT AS skey
+    FROM d5 WHERE split = 'train'
+), packed AS (
+    SELECT doc_id, text, split,
+           ((SUM(toks) OVER (
+                ORDER BY skey, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - toks) // 2000)::BIGINT AS shard
+    FROM tr6
+), d6 AS (
+    SELECT doc_id, text, split, shard FROM packed
+    UNION ALL
+    SELECT doc_id, text, split, CAST(-1 AS BIGINT) AS shard
+    FROM d5 WHERE split <> 'train'
 )
-SELECT split,
+SELECT split, shard,
        COUNT(*)::BIGINT AS n_docs,
        SUM(len({_TOKS}))::BIGINT AS total_tokens
-FROM d5
-GROUP BY split
-ORDER BY split
+FROM d6
+GROUP BY split, shard
+ORDER BY split, shard
 """
 
 ORACLES["docs_duplicate_spans"] = f"""

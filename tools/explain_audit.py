@@ -262,6 +262,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_llm_pipeline": [
+        # the flagship chain now ends in training-shard packing: the
+        # prefix sum must stay bucket-decomposed (per-bucket windows
+        # only), the decontamination anti-join broadcast, no Python
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("broadcast decontamination", r"BroadcastHashJoin"),
+    ],
     "docs_training_shards": [
         # prefix sum must stay decomposed: per-bucket windows only
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
