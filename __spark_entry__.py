@@ -1160,6 +1160,34 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (`functions/retrieval.py:hybrid_rrf_topk`, Cormack et al. 2009):
+    BM25 top-20 for a fixed query + exact-cosine top-20 for that
+    document's embedding, fused by Σ 1e9 div (60 + rank) in exact
+    integer micro-units. The production curation-audit retrieval
+    default: rank fusion needs no score calibration between the
+    lexical and dense scales."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_rrf_topk(
+        docs, emb, ["spark", "window", "hash"], query_vec_id=7, k=10
+    )
+
+
+def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature source balancing
+    (`operators/sampling.py:temperature_mixture_sample`, the mT5/XLM-R
+    multi-source mixing rule): per-source keep rates ∝ √n_i computed
+    from the live histogram with exact integer thresholds; the draw is
+    the deterministic salted fingerprint. Complements the fixed-rate
+    `weighted_mixture_sample` (docs_mixture_sample) — this one derives
+    the rates."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture_sample(docs, "source", "doc_id")
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate spans (ExactSubstr re-expressed
     relationally, Lee et al. 2022): maximal runs of 8-token windows
@@ -1940,6 +1968,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- new in r7 (never driver-checked; rotate into the r8 window) ----
     "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r8-in-new]
     "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r8-in-new]
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r8-in-new]
+    "docs_temperature_mixture": q_docs_temperature_mixture,  # [r8-in-new]
 }
 
 

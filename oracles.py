@@ -1251,6 +1251,85 @@ ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
 
+# docs_hybrid_rrf: BM25 top-20 (same chain as docs_bm25) + exact
+# cosine top-20 for embedding 7, fused by integer-exact RRF
+# (1e9 // (60 + rank)), full-outer on doc id, top-10
+ORACLES["docs_hybrid_rrf"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+    FROM documents
+), qtf AS (
+    SELECT doc_id, t, count(*) AS tf FROM toks
+    WHERE t IN ('spark', 'window', 'hash') GROUP BY doc_id, t
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT count(*) AS n, sum(dl) AS dl_sum FROM dl
+), dfreq AS (
+    SELECT t, count(*) AS df FROM qtf GROUP BY t
+), per_term AS (
+    SELECT qtf.doc_id,
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (qtf.tf * 2.2)
+             / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                / (stats.dl_sum::DOUBLE / stats.n))) AS s
+    FROM qtf JOIN dl USING (doc_id) JOIN dfreq ON qtf.t = dfreq.t, stats
+), lexscored AS (
+    SELECT doc_id, round(sum(s), 6) AS bm25 FROM per_term GROUP BY doc_id
+), lex AS (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM lexscored
+), lexr AS (
+    SELECT id, 1000000000 // (60 + rank) AS lex_rrf FROM lex WHERE rank <= 20
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), q AS (
+    SELECT vec FROM v WHERE vec_id = 7
+), sem AS (
+    SELECT c.vec_id AS id,
+           row_number() OVER (
+               ORDER BY {_cos('q.vec', 'c.vec')} DESC, c.vec_id
+           ) AS rank
+    FROM v c, q WHERE c.vec_id <> 7
+), semr AS (
+    SELECT id, 1000000000 // (60 + rank) AS sem_rrf FROM sem WHERE rank <= 20
+), fused AS (
+    SELECT COALESCE(l.id, s.id) AS doc_id,
+           COALESCE(l.lex_rrf, 0) + COALESCE(s.sem_rrf, 0) AS rrf_micro
+    FROM lexr l FULL OUTER JOIN semr s ON l.id = s.id
+)
+SELECT doc_id, rrf_micro,
+       row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 10
+"""
+
+# docs_temperature_mixture: α=1/2 source balancing — exact integer
+# thresholds from the source histogram (HUGEINT products mirror the
+# operator's Python big-int arithmetic), deterministic salted draw
+ORACLES["docs_temperature_mixture"] = """
+WITH hist AS (
+    SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source
+), sv AS (
+    SELECT source, n, FLOOR(SQRT(n) * 1000000 + 0.5)::BIGINT AS s FROM hist
+), tot AS (
+    SELECT SUM(n)::HUGEINT AS big_n, SUM(s)::HUGEINT AS big_s FROM sv
+), th AS (
+    SELECT source,
+           LEAST(1000000,
+                 ((500000::HUGEINT * tot.big_n * sv.s)
+                  // (tot.big_s * sv.n))::BIGINT) AS t
+    FROM sv, tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th USING (source)
+WHERE ('0x' || substr(md5('temp-mix-v1:' || d.doc_id), 1, 8))::BIGINT % 1000000 < th.t
+ORDER BY d.doc_id
+"""
+
 ORACLES["docs_segment_dedup"] = f"""
 WITH toks AS (
     SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents

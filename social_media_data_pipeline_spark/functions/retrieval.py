@@ -194,3 +194,84 @@ def bm25_score(
         F.col("x.bm25").alias("bm25"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lex_topn: int = 20,
+    sem_topn: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009, public formulation): the BM25 top-`lex_topn` list and the
+    exact-cosine top-`sem_topn` list for one query (a bag of words +
+    its embedding row) fuse by
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    computed in EXACT integer micro-units (1e9 div (rrf_k + rank),
+    summed as int64) so the fused ranking replays bit-for-bit in the
+    DuckDB oracle — the float formulation would hash-drift on
+    summation order. Documents present in only one list contribute
+    that list's term alone (the standard RRF contract).
+
+    This is the production retrieval default for curation audits:
+    lexical matching catches exact terminology the embedding model
+    smooths over, the dense list catches paraphrases BM25 misses, and
+    RRF needs no score calibration between the two scales — ranks
+    only. Scale shape: both lists are top-n bounded before the fusion
+    join, so fusion is a join of two ≤topn-row frames (broadcast by
+    size); the expensive parts are the BM25 term aggregation and the
+    one-query cosine scan, each already audited window-free /
+    broadcast in their own registered queries.
+    """
+    from .similarity import brute_force_topk
+
+    lex = bm25_score(
+        docs, query_terms, id_col=id_col, text_col=text_col, topn=lex_topn
+    ).select(
+        F.col(id_col).alias("id"),
+        F.expr(f"1000000000 div ({rrf_k} + rank)").alias("lex_rrf"),
+    )
+    queries = emb.filter(F.col(emb_id_col) == query_vec_id)
+    sem = brute_force_topk(
+        queries, emb, id_col=emb_id_col, vec_col=vec_col, k=sem_topn
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.expr(f"1000000000 div ({rrf_k} + rank)").alias("sem_rrf"),
+    )
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            F.col("id").alias(id_col),
+            (
+                F.coalesce(F.col("lex_rrf"), F.lit(0))
+                + F.coalesce(F.col("sem_rrf"), F.lit(0))
+            ).alias("rrf_micro"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf_micro"), F.asc(id_col)).limit(k)
+    one = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rrf_micro")).alias("nr"),
+                    F.col(id_col).alias("id"),
+                    F.col("rrf_micro").alias("rrf_micro"),
+                )
+            )
+        ).alias("xs")
+    )
+    return one.select(F.posexplode("xs").alias("pos", "x")).select(
+        F.col("x.id").alias(id_col),
+        F.col("x.rrf_micro").alias("rrf_micro"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )

@@ -130,3 +130,64 @@ def weighted_sample_topk(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_frac: float = 0.5,
+    seed: str = "temp-mix-v1",
+) -> DataFrame:
+    """α=0.5 temperature source balancing — the standard multilingual /
+    multi-source data-mixing rule (sampling distribution ∝ p_source^α,
+    the mT5/XLM-R recipe; public formulation): high-resource sources
+    are downsampled, low-resource ones kept, with the expected total
+    kept fraction ≈ `target_frac`.
+
+    Per-source keep probability r_i = target_frac · N · q_i / n_i
+    (capped at 1), q_i = √n_i / Σ_j √n_j. EXACT integer arithmetic end
+    to end: s_i = floor(√n_i · 1e6 + 0.5) (IEEE sqrt/multiply are
+    correctly rounded in every engine, unlike pow — which is why the
+    registered α is ½), S = Σ s_i, keep iff
+        fingerprint(id) % 1e6 < min(1e6, (TM · N · s_i) div (S · n_i))
+    with TM = round(target_frac · 1e6). The threshold products exceed
+    int64 at petabyte counts, so they are computed in Python
+    arbitrary-precision integers from the collected source histogram
+    (sources ≪ rows — the same bounded-collect class as the library's
+    other driver scalars) and the oracle replays them with HUGEINT
+    division; both are exact, so the draw replays bit-for-bit.
+    Deterministic, re-run-stable, append-biased only by the count
+    refresh (same contract as `weighted_mixture_sample`, which stays
+    the arbitrary-rate tool; this operator COMPUTES the rates from the
+    live source histogram).
+
+    Plan: one map-side-combinable groupBy(source).count() (collected:
+    one row per source), then a pure map-side fingerprint comparison
+    against the broadcast threshold map. No window, no big shuffle.
+    """
+    import math as _math
+
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0,1], got {target_frac}")
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    tm = int(round(target_frac * 1_000_000))
+    hist = {
+        r[group_col]: int(r["__n"])
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not hist:
+        return df
+    s_by_g = {g: _math.floor(_math.sqrt(n) * 1_000_000.0 + 0.5) for g, n in hist.items()}
+    big_n = sum(hist.values())
+    big_s = sum(s_by_g.values())
+    thresh = {
+        g: min(1_000_000, (tm * big_n * s_by_g[g]) // (big_s * n))
+        for g, n in hist.items()
+    }
+    draw = fingerprint32(id_col, seed) % 1_000_000
+    tcol = F.lit(0)
+    for g in sorted(thresh):
+        tcol = F.when(F.col(group_col) == g, F.lit(thresh[g])).otherwise(tcol)
+    return df.filter(draw < tcol)

@@ -68,3 +68,44 @@ class TestBm25:
             .toString()
         )
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHybridRrf:
+    """r7: reciprocal-rank fusion of BM25 + cosine lists."""
+
+    def test_rrf_weights_and_fusion(self, spark, sf_dir):
+        from social_media_data_pipeline_spark.functions import retrieval
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = retrieval.hybrid_rrf_topk(
+            docs, emb, ["spark", "window", "hash"], query_vec_id=7, k=10
+        ).collect()
+        assert len(out) == 10
+        assert [r["rank"] for r in out] == list(range(1, 11))
+        # fused scores are sums of 1e9 // (60 + rank) terms
+        vals = [r["rrf_micro"] for r in out]
+        assert vals == sorted(vals, reverse=True)
+        assert all(v > 0 for v in vals)
+
+    def test_doc_in_both_lists_sums_terms(self, spark):
+        from social_media_data_pipeline_spark.functions import retrieval
+
+        # corpus built so doc 0 is rank-1 in BOTH lists: its rrf must be
+        # exactly lex + sem rank-1 terms
+        docs = spark.createDataFrame(
+            [(0, "alpha alpha alpha"), (1, "alpha beta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (7, [1.0, 0.05])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["doc_id"]: r["rrf_micro"]
+            for r in retrieval.hybrid_rrf_topk(
+                docs, emb, ["alpha"], query_vec_id=7, k=5
+            ).collect()
+        }
+        one = 1_000_000_000 // 61
+        assert out[0] == 2 * one  # rank 1 lexically AND semantically

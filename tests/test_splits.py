@@ -139,3 +139,60 @@ class TestWeightedMixtureSample:
             sampling.weighted_mixture_sample(
                 df, "src", {"s": 0.5}, "doc_id", default_rate=-0.1
             )
+
+
+class TestTemperatureMixture:
+    """r7: α=0.5 temperature source balancing."""
+
+    def _df(self, spark):
+        rows = []
+        for i in range(900):
+            rows.append((i, "big"))
+        for i in range(900, 1000):
+            rows.append((i, "small"))
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_flattens_toward_small_sources(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = self._df(spark)
+        out = sampling.temperature_mixture_sample(df, "source", "doc_id",
+                                                  target_frac=0.5)
+        kept = out.groupBy("source").count().collect()
+        by = {r["source"]: r["count"] for r in kept}
+        # α=0.5: kept_i ∝ √n_i → big:small kept ratio ≈ 3:1, far below
+        # the 9:1 raw ratio; small source keep RATE must exceed big's
+        assert by["small"] / 100 > by["big"] / 900
+        total = sum(by.values())
+        assert 0.35 < total / 1000 < 0.65  # ≈ target_frac
+
+    def test_deterministic_and_append_stable(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = self._df(spark)
+        a = {r["doc_id"] for r in
+             sampling.temperature_mixture_sample(df, "source", "doc_id").collect()}
+        b = {r["doc_id"] for r in
+             sampling.temperature_mixture_sample(df, "source", "doc_id").collect()}
+        assert a == b
+
+    def test_target_one_keeps_all_uniform(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        # uniform histogram + target 1.0 → threshold 1e6 → keep all
+        df = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(400)], "doc_id long, source string"
+        )
+        out = sampling.temperature_mixture_sample(df, "source", "doc_id",
+                                                  target_frac=1.0)
+        assert out.count() == 400
+
+    def test_bad_target_raises(self, spark):
+        import pytest
+
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="target_frac"):
+            sampling.temperature_mixture_sample(df, "source", "doc_id",
+                                                target_frac=0.0)

@@ -262,6 +262,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_hybrid_rrf": [
+        # the only window is brute_force_topk's per-query rank
+        # (partitioned by query_id); fused rank comes from the bounded
+        # array_sort+posexplode; top-n cuts are TakeOrderedAndProject
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_temperature_mixture": [
+        # thresholds are plan literals by execution time: the kept-rows
+        # scan is a pure map-side filter — no join, no window
+        ("no join or window", r"\A(?!.*(?:Join|Window))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_llm_pipeline": [
         # the flagship chain now ends in training-shard packing: the
         # prefix sum must stay bucket-decomposed (per-bucket windows
