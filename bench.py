@@ -80,6 +80,13 @@ HEADLINE = [
     "events_zorder_key",
     "events_hll_distinct",
     "events_kmv_overlap",
+    # round 7: dangling-mass PageRank, multiprobe IVF retrieval,
+    # RRF hybrid retrieval, temperature mixture, training-shard packing
+    "graph_pagerank_dangling",
+    "embedding_ivf_topk_multiprobe",
+    "docs_hybrid_rrf",
+    "docs_temperature_mixture",
+    "docs_training_shards",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -96,6 +103,11 @@ ITERATIVE = {
     "embedding_pq_topk",
     # pagerank's per-round localCheckpoints materialize during construction
     "graph_pagerank",
+    "graph_pagerank_dangling",
+    # temperature mixture collects its source histogram at construction;
+    # training shards collects its bucket-offset table
+    "docs_temperature_mixture",
+    "docs_training_shards",
 }
 
 
