@@ -132,18 +132,23 @@ def _certified_merges(
     pair_freq) to running one global argmax round per merge.
 
     State per pair p: exact head count h(p) (maintained incrementally
-    over `head`) and a tail interval [tlo, thi] — exact at collection
-    time (global − head), widened only when a merge's own tail mass
-    (d_hi > 0) could have rewritten tail occurrences of adjacent
-    pairs. A merge (l, r) with head count + tlo = c is certified the
-    global argmax iff its tail count is exact (tlo == thi), c beats
-    every other pair's h + thi (ties only when (l, r) wins the
-    lexicographic tie-break), and c strictly exceeds both the
-    collection cutoff (pairs never collected) and the ghost bound
-    (pairs a tail-side merge may have created). Certification failing
-    ends the batch; the caller recollects and continues — each
-    collection certifies at least the first argmax, so progress is
-    guaranteed.
+    over `head`), a tail interval [tlo, thi] — exact at collection
+    time (global − head) — and a per-SYMBOL tail taint: merging a pair
+    whose own tail mass is d > 0 rewrites tail occurrences we cannot
+    see, so the merged token lr carries taint d, meaning any pair
+    containing lr may hold up to d unseen tail occurrences (this
+    covers run/chain creations like (aa, a) from "aaa" that
+    neighbor-pair bookkeeping misses — the original formulation
+    without taint was falsified by fuzzing on run-heavy corpora).
+    A merge (l, r) with head count + tlo = c is certified the global
+    argmax iff its tail count is exact (tlo == thi AND both symbols
+    untainted), c beats every other pair's h + thi + taint (ties only
+    when (l, r) wins the lexicographic tie-break), and c strictly
+    exceeds both the collection cutoff (pairs never collected) and
+    the ghost bound (max taint — pairs we never enumerated).
+    Certification failing ends the batch; the caller recollects and
+    continues — each collection certifies at least the first argmax,
+    so progress is guaranteed.
     """
     import heapq
 
@@ -162,12 +167,18 @@ def _certified_merges(
         if p not in global_pairs and cutoff > hc:
             # pair below the collection cutoff: tail ∈ [0, cutoff − h]
             ti[p] = (0, cutoff - hc)
+    taint: dict[str, int] = {}
 
     def lo(p):
         return h.get(p, 0) + ti.get(p, (0, 0))[0]
 
     def hi(p):
-        return h.get(p, 0) + ti.get(p, (0, 0))[1]
+        return (
+            h.get(p, 0)
+            + ti.get(p, (0, 0))[1]
+            + taint.get(p[0], 0)
+            + taint.get(p[1], 0)
+        )
 
     lo_heap = [(-lo(p), p) for p in set(h) | set(ti)]
     hi_heap = [(-hi(p), p) for p in set(h) | set(ti)]
@@ -178,7 +189,7 @@ def _certified_merges(
         heapq.heappush(lo_heap, (-lo(p), p))
         heapq.heappush(hi_heap, (-hi(p), p))
 
-    ghost_bound = 0  # pairs a tail-side merge may have created
+    ghost_bound = 0  # max taint: pairs we never enumerated
     out: list[tuple[str, str, int]] = []
     while len(out) < max_merges:
         # current argmax by lower bound (heap ties = lexicographic)
@@ -196,7 +207,7 @@ def _certified_merges(
         if c <= 0 or c <= cutoff or c <= ghost_bound:
             break
         tlo1, thi1 = ti.get(p1, (0, 0))
-        if tlo1 != thi1:
+        if tlo1 != thi1 or taint.get(p1[0], 0) or taint.get(p1[1], 0):
             break  # pair_freq would be inexact
         # strongest competitor by upper bound
         stash = []
@@ -220,6 +231,25 @@ def _certified_merges(
         l, r = p1
         lr = l + r
         out.append((l, r, c))
+        # --- tail state BEFORE head mutation (taint feeds the pushes
+        # the head update performs for pairs involving lr) ---
+        d_lo, d_hi = ti.pop((l, r), (0, 0))
+        d_eff = d_hi + taint.get(l, 0) + taint.get(r, 0)
+        if d_eff > 0:
+            # tail occurrences of (l, r) also merged: adjacent tail
+            # pairs may have lost up to min(their thi, d_eff); every
+            # pair containing the new token lr may hold up to d_eff
+            # unseen tail occurrences (taint), including pairs we
+            # never enumerated (ghost bound)
+            taint[lr] = max(taint.get(lr, 0), d_eff)
+            ghost_bound = max(ghost_bound, d_eff)
+            for p, (plo, phi) in list(ti.items()):
+                a, b = p
+                if b == l or a == r:
+                    dmax = min(phi + taint.get(a, 0) + taint.get(b, 0), d_eff)
+                    ti[p] = (max(0, plo - dmax), phi)
+                    push(p)
+        push((l, r))
         # --- head: fuse in affected words only (inverted index) ---
         for w in list(index.get((l, r), ())):
             syms, f = head[w]
@@ -237,35 +267,6 @@ def _certified_merges(
                 h[p] = h.get(p, 0) + f
                 index.setdefault(p, set()).add(w)
                 push(p)
-        # --- tail intervals ---
-        d_lo, d_hi = ti.pop((l, r), (0, 0))
-        push((l, r))
-        if d_hi > 0:
-            # tail occurrences of (l, r) also merged: adjacent tail
-            # pairs may have lost up to min(their thi, d_hi); created
-            # (·, lr)/(lr, ·) pairs gained up to the same; pairs we
-            # never tracked may have been created too (ghost bound)
-            for p, (plo, phi) in list(ti.items()):
-                a, b = p
-                if b == l:
-                    dmax = min(phi, d_hi)
-                    ti[p] = (max(0, plo - dmax), phi)
-                    cl, ch = ti.get((a, lr), (0, 0))
-                    ti[(a, lr)] = (0, ch + dmax)
-                    push(p)
-                    push((a, lr))
-                if a == r:
-                    dmax = min(phi, d_hi)
-                    plo2, phi2 = ti[p]
-                    ti[p] = (max(0, plo2 - dmax), phi2)
-                    cl, ch = ti.get((lr, b), (0, 0))
-                    ti[(lr, b)] = (0, ch + dmax)
-                    push(p)
-                    push((lr, b))
-            cl, ch = ti.get((lr, lr), (0, 0))
-            ti[(lr, lr)] = (0, ch + d_hi)
-            push((lr, lr))
-            ghost_bound = max(ghost_bound, d_hi)
     return out
 
 

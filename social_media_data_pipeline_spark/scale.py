@@ -361,6 +361,40 @@ def upsert_rewrite_set(
     return hit.unionByName(missing).distinct()
 
 
+def pruned_read_footer_table(
+    spark: SparkSession,
+    path: str,
+    index: DataFrame,
+    predicates: dict,
+) -> DataFrame:
+    """File-level pruned read driven by the DISTRIBUTED footer-stats
+    table (`footer_stats_index_table`): the overlap test runs as Spark
+    filters over the index (a file survives if ANY of its row groups
+    overlaps every predicate interval; row groups with missing stats
+    cannot prune and count as overlapping), only the surviving FILE
+    LIST is collected (bounded by file count — the unavoidable driver
+    state, since the reader takes paths), and the parquet reader's own
+    row-group pushdown finishes the job. Row-identical to a full
+    scan + filter. This is the at-scale path; `pruned_read_footer`
+    below stays for driver-sized pandas indexes."""
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        overlap = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        no_stats = F.col(f"min_{c}").isNull() | F.col(f"max_{c}").isNull()
+        cond = cond & (overlap | no_stats)
+    keep = [
+        r["file"]
+        for r in index.filter(cond).select("file").distinct().collect()
+    ]
+    if not keep:
+        out = spark.read.parquet(path).limit(0)
+    else:
+        out = spark.read.parquet(*sorted(keep))
+    for c, (lo, hi) in predicates.items():
+        out = out.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+    return out
+
+
 def pruned_read_footer(
     spark: SparkSession,
     path: str,

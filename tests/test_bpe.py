@@ -189,3 +189,105 @@ class TestBpeTrainBatched:
         ]
         out = bpe.bpe_encode(df, merges).collect()
         assert all(len(r["bpe_tokens"]) > 0 for r in out)
+
+
+class TestCertifiedMergesProperty:
+    """Hypothesis stress of the certification math (pure Python — no
+    Spark): for ANY corpus and ANY head/top-pair truncation, the
+    batched trainer's merges must be IDENTICAL (rank, pair, count) to
+    plain sequential BPE. This is the load-bearing claim of
+    `bpe_train_batched`; ties, l==r runs, cutoffs and tail intervals
+    are all exercised by the random corpora."""
+
+    @staticmethod
+    def _pair_counts(words):
+        pc = {}
+        for syms, f in words.values():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + f
+        return pc
+
+    @classmethod
+    def _sequential(cls, wf, num):
+        words = {w: (list(w), f) for w, f in wf.items()}
+        merges = []
+        while len(merges) < num:
+            pc = cls._pair_counts(words)
+            if not pc:
+                break
+            (l, r), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((l, r, c))
+            for w in words:
+                syms, f = words[w]
+                words[w] = (bpe._apply_merge_py(syms, l, r), f)
+        return merges
+
+    @classmethod
+    def _batched(cls, wf, num, head_words, top_pairs):
+        # mirror of bpe_train_batched's round loop, Spark jobs replaced
+        # by in-memory aggregation over the same word table
+        words = {w: (list(w), f) for w, f in wf.items()}
+        merges = []
+        guard = 0
+        while len(merges) < num:
+            guard += 1
+            assert guard <= 10 * num + 10, "round loop diverged"
+            pc = cls._pair_counts(words)
+            if not pc:
+                break
+            ordered = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[: top_pairs + 1]
+            cutoff = ordered[top_pairs][1] if len(ordered) > top_pairs else 0
+            gp = dict(ordered[:top_pairs])
+            head_keys = sorted(words, key=lambda w: (-words[w][1], w))[:head_words]
+            head = {w: (list(words[w][0]), words[w][1]) for w in head_keys}
+            batch = bpe._certified_merges(head, gp, cutoff, num - len(merges))
+            if not batch:
+                (l, r), c = ordered[0]
+                batch = [(l, r, c)]
+            merges.extend(batch)
+            for w in words:
+                syms, f = words[w]
+                for l, r, _ in batch:
+                    syms = bpe._apply_merge_py(syms, l, r)
+                words[w] = (syms, f)
+        return merges
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # two-letter alphabet + length-10 words makes runs and chained
+    # merges (the cases that falsified the pre-taint formulation)
+    # the COMMON case, not a lucky draw
+    corpus = st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=10),
+            st.integers(min_value=1, max_value=80),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(
+        corpus=corpus,
+        num=st.integers(min_value=1, max_value=30),
+        head_words=st.integers(min_value=1, max_value=30),
+        top_pairs=st.integers(min_value=1, max_value=40),
+    )
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def test_batched_equals_sequential_on_random_corpora(
+        self, corpus, num, head_words, top_pairs
+    ):
+        wf = {}
+        for w, f in corpus:
+            wf[w] = wf.get(w, 0) + f
+        want = self._sequential(wf, num)
+        got = self._batched(wf, num, head_words, top_pairs)
+        assert got == want

@@ -419,3 +419,48 @@ class TestScaleSafeUpsertJoin:
         empty = spark.createDataFrame([], "file string, min_x long, max_x long")
         with pytest.raises(ValueError, match="empty file-skipping index"):
             scale.pruned_read(spark, empty, {"x": (0, 1)})
+
+
+class TestPrunedReadFooterTable:
+    """r7: pruned read over the DISTRIBUTED footer-stats table."""
+
+    def test_row_identical_and_missing_stats_unprunable(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = tmp_path / "t"
+        path.mkdir()
+        for lo in range(0, 4096, 256):
+            pq.write_table(
+                pa.table({"k": list(range(lo, lo + 256)),
+                          "v": [x * 2 for x in range(lo, lo + 256)]}),
+                str(path / f"part-{lo:05d}.parquet"),
+            )
+        # one stats-free file holding in-range rows: must never be pruned
+        pq.write_table(
+            pa.table({"k": [150, 151], "v": [0, 0]}),
+            str(path / "part-nostats.parquet"),
+            write_statistics=False,
+        )
+        idx = scale.footer_stats_index_table(spark, str(path), ["k"])
+        got = sorted(
+            (r["k"], r["v"])
+            for r in scale.pruned_read_footer_table(
+                spark, str(path), idx, {"k": (100, 300)}
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"])
+            for r in spark.read.parquet(str(path))
+            .filter("k BETWEEN 100 AND 300")
+            .collect()
+        )
+        assert got == want
+        assert (150, 0) in got and (150, 300) in got
+
+    def test_empty_result_keeps_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(100).selectExpr("id AS k", "id*2 AS v").write.parquet(path)
+        idx = scale.footer_stats_index_table(spark, path, ["k"])
+        out = scale.pruned_read_footer_table(spark, path, idx, {"k": (10**6, 10**7)})
+        assert out.count() == 0 and out.columns == ["k", "v"]
