@@ -124,7 +124,10 @@ def plan_hash(df) -> str:
     per-run identifiers (expression ids, plan ids, codegen stage ids,
     file sizes/paths) stripped — two runs with the same hash executed
     the same plan, so a timing delta between them is machine state,
-    not Catalyst/AQE."""
+    not Catalyst/AQE. Caveat: ITERATIVE queries' final plans reference
+    run-specific localCheckpoint RDDs, so their hashes legitimately
+    differ across sessions — compare hashes only for non-ITERATIVE
+    queries."""
     import hashlib
     import io
     import re
