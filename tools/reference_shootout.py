@@ -451,6 +451,132 @@ def pandas_docs_training_shards(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def pandas_graph_pagerank_dangling(sf_dir: str) -> pd.DataFrame:
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    e = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    e = (
+        pd.DataFrame(
+            {"src": e["o_custkey"], "dst": 1_000_000_000 + e["l_suppkey"]}
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    deg = e.groupby("src").size()
+    nodes = pd.Index(pd.concat([e["src"], e["dst"]]).unique())
+    dangling = nodes.difference(pd.Index(deg.index))
+    n = len(nodes)
+    ranks = pd.Series(1_000_000, index=nodes, dtype="int64")
+    for _ in range(5):
+        dm = int(ranks.loc[dangling].sum())
+        share = (dm * 85) // (100 * n)
+        contrib = (ranks.loc[e["src"]].to_numpy() * 85) // (
+            100 * deg.loc[e["src"]].to_numpy()
+        )
+        recv = pd.Series(contrib, index=e["dst"].to_numpy()).groupby(level=0).sum()
+        ranks = pd.Series(150_000 + share, index=nodes, dtype="int64").add(
+            recv, fill_value=0
+        ).astype("int64")
+    return (
+        ranks.rename("rank_micro").rename_axis("node").reset_index().sort_values("node")
+    )
+
+
+def pandas_embedding_ivf_topk_multiprobe(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    cmask = ids % 50 == 0
+    cid, C, cn = ids[cmask], X[cmask], norms[cmask]
+    sims = (X @ C.T) / np.maximum(norms[:, None] * cn[None, :], 1e-300)
+    sims = np.round(sims, 6)
+    order = np.lexsort((cid[None, :].repeat(len(ids), 0), -sims), axis=1)
+    corpus_cell = cid[order[:, 0]]
+    rows = []
+    for qi in np.where(ids < 20)[0]:
+        probes = cid[order[qi, :4]]
+        cand = np.where(np.isin(corpus_cell, probes) & (ids != ids[qi]))[0]
+        cos = np.round(
+            (X[cand] @ X[qi])
+            / np.maximum(norms[cand] * norms[qi], 1e-300),
+            6,
+        )
+        top = np.lexsort((ids[cand], -cos))[:5]
+        rows += [
+            (ids[qi], ids[cand][top[r]], cos[top[r]], r + 1)
+            for r in range(len(top))
+        ]
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos", "rank"])
+
+
+def pandas_docs_hybrid_rrf(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    import numpy as np
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    toks = docs.assign(
+        t=docs["text"].fillna("").str.lower().str.strip().str.split()
+    )
+    terms = ["spark", "window", "hash"]
+    dl = toks["t"].str.len()
+    n = len(docs)
+    avgdl = dl.sum() / n
+    scores = pd.Series(0.0, index=docs.index)
+    for term in terms:
+        tf = toks["t"].apply(lambda ws: sum(1 for w in ws if w == term))
+        dfreq = int((tf > 0).sum())
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        scores += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    bm = pd.DataFrame({"doc_id": docs["doc_id"], "bm25": scores.round(6)})
+    bm = bm.sort_values(["bm25", "doc_id"], ascending=[False, True]).head(20)
+    bm["lex_rrf"] = [1_000_000_000 // (60 + r) for r in range(1, len(bm) + 1)]
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    qi = np.where(ids == 7)[0][0]
+    cos = np.round((X @ X[qi]) / np.maximum(norms * norms[qi], 1e-300), 6)
+    mask = ids != 7
+    top = np.lexsort((ids[mask], -cos[mask]))[:20]
+    sem = pd.DataFrame(
+        {
+            "doc_id": ids[mask][top],
+            "sem_rrf": [1_000_000_000 // (60 + r) for r in range(1, len(top) + 1)],
+        }
+    )
+    fused = bm[["doc_id", "lex_rrf"]].merge(sem, on="doc_id", how="outer").fillna(0)
+    fused["rrf_micro"] = (fused["lex_rrf"] + fused["sem_rrf"]).astype("int64")
+    fused = fused.sort_values(["rrf_micro", "doc_id"], ascending=[False, True]).head(10)
+    fused["rank"] = range(1, len(fused) + 1)
+    return fused[["doc_id", "rrf_micro", "rank"]]
+
+
+def pandas_docs_temperature_mixture(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source"]]
+    hist = docs.groupby("source").size()
+    s = {g: math.floor(math.sqrt(n) * 1_000_000.0 + 0.5) for g, n in hist.items()}
+    big_n, big_s = int(hist.sum()), sum(s.values())
+    th = {
+        g: min(1_000_000, (500_000 * big_n * s[g]) // (big_s * int(hist[g])))
+        for g in hist.index
+    }
+    draw = docs["doc_id"].map(
+        lambda i: int(hashlib.md5(f"temp-mix-v1:{i}".encode()).hexdigest()[:8], 16)
+        % 1_000_000
+    )
+    keep = draw < docs["source"].map(th)
+    return docs[keep].sort_values("doc_id")
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -471,11 +597,15 @@ PANDAS_IMPLS = {
     "events_hll_distinct": pandas_events_hll_distinct,
     "events_kmv_overlap": pandas_events_kmv_overlap,
     "docs_training_shards": pandas_docs_training_shards,
+    "graph_pagerank_dangling": pandas_graph_pagerank_dangling,
+    "embedding_ivf_topk_multiprobe": pandas_embedding_ivf_topk_multiprobe,
+    "docs_hybrid_rrf": pandas_docs_hybrid_rrf,
+    "docs_temperature_mixture": pandas_docs_temperature_mixture,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture"}
 
 
 def main() -> None:
