@@ -1160,6 +1160,18 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dedup
+    (`operators/dedup.py:incremental_dedup`): the continuous-crawl
+    flow — a new batch (doc_id % 5 == 0) dedups against the kept
+    corpus (doc_id % 5 != 0) via the persistable MinHash band store,
+    exact-Jaccard-verified candidates only, per-new-doc best match."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(new, hist, "doc_id", "text").orderBy("doc_id")
+
+
 def q_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     (`functions/retrieval.py:hybrid_rrf_topk`, Cormack et al. 2009):
@@ -1970,6 +1982,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r8-in-new]
     "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r8-in-new]
     "docs_temperature_mixture": q_docs_temperature_mixture,  # [r8-in-new]
+    "docs_incremental_dedup": q_docs_incremental_dedup,  # [r8-in-new]
 }
 
 

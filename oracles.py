@@ -381,6 +381,62 @@ FROM banded a JOIN banded b
 ORDER BY id_a, id_b
 """
 
+# docs_incremental_dedup: new batch (doc_id % 5 = 0) vs kept history —
+# band join between the two sides, exact shingle-Jaccard verify of
+# candidates, per-new-doc argmax (j DESC, hist id ASC)
+ORACLES["docs_incremental_dedup"] = f"""
+WITH newd AS (
+    SELECT * FROM documents WHERE doc_id % 5 = 0
+), hist AS (
+    SELECT * FROM documents WHERE doc_id % 5 <> 0
+), sh_n AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM newd
+), sig_n AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_n
+), band_n AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_n, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), sh_h AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM hist
+), sig_h AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_h
+), band_h AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_h, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), cand AS (
+    SELECT DISTINCT n.doc AS nid, h.doc AS hid
+    FROM band_n n JOIN band_h h
+      ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash
+), shn AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS s FROM newd
+), shh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS s FROM hist
+), sizes_n AS (
+    SELECT doc, COUNT(*) AS na FROM shn GROUP BY doc
+), sizes_h AS (
+    SELECT doc, COUNT(*) AS nb FROM shh GROUP BY doc
+), common AS (
+    SELECT c.nid, c.hid, COUNT(*) AS cm
+    FROM cand c
+    JOIN shn ON shn.doc = c.nid
+    JOIN shh ON shh.doc = c.hid AND shh.s = shn.s
+    GROUP BY c.nid, c.hid
+), ver AS (
+    SELECT nid, hid,
+           ROUND(cm / (sizes_n.na + sizes_h.nb - cm), 6) AS j
+    FROM common
+    JOIN sizes_n ON sizes_n.doc = nid
+    JOIN sizes_h ON sizes_h.doc = hid
+    WHERE ROUND(cm / (sizes_n.na + sizes_h.nb - cm), 6) >= 0.2
+)
+SELECT nid AS doc_id, hid AS dup_of, j AS jaccard
+FROM ver
+QUALIFY row_number() OVER (PARTITION BY nid ORDER BY j DESC, hid ASC) = 1
+ORDER BY doc_id
+"""
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE sh_t AS (
     SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents

@@ -990,3 +990,35 @@ def kmv_overlap_pairs(
         jacc.alias("jaccard_est"),
         inter.alias("intersect_est"),
     )
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """(doc, band_idx, band_hash): the banded-signature table — the
+    PERSISTABLE LSH store. `minhash_lsh_pairs` self-joins this shape;
+    `incremental_dedup` joins a new batch's bands against a stored
+    history table (at 100 TB the history bands are written once per
+    ingest and appended, so continuous crawls never recompute the
+    corpus side)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures_table(
+        docs, id_col, text_col, num_hashes, shingle_k, fast
+    )
+    return sig.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )

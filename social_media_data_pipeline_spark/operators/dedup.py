@@ -307,3 +307,91 @@ def dedup_exact_content(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-ingest near-dedup: flag NEW documents that
+    near-duplicate the HISTORICAL corpus — the continuous-crawl flow,
+    where each ingest batch dedups against everything already kept
+    without ever re-pairing history with itself.
+
+    shingle → MinHash → LSH bands on BOTH sides
+    (`sketches.minhash_band_table`; at 100 TB the history side is the
+    PERSISTED band store, appended per ingest — only the new batch
+    computes signatures), equi band join for candidates (never
+    new × history all-pairs), exact shingle-Jaccard verification of
+    candidates only, then per-new-doc argmax (highest jaccard, ties →
+    lowest historical id). Returns (id_col, dup_of, jaccard) for new
+    docs with a verified match ≥ `threshold`.
+
+    Scale shape: candidates bounded by band-bucket collisions (the
+    minhash_lsh_pairs skew analysis in SCALING.md applies — hot bands
+    from boilerplate are the risk, and the dedup_first/stop-shingle
+    mitigations compose here unchanged); the verify join explodes
+    shingles for CANDIDATE docs only.
+    """
+    from social_media_data_pipeline_spark.functions import sketches
+
+    hist_bands = sketches.minhash_band_table(
+        history, id_col, text_col, num_hashes, bands, shingle_k
+    ).select(
+        F.col("doc").alias("__hist"), "band_idx", "band_hash"
+    )
+    new_bands = sketches.minhash_band_table(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    ).select(F.col("doc").alias("__new"), "band_idx", "band_hash")
+    cand = (
+        new_bands.join(hist_bands, ["band_idx", "band_hash"])
+        .select("__new", "__hist")
+        .distinct()
+    )
+    sh_new = (
+        new_docs.select(
+            F.col(id_col).alias("__new"),
+            F.explode(sketches.shingles(text_col, shingle_k)).alias("s"),
+        )
+        .distinct()
+    )
+    sh_hist = (
+        history.select(
+            F.col(id_col).alias("__hist"),
+            F.explode(sketches.shingles(text_col, shingle_k)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy("__new").agg(F.count(F.lit(1)).alias("__na"))
+    sizes_hist = sh_hist.groupBy("__hist").agg(F.count(F.lit(1)).alias("__nb"))
+    common = (
+        cand.join(sh_new, "__new")
+        .join(sh_hist, ["__hist", "s"])
+        .groupBy("__new", "__hist")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    jacc = F.round(
+        F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common")), 6
+    )
+    verified = (
+        common.join(sizes_new, "__new")
+        .join(sizes_hist, "__hist")
+        .select("__new", "__hist", jacc.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+    )
+    best = (
+        verified.groupBy("__new")
+        .agg(F.max(F.struct(F.col("__j"), (-F.col("__hist")).alias("__nh"))).alias("b"))
+        .select(
+            F.col("__new").alias(id_col),
+            (-F.col("b.__nh")).alias("dup_of"),
+            F.col("b.__j").alias("jaccard"),
+        )
+    )
+    return best

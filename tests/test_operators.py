@@ -258,3 +258,43 @@ def test_weighted_sample_biases_toward_heavy_rows(spark, sf_dir):
     # deterministic: a second evaluation returns the identical sample
     again = weighted_sample_topk(docs, "n_chars", "doc_id", k=50).collect()
     assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+
+
+class TestIncrementalDedup:
+    """r7: new-batch-vs-history near-dedup via the persistable band
+    store (`dedup.incremental_dedup`)."""
+
+    def test_planted_cross_batch_duplicate_found(self, spark):
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        hist = spark.createDataFrame(
+            [(1, base), (3, "completely different text about spark joins"),
+             (7, base + " with a tiny suffix change")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, base), (12, "unrelated fresh document body here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: (r["dup_of"], r["jaccard"])
+               for r in ddp.incremental_dedup(new, hist, "doc_id", "text").collect()}
+        # doc 10 duplicates history doc 1 exactly (jaccard 1.0, and the
+        # tie-break prefers the lower historical id over doc 7's partial)
+        assert out[10][0] == 1 and abs(out[10][1] - 1.0) < 1e-9
+        assert 12 not in out  # fresh doc matches nothing
+
+    def test_history_never_pairs_with_itself(self, spark):
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        dup = "same same same words words words here here here"
+        hist = spark.createDataFrame(
+            [(1, dup), (2, dup)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(10, "nothing in common with anything")], "doc_id long, text string"
+        )
+        # the history-internal duplicate pair (1,2) must NOT appear:
+        # incremental dedup only flags new docs
+        out = ddp.incremental_dedup(new, hist, "doc_id", "text").collect()
+        assert out == []

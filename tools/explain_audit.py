@@ -262,6 +262,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_incremental_dedup": [
+        # candidates come from the band equi join between the new batch
+        # and the history store — never new × history all-pairs; verify
+        # explodes candidate docs only
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+    ],
     "docs_hybrid_rrf": [
         # the only window is brute_force_topk's per-query rank
         # (partitioned by query_id); fused rank comes from the bounded
