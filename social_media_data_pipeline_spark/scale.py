@@ -338,18 +338,20 @@ def upsert_rewrite_set(
         return missing.distinct()
     glo, ghi = int(bounds["glo"]), int(bounds["ghi"])
     width = max(1, (ghi - glo) // buckets + 1)
+    # integer div, not float division + cast: (x − glo) / width as a
+    # double loses exactness above 2^53 and misbuckets large keys
     exploded = ranged.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                ((F.col("lo").cast("bigint") - F.lit(glo)) / F.lit(width)).cast("bigint"),
-                ((F.col("hi").cast("bigint") - F.lit(glo)) / F.lit(width)).cast("bigint"),
+                F.expr(f"(CAST(lo AS BIGINT) - {glo}) div {width}"),
+                F.expr(f"(CAST(hi AS BIGINT) - {glo}) div {width}"),
             )
         ),
     )
     upd = updates.select(F.col(key).cast("bigint").alias("__k")).distinct().withColumn(
         "__bucket",
-        ((F.col("__k") - F.lit(glo)) / F.lit(width)).cast("bigint"),
+        F.expr(f"(__k - {glo}) div {width}"),
     )
     hit = exploded.join(
         upd,

@@ -464,3 +464,21 @@ class TestPrunedReadFooterTable:
         idx = scale.footer_stats_index_table(spark, path, ["k"])
         out = scale.pruned_read_footer_table(spark, path, idx, {"k": (10**6, 10**7)})
         assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+class TestUpsertRewriteSetLargeKeys:
+    def test_bucket_math_exact_beyond_double_precision(self, spark):
+        """Keys above 2^53: float-division bucketing would misbucket;
+        integer div must keep the rewrite set exact."""
+        base = 1 << 55
+        ranges = spark.createDataFrame(
+            [(f"f{i}", base + i * 1000, base + i * 1000 + 999) for i in range(64)],
+            "file string, lo long, hi long",
+        )
+        updates = spark.createDataFrame(
+            [(base + 7 * 1000 + 500,), (base + 31 * 1000,)], "k long"
+        )
+        got = sorted(
+            r["file"] for r in scale.upsert_rewrite_set(ranges, updates, "k").collect()
+        )
+        assert got == ["f31", "f7"]
