@@ -334,3 +334,75 @@ class TestStreamingSketchRollup:
         }
         for v in est.values():
             assert abs(v - 97) < 10
+
+
+class TestStreamingIncrementalDedup:
+    def test_per_batch_dedup_against_growing_band_store(self, spark, tmp_path):
+        """The continuous-crawl ingest contract, driven by Structured
+        Streaming: each micro-batch (a) band-joins against the
+        PERSISTED history band store to flag near-duplicates of
+        everything already kept, then (b) appends its own survivors'
+        bands to the store. Batch 2's duplicate of a batch-1 document
+        must be flagged; batch-1 (empty-store) docs must pass."""
+        from social_media_data_pipeline_spark.functions import sketches
+
+        src = str(tmp_path / "docs_stream")
+        store = str(tmp_path / "band_store")
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        batch1 = [(1, base), (2, "totally different first-batch text body")]
+        batch2 = [(10, base), (11, "fresh unseen second-batch content")]
+        import glob
+        import os
+        import time
+
+        spark.createDataFrame(batch1, "doc_id long, text string").write.parquet(
+            src + "/b1"
+        )
+        spark.createDataFrame(batch2, "doc_id long, text string").write.parquet(
+            src + "/b2"
+        )
+        # FileStreamSource orders micro-batches by file mtime: pin b1
+        # strictly before b2 so batch order is deterministic
+        now = time.time()
+        for f in glob.glob(src + "/b1/*"):
+            os.utime(f, (now - 60, now - 60))
+        for f in glob.glob(src + "/b2/*"):
+            os.utime(f, (now, now))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        flagged: dict[int, int] = {}
+
+        def dedup_batch(batch_df, batch_id):
+            import os
+
+            bands = sketches.minhash_band_table(batch_df, "doc_id", "text")
+            if os.path.exists(store):
+                hist = spark.read.parquet(store)
+                hits = (
+                    bands.join(hist.withColumnRenamed("doc", "hist_doc"),
+                               ["band_idx", "band_hash"])
+                    .select("doc", "hist_doc")
+                    .distinct()
+                    .collect()
+                )
+                for r in hits:
+                    flagged[r["doc"]] = min(
+                        flagged.get(r["doc"], r["hist_doc"]), r["hist_doc"]
+                    )
+            survivors = bands.filter(~F.col("doc").isin(list(flagged.keys()) or [-1]))
+            survivors.write.mode("append").parquet(store)
+
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # doc 10 (batch 2) duplicates doc 1 (batch 1); nothing else flagged
+        assert flagged == {10: 1}
+        # the store holds bands for the three survivors only
+        stored = {r["doc"] for r in spark.read.parquet(store).select("doc").distinct().collect()}
+        assert stored == {1, 2, 11}
