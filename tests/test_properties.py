@@ -402,3 +402,53 @@ class TestHllProperties:
             both.unionByName(both), ["g"], p=6
         ).collect()[0]["hll"]
         assert list(twice) == list(merged)
+
+
+class TestPagerankDanglingProperties:
+    @given(edges=edges_strategy, iters=st.integers(min_value=1, max_value=4))
+    @settings(**SETTINGS)
+    def test_redistribute_matches_python_replay(self, spark, edges, iters):
+        from collections import defaultdict
+
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(
+                df, iters=iters, checkpoint=False, dangling="redistribute"
+            ).collect()
+        }
+        es = sorted(set(edges))
+        deg = defaultdict(int)
+        for s, _ in es:
+            deg[s] += 1
+        nodes = sorted({n for e in es for n in e})
+        n = len(nodes)
+        ranks = {v: 1_000_000 for v in nodes}
+        for _ in range(iters):
+            dm = sum(ranks[v] for v in nodes if deg[v] == 0)
+            share = (dm * 85) // (100 * n)
+            recv = defaultdict(int)
+            for s, d in es:
+                recv[d] += (ranks[s] * 85) // (100 * deg[s])
+            ranks = {v: 150_000 + share + recv[v] for v in nodes}
+        assert got == ranks
+
+    @given(edges=edges_strategy)
+    @settings(**SETTINGS)
+    def test_redistribute_conserves_mass(self, spark, edges):
+        """Σ rank stays within integer-truncation loss of n·1e6:
+        per round ≤ |E| (edge divisions) + n (share division), damped
+        by 0.15 — bound (|E| + 2n)/0.15 micro-units."""
+        from social_media_data_pipeline_spark.functions.graph import pagerank
+
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        rows = pagerank(
+            df, iters=3, checkpoint=False, dangling="redistribute"
+        ).collect()
+        n = len(rows)
+        total = sum(r["rank_micro"] for r in rows)
+        assert abs(n * 1_000_000 - total) <= (len(set(edges)) + 2 * n) / 0.15
