@@ -482,3 +482,17 @@ class TestUpsertRewriteSetLargeKeys:
             r["file"] for r in scale.upsert_rewrite_set(ranges, updates, "k").collect()
         )
         assert got == ["f31", "f7"]
+
+
+class TestFooterIndexTableTypes:
+    def test_string_and_double_stats(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, f"name{i:03d}", float(i)) for i in range(100)],
+            "k long, name string, v double",
+        ).repartitionByRange(4, "k").write.mode("overwrite").parquet(path)
+        idx = scale.footer_stats_index_table(spark, path, ["name", "v"]).collect()
+        assert all(r["min_name"] is not None and r["max_v"] is not None for r in idx)
+        lo = min(r["min_name"] for r in idx)
+        hi = max(r["max_name"] for r in idx)
+        assert lo == "name000" and hi == "name099"
