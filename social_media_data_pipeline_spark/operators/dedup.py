@@ -349,20 +349,34 @@ def incremental_dedup(
     new_bands = sketches.minhash_band_table(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     ).select(F.col("doc").alias("__new"), "band_idx", "band_hash")
+    # candidates are reused three times below (semi-joins + the common
+    # count) — pin them so the band pipeline runs once (the
+    # dedup_clusters checkpoint-before-reuse pattern); bounded by
+    # band-bucket collisions
     cand = (
         new_bands.join(hist_bands, ["band_idx", "band_hash"])
         .select("__new", "__hist")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # explode shingles for CANDIDATE docs only: at 100 TB the history
+    # side is the whole kept corpus — without the semi-join this would
+    # re-scan every historical document's text
     sh_new = (
-        new_docs.select(
+        new_docs.join(
+            cand.select(F.col("__new").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .select(
             F.col(id_col).alias("__new"),
             F.explode(sketches.shingles(text_col, shingle_k)).alias("s"),
         )
         .distinct()
     )
     sh_hist = (
-        history.select(
+        history.join(
+            cand.select(F.col("__hist").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .select(
             F.col(id_col).alias("__hist"),
             F.explode(sketches.shingles(text_col, shingle_k)).alias("s"),
         )

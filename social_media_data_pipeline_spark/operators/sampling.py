@@ -187,7 +187,21 @@ def temperature_mixture_sample(
         for g, n in hist.items()
     }
     draw = fingerprint32(id_col, seed) % 1_000_000
-    tcol = F.lit(0)
-    for g in sorted(thresh):
-        tcol = F.when(F.col(group_col) == g, F.lit(thresh[g])).otherwise(tcol)
-    return df.filter(draw < tcol)
+    if len(thresh) <= 64:
+        # literal CASE chain: pure map-side, zero joins (the audited
+        # plan for source-count-bounded corpora)
+        tcol = F.lit(0)
+        for g in sorted(thresh):
+            tcol = F.when(F.col(group_col) == g, F.lit(thresh[g])).otherwise(tcol)
+        return df.filter(draw < tcol)
+    # many sources (e.g. per-domain balancing): a 100k-branch CASE
+    # would blow up the plan — broadcast-join the threshold table
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        sorted(thresh.items()), f"{group_col} string, __thresh bigint"
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(draw < F.col("__thresh"))
+        .drop("__thresh")
+    )
