@@ -196,3 +196,33 @@ class TestTemperatureMixture:
         with pytest.raises(ValueError, match="target_frac"):
             sampling.temperature_mixture_sample(df, "source", "doc_id",
                                                 target_frac=0.0)
+
+
+class TestTemperatureMixtureManySources:
+    def test_broadcast_path_matches_case_path_semantics(self, spark):
+        """>64 sources takes the broadcast-join path; per-source keep
+        decisions must be identical to the literal-CASE formula."""
+        import hashlib
+        import math
+
+        from social_media_data_pipeline_spark.operators import sampling
+
+        rows = [(i, f"s{i % 100}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = {r["doc_id"] for r in
+               sampling.temperature_mixture_sample(df, "source", "doc_id",
+                                                   target_frac=0.5).collect()}
+        # python replay of the documented integer formula
+        hist = {}
+        for _, s in rows:
+            hist[s] = hist.get(s, 0) + 1
+        sv = {g: math.floor(math.sqrt(n) * 1e6 + 0.5) for g, n in hist.items()}
+        big_n, big_s = sum(hist.values()), sum(sv.values())
+        th = {g: min(10**6, (500_000 * big_n * sv[g]) // (big_s * n))
+              for g, n in hist.items()}
+        want = set()
+        for i, s in rows:
+            draw = int(hashlib.md5(f"temp-mix-v1:{i}".encode()).hexdigest()[:8], 16) % 10**6
+            if draw < th[s]:
+                want.add(i)
+        assert out == want
