@@ -104,16 +104,8 @@ def minhash_lsh_pairs(
     shingle → minhash → band → bucket-join; the join key is
     (band_idx, band_hash) so bucket collisions never cross bands.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures_table(docs, id_col, text_col, num_hashes, shingle_k, fast)
-    banded = sig.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(F.array_join(F.slice(F.col("sig"), b * rows + 1, rows), "|")),
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = minhash_band_table(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, fast
     )
     a = banded.alias("a")
     b = banded.alias("b")
