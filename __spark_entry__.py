@@ -1160,6 +1160,29 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate
+    (`functions/text.py:gopher_quality_flags`, Rae et al. 2021 App. A):
+    word-count / mean-word-length / symbol-ratio / alpha-fraction /
+    stop-word rules as pure JVM expressions, measurements + flags per
+    document — the named heuristic filter every big text pipeline runs
+    before model-based scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    g = etext.gopher_quality_flags("text")
+    return (
+        docs.select("doc_id", g.alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.word_count").alias("word_count"),
+            F.col("g.mean_word_len").alias("mean_word_len"),
+            F.col("g.alpha_frac").alias("alpha_frac"),
+            F.col("g.n_stop_words").alias("n_stop_words"),
+            F.col("g.passes").alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest near-dedup
     (`operators/dedup.py:incremental_dedup`): the continuous-crawl
@@ -1983,6 +2006,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r8-in-new]
     "docs_temperature_mixture": q_docs_temperature_mixture,  # [r8-in-new]
     "docs_incremental_dedup": q_docs_incremental_dedup,  # [r8-in-new]
+    "docs_gopher_rules": q_docs_gopher_rules,  # [r8-in-new]
 }
 
 

@@ -2204,3 +2204,34 @@ FROM adc
 QUALIFY rank <= 5
 ORDER BY query_id, rank"""
 )
+
+# docs_gopher_rules: the Rae et al. 2021 Appendix-A document rules as
+# the same rounded expressions over one token split
+ORACLES["docs_gopher_rules"] = f"""
+WITH t AS (
+    SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), m AS (
+    SELECT doc_id,
+           len(toks) AS word_count,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.|…'))::DOUBLE / len(toks), 6)
+                ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN len(toks) > 0
+                THEN ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks), 6)
+                ELSE 0.0 END AS alpha_frac,
+           len(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with']))::INT AS n_stop_words
+    FROM t
+)
+SELECT doc_id, word_count, mean_word_len, alpha_frac, n_stop_words,
+       (word_count BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (symbol_ratio <= 0.1)
+       AND (alpha_frac >= 0.8)
+       AND (n_stop_words >= 2) AS passes
+FROM m
+ORDER BY doc_id
+"""

@@ -443,3 +443,62 @@ def bigram_logprob(
         F.count(F.lit(1)).alias("n_transitions"),
         F.round(F.avg("logp"), 4).alias("bigram_logprob"),
     )
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text_col: str | Column) -> Column:
+    """Document-level Gopher quality rules (Rae et al. 2021, Appendix A
+    — public formulation), as one struct of measurements + per-rule
+    flags + the overall gate:
+
+    - word_count ∈ [50, 100 000]
+    - mean word length ∈ [3, 10]
+    - symbol-to-word ratio ('#' or '…'/'...') ≤ 0.1
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct Gopher stop words present
+
+    (The paper's LINE-based rules — bullet/ellipsis line ratios — need
+    line structure this corpus's single-line documents don't carry;
+    they are the documented boundary of this gate.)
+
+    Pure JVM expressions over one tokenize pass — no UDF, no shuffle;
+    ratios rounded to 6 dp so the gate replays bit-for-bit in SQL.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(c)
+    wc = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(wc > 0, F.round(total_len / wc, 6)).otherwise(F.lit(0.0))
+    n_sym = F.size(
+        F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    sym_ratio = F.when(wc > 0, F.round(n_sym / wc, 6)).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(wc > 0, F.round(n_alpha / wc, 6)).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+        )
+    )
+    ok_wc = (wc >= 50) & (wc <= 100_000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = sym_ratio <= 0.1
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = n_stop >= 2
+    return F.struct(
+        wc.alias("word_count"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stop_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stop_words"),
+        (ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )

@@ -901,3 +901,38 @@ class TestIvfTopkMultiprobe:
         ).collect()
         pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
         assert len(pairs) == len(set(pairs))
+
+
+class TestGopherRules:
+    def test_rule_boundaries(self, spark):
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        good = " ".join(["the quick brown fox jumps over that lazy dog with glee"] * 6)
+        rows = [
+            (1, good),                                  # passes everything
+            (2, "too short"),                           # word count < 50
+            (3, " ".join(["a"] * 60)),                  # mean word len < 3
+            (4, " ".join(["12345"] * 60)),              # no alpha, no stops
+            (5, good + " " + "#" * 1),                  # one symbol, ratio tiny
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", etext.gopher_quality_flags("text").alias("g")
+            ).collect()
+        }
+        assert out[1]["passes"] is True
+        assert out[2]["ok_word_count"] is False and out[2]["passes"] is False
+        assert out[3]["ok_mean_word_len"] is False
+        assert out[4]["ok_alpha_frac"] is False and out[4]["ok_stop_words"] is False
+        assert out[5]["passes"] is True  # 1 symbol over 66 words ≤ 0.1
+
+    def test_symbol_ratio_counts_hash_and_ellipsis(self, spark):
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        df = spark.createDataFrame(
+            [(1, "words here # and ... and … more")], "doc_id long, text string"
+        )
+        g = df.select(etext.gopher_quality_flags("text").alias("g")).collect()[0]["g"]
+        assert abs(g["symbol_ratio"] - round(3 / g["word_count"], 6)) < 1e-9

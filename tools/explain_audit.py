@@ -262,6 +262,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_gopher_rules": [
+        # one tokenize pass, pure JVM expressions: no join, no
+        # aggregate, no window, no Python
+        ("no join or aggregate", r"\A(?!.*(?:Join|HashAggregate))"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_incremental_dedup": [
         # candidates come from the band equi join between the new batch
         # and the history store — never new × history all-pairs; verify
