@@ -1160,6 +1160,38 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report — the operational dashboard a corpus
+    owner reads after every ingest: document count, exact-duplicate
+    count (docs minus distinct normalized-text hashes), Gopher-gate
+    pass count, mean composite quality score, token total. One
+    aggregate over one scan; every metric reuses a registered
+    operator's exact expressions (dedup_exact_content's md5 key,
+    gopher_quality_flags, quality_score, token_count), so the report
+    is consistent with the gates it summarizes."""
+    docs = _t(spark, sf_dir, "documents")
+    g = etext.gopher_quality_flags("text")
+    norm = F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))))
+    return (
+        docs.select(
+            "source",
+            norm.alias("__h"),
+            g["passes"].cast("int").alias("__gp"),
+            F.round(etext.quality_score("text"), 6).alias("__q"),
+            etext.token_count("text").alias("__t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("__h")).alias("n_exact_dups"),
+            F.sum("__gp").alias("n_gopher_pass"),
+            F.round(F.avg("__q"), 6).alias("mean_quality"),
+            F.sum("__t").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality gate
     (`functions/text.py:gopher_quality_flags`, Rae et al. 2021 App. A):
@@ -2007,6 +2039,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_temperature_mixture": q_docs_temperature_mixture,  # [r8-in-new]
     "docs_incremental_dedup": q_docs_incremental_dedup,  # [r8-in-new]
     "docs_gopher_rules": q_docs_gopher_rules,  # [r8-in-new]
+    "docs_curation_report": q_docs_curation_report,  # [r8-in-new]
 }
 
 

@@ -2235,3 +2235,47 @@ SELECT doc_id, word_count, mean_word_len, alpha_frac, n_stop_words,
 FROM m
 ORDER BY doc_id
 """
+
+# docs_curation_report: per-source ingest dashboard — every metric
+# reuses a registered gate's exact expressions (md5 dedup key, gopher
+# flags, composite quality, whitespace tokens)
+ORACLES["docs_curation_report"] = f"""
+WITH per_doc AS (
+    SELECT source,
+           md5(lower(trim(coalesce(text, '')))) AS h,
+           (len({_TOKS}) BETWEEN 50 AND 100000)
+           AND (CASE WHEN len({_TOKS}) > 0
+                THEN ROUND(list_sum(list_transform({_TOKS}, x -> len(x)))::DOUBLE / len({_TOKS}), 6)
+                ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+           AND (CASE WHEN len({_TOKS}) > 0
+                THEN ROUND(len(regexp_extract_all(coalesce(text, ''), '#|\\.\\.\\.|…'))::DOUBLE / len({_TOKS}), 6)
+                ELSE 0.0 END <= 0.1)
+           AND (CASE WHEN len({_TOKS}) > 0
+                THEN ROUND(len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len({_TOKS}), 6)
+                ELSE 0.0 END >= 0.8)
+           AND (len(list_intersect(list_distinct({_TOKS}),
+                ['the','be','to','of','and','that','have','with'])) >= 2) AS gpass,
+           ROUND(
+             least(length(coalesce(text,'')) / 500.0, 1.0) * 0.5
+             + (CASE WHEN
+                  length(regexp_replace(coalesce(text,''), '\\s+', '', 'g'))
+                    / greatest(len(string_split_regex(lower(trim(coalesce(text,''))), '\\s+')), 1)
+                  BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.5 END) * 0.3
+             + (1 - (length(coalesce(text,''))
+                     - length(regexp_replace(coalesce(text,''), '[^\\w\\s]', '', 'g')))
+                    / greatest(length(coalesce(text,'')), 1)) * 0.2
+           , 6) AS q,
+           len({_TOKS}) AS t
+    FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       (COUNT(*) - COUNT(DISTINCT h))::BIGINT AS n_exact_dups,
+       SUM(gpass::INT)::BIGINT AS n_gopher_pass,
+       ROUND(AVG(q), 6) AS mean_quality,
+       SUM(t)::BIGINT AS total_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

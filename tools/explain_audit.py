@@ -262,6 +262,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("props column not read", r"\A(?!.*ReadSchema: [^\n]*\bprops\b)"),
     ],
+    "docs_curation_report": [
+        # one scan → map-side expressions → one partial-agg shuffle on
+        # source; nothing else
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no join", r"\A(?!.*Join)"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_gopher_rules": [
         # one tokenize pass, pure JVM expressions: no join, no
         # aggregate, no window, no Python
