@@ -87,6 +87,9 @@ HEADLINE = [
     "docs_hybrid_rrf",
     "docs_temperature_mixture",
     "docs_training_shards",
+    "docs_incremental_dedup",
+    "docs_gopher_rules",
+    "docs_curation_report",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -108,6 +111,9 @@ ITERATIVE = {
     # training shards collects its bucket-offset table
     "docs_temperature_mixture",
     "docs_training_shards",
+    # incremental dedup pins its candidate pairs (localCheckpoint) at
+    # construction
+    "docs_incremental_dedup",
 }
 
 
