@@ -577,6 +577,135 @@ def pandas_docs_temperature_mixture(sf_dir: str) -> pd.DataFrame:
     return docs[keep].sort_values("doc_id")
 
 
+
+def pandas_docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+
+    def norm_toks(t):
+        return [w for w in (t or "").lower().strip().split() if w]
+
+    def shingle_set(t):
+        ws = norm_toks(t)
+        if len(ws) >= 3:
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    def sig(sh):
+        mins = []
+        for i in range(16):
+            j, off = divmod(i, 4)
+            mins.append(
+                min(
+                    hashlib.md5(f"{j}|{x}".encode()).hexdigest()[off * 8 : off * 8 + 8]
+                    for x in sh
+                )
+            )
+        return mins
+
+    def bands(sg):
+        return [
+            hashlib.md5("|".join(sg[b * 4 : b * 4 + 4]).encode()).hexdigest()
+            for b in range(4)
+        ]
+
+    new = docs[docs["doc_id"] % 5 == 0]
+    hist = docs[docs["doc_id"] % 5 != 0]
+    hist_bands = {}
+    hist_sh = {}
+    for _, r in hist.iterrows():
+        sh = shingle_set(r["text"])
+        hist_sh[r["doc_id"]] = sh
+        for bi, bh in enumerate(bands(sig(sh))):
+            hist_bands.setdefault((bi, bh), set()).add(r["doc_id"])
+    rows = []
+    for _, r in new.iterrows():
+        sh = shingle_set(r["text"])
+        cands = set()
+        for bi, bh in enumerate(bands(sig(sh))):
+            cands |= hist_bands.get((bi, bh), set())
+        best = None
+        for h in cands:
+            hs = hist_sh[h]
+            j = round(len(sh & hs) / len(sh | hs), 6)
+            if j >= 0.2 and (best is None or (j, -h) > (best[1], -best[0])):
+                best = (h, j)
+        if best:
+            rows.append((r["doc_id"], best[0], best[1]))
+    return pd.DataFrame(rows, columns=["doc_id", "dup_of", "jaccard"]).sort_values("doc_id")
+
+
+def pandas_docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    rows = []
+    for _, r in docs.iterrows():
+        t = r["text"] or ""
+        ws = [w for w in t.lower().strip().split() if w]
+        wc = len(ws)
+        mean = round(sum(len(w) for w in ws) / wc, 6) if wc else 0.0
+        nsym = len(re.findall(r"#|\.\.\.|…", t))
+        sym = round(nsym / wc, 6) if wc else 0.0
+        alpha = round(sum(1 for w in ws if re.search("[a-z]", w)) / wc, 6) if wc else 0.0
+        nstop = len(set(ws) & stops)
+        passes = (
+            50 <= wc <= 100000
+            and 3.0 <= mean <= 10.0
+            and sym <= 0.1
+            and alpha >= 0.8
+            and nstop >= 2
+        )
+        rows.append((r["doc_id"], wc, mean, alpha, nstop, passes))
+    return pd.DataFrame(
+        rows,
+        columns=["doc_id", "word_count", "mean_word_len", "alpha_frac",
+                 "n_stop_words", "passes"],
+    ).sort_values("doc_id")
+
+
+def pandas_docs_curation_report(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "source", "text"]]
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    recs = []
+    for _, r in docs.iterrows():
+        t = r["text"] or ""
+        ws = [w for w in t.lower().strip().split() if w]
+        wc = len(ws)
+        mean = round(sum(len(w) for w in ws) / wc, 6) if wc else 0.0
+        nsym = len(re.findall(r"#|\.\.\.|…", t))
+        sym = round(nsym / wc, 6) if wc else 0.0
+        alpha = round(sum(1 for w in ws if re.search("[a-z]", w)) / wc, 6) if wc else 0.0
+        nstop = len(set(ws) & stops)
+        gpass = (
+            50 <= wc <= 100000 and 3.0 <= mean <= 10.0 and sym <= 0.1
+            and alpha >= 0.8 and nstop >= 2
+        )
+        nows = len(re.sub(r"\s+", "", t))
+        q = round(
+            min(len(t) / 500.0, 1.0) * 0.5
+            + (1.0 if 3 <= nows / max(wc, 1) <= 10 else 0.5) * 0.3
+            + (1 - (len(t) - len(re.sub(r"[^\w\s]", "", t))) / max(len(t), 1)) * 0.2,
+            6,
+        )
+        h = hashlib.md5(t.lower().strip().encode()).hexdigest()
+        recs.append((r["source"], h, int(gpass), q, wc))
+    df = pd.DataFrame(recs, columns=["source", "h", "gp", "q", "t"])
+    out = df.groupby("source").agg(
+        n_docs=("h", "size"),
+        n_exact_dups=("h", lambda x: len(x) - x.nunique()),
+        n_gopher_pass=("gp", "sum"),
+        mean_quality=("q", lambda x: round(x.mean(), 6)),
+        total_tokens=("t", "sum"),
+    ).reset_index()
+    return out.sort_values("source")
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -601,11 +730,14 @@ PANDAS_IMPLS = {
     "embedding_ivf_topk_multiprobe": pandas_embedding_ivf_topk_multiprobe,
     "docs_hybrid_rrf": pandas_docs_hybrid_rrf,
     "docs_temperature_mixture": pandas_docs_temperature_mixture,
+    "docs_incremental_dedup": pandas_docs_incremental_dedup,
+    "docs_gopher_rules": pandas_docs_gopher_rules,
+    "docs_curation_report": pandas_docs_curation_report,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup"}
 
 
 def main() -> None:
