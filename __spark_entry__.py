@@ -1569,12 +1569,16 @@ def q_docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: 20 greedy merges over the
-    corpus word-frequency table (`functions/bpe.py`). One corpus pass,
-    then vocabulary-sized rounds with a 1-row argmax collect each —
-    iterative like dedup_clusters; oracle is a generated 20-round CTE
-    chain replaying the same tie-breaks and islands-parity merges."""
+    corpus word-frequency table — via the CERTIFIED BATCHED trainer
+    (`functions/bpe.py:bpe_train_batched`, r7): one global pair
+    aggregate + one head collection certify all 20 merges in a single
+    round, provably identical (choice, tie-break, pair_freq) to the
+    sequential `bpe_train` the oracle replays — the differential gate
+    therefore re-proves the batched/sequential identity on real data
+    every round. Oracle: generated 20-round CTE chain with the same
+    tie-breaks and islands-parity merges."""
     docs = _t(spark, sf_dir, "documents")
-    return bpe.bpe_train(docs, num_merges=20).orderBy("merge_rank")
+    return bpe.bpe_train_batched(docs, num_merges=20).orderBy("merge_rank")
 
 
 def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,7 +1685,7 @@ def q_docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     final symbol arrays (every corpus word is in-vocab by
     construction)."""
     docs = _t(spark, sf_dir, "documents")
-    trained = bpe.bpe_train(docs, num_merges=20)
+    trained = bpe.bpe_train_batched(docs, num_merges=20)
     merges = [(r["lhs"], r["rhs"]) for r in trained.orderBy("merge_rank").collect()]
     enc = bpe.bpe_encode_corpus(docs, merges)
     return enc.select(
