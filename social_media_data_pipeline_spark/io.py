@@ -160,3 +160,54 @@ def stage_output_exists(spark: SparkSession, path: str) -> bool:
         return True
     except Exception:
         return False
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    quarantine_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fault-tolerant JSONL ingestion: parse against `schema` in
+    PERMISSIVE mode, split the scan into (valid_rows, corrupt_rows).
+    A malformed line never kills the job — it lands in the quarantine
+    frame (and, when `quarantine_path` is given, a parquet sink) with
+    its raw text for replay after the producer is fixed. This is the
+    ingest contract a 100 TB crawl feed needs: at that scale SOME
+    shard always carries truncated or junk lines, and failing the job
+    (FAILFAST) or silently nulling fields (plain PERMISSIVE) both lose
+    data.
+
+    Returns (valid, corrupt): `valid` has exactly the schema's
+    columns; `corrupt` is (raw string). Counting either side is the
+    caller's observability hook (`filters.apply_filter_observed`
+    composes). The parsed scan is CACHED before the split — Spark
+    refuses corrupt-record-only queries against a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and at
+    scale you want one parse feeding both sides anyway; at 100 TB
+    swap the cache for a write of the parsed frame and split from
+    storage (same two selects).
+    """
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    fields = [f for f in schema.fields if f.name != "_corrupt_record"]
+    full = T.StructType(
+        fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    corrupt = (
+        df.filter(F.col("_corrupt_record").isNotNull())
+        .select(F.col("_corrupt_record").alias("raw"))
+    )
+    valid = df.filter(F.col("_corrupt_record").isNull()).select(
+        *[f.name for f in fields]
+    )
+    if quarantine_path:
+        corrupt.write.mode("append").parquet(quarantine_path)
+    return valid, corrupt
