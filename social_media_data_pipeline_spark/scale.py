@@ -327,6 +327,19 @@ def upsert_rewrite_set(
     an unprunable file must be rewritten, not silently skipped).
     Returns a 1-column (file) DataFrame.
     """
+    from pyspark.sql import types as _T
+
+    lo_type = dict(zip(file_ranges.schema.names, file_ranges.schema.fields))[
+        "lo"
+    ].dataType
+    if not isinstance(lo_type, _T.NumericType):
+        # a silent cast would null string keys and SKIP their files —
+        # stale duplicates after MERGE. Refuse loudly instead.
+        raise ValueError(
+            f"upsert_rewrite_set needs a numeric key (lo/hi are {lo_type}); "
+            "for non-numeric keys map them to a numeric surrogate "
+            "(e.g. a 64-bit hash stored as a column) before bucketing"
+        )
     missing = file_ranges.filter(
         F.col("lo").isNull() | F.col("hi").isNull()
     ).select("file")

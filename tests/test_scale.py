@@ -496,3 +496,13 @@ class TestFooterIndexTableTypes:
         lo = min(r["min_name"] for r in idx)
         hi = max(r["max_name"] for r in idx)
         assert lo == "name000" and hi == "name099"
+
+
+class TestUpsertRewriteSetTypeGuard:
+    def test_string_key_refused_loudly(self, spark):
+        ranges = spark.createDataFrame(
+            [("f0", "aaa", "mmm")], "file string, lo string, hi string"
+        )
+        updates = spark.createDataFrame([("bbb",)], "k string")
+        with pytest.raises(ValueError, match="numeric key"):
+            scale.upsert_rewrite_set(ranges, updates, "k")
