@@ -211,3 +211,39 @@ def read_json_with_quarantine(
     if quarantine_path:
         corrupt.write.mode("append").parquet(quarantine_path)
     return valid, corrupt
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    quarantine_path: str | None = None,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of `read_json_with_quarantine` — same PERMISSIVE split
+    contract: (valid, corrupt) where corrupt rows keep the raw line
+    for replay. Same cache note applies."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    fields = [f for f in schema.fields if f.name != "_corrupt_record"]
+    full = T.StructType(
+        fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .csv(path)
+        .cache()
+    )
+    corrupt = (
+        df.filter(F.col("_corrupt_record").isNotNull())
+        .select(F.col("_corrupt_record").alias("raw"))
+    )
+    valid = df.filter(F.col("_corrupt_record").isNull()).select(
+        *[f.name for f in fields]
+    )
+    if quarantine_path:
+        corrupt.write.mode("append").parquet(quarantine_path)
+    return valid, corrupt

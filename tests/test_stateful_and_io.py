@@ -231,3 +231,15 @@ class TestJsonQuarantine:
         assert valid.count() == 1
         stored = spark.read.parquet(qdir).collect()
         assert len(stored) == 1 and "broken" in stored[0]["raw"]
+
+    def test_csv_twin_splits(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.io import read_csv_with_quarantine
+
+        p = tmp_path / "feed.csv"
+        p.write_text("id,name\n1,ok\nnot-an-int,bad\n3,fine\n")
+        valid, corrupt = read_csv_with_quarantine(
+            spark, str(p), "id long, name string"
+        )
+        assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+        raws = [r["raw"] for r in corrupt.collect()]
+        assert len(raws) == 1 and "not-an-int" in raws[0]
