@@ -1192,6 +1192,23 @@ def q_docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion mixture with capped waterfilling
+    (`operators/sampling.py:mixture_sample_to_targets`): keep rates
+    SOLVED from the live histogram so scarce heavy-target sources cap
+    at 100% and their unmet share redistributes — the third member of
+    the mixture family (fixed rates / α-temperature / target solver).
+    Targets+budget come from the shared DOC_MIXTURE_TARGETS constant;
+    the oracle replays the waterfilling via a generated 20-round CTE
+    chain (`build_mixture_rates_sql`)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample_to_targets(
+        docs, "source", "doc_id",
+        sampling.DOC_MIXTURE_TARGETS, sampling.DOC_MIXTURE_BUDGET,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality gate
     (`functions/text.py:gopher_quality_flags`, Rae et al. 2021 App. A):
@@ -2044,6 +2061,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_incremental_dedup": q_docs_incremental_dedup,  # [r8-in-new]
     "docs_gopher_rules": q_docs_gopher_rules,  # [r8-in-new]
     "docs_curation_report": q_docs_curation_report,  # [r8-in-new]
+    "docs_mixture_solver": q_docs_mixture_solver,  # [r8-in-new]
 }
 
 

@@ -2279,3 +2279,28 @@ FROM per_doc
 GROUP BY source
 ORDER BY source
 """
+
+# docs_mixture_solver: capped-waterfilling target mixture — generated
+# round chain (operators/sampling.py:build_mixture_rates_sql) over the
+# SHARED target constant, so query and oracle can never drift
+from social_media_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    DOC_MIXTURE_BUDGET as _MIX_BUDGET,
+)
+from social_media_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    DOC_MIXTURE_TARGETS as _MIX_TARGETS,
+)
+from social_media_data_pipeline_spark.operators.sampling import (  # noqa: E402
+    build_mixture_rates_sql as _mix_sql,
+)
+
+ORACLES["docs_mixture_solver"] = _mix_sql(
+    {g: int(round(t * 1_000_000)) for g, t in _MIX_TARGETS.items()},
+    _MIX_BUDGET,
+    n_rounds=20,
+) + """
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates ON rates.grp = d.source
+WHERE ('0x' || substr(md5('target-mix-v1:' || d.doc_id), 1, 8))::BIGINT % 1000000
+      < rates.rate
+ORDER BY d.doc_id
+"""

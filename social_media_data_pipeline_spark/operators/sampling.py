@@ -205,3 +205,163 @@ def temperature_mixture_sample(
         .filter(draw < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def solve_mixture_rates(
+    counts: dict, targets_micro: dict, budget_rows: int
+) -> dict:
+    """Capped waterfilling: per-group keep-rate thresholds (micro-units)
+    so kept rows hit `budget_rows` split by `targets_micro` RELATIVE
+    weights (only ratios matter — no normalization required) — except a group cannot yield more rows than it has:
+    capped groups keep everything and their unmet share redistributes
+    to the others, proportionally to their targets (the standard
+    waterfilling fixed point, reached in ≤ |groups| rounds).
+
+    Exact integer arithmetic (Python big ints) round for round:
+    per round, kc = rows kept by capped groups, tt = Σ targets of
+    uncapped groups, want_g = (max(budget − kc, 0) · t_g) div tt; a
+    group with want ≥ n caps. Final rate_g = capped → 1e6 else
+    clamp((want_g · 1e6) div n_g). `build_mixture_rates_sql` emits the
+    identical chain for the differential oracle."""
+    groups = sorted(counts)
+    capped: set = set()
+    for _ in range(len(groups)):
+        kc = sum(counts[g] for g in capped)
+        tt = sum(targets_micro.get(g, 0) for g in groups if g not in capped)
+        if tt == 0:
+            break
+        newly = False
+        for g in groups:
+            if g in capped:
+                continue
+            want = (max(budget_rows - kc, 0) * targets_micro.get(g, 0)) // tt
+            if want >= counts[g]:
+                capped.add(g)
+                newly = True
+        if not newly:
+            break
+    kc = sum(counts[g] for g in capped)
+    tt = sum(targets_micro.get(g, 0) for g in groups if g not in capped)
+    rates = {}
+    for g in groups:
+        if g in capped:
+            rates[g] = 1_000_000
+        elif tt == 0:
+            rates[g] = 0
+        else:
+            want = (max(budget_rows - kc, 0) * targets_micro.get(g, 0)) // tt
+            rates[g] = max(0, min(1_000_000, (want * 1_000_000) // counts[g]))
+    return rates
+
+
+def build_mixture_rates_sql(
+    targets_micro: dict, budget_rows: int, n_rounds: int, table: str = "documents",
+    group_col: str = "source",
+) -> str:
+    """Generated DuckDB CTE chain replaying `solve_mixture_rates`
+    exactly (`n_rounds` unconditional rounds — the fixed point is
+    stable, so running all |groups| rounds matches the early-exit
+    Python loop bit-for-bit). Emits CTEs ending in `rates(source,
+    rate)`; HUGEINT keeps the products exact at any corpus size."""
+    vals = ", ".join(
+        f"('{g}', {t})" for g, t in sorted(targets_micro.items())
+    )
+    parts = [
+        f"""WITH tgt(grp, t) AS (VALUES {vals}),
+cnt AS MATERIALIZED (
+    SELECT {group_col} AS grp, COUNT(*)::BIGINT AS n FROM {table} GROUP BY {group_col}
+), w0 AS MATERIALIZED (
+    SELECT c.grp, c.n, COALESCE(tgt.t, 0)::BIGINT AS t, FALSE AS capped
+    FROM cnt c LEFT JOIN tgt USING (grp)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""", s{r} AS MATERIALIZED (
+    SELECT COALESCE(SUM(CASE WHEN capped THEN n END), 0)::HUGEINT AS kc,
+           COALESCE(SUM(CASE WHEN NOT capped THEN t END), 0)::HUGEINT AS tt
+    FROM w{r - 1}
+), w{r} AS MATERIALIZED (
+    SELECT grp, n, t,
+           capped OR (s{r}.tt > 0 AND
+               ((GREATEST({budget_rows} - s{r}.kc, 0) * t) // s{r}.tt) >= n) AS capped
+    FROM w{r - 1}, s{r}
+)"""
+        )
+    parts.append(
+        f""", sf AS MATERIALIZED (
+    SELECT COALESCE(SUM(CASE WHEN capped THEN n END), 0)::HUGEINT AS kc,
+           COALESCE(SUM(CASE WHEN NOT capped THEN t END), 0)::HUGEINT AS tt
+    FROM w{n_rounds}
+), rates AS MATERIALIZED (
+    SELECT grp,
+           CASE WHEN capped THEN 1000000
+                WHEN sf.tt = 0 THEN 0
+                ELSE LEAST(1000000, GREATEST(0,
+                    (((GREATEST({budget_rows} - sf.kc, 0) * t) // sf.tt)
+                     * 1000000) // n)) END::BIGINT AS rate
+    FROM w{n_rounds}, sf
+)"""
+    )
+    return "".join(parts)
+
+
+def mixture_sample_to_targets(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    targets: dict,
+    budget_rows: int,
+    seed: str = "target-mix-v1",
+) -> DataFrame:
+    """Target-proportion mixture sampling — the solver-backed member of
+    the mixture family (fixed rates → `weighted_mixture_sample`,
+    α-balancing → `temperature_mixture_sample`, THIS → "hit these
+    per-source proportions within this row budget"): keep rates come
+    from `solve_mixture_rates` over the live histogram, so scarce
+    sources cap at 100% and their unmet share flows to the rest.
+    Deterministic salted-fingerprint draw; one histogram aggregate +
+    a map-side filter (literal CASE ≤64 groups, broadcast join above,
+    the `temperature_mixture_sample` pattern)."""
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    if budget_rows < 0:
+        raise ValueError(f"budget_rows must be >= 0, got {budget_rows}")
+    tm = {g: int(round(t * 1_000_000)) for g, t in targets.items()}
+    counts = {
+        r[group_col]: int(r["__n"])
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not counts:
+        return df
+    rates = solve_mixture_rates(counts, tm, budget_rows)
+    draw = fingerprint32(id_col, seed) % 1_000_000
+    if len(rates) <= 64:
+        tcol = F.lit(0)
+        for g in sorted(rates):
+            tcol = F.when(F.col(group_col) == g, F.lit(rates[g])).otherwise(tcol)
+        return df.filter(draw < tcol)
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        sorted(rates.items()), f"{group_col} string, __thresh bigint"
+    )
+    return (
+        df.join(F.broadcast(rdf), group_col)
+        .filter(draw < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+#: the registered docs_mixture_solver configuration: heavy targets on
+#: three sources (which cap at this budget — the waterfilling path is
+#: exercised, not just proportional scaling), the rest split evenly.
+#: Shared by the entry query and the generated oracle so both sides
+#: always agree literally.
+DOC_MIXTURE_TARGETS = {
+    **{"src0": 0.30, "src1": 0.20, "src2": 0.20},
+    **{
+        f"src{i}": (0.30 / 17 if i < 19 else 0.30 - 16 * (0.30 / 17))
+        for i in range(3, 20)
+    },
+}
+DOC_MIXTURE_BUDGET = 300

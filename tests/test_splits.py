@@ -226,3 +226,53 @@ class TestTemperatureMixtureManySources:
             if draw < th[s]:
                 want.add(i)
         assert out == want
+
+
+class TestMixtureSolver:
+    def test_waterfilling_caps_and_redistributes(self):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            solve_mixture_rates,
+        )
+
+        counts = {"a": 10, "b": 1000, "c": 1000}
+        targets = {"a": 500_000, "b": 250_000, "c": 250_000}
+        rates = solve_mixture_rates(counts, targets, budget_rows=400)
+        # a wants 200 rows but has 10 → capped at 1e6; the remaining
+        # 390-row budget splits evenly between b and c (195 each)
+        assert rates["a"] == 1_000_000
+        assert rates["b"] == rates["c"] == (195 * 1_000_000) // 1000
+
+    def test_no_caps_proportional(self):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            solve_mixture_rates,
+        )
+
+        counts = {"a": 1000, "b": 1000}
+        rates = solve_mixture_rates(
+            counts, {"a": 750_000, "b": 250_000}, budget_rows=400
+        )
+        assert rates["a"] == (300 * 1_000_000) // 1000
+        assert rates["b"] == (100 * 1_000_000) // 1000
+
+    def test_zero_budget_and_missing_target(self):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            solve_mixture_rates,
+        )
+
+        rates = solve_mixture_rates({"a": 10, "b": 5}, {"a": 1_000_000}, 0)
+        assert rates == {"a": 0, "b": 0}
+
+    def test_operator_hits_budget_roughly(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        rows = [(i, f"s{i % 4}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.mixture_sample_to_targets(
+            df, "source", "doc_id",
+            {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}, 800,
+        )
+        kept = out.groupBy("source").count().collect()
+        by = {r["source"]: r["count"] for r in kept}
+        total = sum(by.values())
+        assert 650 < total < 950           # ≈ budget
+        assert by["s0"] > by["s1"] > by["s2"] > by["s3"]  # target ordering

@@ -270,6 +270,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window at all", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_mixture_solver": [
+        # rates are plan literals by execution time (the solver runs on
+        # the collected histogram): map-side filter only
+        ("no join or window", r"\A(?!.*(?:Join|Window))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_gopher_rules": [
         # one tokenize pass, pure JVM expressions: no join, no
         # aggregate, no window, no Python
