@@ -313,6 +313,7 @@ def mixture_sample_to_targets(
     targets: dict,
     budget_rows: int,
     seed: str = "target-mix-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Target-proportion mixture sampling — the solver-backed member of
     the mixture family (fixed rates → `weighted_mixture_sample`,
@@ -328,9 +329,17 @@ def mixture_sample_to_targets(
     if budget_rows < 0:
         raise ValueError(f"budget_rows must be >= 0, got {budget_rows}")
     tm = {g: int(round(t * 1_000_000)) for g, t in targets.items()}
+    # `weight_col` switches the budget's unit: the histogram becomes
+    # per-source MASS (e.g. token counts) instead of rows, so
+    # `budget_rows` is then a token budget — keep probability stays
+    # uniform within a source, expectations solve identically
+    mass = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col(weight_col).cast("bigint"))
+    )
     counts = {
         r[group_col]: int(r["__n"])
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+        for r in df.groupBy(group_col).agg(mass.alias("__n")).collect()
     }
     if not counts:
         return df

@@ -276,3 +276,23 @@ class TestMixtureSolver:
         total = sum(by.values())
         assert 650 < total < 950           # ≈ budget
         assert by["s0"] > by["s1"] > by["s2"] > by["s3"]  # target ordering
+
+    def test_token_budget_unit(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        # s0 rows carry 10x the tokens: under a TOKEN budget with equal
+        # targets, s0's keep RATE must be ~10x lower than s1's
+        rows = [(i, "s0", 100) for i in range(500)] + [
+            (i + 500, "s1", 10) for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+        out = sampling.mixture_sample_to_targets(
+            df, "source", "doc_id", {"s0": 0.5, "s1": 0.5}, 20_000,
+            weight_col="n_tok",
+        )
+        kept = {r["source"]: r["cnt"] for r in
+                out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+        # s1 caps (5k tokens < its 10k share) and its unmet share flows
+        # to s0: s0's budget becomes 15k tokens → ~150 rows at 100 tok/row
+        assert kept.get("s1", 0) == 500
+        assert 110 < kept.get("s0", 0) < 190
