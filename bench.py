@@ -90,6 +90,7 @@ HEADLINE = [
     "docs_incremental_dedup",
     "docs_gopher_rules",
     "docs_curation_report",
+    "docs_mixture_solver",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -114,6 +115,8 @@ ITERATIVE = {
     # incremental dedup pins its candidate pairs (localCheckpoint) at
     # construction
     "docs_incremental_dedup",
+    # the mixture solver collects its histogram at construction
+    "docs_mixture_solver",
 }
 
 
