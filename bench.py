@@ -117,6 +117,10 @@ ITERATIVE = {
     "docs_incremental_dedup",
     # the mixture solver collects its histogram at construction
     "docs_mixture_solver",
+    # near-dup-ivf pins its co-partitioned IVF assignment at
+    # construction (r7 AQE-proofing fix) — full cycle is the honest
+    # per-batch number
+    "embedding_near_dup_ivf",
 }
 
 

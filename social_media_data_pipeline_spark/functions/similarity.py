@@ -281,6 +281,23 @@ def cosine_near_dup_via_ivf(
     speedup.
     """
     assigned = ivf_assign_multiprobe(vectors, centroids, id_col, vec_col, probes)
+    # co-partition by cluster and PIN before the self-join. Two
+    # separate reasons, both measured at sf0.1:
+    # (a) without the pin, exchange reuse is the only thing stopping
+    #     the whole assignment pipeline from running once per join
+    #     side — and AQE's per-stage materialization DROPS the
+    #     ReusedExchange here (3.34 s with AQE vs 1.97 s without,
+    #     purely from the doubled assignment; the same
+    #     checkpoint-before-self-join rule as connected_components).
+    #     This was the actual root of the query's cross-session bench
+    #     variance the r6 verdict flagged.
+    # (b) repartitioning FIRST makes the checkpointed RDD carry
+    #     hashpartitioning(cluster), so the pair join needs no
+    #     exchange at all (2.35 → 1.14 s steady with AQE on; 0.26 s
+    #     with AQE off) — and at 100 TB this is exactly the
+    #     "corpus written partitioned by cluster" layout the docstring
+    #     promises, produced inline.
+    assigned = assigned.repartition("cluster").localCheckpoint(eager=True)
     # Vectors+norms ride THROUGH the cell equi-join (the only shuffle
     # here is the n·probes assignment rows keyed by cluster — tiny), so
     # each candidate pair is verified map-side the moment it is formed:
