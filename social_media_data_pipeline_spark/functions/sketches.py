@@ -387,13 +387,17 @@ def simhash_blocked_pairs(
     fp = simhash_table(docs, id_col, text_col, fast=fast).select(
         F.col("doc"), F.col("simhash").alias("fp")
     )
-    # NB: both sides of the block self-join consume `fp` and Spark does
-    # not reuse the aggregation exchange across the aliased sides, so
-    # the fingerprint scan runs twice per action (measured ~0.5 s of the
-    # 2.2 s sf0.1 total). Deliberately NOT materialized here: the
-    # function stays a pure lazy plan (callers running repeated actions
-    # should persist `simhash_table` themselves), and the hash-join
-    # keeps the spill-safe scale shape.
+    # NB: both sides of the block self-join consume `fp`. Without AQE,
+    # exchange reuse computes it once; WITH AQE (the session default)
+    # per-stage materialization drops the ReusedExchange and the
+    # fingerprint scan runs twice per action (r7 measurement: 1.87 s
+    # with AQE vs 1.40 s without at sf0.1 — same failure mode as
+    # cosine_near_dup_via_ivf, which pins its assignment because its
+    # duplicated subtree costs 2×; here the subtree is one scan+agg, so
+    # the function deliberately stays a pure LAZY plan. Callers running
+    # repeated actions or feeding heavier fingerprint pipelines should
+    # pin: `fp.repartition(block cols...).localCheckpoint()` — the
+    # near-dup fix shows the shape.
     return hamming_blocked_pairs(fp, tau=tau, n_blocks=n_blocks, bits=bits)
 
 
