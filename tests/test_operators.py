@@ -298,3 +298,24 @@ class TestIncrementalDedup:
         # incremental dedup only flags new docs
         out = ddp.incremental_dedup(new, hist, "doc_id", "text").collect()
         assert out == []
+
+
+class TestR7EdgeCases:
+    """Empty inputs degrade to empty outputs, never crash."""
+
+    def test_incremental_dedup_empty_sides(self, spark):
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        assert ddp.incremental_dedup(empty, docs, "doc_id", "text").count() == 0
+        assert ddp.incremental_dedup(docs, empty, "doc_id", "text").count() == 0
+
+    def test_mixture_ops_empty_input(self, spark):
+        from social_media_data_pipeline_spark.operators import sampling
+
+        empty = spark.createDataFrame([], "doc_id long, source string")
+        assert sampling.temperature_mixture_sample(empty, "source", "doc_id").count() == 0
+        assert sampling.mixture_sample_to_targets(
+            empty, "source", "doc_id", {"a": 1.0}, 10
+        ).count() == 0
