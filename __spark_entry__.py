@@ -1464,6 +1464,15 @@ def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d3, "source", rates, "doc_id", default_rate=0.6
     )
     d5 = splits.assign_split(d4, "doc_id")
+    # pin the split corpus before it branches THREE ways (the packing
+    # bucket-sum collect, the train shard branch, the val/test branch):
+    # AQE drops cross-branch exchange reuse, so unpinned the whole
+    # dedup→quality→decontaminate→mixture chain executes once per
+    # branch — measured at sf0.1: full cycle 4.56 → 2.30 s with this
+    # one bounded materialization (the surviving corpus), identical
+    # output. Same pin-iff-recompute-exceeds-materialization rule as
+    # cosine_near_dup_via_ivf (SCALING.md r7).
+    d5 = d5.localCheckpoint(eager=True)
     toks = F.greatest(F.lit(1), etext.token_count("text"))
     sharded = packing.assign_training_shards(
         d5.filter(F.col("split") == "train").select("doc_id", "text", "split"),

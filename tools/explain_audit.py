@@ -307,13 +307,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
     "docs_llm_pipeline": [
-        # the flagship chain now ends in training-shard packing: the
-        # prefix sum must stay bucket-decomposed (per-bucket windows
-        # only), the decontamination anti-join broadcast, no Python
+        # the flagship chain ends in training-shard packing over the
+        # PINNED surviving corpus (r7: the split table branches three
+        # ways, and AQE drops cross-branch exchange reuse — the
+        # localCheckpoint halves the full cycle, SCALING.md). The
+        # decontamination broadcast therefore executes before the pin;
+        # the final plan must read the pinned relation, keep per-bucket
+        # windows only, and stay Python/cartesian-free.
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
-        ("broadcast decontamination", r"BroadcastHashJoin"),
+        ("pinned corpus relation", r"Scan ExistingRDD"),
     ],
     "docs_training_shards": [
         # prefix sum must stay decomposed: per-bucket windows only
