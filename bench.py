@@ -91,6 +91,9 @@ HEADLINE = [
     "docs_gopher_rules",
     "docs_curation_report",
     "docs_mixture_solver",
+    # round 7 (late): the two full-cycle perf wins, tracked as iterative
+    "docs_bpe_merges",
+    "docs_llm_pipeline",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -117,6 +120,10 @@ ITERATIVE = {
     "docs_incremental_dedup",
     # the mixture solver collects its histogram at construction
     "docs_mixture_solver",
+    # batched BPE training runs its collection rounds at construction;
+    # the flagship pins its surviving corpus at construction
+    "docs_bpe_merges",
+    "docs_llm_pipeline",
     # near-dup-ivf pins its co-partitioned IVF assignment at
     # construction (r7 AQE-proofing fix) — full cycle is the honest
     # per-batch number
