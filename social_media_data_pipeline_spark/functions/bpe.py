@@ -180,12 +180,27 @@ def _certified_merges(
             + taint.get(p[1], 0)
         )
 
+    # symbol → tracked pairs containing it: when taint[s] rises, every
+    # pair containing s gets a higher hi() and must be RE-PUSHED, or the
+    # lazy-deletion check discards all its now-stale-low heap entries and
+    # the pair becomes invisible to the competitor scan (certification
+    # could then emit a merge that is not the true argmax — falsified by
+    # the aba-collision regression test before this index existed)
+    sym_pairs: dict[str, set] = {}
+
+    def _track(p):
+        sym_pairs.setdefault(p[0], set()).add(p)
+        sym_pairs.setdefault(p[1], set()).add(p)
+
+    for p in set(h) | set(ti):
+        _track(p)
     lo_heap = [(-lo(p), p) for p in set(h) | set(ti)]
     hi_heap = [(-hi(p), p) for p in set(h) | set(ti)]
     heapq.heapify(lo_heap)
     heapq.heapify(hi_heap)
 
     def push(p):
+        _track(p)
         heapq.heappush(lo_heap, (-lo(p), p))
         heapq.heappush(hi_heap, (-hi(p), p))
 
@@ -241,7 +256,15 @@ def _certified_merges(
             # pair containing the new token lr may hold up to d_eff
             # unseen tail occurrences (taint), including pairs we
             # never enumerated (ghost bound)
-            taint[lr] = max(taint.get(lr, 0), d_eff)
+            if d_eff > taint.get(lr, 0):
+                taint[lr] = d_eff
+                # lr may ALREADY exist as a tracked symbol when a later
+                # merge recreates the same token string (e.g. ('a','ba')
+                # then ('ab','a') both yield 'aba'): every tracked pair
+                # containing lr just gained hi() and needs fresh heap
+                # entries to stay visible as a competitor
+                for p in list(sym_pairs.get(lr, ())):
+                    push(p)
             ghost_bound = max(ghost_bound, d_eff)
             for p, (plo, phi) in list(ti.items()):
                 a, b = p

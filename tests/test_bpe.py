@@ -291,3 +291,60 @@ class TestCertifiedMergesProperty:
         want = self._sequential(wf, num)
         got = self._batched(wf, num, head_words, top_pairs)
         assert got == want
+
+    def test_token_string_collision_repushes_competitors(self):
+        """r8 regression (handcrafted falsifier): ('a','ba') then
+        ('ab','a') both yield token string 'aba'. The second merge has
+        exact tail mass 3, so taint['aba'] rises AFTER pair
+        ('aba','z') was already tracked in the head (h=2, true global
+        count 5). Without the symbol→pairs re-push, every heap entry of
+        ('aba','z') fails the lazy-deletion check, the pair vanishes
+        from the competitor scan, and certification wrongly emits
+        ('x','y',4) as merge 3 while true sequential BPE picks
+        ('aba','z',5). The fixed code must stop certifying instead
+        (correct PREFIX; the caller recollects)."""
+        head = {
+            "h1": (["a", "ba", "z"], 2),
+            "h3": (["a", "ba"], 3),
+            "h2": (["ab", "a"], 1),
+            "hX": (["x", "y"], 4),
+        }
+        # tail word ['ab','a','z'] × 3 (below the head cut)
+        gp = {
+            ("a", "ba"): 5,
+            ("ba", "z"): 2,
+            ("ab", "a"): 4,
+            ("x", "y"): 4,
+            ("a", "z"): 3,
+        }
+        got = bpe._certified_merges(head, gp, 0, 4)
+        want = [
+            ("a", "ba", 5),
+            ("ab", "a", 4),
+            ("aba", "z", 5),
+            ("x", "y", 4),
+        ]
+        assert got == want[: len(got)], (got, want)
+        # and the full batched loop over the same corpus converges to
+        # the sequential answer across recollections
+        wf_syms = {
+            "h1": (["a", "ba", "z"], 2),
+            "h3": (["a", "ba"], 3),
+            "h2": (["ab", "a"], 1),
+            "hX": (["x", "y"], 4),
+            "t1": (["ab", "a", "z"], 3),
+        }
+        words = {w: (list(s), f) for w, (s, f) in wf_syms.items()}
+        seq = []
+        for _ in range(4):
+            pc = self._pair_counts(words)
+            if not pc:
+                break
+            (l, r), c = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            seq.append((l, r, c))
+            for w in words:
+                s, f = words[w]
+                words[w] = (bpe._apply_merge_py(s, l, r), f)
+        assert seq == want
