@@ -399,13 +399,23 @@ def incremental_dedup(
         .select("__new", "__hist", jacc.alias("__j"))
         .filter(F.col("__j") >= threshold)
     )
+    # tie-break WITHOUT negating the id (string ids — the common crawl
+    # doc-id shape — would null out under arithmetic negation, or error
+    # under ANSI mode): min of struct(-jaccard, hist_id) is the highest
+    # jaccard, then the lowest historical id in the id type's own order
     best = (
         verified.groupBy("__new")
-        .agg(F.max(F.struct(F.col("__j"), (-F.col("__hist")).alias("__nh"))).alias("b"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__j")).alias("__nj"), F.col("__hist").alias("__h")
+                )
+            ).alias("b")
+        )
         .select(
             F.col("__new").alias(id_col),
-            (-F.col("b.__nh")).alias("dup_of"),
-            F.col("b.__j").alias("jaccard"),
+            F.col("b.__h").alias("dup_of"),
+            (-F.col("b.__nj")).alias("jaccard"),
         )
     )
     return best

@@ -132,6 +132,21 @@ def weighted_sample_topk(
     )
 
 
+def _reject_null_groups(hist: dict, op: str, group_col: str) -> None:
+    """NULL group values have no bucket in the threshold map: the
+    equality CASE chain and the broadcast join would both silently DROP
+    those rows, and `sorted()` over the collected histogram would crash
+    on the None key. Refuse loudly instead (coalesce to a sentinel
+    source upstream if NULL sources are expected) — checked on the
+    already-collected histogram, so it costs no extra job."""
+    if any(g is None for g in hist):
+        raise ValueError(
+            f"{op}: group column {group_col!r} contains NULL; mixture "
+            "sampling has no NULL bucket and would silently drop those "
+            "rows — coalesce to a sentinel source first"
+        )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -179,6 +194,7 @@ def temperature_mixture_sample(
     }
     if not hist:
         return df
+    _reject_null_groups(hist, "temperature_mixture_sample", group_col)
     s_by_g = {g: _math.floor(_math.sqrt(n) * 1_000_000.0 + 0.5) for g, n in hist.items()}
     big_n = sum(hist.values())
     big_s = sum(s_by_g.values())
@@ -343,6 +359,7 @@ def mixture_sample_to_targets(
     }
     if not counts:
         return df
+    _reject_null_groups(counts, "mixture_sample_to_targets", group_col)
     rates = solve_mixture_rates(counts, tm, budget_rows)
     draw = fingerprint32(id_col, seed) % 1_000_000
     if len(rates) <= 64:

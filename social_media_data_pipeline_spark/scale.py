@@ -340,31 +340,62 @@ def upsert_rewrite_set(
             "for non-numeric keys map them to a numeric surrogate "
             "(e.g. a 64-bit hash stored as a column) before bucketing"
         )
-    missing = file_ranges.filter(
-        F.col("lo").isNull() | F.col("hi").isNull()
-    ).select("file")
-    ranged = file_ranges.filter(F.col("lo").isNotNull() & F.col("hi").isNotNull())
+    integral = isinstance(
+        lo_type, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+    )
+    fractional = isinstance(lo_type, (_T.FloatType, _T.DoubleType))
+    unusable = F.col("lo").isNull() | F.col("hi").isNull()
+    if fractional:
+        # NaN stats cannot bound a range — treat like missing stats
+        # (unconditional rewrite), never a silent skip
+        unusable = unusable | F.isnan("lo") | F.isnan("hi")
+    missing = file_ranges.filter(unusable).select("file")
+    ranged = file_ranges.filter(~unusable)
+    if fractional and updates.filter(F.isnan(key)).limit(1).count():
+        raise ValueError(
+            "upsert_rewrite_set: NaN update keys cannot be range-matched "
+            "against file stats and would be silently skipped (stale "
+            "duplicates after MERGE); filter or remap them first"
+        )
     bounds = ranged.agg(
         F.min("lo").alias("glo"), F.max("hi").alias("ghi")
     ).collect()[0]
     if bounds["glo"] is None:
         return missing.distinct()
-    glo, ghi = int(bounds["glo"]), int(bounds["ghi"])
+    if integral:
+        glo, ghi = int(bounds["glo"]), int(bounds["ghi"])
+    else:
+        import math
+
+        glo, ghi = math.floor(bounds["glo"]), math.ceil(bounds["ghi"])
     width = max(1, (ghi - glo) // buckets + 1)
-    # integer div, not float division + cast: (x − glo) / width as a
-    # double loses exactness above 2^53 and misbuckets large keys
-    exploded = ranged.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.expr(f"(CAST(lo AS BIGINT) - {glo}) div {width}"),
-                F.expr(f"(CAST(hi AS BIGINT) - {glo}) div {width}"),
-            )
-        ),
-    )
-    upd = updates.select(F.col(key).cast("bigint").alias("__k")).distinct().withColumn(
-        "__bucket",
-        F.expr(f"(__k - {glo}) div {width}"),
+    if integral:
+        # integer div, not float division + cast: (x − glo) / width as a
+        # double loses exactness above 2^53 and misbuckets large keys
+        b_lo = F.expr(f"(CAST(lo AS BIGINT) - {glo}) div {width}")
+        b_hi = F.expr(f"(CAST(hi AS BIGINT) - {glo}) div {width}")
+        b_k = F.expr(f"(CAST(__k AS BIGINT) - {glo}) div {width}")
+    else:
+        # fractional/decimal keys: a BIGINT cast TRUNCATES (update key
+        # 5.7 would miss a file spanning [5.5, 6.0] — a silently
+        # skipped rewrite). Bucket by the same monotonic FLOOR formula
+        # on both sides (consistency is what the equi join needs) and
+        # leave the residual containment on the ORIGINAL untruncated
+        # values below.
+        b_lo = F.expr(
+            f"CAST(FLOOR((CAST(lo AS DOUBLE) - {glo}) / {width}) AS BIGINT)"
+        )
+        b_hi = F.expr(
+            f"CAST(FLOOR((CAST(hi AS DOUBLE) - {glo}) / {width}) AS BIGINT)"
+        )
+        b_k = F.expr(
+            f"CAST(FLOOR((CAST(__k AS DOUBLE) - {glo}) / {width}) AS BIGINT)"
+        )
+    exploded = ranged.withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi)))
+    upd = (
+        updates.select(F.col(key).alias("__k"))
+        .distinct()
+        .withColumn("__bucket", b_k)
     )
     hit = exploded.join(
         upd,

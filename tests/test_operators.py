@@ -284,6 +284,29 @@ class TestIncrementalDedup:
         assert out[10][0] == 1 and abs(out[10][1] - 1.0) < 1e-9
         assert 12 not in out  # fresh doc matches nothing
 
+    def test_string_ids_deterministic_tie_break(self, spark):
+        """r8 (ADVICE): with STRING doc ids — the common crawl shape —
+        the old arithmetic-negation tie-break (-col) nulled out, making
+        jaccard-tied argmax nondeterministic. Two historical docs with
+        identical text tie at jaccard 1.0; the winner must be the
+        lexicographically lowest historical id, every run."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        hist = spark.createDataFrame(
+            [("crawl/b-2024", base), ("crawl/a-2023", base),
+             ("crawl/z-other", "completely different text about joins")],
+            "doc_id string, text string",
+        )
+        new = spark.createDataFrame(
+            [("new/doc-1", base)], "doc_id string, text string"
+        )
+        for _ in range(3):
+            out = ddp.incremental_dedup(new, hist, "doc_id", "text").collect()
+            assert len(out) == 1
+            assert out[0]["dup_of"] == "crawl/a-2023"
+            assert abs(out[0]["jaccard"] - 1.0) < 1e-9
+
     def test_history_never_pairs_with_itself(self, spark):
         from social_media_data_pipeline_spark.operators import dedup as ddp
 
@@ -319,3 +342,21 @@ class TestR7EdgeCases:
         assert sampling.mixture_sample_to_targets(
             empty, "source", "doc_id", {"a": 1.0}, 10
         ).count() == 0
+
+    def test_mixture_ops_null_group_refused(self, spark):
+        """r8 (ADVICE): a NULL source used to crash sorted(thresh) with
+        TypeError AND silently drop the NULL-group rows from both the
+        CASE-chain and broadcast-join paths — refuse loudly instead."""
+        import pytest
+
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sampling.temperature_mixture_sample(df, "source", "doc_id")
+        with pytest.raises(ValueError, match="NULL"):
+            sampling.mixture_sample_to_targets(
+                df, "source", "doc_id", {"a": 1.0}, 10
+            )

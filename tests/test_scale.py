@@ -506,3 +506,52 @@ class TestUpsertRewriteSetTypeGuard:
         updates = spark.createDataFrame([("bbb",)], "k string")
         with pytest.raises(ValueError, match="numeric key"):
             scale.upsert_rewrite_set(ranges, updates, "k")
+
+    def test_fractional_key_not_truncated(self, spark):
+        """r8 (ADVICE): a BIGINT cast truncated double update keys, so
+        key 5.7 missed a file spanning [5.5, 6.0] — a silently skipped
+        rewrite leaving stale duplicates after MERGE."""
+        ranges = spark.createDataFrame(
+            [("f0", 5.5, 6.0), ("f1", 0.0, 1.0), ("f2", 5.0, 5.4)],
+            "file string, lo double, hi double",
+        )
+        updates = spark.createDataFrame([(5.7,)], "k double")
+        got = sorted(
+            r["file"]
+            for r in scale.upsert_rewrite_set(ranges, updates, "k").collect()
+        )
+        assert got == ["f0"]
+
+    def test_fractional_nan_stats_rewritten_nan_keys_refused(self, spark):
+        nan = float("nan")
+        ranges = spark.createDataFrame(
+            [("f0", 0.0, 1.0), ("fnan", nan, 2.0)],
+            "file string, lo double, hi double",
+        )
+        ok_updates = spark.createDataFrame([(0.5,)], "k double")
+        got = sorted(
+            r["file"]
+            for r in scale.upsert_rewrite_set(ranges, ok_updates, "k").collect()
+        )
+        # NaN stats cannot bound a range: unconditional rewrite
+        assert got == ["f0", "fnan"]
+        bad_updates = spark.createDataFrame([(nan,)], "k double")
+        with pytest.raises(ValueError, match="NaN update keys"):
+            scale.upsert_rewrite_set(ranges, bad_updates, "k")
+
+    def test_decimal_key_exact_containment(self, spark):
+        from decimal import Decimal
+
+        ranges = spark.createDataFrame(
+            [("f0", Decimal("10.50"), Decimal("11.00")),
+             ("f1", Decimal("0.00"), Decimal("9.99"))],
+            "file string, lo decimal(10,2), hi decimal(10,2)",
+        )
+        updates = spark.createDataFrame(
+            [(Decimal("10.75"),)], "k decimal(10,2)"
+        )
+        got = sorted(
+            r["file"]
+            for r in scale.upsert_rewrite_set(ranges, updates, "k").collect()
+        )
+        assert got == ["f0"]
