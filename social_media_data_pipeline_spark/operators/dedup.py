@@ -318,6 +318,7 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    hist_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest near-dedup: flag NEW documents that
     near-duplicate the HISTORICAL corpus — the continuous-crawl flow,
@@ -338,12 +339,22 @@ def incremental_dedup(
     from boilerplate are the risk, and the dedup_first/stop-shingle
     mitigations compose here unchanged); the verify join explodes
     shingles for CANDIDATE docs only.
+
+    `hist_bands` injects an already-materialized history band table
+    (`band_store_read` over the persisted store — MUST have been built
+    with the same num_hashes/bands/shingle_k, which `band_store_append`
+    stamps and `band_store_read` verifies); when omitted the bands are
+    recomputed from `history`, the small-corpus path. Either way
+    `history` itself is still needed for the exact-Jaccard text verify
+    of CANDIDATE docs (a semi-joined, id-pruned read at scale).
     """
     from social_media_data_pipeline_spark.functions import sketches
 
-    hist_bands = sketches.minhash_band_table(
-        history, id_col, text_col, num_hashes, bands, shingle_k
-    ).select(
+    if hist_bands is None:
+        hist_bands = sketches.minhash_band_table(
+            history, id_col, text_col, num_hashes, bands, shingle_k
+        )
+    hist_bands = hist_bands.select(
         F.col("doc").alias("__hist"), "band_idx", "band_hash"
     )
     new_bands = sketches.minhash_band_table(
@@ -419,3 +430,254 @@ def incremental_dedup(
         )
     )
     return best
+
+
+# --------------------------------------------------------------------------
+# band-store lifecycle: the persisted history side of incremental_dedup
+# --------------------------------------------------------------------------
+# At 100 TB the band store is the long-lived asset of a continuous-crawl
+# dedup (reference continuous-ingest analog: resumable scrape state,
+# InstagramFeedScraper.py:122-168): each ingest batch computes only its
+# OWN signatures, joins them against the store, and appends its
+# survivors. The lifecycle below manages that store:
+#   append  — survivors only (flagged duplicates excluded HERE, not by
+#             caller convention), layout-stamped, bucketed for pruning
+#   read    — partition-pruned to the buckets a probe batch touches
+#   compact — drop bands of docs later deduped/retired + coalesce the
+#             per-append small files (staged rewrite, swap documented)
+# Layout: parquet partitioned by (band_idx, band_bucket) where
+# band_bucket = crc32(band_hash) % buckets. A probe batch touches at
+# most its own distinct (band_idx, band_bucket) pairs — bounded by
+# bands × buckets — so the store read prunes to those directories: an
+# ingest batch far smaller than the corpus reads a correspondingly
+# small slice of the store instead of all of it.
+
+_BAND_STORE_META = "_band_store_meta.json"
+
+
+def _band_store_params_path(store_path: str) -> str:
+    import os
+
+    return os.path.join(store_path, _BAND_STORE_META)
+
+
+def band_store_append(
+    bands: DataFrame,
+    store_path: str,
+    flagged: DataFrame | None = None,
+    buckets: int = 64,
+    params: dict | None = None,
+) -> None:
+    """Append a batch's band table (`sketches.minhash_band_table`
+    output: doc, band_idx, band_hash) to the persisted store, EXCLUDING
+    docs listed in `flagged` (the duplicates `incremental_dedup` just
+    found — appending them would make the store grow with junk and
+    every future batch pay collision candidates against it).
+
+    `params` (num_hashes/bands/shingle_k) is stamped into a meta file on
+    first append and verified on every later append/read: joining bands
+    built with different signature parameters silently matches nothing,
+    so a mismatch raises instead.
+    """
+    import json
+    import os
+
+    if flagged is not None:
+        bands = bands.join(
+            flagged.select(F.col(flagged.columns[0]).alias("doc")),
+            "doc",
+            "left_anti",
+        )
+    out = bands.withColumn(
+        "band_bucket", F.pmod(F.crc32(F.col("band_hash")), F.lit(buckets))
+    )
+    meta = {"buckets": buckets, **(params or {})}
+    mp = _band_store_params_path(store_path)
+    if os.path.exists(mp):
+        have = json.load(open(mp))
+        if have != meta:
+            raise ValueError(
+                f"band_store_append: store {store_path} was built with "
+                f"{have}, got {meta} — mixed signature parameters never "
+                "match; recompute with the store's parameters or rebuild"
+            )
+    out.write.mode("append").partitionBy("band_idx", "band_bucket").parquet(
+        store_path
+    )
+    if not os.path.exists(mp):
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+
+
+def band_store_read(
+    spark: "SparkSession",
+    store_path: str,
+    probe_bands: DataFrame | None = None,
+    params: dict | None = None,
+) -> DataFrame:
+    """Read the store back as (doc, band_idx, band_hash). With
+    `probe_bands` (the NEW batch's band table) the read is pruned to
+    the (band_idx, band_bucket) partitions the probe can possibly hit —
+    the collected probe-bucket set is bounded by bands × buckets, never
+    by data size. `params` re-verifies the signature stamp."""
+    import json
+    import os
+
+    mp = _band_store_params_path(store_path)
+    meta = json.load(open(mp)) if os.path.exists(mp) else {}
+    if params:
+        mism = {k: v for k, v in params.items() if meta.get(k) != v}
+        if mism:
+            raise ValueError(
+                f"band_store_read: store {store_path} stamped {meta}, "
+                f"caller expects {mism} — mixed signature parameters"
+            )
+    df = spark.read.parquet(store_path)
+    if probe_bands is not None:
+        buckets = int(meta.get("buckets", 64))
+        touched = [
+            (int(r["band_idx"]), int(r["__b"]))
+            for r in probe_bands.select(
+                "band_idx",
+                F.pmod(F.crc32(F.col("band_hash")), F.lit(buckets)).alias("__b"),
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return df.limit(0).select("doc", "band_idx", "band_hash")
+        cond = F.lit(False)
+        for bi, bb in sorted(set(touched)):
+            cond = cond | (
+                (F.col("band_idx") == F.lit(bi))
+                & (F.col("band_bucket") == F.lit(bb))
+            )
+        df = df.filter(cond)
+    return df.select("doc", "band_idx", "band_hash")
+
+
+def band_store_compact(
+    spark: "SparkSession",
+    store_path: str,
+    drop_docs: DataFrame | None = None,
+    files_per_partition: int = 1,
+) -> dict:
+    """Rewrite the store (a) WITHOUT bands of `drop_docs` — documents
+    since deduped away or retired from the kept corpus, whose bands
+    otherwise feed every future batch useless candidates — and (b) with
+    per-append small files coalesced to `files_per_partition`.
+
+    Staged rewrite: the new store is fully written to `<path>.compact`
+    BEFORE the old directory is swapped out, so a crash before the swap
+    leaves the old store untouched; the swap itself is two renames
+    (at 100 TB this is a metastore/manifest commit — the same boundary
+    documented on `selective_upsert`). Returns before/after row and
+    file counts so callers can alert on runaway growth."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    staged = store_path.rstrip("/") + ".compact"
+    old = store_path.rstrip("/") + ".old"
+    meta = json.load(open(_band_store_params_path(store_path)))
+    cur = spark.read.parquet(store_path)
+    n_before = cur.count()
+    f_before = len(glob.glob(os.path.join(store_path, "**", "*.parquet"),
+                             recursive=True))
+    keep = cur
+    if drop_docs is not None:
+        keep = cur.join(
+            drop_docs.select(F.col(drop_docs.columns[0]).alias("doc")),
+            "doc",
+            "left_anti",
+        )
+    if os.path.exists(staged):
+        shutil.rmtree(staged)
+    (
+        keep.repartition(files_per_partition, "band_idx", "band_bucket")
+        .write.mode("overwrite")
+        .partitionBy("band_idx", "band_bucket")
+        .parquet(staged)
+    )
+    with open(_band_store_params_path(staged), "w") as f:
+        json.dump(meta, f)
+    n_after = spark.read.parquet(staged).count()
+    f_after = len(glob.glob(os.path.join(staged, "**", "*.parquet"),
+                            recursive=True))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(store_path, old)
+    os.rename(staged, store_path)
+    shutil.rmtree(old)
+    return {
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "files_before": f_before,
+        "files_after": f_after,
+    }
+
+
+def incremental_dedup_against_store(
+    new_docs: DataFrame,
+    history: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    buckets: int = 64,
+    append_survivors: bool = True,
+) -> DataFrame:
+    """One ingest-batch cycle against the persisted band store: compute
+    the NEW batch's bands once, prune-read the store to the touched
+    buckets, flag near-duplicates (`incremental_dedup` semantics), then
+    append the survivors' bands — the complete continuous-crawl step,
+    so the append-excludes-flagged rule lives here instead of in every
+    caller. Returns the flagged (id_col, dup_of, jaccard) DataFrame
+    (materialized: the append already consumed it)."""
+    import os
+
+    from social_media_data_pipeline_spark.functions import sketches
+
+    spark = new_docs.sparkSession
+    params = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+    }
+    new_bands = sketches.minhash_band_table(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    ).localCheckpoint(eager=True)
+    if os.path.exists(store_path):
+        hist_bands = band_store_read(
+            spark, store_path, probe_bands=new_bands, params=params
+        )
+        flagged = incremental_dedup(
+            new_docs,
+            history,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+            shingle_k,
+            hist_bands=hist_bands,
+        ).localCheckpoint(eager=True)
+    else:
+        flagged = spark.createDataFrame(
+            [], f"{id_col} {new_docs.schema[id_col].dataType.simpleString()}, "
+                f"dup_of {new_docs.schema[id_col].dataType.simpleString()}, "
+                "jaccard double",
+        )
+    if append_survivors:
+        band_store_append(
+            new_bands,
+            store_path,
+            flagged=flagged.select(id_col),
+            buckets=buckets,
+            params=params,
+        )
+    return flagged

@@ -360,3 +360,117 @@ class TestR7EdgeCases:
             sampling.mixture_sample_to_targets(
                 df, "source", "doc_id", {"a": 1.0}, 10
             )
+
+
+class TestBandStoreLifecycle:
+    """r8: the persisted history band store behind incremental_dedup —
+    append (survivors only, layout-stamped), pruned read, compact."""
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again"
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cycle_append_flag_compact(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        b1 = self._docs(spark, [(1, self.BASE), (2, "first batch unique text body here")])
+        f1 = ddp.incremental_dedup_against_store(b1, b1.limit(0), store, "doc_id", "text")
+        assert f1.count() == 0  # empty store: nothing to flag
+        # batch 2: doc 10 duplicates doc 1; doc 11 fresh
+        b2 = self._docs(spark, [(10, self.BASE), (11, "second batch fresh content")])
+        hist = b1  # kept corpus so far
+        f2 = ddp.incremental_dedup_against_store(b2, hist, store, "doc_id", "text")
+        got = {r["doc_id"]: r["dup_of"] for r in f2.collect()}
+        assert got == {10: 1}
+        # flagged doc 10's bands were NOT appended; survivors 1,2,11 are
+        stored = {r["doc"] for r in ddp.band_store_read(spark, store).collect()}
+        assert stored == {1, 2, 11}
+        # batch 3 duplicating doc 10 must NOT match (10 was never kept),
+        # but duplicating doc 11 must
+        b3 = self._docs(spark, [(20, "second batch fresh content")])
+        f3 = ddp.incremental_dedup_against_store(
+            b3, hist.unionByName(self._docs(spark, [(11, "second batch fresh content")])),
+            store, "doc_id", "text")
+        assert {r["doc_id"]: r["dup_of"] for r in f3.collect()} == {20: 11}
+        # compact: drop doc 2 (retired from the corpus), coalesce files
+        stats = ddp.band_store_compact(
+            spark, store, drop_docs=spark.createDataFrame([(2,)], "doc_id long"))
+        assert stats["rows_after"] < stats["rows_before"]
+        assert stats["files_after"] <= stats["files_before"]
+        # doc 20 was itself flagged (dup of 11), so it was never kept
+        stored = {r["doc"] for r in ddp.band_store_read(spark, store).collect()}
+        assert stored == {1, 11}
+        # compacted store still answers probes (params stamp preserved)
+        b4 = self._docs(spark, [(30, self.BASE)])
+        f4 = ddp.incremental_dedup_against_store(
+            b4, self._docs(spark, [(1, self.BASE)]), store, "doc_id", "text")
+        assert {r["doc_id"]: r["dup_of"] for r in f4.collect()} == {30: 1}
+
+    def test_pruned_read_equals_full_read_for_probe_buckets(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.functions import sketches
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        docs = self._docs(spark, [(i, f"document number {i} with body {i * 7}") for i in range(40)])
+        bands = sketches.minhash_band_table(docs, "doc_id", "text")
+        ddp.band_store_append(bands, store, params={"num_hashes": 16, "bands": 4, "shingle_k": 3})
+        probe_docs = self._docs(spark, [(100, "document number 7 with body 49")])
+        probe = sketches.minhash_band_table(probe_docs, "doc_id", "text")
+        pruned = ddp.band_store_read(spark, store, probe_bands=probe)
+        full = ddp.band_store_read(spark, store)
+        # pruning never loses a joinable row: equi-join results identical
+        j_pruned = sorted(
+            (r["doc"],) for r in probe.join(
+                pruned.withColumnRenamed("doc", "h"), ["band_idx", "band_hash"]
+            ).select(F.col("h").alias("doc")).distinct().collect())
+        j_full = sorted(
+            (r["doc"],) for r in probe.join(
+                full.withColumnRenamed("doc", "h"), ["band_idx", "band_hash"]
+            ).select(F.col("h").alias("doc")).distinct().collect())
+        assert j_pruned == j_full
+        assert pruned.count() < full.count()  # and it actually pruned
+
+    def test_param_stamp_refuses_mixed_signatures(self, spark, tmp_path):
+        import pytest
+
+        from social_media_data_pipeline_spark.functions import sketches
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        docs = self._docs(spark, [(1, "hello world text")])
+        b16 = sketches.minhash_band_table(docs, "doc_id", "text", 16, 4, 3)
+        ddp.band_store_append(b16, store, params={"num_hashes": 16, "bands": 4, "shingle_k": 3})
+        b32 = sketches.minhash_band_table(docs, "doc_id", "text", 32, 8, 3)
+        with pytest.raises(ValueError, match="mixed signature"):
+            ddp.band_store_append(b32, store, params={"num_hashes": 32, "bands": 8, "shingle_k": 3})
+        with pytest.raises(ValueError, match="mixed signature"):
+            ddp.band_store_read(spark, store, params={"num_hashes": 32, "bands": 8, "shingle_k": 3})
+
+    def test_compact_crash_before_swap_leaves_store_intact(self, spark, tmp_path, monkeypatch):
+        import os
+
+        from social_media_data_pipeline_spark.functions import sketches
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        docs = self._docs(spark, [(1, "hello world text"), (2, "other text body")])
+        bands = sketches.minhash_band_table(docs, "doc_id", "text")
+        ddp.band_store_append(bands, store, params={"num_hashes": 16, "bands": 4, "shingle_k": 3})
+        before = sorted((r["doc"], r["band_idx"], r["band_hash"])
+                        for r in ddp.band_store_read(spark, store).collect())
+        real_rename = os.rename
+
+        def boom(src, dst):
+            raise OSError("simulated crash at swap")
+
+        monkeypatch.setattr(os, "rename", boom)
+        import pytest
+
+        with pytest.raises(OSError, match="simulated crash"):
+            ddp.band_store_compact(spark, store)
+        monkeypatch.setattr(os, "rename", real_rename)
+        after = sorted((r["doc"], r["band_idx"], r["band_hash"])
+                       for r in ddp.band_store_read(spark, store).collect())
+        assert after == before  # staged-rewrite: old store untouched

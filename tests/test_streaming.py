@@ -375,25 +375,29 @@ class TestStreamingIncrementalDedup:
         )
         flagged: dict[int, int] = {}
 
-        def dedup_batch(batch_df, batch_id):
-            import os
+        kept: list = []
 
-            bands = sketches.minhash_band_table(batch_df, "doc_id", "text")
-            if os.path.exists(store):
-                hist = spark.read.parquet(store)
-                hits = (
-                    bands.join(hist.withColumnRenamed("doc", "hist_doc"),
-                               ["band_idx", "band_hash"])
-                    .select("doc", "hist_doc")
-                    .distinct()
-                    .collect()
-                )
-                for r in hits:
-                    flagged[r["doc"]] = min(
-                        flagged.get(r["doc"], r["hist_doc"]), r["hist_doc"]
-                    )
-            survivors = bands.filter(~F.col("doc").isin(list(flagged.keys()) or [-1]))
-            survivors.write.mode("append").parquet(store)
+        def dedup_batch(batch_df, batch_id):
+            # r8: the band-store lifecycle owns the whole cycle —
+            # pruned read, flag, survivors-only append
+            from social_media_data_pipeline_spark.operators import dedup as ddp
+
+            history = (
+                spark.createDataFrame(kept, "doc_id long, text string")
+                if kept
+                else batch_df.limit(0)
+            )
+            out = ddp.incremental_dedup_against_store(
+                batch_df, history, store, "doc_id", "text"
+            )
+            for r in out.collect():
+                flagged[r["doc_id"]] = r["dup_of"]
+            dup_ids = set(flagged)
+            kept.extend(
+                (r["doc_id"], r["text"])
+                for r in batch_df.collect()
+                if r["doc_id"] not in dup_ids
+            )
 
         q = (
             stream.writeStream.foreachBatch(dedup_batch)
