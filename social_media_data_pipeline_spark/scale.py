@@ -171,6 +171,76 @@ def file_skipping_index(spark: SparkSession, path: str, cols: Sequence[str]) -> 
     )
 
 
+# --------------------------------------------------------------------------
+# live-file manifest: the commit primitive for in-place table mutation
+# --------------------------------------------------------------------------
+# `selective_upsert` swaps files inside a directory; without a commit
+# point, a crash between move-in and remove leaves BOTH the staged and
+# the replaced files visible to a raw directory read (transient
+# duplicate keys). The manifest closes that window: `_manifest.json`
+# lists the table's LIVE parquet files, is replaced ATOMICALLY
+# (tmp + os.replace — the POSIX rename guarantee), and every
+# manifest-aware reader (`live_files` → `footer_stats_index*`,
+# `pruned_read*`, `manifest_read`) sees exactly the pre-commit or the
+# post-commit snapshot, never a mix. At 100 TB this file IS the
+# transaction log entry (Delta/Iceberg keep a sequence of them; one
+# generation suffices here because the engine mutates tables only
+# through `selective_upsert`, which re-reads the manifest it wrote).
+
+_MANIFEST = "_manifest.json"
+
+
+def write_table_manifest(path: str, files: Sequence[str]) -> None:
+    """Atomically commit `files` (basenames or absolute paths under
+    `path`) as the table's live set."""
+    import json as _json
+    import os as _os
+
+    names = sorted(_os.path.basename(f) for f in files)
+    tmp = _os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"files": names}, fh)
+    _os.replace(tmp, _os.path.join(path, _MANIFEST))
+
+
+def read_table_manifest(path: str) -> list[str] | None:
+    """The table's live files (absolute), or None when the table has no
+    manifest (never mutated in place — the plain-directory contract)."""
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(path, _MANIFEST)
+    if not _os.path.exists(mp):
+        return None
+    with open(mp) as fh:
+        names = _json.load(fh)["files"]
+    return [_os.path.join(path, n) for n in names]
+
+
+def live_files(path: str) -> list[str]:
+    """Live parquet files of a table directory: the manifest when one
+    exists, else every *.parquet in the directory."""
+    import glob as _glob
+    import os as _os
+
+    manifest = read_table_manifest(path)
+    if manifest is not None:
+        return manifest
+    if _os.path.isdir(path):
+        return sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def manifest_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table honoring its manifest — the safe reader for tables
+    mutated by `selective_upsert` (a raw `spark.read.parquet(dir)`
+    additionally sees uncommitted staged files during a swap)."""
+    files = live_files(path)
+    if not files:
+        raise ValueError(f"manifest_read: no live files under {path}")
+    return spark.read.parquet(*files)
+
+
 def pruned_read(
     spark: SparkSession,
     index: DataFrame,
@@ -210,16 +280,10 @@ def footer_stats_index(path: str, cols: Sequence[str]) -> "object":
     them), refreshed per ingest partition by listing footers only.
     Returns a pandas DataFrame (file, row_group, n_rows, min_c/max_c
     per col) — driver-sized: rows = row groups, not data rows."""
-    import glob as _glob
-    import os as _os
-
     import pandas as _pd
     import pyarrow.parquet as _pq
 
-    if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-    else:
-        files = [path]
+    files = live_files(path)
     rows = []
     for f in files:
         md = _pq.ParquetFile(f).metadata
@@ -248,15 +312,9 @@ def footer_stats_index_table(
     Output schema: (file, row_group, n_rows, min_c/max_c per col) with
     min/max typed as the underlying column type.
     """
-    import glob as _glob
-    import os as _os
-
     from pyspark.sql import types as T
 
-    if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-    else:
-        files = [path]
+    files = live_files(path)
     if not files:
         raise ValueError(f"no parquet files under {path}")
     table_schema = spark.read.parquet(files[0]).schema
@@ -433,7 +491,7 @@ def pruned_read_footer_table(
         for r in index.filter(cond).select("file").distinct().collect()
     ]
     if not keep:
-        out = spark.read.parquet(path).limit(0)
+        out = manifest_read(spark, path).limit(0)
     else:
         out = spark.read.parquet(*sorted(keep))
     for c, (lo, hi) in predicates.items():
@@ -490,10 +548,16 @@ def selective_upsert(
     rewrite set (a broadcast range semi-join, no target scan), the
     rewrite reads just those files (anti-join old keys, union the
     updates — inserts with out-of-range keys land here too), and the
-    swap is a file move. At 100 TB the swap is a transaction-log
-    commit; on a plain filesystem it is the direct file replacement
-    done here. Sort/cluster the table by `key` (`write_zordered` or a
-    range sort) and the rewrite set shrinks to ~updates/file_span.
+    swap COMMITS through the live-file manifest: staged files move in,
+    the manifest is atomically replaced (the commit point), and only
+    then are the replaced files deleted. A crash anywhere leaves
+    manifest readers (`manifest_read`, `pruned_read*`,
+    `footer_stats_index*`) on the exact pre- or post-commit snapshot —
+    never transient duplicates (only a raw `spark.read.parquet(dir)`
+    between move-in and cleanup can see both copies). At 100 TB the
+    manifest write IS the transaction-log commit. Sort/cluster the
+    table by `key` (`write_zordered` or a range sort) and the rewrite
+    set shrinks to ~updates/file_span.
 
     Returns {"files_total", "files_rewritten", "rows_written"}.
     """
@@ -515,7 +579,8 @@ def selective_upsert(
         r["file"]
         for r in upsert_rewrite_set(ranges_df, updates, key).collect()
     )
-    target_cols = spark.read.parquet(path).columns
+    before = live_files(path)
+    target_cols = spark.read.parquet(*before).columns
     if rewrite:
         old = spark.read.parquet(*rewrite)
         keep = old.join(updates.select(key).distinct(), key, "left_anti")
@@ -525,17 +590,29 @@ def selective_upsert(
     staging = path.rstrip("/") + f"__upsert_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
     rows_written = spark.read.parquet(staging).count()
-    # swap order: move the staged files IN first, remove the replaced
-    # files after — a crash mid-swap leaves transient duplicate keys
-    # (recoverable by re-running the merge) instead of missing rows
-    moved = 0
+    # swap: (1) staged files move IN (invisible to manifest readers —
+    # not yet committed), (2) the manifest flips atomically to the new
+    # live set — THE commit point, (3) replaced files are deleted
+    # (post-commit cleanup; a crash before it leaves dead files the
+    # manifest no longer lists). Crash at any point = pre- or
+    # post-commit snapshot for manifest readers, never duplicates.
+    if read_table_manifest(path) is None:
+        # first mutation of a plain directory table: commit the CURRENT
+        # live set first, so the move-in below is invisible to readers
+        # (otherwise the glob fallback would see staged files mid-swap)
+        write_table_manifest(path, before)
+    moved = []
     for f in sorted(_os.listdir(staging)):
         if f.endswith(".parquet"):
-            _shutil.move(
-                _os.path.join(staging, f),
-                _os.path.join(path, f"upsert-{_uuid.uuid4().hex[:8]}-{moved}.parquet"),
+            dst = _os.path.join(
+                path, f"upsert-{_uuid.uuid4().hex[:8]}-{len(moved)}.parquet"
             )
-            moved += 1
+            _shutil.move(_os.path.join(staging, f), dst)
+            moved.append(dst)
+    rewritten = set(rewrite)
+    write_table_manifest(
+        path, [f for f in before if f not in rewritten] + moved
+    )
     for f in rewrite:
         _os.remove(f)
     _shutil.rmtree(staging, ignore_errors=True)

@@ -555,3 +555,112 @@ class TestUpsertRewriteSetTypeGuard:
             for r in scale.upsert_rewrite_set(ranges, updates, "k").collect()
         )
         assert got == ["f0"]
+
+
+class TestManifestCommit:
+    """r8: the live-file manifest closes selective_upsert's transient-
+    duplicate crash window — manifest readers see the exact pre- or
+    post-commit snapshot at EVERY crash point, never both copies."""
+
+    def _table(self, spark, path, n=1024, files=8):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def _snapshot(self, spark, path):
+        return sorted(
+            (r["k"], r["v"]) for r in scale.manifest_read(spark, path).collect()
+        )
+
+    def test_manifest_read_round_trip_and_upsert_commit(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        pre = self._snapshot(spark, path)
+        assert pre == [(k, 2 * k) for k in range(1024)]
+        updates = spark.createDataFrame(
+            [(k, -1) for k in range(10, 20)], "k long, v long"
+        )
+        scale.selective_upsert(spark, path, updates, "k")
+        post = dict(self._snapshot(spark, path))
+        assert len(post) == 1024
+        assert all(post[k] == -1 for k in range(10, 20))
+        # the manifest exists and the footer index honors it
+        assert scale.read_table_manifest(path) is not None
+        idx_files = {
+            r["file"]
+            for r in scale.footer_stats_index_table(spark, path, ["k"]).collect()
+        }
+        assert idx_files == set(scale.read_table_manifest(path))
+
+    def test_crash_between_move_in_and_commit_reads_pre_snapshot(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Interrupt AFTER the staged files moved in but BEFORE the
+        manifest flip: manifest readers must see the exact PRE state
+        (the moved-in files are uncommitted), and the duplicate-key
+        count must be zero."""
+        import shutil
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        pre = self._snapshot(spark, path)
+        updates = spark.createDataFrame(
+            [(k, -1) for k in range(10, 20)], "k long, v long"
+        )
+        real_write = scale.write_table_manifest
+        calls = {"n": 0}
+
+        def crash_at_commit(p, files):
+            # the first write is the pre-state manifest (plain dir →
+            # manifest); the SECOND is the commit — crash there
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise OSError("simulated crash at manifest commit")
+            real_write(p, files)
+
+        monkeypatch.setattr(scale, "write_table_manifest", crash_at_commit)
+        with pytest.raises(OSError, match="simulated crash"):
+            scale.selective_upsert(spark, path, updates, "k")
+        monkeypatch.setattr(scale, "write_table_manifest", real_write)
+        # raw dir HAS both copies (the window the manifest closes)…
+        raw = spark.read.parquet(path)
+        assert raw.count() > 1024
+        # …but the manifest read is the exact pre snapshot: no dups
+        got = self._snapshot(spark, path)
+        assert got == pre
+
+    def test_crash_between_commit_and_remove_reads_post_snapshot(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Interrupt AFTER the manifest flip but BEFORE the replaced
+        files are deleted: manifest readers must see the exact POST
+        state even though the old files still exist on disk."""
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        updates = spark.createDataFrame(
+            [(k, -1) for k in range(10, 20)], "k long, v long"
+        )
+        real_remove = os.remove
+
+        def crash_at_cleanup(p):
+            if p.endswith(".parquet"):
+                raise OSError("simulated crash at cleanup")
+            real_remove(p)
+
+        monkeypatch.setattr(os, "remove", crash_at_cleanup)
+        with pytest.raises(OSError, match="simulated crash"):
+            scale.selective_upsert(spark, path, updates, "k")
+        monkeypatch.setattr(os, "remove", real_remove)
+        post = dict(self._snapshot(spark, path))
+        assert len(post) == 1024  # exact post snapshot: no duplicates
+        assert all(post[k] == -1 for k in range(10, 20))
+        assert all(post[k] == 2 * k for k in (0, 5, 500, 1023))
+        # re-running the merge converges (cleanup junk is invisible)
+        scale.selective_upsert(spark, path, updates, "k")
+        assert dict(self._snapshot(spark, path)) == post
