@@ -1607,6 +1607,25 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train_batched(docs, num_merges=20).orderBy("merge_rank")
 
 
+def q_docs_bpe_merges_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-SHAPED batched BPE training (r8): 80 merges under a
+    TRUNCATED head (head_words=24 of the corpus's 31-word vocabulary,
+    top_pairs=48), so certification runs dry repeatedly and the trainer
+    exercises the full multi-round path — 9–14 recollection rounds
+    measured across the three scales (the 20-merge registration
+    certifies in ONE round and never re-collects). The sequential
+    oracle re-proves the batched ≡ sequential identity across every
+    round boundary on real data each driver round. Why 80, not the
+    round-number 200: the corpus runs out of mergeable pairs at 89
+    (measured — the 100-merge oracle returns 89 rows at sf0.01), and
+    DuckDB's max_expression_depth caps the replay chain below 200
+    rounds; 80 is the largest clean config the data supports."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train_batched(
+        docs, num_merges=80, head_words=24, top_pairs=48
+    ).orderBy("merge_rank")
+
+
 def q_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch point queries vs exact counts for the 30 most
     frequent tokens (`functions/sketches.py:cms_build/cms_estimate`,
@@ -2076,6 +2095,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_status_counts": q_order_status_counts,
     "customers_no_orders": q_customers_no_orders,
     # ---- new in r8 (never driver-checked; rotate into the r9 window) ----
+    "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
 }
 
 

@@ -94,6 +94,9 @@ HEADLINE = [
     # round 7 (late): the two full-cycle perf wins, tracked as iterative
     "docs_bpe_merges",
     "docs_llm_pipeline",
+    # round 8: production-shaped multi-round batched BPE (9 rounds at
+    # sf0.1 under the truncated head — the recollection path's cost)
+    "docs_bpe_merges_80",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -123,6 +126,7 @@ ITERATIVE = {
     # batched BPE training runs its collection rounds at construction;
     # the flagship pins its surviving corpus at construction
     "docs_bpe_merges",
+    "docs_bpe_merges_80",
     "docs_llm_pipeline",
     # near-dup-ivf pins its co-partitioned IVF assignment at
     # construction (r7 AQE-proofing fix) — full cycle is the honest

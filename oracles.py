@@ -2304,3 +2304,9 @@ WHERE ('0x' || substr(md5('target-mix-v1:' || d.doc_id), 1, 8))::BIGINT % 100000
       < rates.rate
 ORDER BY d.doc_id
 """
+
+# r8: production-shaped batched BPE — 80 merges, multi-round certified
+# (same sequential replay chain; the Spark side runs bpe_train_batched
+# with a truncated head, so the differential gate proves the batched
+# trainer identical across 9-14 recollection rounds on real data)
+ORACLES["docs_bpe_merges_80"] = _bpe_oracle(80)

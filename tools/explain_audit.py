@@ -152,6 +152,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("vocab broadcast", r"BroadcastHashJoin"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_bpe_merges_80": [
+        # the multi-round certified trainer's OUTPUT is a driver-built
+        # literal merge table: no executor work may remain in the final
+        # plan (the training jobs already ran during construction)
+        ("result is a local merge table", r"LocalTableScan|Scan ExistingRDD"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_chunks": [
         # one map-side projection: posexplode over transform/slice — the
         # ONLY exchange allowed is the presentation orderBy's range
