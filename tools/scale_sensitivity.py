@@ -49,7 +49,9 @@ from social_media_data_pipeline_spark.functions import classifier as eclf  # noq
 from social_media_data_pipeline_spark.functions import importance as eimp  # noqa: E402
 from social_media_data_pipeline_spark.functions import kmeans as ekm  # noqa: E402
 from social_media_data_pipeline_spark.functions import pq as epq  # noqa: E402
+from social_media_data_pipeline_spark.functions import retrieval as eretr  # noqa: E402
 from social_media_data_pipeline_spark.operators import dedup as ededup  # noqa: E402
+from social_media_data_pipeline_spark.operators import sampling as esamp  # noqa: E402
 from social_media_data_pipeline_spark.operators import packing as epack  # noqa: E402
 from social_media_data_pipeline_spark.operators import splits as esplits  # noqa: E402
 from social_media_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -196,6 +198,39 @@ def heavy_queries(spark, sf_dir: str):
                 emb.filter("vec_id < 5"), epq.pq_encode(emb, cb), cb, k=5
             )
         )(epq.pq_codebook(emb, m=8, ksub=16)),
+        # round 8: the four r7 registrations that had shootout ratios
+        # but no growth exponents. multiprobe IVF: centroid count and
+        # query set held constant across factors (the production shape:
+        # a bounded query batch against a growing corpus) — cells grow
+        # linearly, so candidates = probes x cell grow linearly too.
+        "embedding_ivf_topk_multiprobe": lambda: similarity.ivf_topk_multiprobe(
+            emb.filter(F.col("vec_id") < 20),
+            emb,
+            # fixed deterministic centroid set (copy-0 ids exist at
+            # every factor): cells grow with the corpus, centroids don't
+            emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000)),
+            k=5,
+            probes=4,
+        ),
+        # hybrid RRF: fixed query, both arms scan the growing corpus,
+        # fusion joins two bounded top-n lists — expected ~linear
+        # terms carry the copy-0 suffix the replicator stamps on every
+        # token, so the lexical arm matches copy 0 (fixed postings)
+        # while both arms SCAN the growing corpus
+        "docs_hybrid_rrf": lambda: eretr.hybrid_rrf_topk(
+            docs, emb, ["sparkx0", "windowx0", "hashx0"],
+            query_vec_id=7, k=10,
+        ),
+        # temperature mixture: histogram aggregate + map-side draw —
+        # expected ~linear (histogram collect is per-source, bounded)
+        "docs_temperature_mixture": lambda: esamp.temperature_mixture_sample(
+            docs, "source", "doc_id"
+        ).select("doc_id", "source"),
+        # gopher rules: one tokenize pass, pure JVM expressions —
+        # expected ~linear (the flattest legitimate shape here)
+        "docs_gopher_rules": lambda: docs.select(
+            "doc_id", etext.gopher_quality_flags("text").alias("g")
+        ).select("doc_id", "g.word_count", "g.passes"),
         # round 6: distributed Lloyd training — fixed rounds, each a
         # full assignment scan + (cluster, dim) partial agg: expected
         # exponent ~1 (linear per round), the honest k-means shape
