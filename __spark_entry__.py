@@ -926,6 +926,26 @@ def q_embedding_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, centroids, k=5).orderBy("query_id", "rank")
 
 
+def q_embedding_ivf_multiprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN production default (r8): TRAINED centroids
+    (`kmeans_centroids`, 5 Lloyd rounds — the r6 recall lift over
+    id-stride seeds) × multi-probe search (`ivf_topk_multiprobe`,
+    probes=4 — the r7 recall lever). tools/ann_recall.py measures the
+    composition beating both single-lever configs at comparable scan
+    cost (recall table in SCALING.md r8). Corpus stays single-cell;
+    queries probe their top-4 trained cells; exact cosine within the
+    probed union. Oracle: k-means replay chain + multiprobe body in
+    one generated SQL chain."""
+    from social_media_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans.kmeans_centroids(emb, iters=5)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk_multiprobe(
+        queries, emb, centroids, k=5, probes=4
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k over a TRAINED codebook: per-subspace Lloyd k-means
     (`pq.pq_codebook_kmeans`, 3 rounds, all 8 subspaces batched per
@@ -2096,6 +2116,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_no_orders": q_customers_no_orders,
     # ---- new in r8 (never driver-checked; rotate into the r9 window) ----
     "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
+    "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r9-in-new]
 }
 
 

@@ -97,6 +97,9 @@ HEADLINE = [
     # round 8: production-shaped multi-round batched BPE (9 rounds at
     # sf0.1 under the truncated head — the recollection path's cost)
     "docs_bpe_merges_80",
+    # round 8: the composed ANN production default (trained centroids ×
+    # 4-probe — dominates both single-lever configs in ann_recall.py)
+    "embedding_ivf_multiprobe_trained",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -128,6 +131,9 @@ ITERATIVE = {
     "docs_bpe_merges",
     "docs_bpe_merges_80",
     "docs_llm_pipeline",
+    # trained-centroid multiprobe runs its 5 Lloyd rounds at
+    # construction — full train+search cycle is the honest number
+    "embedding_ivf_multiprobe_trained",
     # near-dup-ivf pins its co-partitioned IVF assignment at
     # construction (r7 AQE-proofing fix) — full cycle is the honest
     # per-batch number

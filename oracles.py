@@ -1982,6 +1982,35 @@ FROM scored
 QUALIFY rank <= 5
 ORDER BY query_id, rank"""
 
+# r8: the composed production default — TRAINED centroids x multiprobe
+# search. Same k-means replay chain, multiprobe qprobe body (rn <= 4).
+ORACLES["embedding_ivf_multiprobe_trained"] = _kmeans_cent_cte(iters=5) + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), qprobe AS (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    WHERE vec_id < 20
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) <= 4
+), scored AS (
+    SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+           {_cos('q.vec', 's.vec')} AS cos
+    FROM qprobe q JOIN assigned s ON q.cluster = s.cluster
+    WHERE q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank"""
+
 # PQ over TRAINED codebooks: per-subspace k-means chain (exact integer
 # micro-space replay) ending in cw(c, j, csub), then the standard
 # encode + ADC body in integer micro-unit sums.

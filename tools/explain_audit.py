@@ -209,6 +209,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_multiprobe_trained": [
+        # the composed production default (trained centroids × 4-probe):
+        # same bounded-candidate contract as the seeded multiprobe rule
+        ("cell-equi candidate join", r"BroadcastHashJoin.*cluster|SortMergeJoin.*cluster"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop candidate join",
+         r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_pq_topk": [
         # encode is a pure map over the literal codebook (no join to a
         # codebook table); ADC joins the 5-query side via broadcast; the
