@@ -1292,6 +1292,21 @@ def q_docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def q_docs_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction
+    (`operators/dedup.py:duplicate_window_fraction`): share of each
+    document's 8-token windows seen in ≥ 2 documents — the doc-level
+    contamination score a curation run thresholds on (the aggregate
+    sibling of docs_duplicate_spans' trimmable spans). No
+    occurrence-list state: two map-side-combinable aggregates and a
+    hash-equi join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_window_fraction(docs, "doc_id", "text", k=8, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "dup_frac"
+    ).orderBy("doc_id")
+
+
 def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate spans (ExactSubstr re-expressed
     relationally, Lee et al. 2022): maximal runs of 8-token windows
@@ -2117,6 +2132,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- new in r8 (never driver-checked; rotate into the r9 window) ----
     "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
     "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r9-in-new]
+    "docs_dup_window_frac": q_docs_dup_window_frac,  # [r9-in-new]
 }
 
 

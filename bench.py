@@ -100,6 +100,9 @@ HEADLINE = [
     # round 8: the composed ANN production default (trained centroids ×
     # 4-probe — dominates both single-lever configs in ann_recall.py)
     "embedding_ivf_multiprobe_trained",
+    # round 8: per-doc duplication fraction (aggregate sibling of
+    # docs_duplicate_spans — no occurrence-list state)
+    "docs_dup_window_frac",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

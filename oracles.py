@@ -1590,6 +1590,31 @@ GROUP BY doc_id, grp
 ORDER BY doc_id, span_start
 """
 
+# r8: per-document duplication fraction — same window-hash CTE as
+# duplicate_spans, aggregated to the doc-level contamination score
+ORACLES["docs_dup_window_frac"] = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), wins AS (
+    SELECT doc_id,
+           md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), pdh AS (
+    SELECT h, doc_id, COUNT(*)::BIGINT AS n_pos FROM wins GROUP BY h, doc_id
+), ph AS (
+    SELECT h, COUNT(*)::BIGINT AS nd FROM pdh GROUP BY h
+)
+SELECT doc_id,
+       SUM(n_pos)::BIGINT AS n_windows,
+       SUM(CASE WHEN nd >= 2 THEN n_pos ELSE 0 END)::BIGINT AS n_dup_windows,
+       ROUND(SUM(CASE WHEN nd >= 2 THEN n_pos ELSE 0 END)
+             / SUM(n_pos), 6) AS dup_frac
+FROM pdh JOIN ph USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 ORACLES["docs_zipf_slope"] = f"""
 WITH freq AS (
     SELECT t, COUNT(*)::BIGINT AS n

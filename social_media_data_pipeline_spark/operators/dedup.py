@@ -240,6 +240,74 @@ def duplicate_spans(
     )
 
 
+def duplicate_window_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication SCORE: the fraction of a document's
+    k-token windows that also occur in ≥ `min_docs`−1 OTHER documents —
+    the doc-level contamination number a curation run thresholds on
+    ("drop docs >50% boilerplate", the aggregate view of what
+    `duplicate_spans` localizes into trimmable spans; Lee et al. 2022's
+    ExactSubstr statistic, per-document). Returns
+    (id, n_windows, n_dup_windows, dup_frac) for docs with ≥ 1 window.
+
+    Scale shape (100 TB): same map-side window-hash explode as
+    `duplicate_spans`, then THREE map-side-combinable aggregates and
+    one hash-equi join — per-(hash, doc) counts, per-hash distinct-doc
+    counts (a count over the FIRST aggregate's output, so no
+    occurrence-list state concentrates anywhere — the collect_list
+    hot-hash exposure of `duplicate_spans` does not exist here), join
+    back on the hash, per-doc sums. No window function, nothing
+    quadratic: a boilerplate hash in h docs costs h rows in the first
+    aggregate, 1 in the second.
+    """
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    m = F.size(toks) - F.lit(k - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    wins = F.transform(acc, lambda s: F.md5(s))
+    exploded = df.filter(F.size(toks) >= k).select(
+        F.col(id_col).alias("id"), F.explode(wins).alias("h")
+    )
+    per_doc_hash = exploded.groupBy("h", "id").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    per_hash = per_doc_hash.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        per_doc_hash.join(per_hash, "h")
+        .groupBy("id")
+        .agg(
+            F.sum("n_pos").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= min_docs, F.col("n_pos")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+        .select(
+            "id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 def trim_spans(
     df: DataFrame,
     spans: DataFrame,

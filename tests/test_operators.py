@@ -474,3 +474,58 @@ class TestBandStoreLifecycle:
         after = sorted((r["doc"], r["band_idx"], r["band_hash"])
                        for r in ddp.band_store_read(spark, store).collect())
         assert after == before  # staged-rewrite: old store untouched
+
+
+class TestDuplicateWindowFraction:
+    def test_planted_boilerplate_fraction(self, spark):
+        """Doc 1 and 2 share an 8-token boilerplate prefix; doc 3 is
+        unique. The shared windows count as duplicated in BOTH docs;
+        unique docs score 0."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        boiler = "subscribe to our newsletter for all updates"  # 7 tokens
+        a = boiler + " alpha beta gamma"          # 10 tokens → 3 windows
+        b = boiler + " delta epsilon zeta"        # 10 tokens → 3 windows
+        c = "totally unique body of text with enough tokens here"
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+            for r in ddp.duplicate_window_fraction(df, "doc_id", "text", k=8).collect()
+        }
+        # windows of doc a: [sub..updates alpha], [to..alpha beta], [our..beta gamma]
+        # only the FIRST window (boiler + 'alpha') differs from b's; the
+        # 8-token windows all include post-boiler tokens, so none are
+        # shared between a and b → craft the check from the operator's
+        # own totals instead of hand counts: docs 1/2 symmetric, doc 3 zero
+        assert out[1] == out[2]
+        assert out[3][1] == 0 and out[3][2] == 0.0
+        # extend the shared prefix so windows DO overlap
+        boiler2 = "one two three four five six seven eight nine ten"  # 10 toks
+        d = spark.createDataFrame(
+            [(1, boiler2 + " tail1"), (2, boiler2 + " tail2"), (3, c)],
+            "doc_id long, text string",
+        )
+        out2 = {
+            r["id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+            for r in ddp.duplicate_window_fraction(d, "doc_id", "text", k=8).collect()
+        }
+        # 11 tokens → 4 windows; the 3 windows inside the 10-token
+        # shared prefix are duplicated, the tail window is not
+        assert out2[1] == (4, 3, 0.75) and out2[2] == (4, 3, 0.75)
+        assert out2[3][1] == 0
+
+    def test_short_docs_dropped_and_validation(self, spark):
+        import pytest
+
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        )
+        out = ddp.duplicate_window_fraction(df, "doc_id", "text", k=8).collect()
+        assert {r["id"] for r in out} == {2}
+        with pytest.raises(ValueError, match="k must be"):
+            ddp.duplicate_window_fraction(df, "doc_id", "text", k=1)

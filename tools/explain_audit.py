@@ -209,6 +209,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_dup_window_frac": [
+        # no occurrence-list state: aggregates only, no collect_list,
+        # no window function, hash-equi join back
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no collect_list state", r"\A(?!.*collect_list)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_ivf_multiprobe_trained": [
         # the composed production default (trained centroids × 4-probe):
         # same bounded-candidate contract as the seeded multiprobe rule
