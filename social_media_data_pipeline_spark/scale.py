@@ -190,31 +190,114 @@ def file_skipping_index(spark: SparkSession, path: str, cols: Sequence[str]) -> 
 _MANIFEST = "_manifest.json"
 
 
-def write_table_manifest(path: str, files: Sequence[str]) -> None:
+def write_table_manifest(path: str, files: Sequence[str]) -> int:
     """Atomically commit `files` (basenames or absolute paths under
-    `path`) as the table's live set."""
+    `path`) as the table's live set. Each commit is also preserved as a
+    numbered GENERATION (`_manifest-<n>.json`, written before the
+    pointer flips), so `manifest_read(..., version=n)` can time-travel
+    to any snapshot whose files still exist (see `selective_upsert`'s
+    `keep_history` and `vacuum_table`). Returns the generation number.
+    """
     import json as _json
     import os as _os
 
     names = sorted(_os.path.basename(f) for f in files)
+    prev = _read_manifest_doc(path)
+    gen = (prev["generation"] + 1) if prev else 0
+    doc = {"files": names, "generation": gen}
+    hist = _os.path.join(path, f"_manifest-{gen}.json")
+    tmp = hist + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(doc, fh)
+    _os.replace(tmp, hist)
     tmp = _os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        _json.dump({"files": names}, fh)
+        _json.dump(doc, fh)
     _os.replace(tmp, _os.path.join(path, _MANIFEST))
+    return gen
 
 
-def read_table_manifest(path: str) -> list[str] | None:
-    """The table's live files (absolute), or None when the table has no
-    manifest (never mutated in place — the plain-directory contract)."""
+def _read_manifest_doc(path: str, version: int | None = None) -> dict | None:
     import json as _json
     import os as _os
 
-    mp = _os.path.join(path, _MANIFEST)
+    name = _MANIFEST if version is None else f"_manifest-{version}.json"
+    mp = _os.path.join(path, name)
     if not _os.path.exists(mp):
+        if version is not None:
+            raise ValueError(
+                f"manifest generation {version} does not exist under "
+                f"{path} (vacuumed, or never written); available: "
+                f"{manifest_versions(path)}"
+            )
         return None
     with open(mp) as fh:
-        names = _json.load(fh)["files"]
-    return [_os.path.join(path, n) for n in names]
+        doc = _json.load(fh)
+    doc.setdefault("generation", 0)
+    return doc
+
+
+def read_table_manifest(path: str, version: int | None = None) -> list[str] | None:
+    """The table's live files (absolute) at the current commit, or at
+    historical generation `version`; None when the table has no
+    manifest (never mutated in place — the plain-directory contract)."""
+    import os as _os
+
+    doc = _read_manifest_doc(path, version)
+    if doc is None:
+        return None
+    return [_os.path.join(path, n) for n in doc["files"]]
+
+
+def manifest_versions(path: str) -> list[int]:
+    """Generations still present (ascending); [] for plain tables."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    out = []
+    for f in _glob.glob(_os.path.join(path, "_manifest-*.json")):
+        m = _re.fullmatch(r"_manifest-(\d+)\.json", _os.path.basename(f))
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def vacuum_table(path: str, keep_generations: int = 1) -> dict:
+    """Delta-VACUUM analog: drop manifest generations beyond the newest
+    `keep_generations` and delete data files no kept generation (nor
+    the current pointer) references. After a vacuum, time travel is
+    bounded to the kept window — that is the documented trade the
+    retention knob buys. Returns counts for alerting."""
+    import os as _os
+
+    if keep_generations < 1:
+        raise ValueError(
+            f"keep_generations must be >= 1, got {keep_generations}"
+        )
+    gens = manifest_versions(path)
+    keep = set(gens[-keep_generations:])
+    referenced: set[str] = set()
+    cur = _read_manifest_doc(path)
+    if cur:
+        referenced.update(cur["files"])
+    for g in keep:
+        referenced.update(_read_manifest_doc(path, g)["files"])
+    dropped_gens = 0
+    for g in gens:
+        if g not in keep:
+            _os.remove(_os.path.join(path, f"_manifest-{g}.json"))
+            dropped_gens += 1
+    dropped_files = 0
+    for f in sorted(_os.listdir(path)):
+        if f.endswith(".parquet") and f not in referenced:
+            _os.remove(_os.path.join(path, f))
+            dropped_files += 1
+    return {
+        "dropped_generations": dropped_gens,
+        "dropped_files": dropped_files,
+        "kept_generations": sorted(keep),
+    }
 
 
 def live_files(path: str) -> list[str]:
@@ -231,11 +314,19 @@ def live_files(path: str) -> list[str]:
     return [path]
 
 
-def manifest_read(spark: SparkSession, path: str) -> DataFrame:
+def manifest_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read a table honoring its manifest — the safe reader for tables
     mutated by `selective_upsert` (a raw `spark.read.parquet(dir)`
-    additionally sees uncommitted staged files during a swap)."""
-    files = live_files(path)
+    additionally sees uncommitted staged files during a swap). With
+    `version`, time-travel to that generation's exact snapshot
+    (requires the upserts to have run with `keep_history=True`, and the
+    generation to be inside the `vacuum_table` retention window)."""
+    if version is not None:
+        files = read_table_manifest(path, version)
+    else:
+        files = live_files(path)
     if not files:
         raise ValueError(f"manifest_read: no live files under {path}")
     return spark.read.parquet(*files)
@@ -540,6 +631,7 @@ def selective_upsert(
     path: str,
     updates: DataFrame,
     key: str,
+    keep_history: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert by `key`) that rewrites ONLY the
     files whose footer key range can contain an updated key; every
@@ -613,8 +705,12 @@ def selective_upsert(
     write_table_manifest(
         path, [f for f in before if f not in rewritten] + moved
     )
-    for f in rewrite:
-        _os.remove(f)
+    if not keep_history:
+        # keep_history=True leaves replaced files on disk so earlier
+        # manifest generations stay readable (manifest_read(version=));
+        # reclaim them later with vacuum_table(path, keep_generations=K)
+        for f in rewrite:
+            _os.remove(f)
     _shutil.rmtree(staging, ignore_errors=True)
     return {
         "files_total": files_total,

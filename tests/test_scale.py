@@ -664,3 +664,79 @@ class TestManifestCommit:
         # re-running the merge converges (cleanup junk is invisible)
         scale.selective_upsert(spark, path, updates, "k")
         assert dict(self._snapshot(spark, path)) == post
+
+
+class TestManifestTimeTravel:
+    """r8: manifest generations — every commit is preserved as a
+    numbered snapshot; keep_history retains replaced files so old
+    generations stay readable; vacuum bounds the window."""
+
+    def _table(self, spark, path, n=256, files=4):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def _snap(self, spark, path, version=None):
+        return {
+            r["k"]: r["v"]
+            for r in scale.manifest_read(spark, path, version=version).collect()
+        }
+
+    def test_generations_read_exact_historical_snapshots(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        u1 = spark.createDataFrame([(k, -1) for k in range(5)], "k long, v long")
+        u2 = spark.createDataFrame([(k, -2) for k in range(3)], "k long, v long")
+        scale.selective_upsert(spark, path, u1, "k", keep_history=True)
+        scale.selective_upsert(spark, path, u2, "k", keep_history=True)
+        # generations: 0 = pre-state commit, 1 = after u1, 2 = after u2
+        assert scale.manifest_versions(path) == [0, 1, 2]
+        v0 = self._snap(spark, path, version=0)
+        assert v0 == {k: 2 * k for k in range(256)}
+        v1 = self._snap(spark, path, version=1)
+        assert all(v1[k] == -1 for k in range(5))
+        assert v1[10] == 20
+        v2 = self._snap(spark, path, version=2)
+        assert all(v2[k] == -2 for k in range(3))
+        assert all(v2[k] == -1 for k in (3, 4))
+        assert self._snap(spark, path) == v2  # pointer = newest
+
+    def test_vacuum_bounds_time_travel_and_reclaims_files(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        u1 = spark.createDataFrame([(k, -1) for k in range(5)], "k long, v long")
+        u2 = spark.createDataFrame([(k, -2) for k in range(3)], "k long, v long")
+        scale.selective_upsert(spark, path, u1, "k", keep_history=True)
+        scale.selective_upsert(spark, path, u2, "k", keep_history=True)
+        current = self._snap(spark, path)
+        n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        stats = scale.vacuum_table(path, keep_generations=1)
+        assert stats["dropped_generations"] == 2
+        assert stats["dropped_files"] > 0
+        assert scale.manifest_versions(path) == [2]
+        # current snapshot unharmed; dead files gone
+        assert self._snap(spark, path) == current
+        n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        assert n_files_after == n_files_before - stats["dropped_files"]
+        with pytest.raises(ValueError, match="generation 0"):
+            scale.manifest_read(spark, path, version=0)
+
+    def test_default_upsert_still_single_generation_semantics(self, spark, tmp_path):
+        """keep_history=False (default): replaced files are deleted at
+        commit, old generations reference missing files — the manifest
+        pointer itself is always consistent."""
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        u1 = spark.createDataFrame([(0, -1)], "k long, v long")
+        scale.selective_upsert(spark, path, u1, "k")
+        snap = self._snap(spark, path)
+        assert snap[0] == -1 and len(snap) == 256
+        # vacuum with default retention is a no-op on the live set
+        scale.vacuum_table(path)
+        assert self._snap(spark, path) == snap
