@@ -254,6 +254,67 @@ def pandas_docs_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"])
 
 
+def pandas_docs_bpe_merges_80(sf_dir: str) -> pd.DataFrame:
+    # same sequential trainer, 80 merges (the r8 registered config; the
+    # pandas side has no head/cutoff machinery to mirror — it is the
+    # reference-style eager loop either way)
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    wf = Counter()
+    for t in docs["text"]:
+        for w in str(t or "").lower().strip().split():
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(80):
+        pc = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return pd.DataFrame(merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"])
+
+
+def pandas_docs_dup_window_frac(sf_dir: str) -> pd.DataFrame:
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_doc: dict = {}
+    hash_docs: Counter = Counter()
+    win_counts: dict = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = str(t or "").lower().strip().split()
+        if len(toks) < 8:
+            continue
+        wins = Counter(
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        )
+        win_counts[doc_id] = wins
+        for h in wins:
+            hash_docs[h] += 1
+    rows = []
+    for doc_id, wins in win_counts.items():
+        total = sum(wins.values())
+        dup = sum(n for h, n in wins.items() if hash_docs[h] >= 2)
+        rows.append((doc_id, total, dup, round(dup / total, 6)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_windows", "n_dup_windows", "dup_frac"]
+    ).sort_values("doc_id")
+
+
 def pandas_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
     import numpy as np
 
@@ -733,11 +794,13 @@ PANDAS_IMPLS = {
     "docs_incremental_dedup": pandas_docs_incremental_dedup,
     "docs_gopher_rules": pandas_docs_gopher_rules,
     "docs_curation_report": pandas_docs_curation_report,
+    "docs_bpe_merges_80": pandas_docs_bpe_merges_80,
+    "docs_dup_window_frac": pandas_docs_dup_window_frac,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup"}
 
 
 def main() -> None:
