@@ -1307,6 +1307,18 @@ def q_docs_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality terciles per language
+    (`functions/text.py:ccnet_buckets`, Wenzek et al. 2020 §4.3):
+    bigram-LM score → per-(lang, score) counts → running sum over the
+    bounded DISTINCT-VALUE table → broadcast thresholds → map-side
+    CASE. The textbook ntile-per-language window (dominant-language
+    skew: one task sorts the whole language) is deliberately absent —
+    the window runs over distinct rounded scores only."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.ccnet_buckets(docs).orderBy("doc_id")
+
+
 def q_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate spans (ExactSubstr re-expressed
     relationally, Lee et al. 2022): maximal runs of 8-token windows
@@ -1866,6 +1878,31 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.pagerank(edges, iters=5, dangling="redistribute").orderBy("node")
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (`functions/graph.py:triangle_counts`)
+    over the frequent-co-purchase graph: parts are adjacent when they
+    appear together in ≥ 2 orders (the support-2 market-basket graph —
+    support 1 is the documented dense variant; at sf0.1 it has 41M
+    wedges vs support-2's 69). Degree-ordered orientation bounds wedge
+    fan-out by O(√m) per node — the Suri–Vassilvitskii answer to the
+    celebrity-skew "last reducer" — and every join is hash-equi; exact
+    integer counts replay bit-for-bit in the DuckDB oracle."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return egraph.triangle_counts(edges).orderBy("node")
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, epoch-day)
     (`scale.py:zorder_key`): the multi-dimensional layout key behind
@@ -2133,6 +2170,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
     "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r9-in-new]
     "docs_dup_window_frac": q_docs_dup_window_frac,  # [r9-in-new]
+    "graph_triangles": q_graph_triangles,  # [r9-in-new]
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r9-in-new]
 }
 
 

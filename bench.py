@@ -103,6 +103,13 @@ HEADLINE = [
     # round 8: per-doc duplication fraction (aggregate sibling of
     # docs_duplicate_spans — no occurrence-list state)
     "docs_dup_window_frac",
+    # round 8 (late): degree-ordered-orientation triangle counting on
+    # the support-2 co-purchase graph (iterative: edge set + oriented
+    # edges are pinned at construction)
+    "graph_triangles",
+    # round 8 (late): CCNet per-language quality terciles (iterative:
+    # the bigram-LM scored table is pinned at construction)
+    "docs_ccnet_buckets",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -120,6 +127,11 @@ ITERATIVE = {
     # pagerank's per-round localCheckpoints materialize during construction
     "graph_pagerank",
     "graph_pagerank_dangling",
+    # triangle counting pins the undirected + oriented edge sets at
+    # construction (localCheckpoint)
+    "graph_triangles",
+    # ccnet buckets pin the bigram-LM scored table at construction
+    "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;
     # training shards collects its bucket-offset table
     "docs_temperature_mixture",

@@ -2364,3 +2364,109 @@ ORDER BY d.doc_id
 # with a truncated head, so the differential gate proves the batched
 # trainer identical across 9-14 recollection rounds on real data)
 ORACLES["docs_bpe_merges_80"] = _bpe_oracle(80)
+
+# graph_triangles: degree-ordered-orientation triangle counting over
+# the support-2 part co-purchase graph — exact integer counts, every
+# join hash-equi; the row comparison (d, id) < (d, id) is written as
+# the explicit boolean so Spark and DuckDB evaluate the identical
+# predicate.
+ORACLES["graph_triangles"] = """
+WITH pairs AS (
+    SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+    FROM lineitem x JOIN lineitem y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    GROUP BY 1, 2
+), und AS (
+    SELECT pa AS a, pb AS b FROM pairs WHERE sup >= 2
+), deg AS (
+    SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+), ore AS (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.a ELSE u.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.b ELSE u.a END AS v,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN db.d ELSE da.d END AS dv
+    FROM und u
+    JOIN deg da ON da.node = u.a
+    JOIN deg db ON db.node = u.b
+), wed AS (
+    SELECT e1.u, e1.v AS v1, e2.v AS v2
+    FROM ore e1 JOIN ore e2 ON e1.u = e2.u
+    WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+), tri AS (
+    SELECT w.u, w.v1, w.v2
+    FROM wed w JOIN ore c ON c.u = w.v1 AND c.v = w.v2
+)
+SELECT node, COUNT(*)::BIGINT AS tri_cnt
+FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v1 FROM tri
+    UNION ALL SELECT v2 FROM tri
+)
+GROUP BY node
+ORDER BY node
+"""
+
+# docs_ccnet_buckets: CCNet per-language quality terciles over the
+# corpus's own interpolated bigram LM (the docs_bigram_logprob chain),
+# thresholds picked from the distinct-(lang, score) value table — the
+# identical aggregate-over-aggregate the Spark side runs, never a
+# per-document ntile.
+ORACLES["docs_ccnet_buckets"] = f"""
+WITH base AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), trans AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks) - 1]) AS a,
+           unnest(toks[2:len(toks)]) AS b
+    FROM base WHERE len(toks) >= 2
+), big AS (
+    SELECT a, b, COUNT(*)::DOUBLE AS c_ab FROM trans GROUP BY a, b
+), ctx AS (
+    SELECT a, COUNT(*)::DOUBLE AS c_a FROM trans GROUP BY a
+), uni AS (
+    SELECT t, COUNT(*)::DOUBLE AS c_t
+    FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+), scalars AS (
+    SELECT SUM(c_t) AS n_total, COUNT(*)::DOUBLE AS v_size FROM uni
+), scores AS (
+    SELECT doc_id,
+           ROUND(AVG(ln(0.7 * c_ab / c_a
+                        + (1.0 - 0.7) * (c_t + 0.5)
+                          / (n_total + 0.5 * v_size))),
+                 4) AS s
+    FROM trans
+    JOIN big USING (a, b)
+    JOIN ctx USING (a)
+    JOIN uni ON uni.t = trans.b
+    CROSS JOIN scalars
+    GROUP BY doc_id
+), sl AS (
+    SELECT d.doc_id, d.lang,
+           CAST(ROUND(s * 10000) AS BIGINT) AS lm_score_q
+    FROM scores JOIN documents d USING (doc_id)
+), vc AS (
+    SELECT lang, lm_score_q, COUNT(*)::BIGINT AS cnt FROM sl GROUP BY 1, 2
+), nl AS (
+    SELECT lang, SUM(cnt)::BIGINT AS n FROM vc GROUP BY lang
+), cum AS (
+    SELECT lang, lm_score_q,
+           SUM(cnt) OVER (PARTITION BY lang ORDER BY lm_score_q DESC) AS cum
+    FROM vc
+), th AS (
+    SELECT c.lang,
+           MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_score_q END) AS t_head,
+           MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score_q END) AS t_mid
+    FROM cum c JOIN nl USING (lang)
+    GROUP BY c.lang
+)
+SELECT s.doc_id, s.lang, s.lm_score_q,
+       CASE WHEN s.lm_score_q >= t_head THEN 'head'
+            WHEN s.lm_score_q >= t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl s JOIN th USING (lang)
+ORDER BY s.doc_id
+"""

@@ -286,3 +286,89 @@ def build_pagerank_sql(edges_cte: str, iters: int = 5, dangling: str = "drop") -
 )"""
         )
     return "".join(parts)
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as a (possibly directed / duplicated) edge list → (node,
+    tri_cnt), only nodes in ≥ 1 triangle.
+
+    Algorithm: degree-ordered orientation (Schank–Wagner; the
+    MapReduce formulation is Suri & Vassilvitskii, WWW 2011 "Counting
+    triangles and the curse of the last reducer"). Each undirected
+    edge is oriented from its lower endpoint to its higher endpoint
+    under the total order (degree, node-id); wedges are generated only
+    at each edge's LOWER endpoint and closed with a hash-equi join
+    against the oriented edge set.
+
+    Why this is the 100 TB shape: orientation bounds every node's
+    out-degree by O(√m) on ANY graph (a node of degree d > √2m has all
+    its wedges charged to its — necessarily lower-degree — neighbors),
+    so the wedge join fans out Σ outdeg² ≤ O(m^1.5) TOTAL and the
+    celebrity-node skew that kills the naive u-keyed wedge join ("the
+    curse of the last reducer") cannot concentrate on one task. All
+    three joins are hash-equi (wedge: on the low endpoint; close: on
+    the (v, w) pair); counts are exact integers, so the whole plan
+    replays bit-for-bit in ANSI SQL — see the `graph_triangles`
+    oracle.
+
+    `checkpoint=True` pins the deduped undirected edge set and the
+    oriented edge set (localCheckpoint): both are consumed by 2–3
+    downstream branches and AQE drops cross-branch ReusedExchange on
+    self-joins (the r7 survey), so without the pin the upstream edge
+    construction would be recomputed per branch.
+    """
+    a0, b0 = F.col(src), F.col(dst)
+    und = (
+        edges.select(
+            F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )

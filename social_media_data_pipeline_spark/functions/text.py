@@ -502,3 +502,97 @@ def gopher_quality_flags(text_col: str | Column) -> Column:
         ok_stop.alias("ok_stop_words"),
         (ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop).alias("passes"),
     )
+
+
+def ccnet_buckets(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lam: float = 0.7,
+    alpha: float = 0.5,
+    checkpoint: bool = True,
+):
+    """CCNet-style per-language quality terciles (Wenzek et al. 2020
+    §4.3: score each document with an LM, split every language into
+    head / middle / tail thirds by perplexity; pretraining recipes then
+    keep head+middle or reweight by bucket). The LM score is this
+    corpus's own interpolated bigram model (`bigram_logprob`), so the
+    whole run stays self-contained and differential-checkable.
+
+    Exact, scale-safe tercile assignment WITHOUT a per-document window:
+    ntile(3) OVER (PARTITION BY lang ORDER BY score) — the textbook
+    formulation — sorts every document of a language inside one task,
+    which is exactly the dominant-language skew a 100 TB corpus cannot
+    pay. Instead the thresholds come from an aggregate-over-aggregate
+    (the `duplicate_window_fraction` state trick): per-(lang, score)
+    counts first (map-side combinable; score is the 4-dp LM value in
+    integer 1e4 units, so the value table is BOUNDED by distinct
+    rounded scores, orders of magnitude below document count), then a
+    per-lang running sum over that DISTINCT-VALUE table picks
+    t_head = max score whose descending cumulative count reaches
+    ⌈n/3⌉ (and t_mid at ⌈2n/3⌉). The window's partition is the
+    VALUE table's language slice — bounded state however big one
+    language is. Thresholds broadcast back and the bucket label is a
+    map-side CASE. Ties share a bucket (all equal scores land where
+    their first occurrence reached the target), so terciles are
+    approximate at value granularity but deterministic — the property
+    the differential oracle needs.
+
+    Documents with < 2 tokens have no transitions and are excluded
+    (CCNet drops them before LM scoring too). Returns
+    (id_col, lang_col, lm_score_q, bucket) with bucket ∈
+    {'head','middle','tail'}.
+
+    `checkpoint=True` pins the scored table (localCheckpoint): it
+    feeds both the threshold aggregation and the final labeling join,
+    and AQE recomputes multi-consumer subtrees (the r7 survey) — the
+    bigram-LM chain costs far more than one scan.
+    """
+    from pyspark.sql.window import Window
+
+    scores = bigram_logprob(df, id_col, text_col, lam=lam, alpha=alpha)
+    sl = (
+        scores.join(df.select(id_col, lang_col), id_col)
+        .select(
+            id_col,
+            lang_col,
+            F.round(F.col("bigram_logprob") * 10000)
+            .cast("bigint")
+            .alias("lm_score_q"),
+        )
+    )
+    if checkpoint:
+        sl = sl.localCheckpoint(eager=True)
+    vc = sl.groupBy(lang_col, "lm_score_q").agg(F.count(F.lit(1)).alias("cnt"))
+    nl = vc.groupBy(lang_col).agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy(lang_col).orderBy(F.col("lm_score_q").desc())
+    cum = vc.select(
+        lang_col, "lm_score_q", F.sum("cnt").over(w).alias("cum")
+    )
+    th = (
+        cum.join(F.broadcast(nl), lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"), F.col("lm_score_q")
+                )
+            ).alias("t_head"),
+            F.max(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                    F.col("lm_score_q"),
+                )
+            ).alias("t_mid"),
+        )
+    )
+    return sl.join(F.broadcast(th), lang_col).select(
+        id_col,
+        lang_col,
+        "lm_score_q",
+        F.when(F.col("lm_score_q") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("lm_score_q") >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

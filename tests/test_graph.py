@@ -201,3 +201,56 @@ class TestPagerankDangling:
         df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
         with pytest.raises(ValueError, match="dangling"):
             pagerank(df, dangling="nope")
+
+
+class TestTriangleCounts:
+    def _counts(self, spark, pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        out = graph.triangle_counts(df, checkpoint=False).collect()
+        return {r["node"]: r["tri_cnt"] for r in out}
+
+    def _brute(self, pairs):
+        import itertools
+
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        nodes = sorted({n for e in und for n in e})
+        counts: dict[int, int] = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (a, c), (b, c)} <= und:
+                for n in (a, b, c):
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    def test_k4_every_node_in_three(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        assert self._counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_square_has_no_triangles(self, spark):
+        assert self._counts(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+    def test_duplicates_reversals_self_loops_collapse(self, spark):
+        tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2), (3, 5)]
+        assert self._counts(spark, tri) == {1: 1, 2: 1, 3: 1}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(12), rng.randrange(12)) for _ in range(60)]
+        assert self._counts(spark, pairs) == self._brute(pairs)
+
+    def test_checkpointed_path_identical(self, spark):
+        import random
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(10), rng.randrange(10)) for _ in range(40)]
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        lazy = {
+            (r["node"], r["tri_cnt"])
+            for r in graph.triangle_counts(df, checkpoint=False).collect()
+        }
+        pinned = {
+            (r["node"], r["tri_cnt"])
+            for r in graph.triangle_counts(df, checkpoint=True).collect()
+        }
+        assert lazy == pinned

@@ -936,3 +936,85 @@ class TestGopherRules:
         )
         g = df.select(etext.gopher_quality_flags("text").alias("g")).collect()[0]["g"]
         assert abs(g["symbol_ratio"] - round(3 / g["word_count"], 6)) < 1e-9
+
+
+class TestCcnetBuckets:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string, lang string")
+
+    def test_buckets_match_local_recomputation(self, spark):
+        import random
+
+        from social_media_data_pipeline_spark.functions.text import (
+            bigram_logprob,
+            ccnet_buckets,
+        )
+
+        rng = random.Random(3)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        rows = [
+            (
+                f"d{i:03d}",
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 20))),
+                rng.choice(["en", "fr"]),
+            )
+            for i in range(60)
+        ]
+        docs = self._docs(spark, rows)
+        out = {
+            r["doc_id"]: (r["lang"], r["lm_score_q"], r["bucket"])
+            for r in ccnet_buckets(docs, checkpoint=False).collect()
+        }
+        scores = {
+            r["doc_id"]: round(r["bigram_logprob"] * 10000)
+            for r in bigram_logprob(docs).collect()
+        }
+        langs = {d: lang for d, _t, lang in rows}
+        for lang in ("en", "fr"):
+            sl = sorted(
+                (s for d, s in scores.items() if langs[d] == lang), reverse=True
+            )
+            n = len(sl)
+            # descending cum over DISTINCT values, threshold = value whose
+            # cum first reaches ceil(n/3) / ceil(2n/3)
+            from collections import Counter
+
+            cnt = Counter(sl)
+            cum, t_head, t_mid = 0, None, None
+            for v in sorted(cnt, reverse=True):
+                cum += cnt[v]
+                if t_head is None and cum >= (n + 2) // 3:
+                    t_head = v
+                if t_mid is None and cum >= (2 * n + 2) // 3:
+                    t_mid = v
+            for d, s in scores.items():
+                if langs[d] != lang:
+                    continue
+                want = "head" if s >= t_head else ("middle" if s >= t_mid else "tail")
+                got_lang, got_s, got_bucket = out[d]
+                assert got_lang == lang and got_s == s and got_bucket == want, d
+
+    def test_short_docs_excluded_and_checkpoint_identical(self, spark):
+        from social_media_data_pipeline_spark.functions.text import ccnet_buckets
+
+        rows = [
+            ("a", "one", "en"),          # 1 token -> no transitions -> excluded
+            ("b", "x y x y", "en"),
+            ("c", "x y", "en"),
+            ("d", "y x y x y", "en"),
+        ]
+        docs = self._docs(spark, rows)
+        lazy = sorted(map(tuple, ccnet_buckets(docs, checkpoint=False).collect()))
+        pinned = sorted(map(tuple, ccnet_buckets(docs, checkpoint=True).collect()))
+        assert lazy == pinned
+        assert {t[0] for t in lazy} == {"b", "c", "d"}
+
+    def test_single_doc_language_is_head(self, spark):
+        from social_media_data_pipeline_spark.functions.text import ccnet_buckets
+
+        rows = [("a", "solo doc here", "de"), ("b", "x y z", "en"), ("c", "x y", "en")]
+        out = {
+            r["doc_id"]: r["bucket"]
+            for r in ccnet_buckets(self._docs(spark, rows), checkpoint=False).collect()
+        }
+        assert out["a"] == "head"

@@ -209,6 +209,30 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_ccnet_buckets": [
+        # tercile thresholds come from the bounded distinct-(lang,
+        # score) value table: the only window is lang-partitioned (no
+        # per-document ntile, no global sort); thresholds broadcast
+        # back; scored table pinned (Scan ExistingRDD) so the bigram-LM
+        # chain isn't recomputed per consumer under AQE; no Python
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("lang-partitioned value window", r"windowspecdefinition\(lang"),
+        ("broadcast threshold join", r"BroadcastHashJoin"),
+        ("pinned scored table", r"Scan ExistingRDD"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "graph_triangles": [
+        # degree-ordered orientation: every join hash-equi (wedge join
+        # on the low endpoint, closing join on the (v1, v2) pair) —
+        # never cartesian/BNLJ; oriented edges pinned (Scan ExistingRDD)
+        # so the pair-aggregate isn't recomputed per branch under AQE;
+        # pure integer exprs, no Python, no window
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("pinned oriented edges", r"Scan ExistingRDD"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+    ],
     "docs_dup_window_frac": [
         # no occurrence-list state: aggregates only, no collect_list,
         # no window function, hash-equi join back

@@ -767,6 +767,75 @@ def pandas_docs_curation_report(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("source")
 
 
+def pandas_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    import numpy as np
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] < e["l_partkey_b"]]
+    sup = e.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    und = sup[sup >= 2].reset_index()[["l_partkey_a", "l_partkey_b"]]
+    und.columns = ["a", "b"]
+    deg = pd.concat([und["a"], und["b"]]).value_counts()
+    da = deg.loc[und["a"]].to_numpy()
+    db = deg.loc[und["b"]].to_numpy()
+    a = und["a"].to_numpy()
+    b = und["b"].to_numpy()
+    afirst = (da < db) | ((da == db) & (a < b))
+    ore = pd.DataFrame(
+        {
+            "u": np.where(afirst, a, b),
+            "v": np.where(afirst, b, a),
+            "dv": np.where(afirst, db, da),
+        }
+    )
+    wed = ore.merge(ore, on="u", suffixes=("1", "2"))
+    wed = wed[
+        (wed["dv1"] < wed["dv2"])
+        | ((wed["dv1"] == wed["dv2"]) & (wed["v1"] < wed["v2"]))
+    ]
+    tri = wed.merge(
+        ore.rename(columns={"u": "v1", "v": "v2"})[["v1", "v2"]], on=["v1", "v2"]
+    )
+    nodes = pd.concat([tri["u"], tri["v1"], tri["v2"]])
+    return (
+        nodes.value_counts()
+        .rename("tri_cnt")
+        .rename_axis("node")
+        .reset_index()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    scores = pandas_docs_bigram_logprob(sf_dir)
+    sl = scores.merge(docs[["doc_id", "lang"]], on="doc_id")
+    sl["lm_score_q"] = (sl["bigram_logprob"] * 10000).round().astype("int64")
+    out = []
+    for lang, grp in sl.groupby("lang"):
+        n = len(grp)
+        cnt = Counter(grp["lm_score_q"])
+        cum, t_head, t_mid = 0, None, None
+        for v in sorted(cnt, reverse=True):
+            cum += cnt[v]
+            if t_head is None and cum >= (n + 2) // 3:
+                t_head = v
+            if t_mid is None and cum >= (2 * n + 2) // 3:
+                t_mid = v
+        for doc_id, q in zip(grp["doc_id"], grp["lm_score_q"]):
+            b = "head" if q >= t_head else ("middle" if q >= t_mid else "tail")
+            out.append((doc_id, lang, q, b))
+    return (
+        pd.DataFrame(out, columns=["doc_id", "lang", "lm_score_q", "bucket"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -796,11 +865,13 @@ PANDAS_IMPLS = {
     "docs_curation_report": pandas_docs_curation_report,
     "docs_bpe_merges_80": pandas_docs_bpe_merges_80,
     "docs_dup_window_frac": pandas_docs_dup_window_frac,
+    "graph_triangles": pandas_graph_triangles,
+    "docs_ccnet_buckets": pandas_docs_ccnet_buckets,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup"}
+ITERATIVE_IMPLS = {"docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
 
 
 def main() -> None:
