@@ -1307,6 +1307,29 @@ def q_docs_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (`operators/dedup.py:
+    contamination_fraction`): per-training-doc share of distinct
+    8-token windows that occur anywhere in the held-out eval split
+    (here the deterministic 5% md5-sample standing in for a benchmark
+    suite). The exact fraction `docs_bloom_decontaminate`'s membership
+    filter approximates; eval gram set deduped then BROADCAST —
+    benchmarks are small by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 20
+    )
+    ev = docs.filter(bucket == 0)
+    tr = docs.filter(bucket != 0)
+    out = dedup.contamination_fraction(tr, ev, "doc_id", "text", k=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_grams", "n_hit", "contamination_frac"
+    ).orderBy("doc_id")
+
+
 def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail quality terciles per language
     (`functions/text.py:ccnet_buckets`, Wenzek et al. 2020 §4.3):
@@ -2172,6 +2195,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dup_window_frac": q_docs_dup_window_frac,  # [r9-in-new]
     "graph_triangles": q_graph_triangles,  # [r9-in-new]
     "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r9-in-new]
+    "docs_contamination_frac": q_docs_contamination_frac,  # [r9-in-new]
 }
 
 

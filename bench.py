@@ -110,6 +110,9 @@ HEADLINE = [
     # round 8 (late): CCNet per-language quality terciles (iterative:
     # the bigram-LM scored table is pinned at construction)
     "docs_ccnet_buckets",
+    # round 8 (late): exact eval-overlap decontamination fraction
+    # (distinct-gram reduce + broadcast eval set, fully lazy plan)
+    "docs_contamination_frac",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

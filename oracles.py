@@ -2470,3 +2470,32 @@ SELECT s.doc_id, s.lang, s.lm_score_q,
 FROM sl s JOIN th USING (lang)
 ORDER BY s.doc_id
 """
+
+# docs_contamination_frac: exact eval-overlap fraction over DISTINCT
+# 8-token window hashes; the eval split is the deterministic 5%
+# md5-bucket sample (same md5→BIGINT convention as docs_split).
+ORACLES["docs_contamination_frac"] = f"""
+WITH tagged AS (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20 AS bkt
+    FROM documents
+), toks AS (
+    SELECT doc_id, bkt, string_split({_NORM}, ' ') AS t FROM tagged
+), wins AS (
+    SELECT DISTINCT doc_id, bkt,
+           md5(array_to_string(t[i:i+7], ' ')) AS h
+    FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+), ev AS (
+    SELECT DISTINCT h FROM wins WHERE bkt = 0
+)
+SELECT w.doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       ROUND(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS contamination_frac
+FROM wins w LEFT JOIN ev ON ev.h = w.h
+WHERE w.bkt != 0
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""

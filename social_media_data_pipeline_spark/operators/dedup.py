@@ -749,3 +749,73 @@ def incremental_dedup_against_store(
             params=params,
         )
     return flagged
+
+
+def contamination_fraction(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-document benchmark-overlap fraction: the share of
+    a document's DISTINCT k-token windows that also occur anywhere in
+    the evaluation set — the graded decontamination statistic (GPT-3
+    App. C / Brown et al. 2020 measure n-gram overlap with test sets
+    and drop documents above a threshold; `docs_bloom_decontaminate`
+    is the membership-only fast path, this is the exact fraction it
+    approximates). Returns (id, n_grams, n_hit, contamination_frac)
+    for training docs with ≥ 1 window; threshold upstream
+    (e.g. drop > 0.15).
+
+    Scale shape (100 TB): both sides use the same map-side window-hash
+    explode as `duplicate_window_fraction` (zip_with chain over the
+    token array — no per-token shuffle), reduced to DISTINCT
+    (doc, hash) / (hash) BEFORE the join so boilerplate repetition
+    inside one doc never multiplies join input. Benchmarks are small
+    by construction, so the eval gram set broadcasts
+    (`broadcast_eval=True`, a left join against the broadcast dedup'd
+    gram list); at eval sets too big to broadcast, pass False for the
+    hash-equi shuffle join — same plan shape as the band joins. One
+    doc-keyed aggregate finishes; nothing quadratic anywhere.
+    """
+    if k < 2:
+        raise ValueError(f"window width k must be >= 2, got {k}")
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        m = F.size(toks) - F.lit(k - 1)
+        acc = F.slice(toks, 1, m)
+        for j in range(2, k + 1):
+            acc = F.zip_with(
+                acc, F.slice(toks, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+            )
+        wins = F.transform(acc, lambda s: F.md5(s))
+        return (
+            df.filter(F.size(toks) >= k)
+            .select(F.col(id_col).alias("id"), F.explode(wins).alias("h"))
+            .distinct()
+        )
+
+    ev = grams(eval_df).select("h").distinct().withColumn("__hit", F.lit(1))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        grams(train_df)
+        .join(ev, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+    )

@@ -529,3 +529,67 @@ class TestDuplicateWindowFraction:
         assert {r["id"] for r in out} == {2}
         with pytest.raises(ValueError, match="k must be"):
             ddp.duplicate_window_fraction(df, "doc_id", "text", k=1)
+
+
+class TestContaminationFraction:
+    def test_exact_fraction_and_eval_excluded(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            contamination_fraction,
+        )
+
+        # k=3 windows; train doc "a" shares exactly its first window
+        # with the eval doc, "b" shares nothing, "c" is too short
+        train = spark.createDataFrame(
+            [
+                ("a", "one two three four"),   # windows: {one two three, two three four}
+                ("b", "five six seven"),
+                ("c", "tiny doc"),
+            ],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame(
+            [("e1", "zzz one two three")], "doc_id string, text string"
+        )
+        out = {
+            r["id"]: (r["n_grams"], r["n_hit"], r["contamination_frac"])
+            for r in contamination_fraction(train, ev, k=3).collect()
+        }
+        assert out["a"] == (2, 1, 0.5)
+        assert out["b"] == (1, 0, 0.0)
+        assert "c" not in out  # < k tokens -> no windows
+        assert "e1" not in out  # eval docs are not scored
+
+    def test_duplicate_windows_counted_once(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            contamination_fraction,
+        )
+
+        # the same window repeated inside one doc counts once (DISTINCT)
+        train = spark.createDataFrame(
+            [("a", "x y x y x y")], "doc_id string, text string"
+        )
+        ev = spark.createDataFrame([("e", "x y x")], "doc_id string, text string")
+        row = contamination_fraction(train, ev, k=2).collect()[0]
+        # distinct windows of a: {x y, y x} -> both occur in eval's {x y, y x}
+        assert (row["n_grams"], row["n_hit"]) == (2, 2)
+        assert row["contamination_frac"] == 1.0
+
+    def test_shuffle_join_path_identical(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            contamination_fraction,
+        )
+
+        train = spark.createDataFrame(
+            [("a", "p q r s t"), ("b", "q r s t u")], "doc_id string, text string"
+        )
+        ev = spark.createDataFrame([("e", "r s t u v")], "doc_id string, text string")
+        bc = sorted(map(tuple, contamination_fraction(train, ev, k=3).collect()))
+        sh = sorted(
+            map(
+                tuple,
+                contamination_fraction(
+                    train, ev, k=3, broadcast_eval=False
+                ).collect(),
+            )
+        )
+        assert bc == sh

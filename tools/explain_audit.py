@@ -209,6 +209,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_contamination_frac": [
+        # exact eval-overlap fraction: distinct gram reduction BEFORE
+        # the join, eval gram set broadcast (benchmarks are small by
+        # construction), no window, no Python, nothing quadratic
+        ("broadcast eval gram join", r"BroadcastHashJoin"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_ccnet_buckets": [
         # tercile thresholds come from the bounded distinct-(lang,
         # score) value table: the only window is lang-partitioned (no

@@ -836,6 +836,42 @@ def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_docs_contamination_frac(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bkt = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 20
+    )
+    norm = _pandas_norm(docs)
+    grams = {}
+    for doc_id, b, t in zip(docs["doc_id"], bkt, norm):
+        toks = t.split(" ") if t else []
+        ws = {
+            hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            for i in range(len(toks) - 7)
+        }
+        if ws:
+            grams[doc_id] = (b, ws)
+    ev = set()
+    for b, ws in grams.values():
+        if b == 0:
+            ev |= ws
+    out = []
+    for doc_id, (b, ws) in grams.items():
+        if b == 0:
+            continue
+        hit = len(ws & ev)
+        out.append((doc_id, len(ws), hit, round(hit / len(ws), 6)))
+    return (
+        pd.DataFrame(
+            out, columns=["doc_id", "n_grams", "n_hit", "contamination_frac"]
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -867,6 +903,7 @@ PANDAS_IMPLS = {
     "docs_dup_window_frac": pandas_docs_dup_window_frac,
     "graph_triangles": pandas_graph_triangles,
     "docs_ccnet_buckets": pandas_docs_ccnet_buckets,
+    "docs_contamination_frac": pandas_docs_contamination_frac,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
