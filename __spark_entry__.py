@@ -1307,6 +1307,19 @@ def q_docs_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary coverage (`functions/text.py:
+    vocab_coverage`): occurrence- and type-level OOV rates against the
+    corpus's top-1000 vocabulary — the dashboard that shows which
+    source a tokenizer under-serves. (group, token) counts collapse
+    the hot-token skew map-side BEFORE any join; the top-V vocab is a
+    TakeOrderedAndProject (never a full sort) and broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    return etext.vocab_coverage(docs, "text", "source", top_v=1000).orderBy(
+        "source"
+    )
+
+
 def q_docs_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded decontamination (`operators/dedup.py:
     contamination_fraction`): per-training-doc share of distinct
@@ -2196,6 +2209,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,  # [r9-in-new]
     "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r9-in-new]
     "docs_contamination_frac": q_docs_contamination_frac,  # [r9-in-new]
+    "docs_oov_rate": q_docs_oov_rate,  # [r9-in-new]
 }
 
 

@@ -113,6 +113,8 @@ HEADLINE = [
     # round 8 (late): exact eval-overlap decontamination fraction
     # (distinct-gram reduce + broadcast eval set, fully lazy plan)
     "docs_contamination_frac",
+    # round 8 (late): per-source OOV dashboard (top-V vocab broadcast)
+    "docs_oov_rate",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -2499,3 +2499,30 @@ WHERE w.bkt != 0
 GROUP BY w.doc_id
 ORDER BY w.doc_id
 """
+
+# docs_oov_rate: per-source OOV against the deterministic global
+# top-1000 vocabulary (count DESC, token ASC tie-break — both engines
+# compute the identical set); (source, token) counts aggregated before
+# the vocab join, mirroring the Spark plan.
+ORACLES["docs_oov_rate"] = f"""
+WITH gt AS (
+    SELECT source AS g, t, COUNT(*)::BIGINT AS c
+    FROM (SELECT source, unnest({_TOKS}) AS t FROM documents)
+    GROUP BY 1, 2
+), vocab AS (
+    SELECT t FROM (
+        SELECT t, SUM(c) AS n FROM gt GROUP BY t
+        ORDER BY n DESC, t LIMIT 1000
+    )
+)
+SELECT gt.g AS source,
+       SUM(c)::BIGINT AS n_tokens,
+       SUM(CASE WHEN v.t IS NULL THEN c ELSE 0 END)::BIGINT AS n_oov_tokens,
+       ROUND(SUM(CASE WHEN v.t IS NULL THEN c ELSE 0 END) / SUM(c), 6)
+           AS oov_rate,
+       COUNT(*)::BIGINT AS n_types,
+       SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov_types
+FROM gt LEFT JOIN vocab v ON v.t = gt.t
+GROUP BY gt.g
+ORDER BY source
+"""

@@ -596,3 +596,66 @@ def ccnet_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def vocab_coverage(
+    df,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_v: int = 1000,
+):
+    """Per-group tokenizer-vocabulary coverage: the share of token
+    OCCURRENCES (and of distinct token TYPES) falling outside the
+    corpus's top-`top_v` vocabulary — the OOV-rate dashboard a
+    tokenizer/corpus pairing is judged by before training (high OOV in
+    one source means the vocab under-serves it; the type-level rate
+    separates "rare words are frequent here" from "many distinct rare
+    words"). Returns (group_col, n_tokens, n_oov_tokens, oov_rate,
+    n_types, n_oov_types) per group.
+
+    Scale shape (100 TB): one tokenize+explode pass pre-aggregated to
+    (group, token) counts FIRST (map-side combinable — the hot-token
+    skew collapses before any join), the global vocabulary is a
+    bounded top-V (orderBy+limit → TakeOrderedAndProject, never a full
+    sort materialization; ties broken by token string so the set is
+    deterministic), and the vocab table BROADCASTS into a left join —
+    at top_v=1000 it is a few KB however big the corpus. Final
+    aggregate is per-group over the distinct-(group, token) table.
+    """
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(tokenize(text_col)).alias("t")
+    )
+    gt = toks.groupBy("g", "t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        gt.groupBy("t")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t"))
+        .limit(top_v)
+        .select("t", F.lit(1).alias("__in_v"))
+    )
+    return (
+        gt.join(F.broadcast(vocab), "t", "left")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), F.col("c")).otherwise(0)).alias(
+                "n_oov_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias(
+                "n_oov_types"
+            ),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_oov_tokens",
+            F.round(F.col("n_oov_tokens") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+            "n_types",
+            "n_oov_types",
+        )
+    )

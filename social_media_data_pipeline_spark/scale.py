@@ -717,3 +717,133 @@ def selective_upsert(
         "files_rewritten": len(rewrite),
         "rows_written": rows_written,
     }
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    keep_history: bool = False,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Bin-packing small-file compaction (the Delta OPTIMIZE / Iceberg
+    rewrite-data-files analog), committed through the same live-file
+    manifest as `selective_upsert`. Continuous ingest and selective
+    upserts both shed small files; at 100 TB the resulting
+    per-file-task overhead and footer-index bloat are the dominant
+    read tax, and compaction is the lifecycle op that pays it down.
+
+    Files smaller than `target_bytes` are greedily packed
+    (size-ascending first-fit) into groups whose summed size stays
+    ≤ `target_bytes`; each group with ≥ 2 files is rewritten as ONE
+    file. Files ≥ target, and lone leftovers, are left byte-identical
+    — compaction never rewrites what is already well-sized. Each
+    group's rewrite is an independent bounded job (a scheduler can run
+    groups in parallel; here they run sequentially), staged OUTSIDE
+    the table directory, then: staged files move in, ONE manifest flip
+    commits every group atomically, replaced files are deleted
+    post-commit (or kept when `keep_history=True`, readable via
+    `manifest_read(version=...)` until `vacuum_table`). A crash
+    anywhere leaves manifest readers on the exact pre- or post-commit
+    snapshot — the `selective_upsert` guarantee, inherited by reusing
+    its commit path.
+
+    `sort_cols` switches the rewrite to a RANGE-CLUSTERED compaction
+    (the Delta OPTIMIZE ZORDER mechanic): all sub-target files are
+    rewritten together through one repartitionByRange(sort_cols) +
+    within-partition sort, so each output file owns a DISJOINT key
+    range. Per-group sorting could never do this — rows from every
+    ingest batch span the whole key space, so sorting inside an
+    arbitrary bin leaves its file-level min/max as wide as before.
+    Compaction is the one moment the rows are rewritten anyway, so
+    the one range exchange is the cheapest point to restore the
+    footer min/max locality that `footer_stats_index*`/`pruned_read*`
+    prune with — small ingest batches scatter key ranges, clustered
+    compaction re-narrows them (measured in the pruning test: a point
+    probe prunes all but one output file).
+
+    Returns {"files_before", "files_after", "groups_compacted",
+    "bytes_compacted"}.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    before = live_files(path)
+    sizes = {f: _os.path.getsize(f) for f in before}
+    small = sorted(
+        (f for f in before if sizes[f] < target_bytes), key=lambda f: sizes[f]
+    )
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in small:
+        if cur and cur_bytes + sizes[f] > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sizes[f]
+    if cur:
+        groups.append(cur)
+    if sort_cols:
+        # range-clustered rewrite: one scope spanning every small file
+        groups = [small] if len(small) >= 2 else []
+    else:
+        groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return {
+            "files_before": len(before),
+            "files_after": len(before),
+            "groups_compacted": 0,
+            "bytes_compacted": 0,
+        }
+    staging = path.rstrip("/") + f"__compact_{_uuid.uuid4().hex[:8]}"
+    _os.makedirs(staging, exist_ok=True)
+    staged: list[str] = []
+    for i, g in enumerate(groups):
+        gdir = _os.path.join(staging, f"g{i}")
+        if sort_cols:
+            n_out = max(1, -(-sum(sizes[f] for f in g) // target_bytes))
+            gdf = (
+                spark.read.parquet(*g)
+                .repartitionByRange(n_out, *sort_cols)
+                .sortWithinPartitions(*sort_cols)
+            )
+        else:
+            gdf = spark.read.parquet(*g).coalesce(1)
+        gdf.write.mode("overwrite").parquet(gdir)
+        parts = [f for f in sorted(_os.listdir(gdir)) if f.endswith(".parquet")]
+        if not sort_cols:
+            assert len(parts) == 1, parts
+        for j, p in enumerate(parts):
+            src = _os.path.join(gdir, p)
+            dst = _os.path.join(
+                staging, f"compact-{_uuid.uuid4().hex[:8]}-{i}-{j}.parquet"
+            )
+            _shutil.move(src, dst)
+            staged.append(dst)
+    if read_table_manifest(path) is None:
+        # first mutation of a plain directory table: commit the current
+        # live set so the move-in stays invisible to glob readers
+        write_table_manifest(path, before)
+    moved = []
+    for f in staged:
+        dst = _os.path.join(path, _os.path.basename(f))
+        _shutil.move(f, dst)
+        moved.append(dst)
+    replaced = {f for g in groups for f in g}
+    write_table_manifest(
+        path, [f for f in before if f not in replaced] + moved
+    )
+    if not keep_history:
+        for f in sorted(replaced):
+            _os.remove(f)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(before) - len(replaced) + len(moved),
+        "groups_compacted": len(groups),
+        "bytes_compacted": sum(sizes[f] for f in replaced),
+    }

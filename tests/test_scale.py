@@ -740,3 +740,146 @@ class TestManifestTimeTravel:
         # vacuum with default retention is a no-op on the live set
         scale.vacuum_table(path)
         assert self._snap(spark, path) == snap
+
+
+class TestCompactTable:
+    def _table(self, spark, path, n=2000, files=16):
+        df = spark.range(n).selectExpr("id AS k", "id * 3 AS v")
+        df.repartition(files).write.mode("overwrite").parquet(path)
+
+    def _rows(self, spark, path):
+        return sorted(
+            (r["k"], r["v"]) for r in scale.manifest_read(spark, path).collect()
+        )
+
+    def test_rows_identical_and_file_count_drops(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        pre = self._rows(spark, path)
+        stats = scale.compact_table(spark, path, target_bytes=1 << 30)
+        assert stats["files_before"] == 16
+        assert stats["files_after"] == 1
+        assert stats["groups_compacted"] == 1
+        assert self._rows(spark, path) == pre
+        # replaced files are gone; manifest lists exactly the live set
+        import os
+
+        live = scale.read_table_manifest(path)
+        assert len(live) == 1
+        on_disk = {
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        }
+        assert on_disk == {os.path.basename(f) for f in live}
+
+    def test_well_sized_files_untouched(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path, files=4)
+        sizes = {
+            f: os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+        # target below every file size -> nothing qualifies as small
+        stats = scale.compact_table(
+            spark, path, target_bytes=min(sizes.values()) - 1
+        )
+        assert stats["groups_compacted"] == 0
+        assert {
+            f: os.path.getsize(os.path.join(path, f)) for f in sizes
+        } == sizes  # byte-identical, not rewritten
+
+    def test_group_packing_respects_target(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path, files=8)
+        fsizes = [
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+        # target fits ~2 small files per group -> several groups, and
+        # every output file must stay near the target bound
+        target = int(sorted(fsizes)[0] * 2.5)
+        pre = self._rows(spark, path)
+        stats = scale.compact_table(spark, path, target_bytes=target)
+        assert stats["groups_compacted"] >= 2
+        assert self._rows(spark, path) == pre
+
+    def test_crash_at_commit_reads_pre_snapshot_and_rerun_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        pre = self._rows(spark, path)
+        real = scale.write_table_manifest
+        calls = {"n": 0}
+
+        def crash_at_commit(p, files):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first call snapshots the plain dir
+                raise OSError("simulated crash at manifest commit")
+            return real(p, files)
+
+        monkeypatch.setattr(scale, "write_table_manifest", crash_at_commit)
+        with pytest.raises(OSError, match="simulated crash"):
+            scale.compact_table(spark, path, target_bytes=1 << 30)
+        # staged files moved in but NOT committed: manifest readers see
+        # the exact pre-compaction snapshot
+        assert self._rows(spark, path) == pre
+        monkeypatch.setattr(scale, "write_table_manifest", real)
+        stats = scale.compact_table(spark, path, target_bytes=1 << 30)
+        assert self._rows(spark, path) == pre
+        assert stats["files_after"] <= 2  # 16 originals + orphan fold in
+
+    def test_keep_history_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, files=6)
+        pre = self._rows(spark, path)
+        scale.compact_table(spark, path, target_bytes=1 << 30, keep_history=True)
+        assert self._rows(spark, path) == pre
+        gens = scale.manifest_versions(path)
+        assert len(gens) >= 2
+        old = sorted(
+            (r["k"], r["v"])
+            for r in scale.manifest_read(spark, path, version=gens[0]).collect()
+        )
+        assert old == pre
+
+    def test_sort_cols_restore_pruning_ranges(self, spark, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        # shuffled ingest: each small file spans nearly the whole key
+        # range, so the skipping index can prune nothing
+        df = spark.range(4000).selectExpr("id AS k", "id AS v")
+        df.orderBy(F.rand(7)).repartition(8).write.mode("overwrite").parquet(path)
+        idx0 = scale.footer_stats_index_table(spark, path, ["k"]).collect()
+        spans0 = [r["max_k"] - r["min_k"] for r in idx0]
+        assert min(spans0) > 2000  # every file wide
+        pre = sorted(r["k"] for r in scale.manifest_read(spark, path).collect())
+        # compact into ~4 files, re-clustered by k
+        sizes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        scale.compact_table(
+            spark, path, target_bytes=sizes // 4 + 1, sort_cols=["k"]
+        )
+        assert sorted(
+            r["k"] for r in scale.manifest_read(spark, path).collect()
+        ) == pre
+        # within-file sort tightens row-group stats enough that a point
+        # probe prunes most compacted files via the footer index
+        idx1 = scale.footer_stats_index_table(spark, path, ["k"])
+        total = idx1.select("file").distinct().count()
+        hit = (
+            idx1.groupBy("file")
+            .agg(F.min("min_k").alias("lo"), F.max("max_k").alias("hi"))
+            .filter((F.col("lo") <= 10) & (F.col("hi") >= 10))
+            .count()
+        )
+        assert total >= 3 and hit <= 1

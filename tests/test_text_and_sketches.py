@@ -1018,3 +1018,43 @@ class TestCcnetBuckets:
             for r in ccnet_buckets(self._docs(spark, rows), checkpoint=False).collect()
         }
         assert out["a"] == "head"
+
+
+class TestVocabCoverage:
+    def test_counts_and_tie_break(self, spark):
+        from social_media_data_pipeline_spark.functions.text import vocab_coverage
+
+        # counts: aa x4, bb x3, cc x3, dd x1 -> top_v=2 takes aa and bb
+        # (bb beats cc on the alphabetical tie-break)
+        rows = [
+            ("s1", "aa aa bb cc"),
+            ("s1", "aa bb"),
+            ("s2", "aa bb cc cc dd"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = {
+            r["source"]: r
+            for r in vocab_coverage(df, "text", "source", top_v=2).collect()
+        }
+        s1, s2 = out["s1"], out["s2"]
+        assert (s1["n_tokens"], s1["n_oov_tokens"]) == (6, 1)  # cc
+        assert (s1["n_types"], s1["n_oov_types"]) == (3, 1)
+        assert (s2["n_tokens"], s2["n_oov_tokens"]) == (5, 3)  # cc cc dd
+        assert (s2["n_types"], s2["n_oov_types"]) == (4, 2)
+        assert abs(s2["oov_rate"] - 0.6) < 1e-9
+
+    def test_all_in_vocab_when_top_v_large(self, spark):
+        from social_media_data_pipeline_spark.functions.text import vocab_coverage
+
+        df = spark.createDataFrame(
+            [("s", "x y z")], "source string, text string"
+        )
+        r = vocab_coverage(df, "text", "source", top_v=100).collect()[0]
+        assert r["n_oov_tokens"] == 0 and r["oov_rate"] == 0.0
+
+    def test_top_v_validation(self, spark):
+        from social_media_data_pipeline_spark.functions.text import vocab_coverage
+
+        df = spark.createDataFrame([("s", "x")], "source string, text string")
+        with pytest.raises(ValueError, match="top_v"):
+            vocab_coverage(df, top_v=0)

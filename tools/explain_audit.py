@@ -209,6 +209,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_oov_rate": [
+        # top-V vocab via TakeOrderedAndProject (never a full global
+        # sort of the vocab table), broadcast into the coverage join;
+        # (group, token) pre-aggregation ahead of the join; no Python
+        ("top-v via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("broadcast vocab join", r"BroadcastHashJoin"),
+        ("no global sort exec", r"\A(?!.*\bSort \[n#)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_contamination_frac": [
         # exact eval-overlap fraction: distinct gram reduction BEFORE
         # the join, eval gram set broadcast (benchmarks are small by

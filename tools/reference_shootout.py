@@ -872,6 +872,38 @@ def pandas_docs_contamination_frac(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_docs_oov_rate(sf_dir: str) -> pd.DataFrame:
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = [str(t or "").lower().strip().split() for t in docs["text"]]
+    uni = Counter()
+    for ts in toks:
+        uni.update(ts if ts else [""])
+    vocab = {
+        t for t, _n in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    per = {}
+    for src_name, ts in zip(docs["source"], toks):
+        cnt = per.setdefault(src_name, Counter())
+        cnt.update(ts if ts else [""])
+    out = []
+    for g in sorted(per):
+        cnt = per[g]
+        n_tok = sum(cnt.values())
+        n_oov = sum(c for t, c in cnt.items() if t not in vocab)
+        n_typ = len(cnt)
+        n_oov_t = sum(1 for t in cnt if t not in vocab)
+        out.append((g, n_tok, n_oov, round(n_oov / n_tok, 6), n_typ, n_oov_t))
+    return pd.DataFrame(
+        out,
+        columns=[
+            "source", "n_tokens", "n_oov_tokens", "oov_rate",
+            "n_types", "n_oov_types",
+        ],
+    )
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -904,6 +936,7 @@ PANDAS_IMPLS = {
     "graph_triangles": pandas_graph_triangles,
     "docs_ccnet_buckets": pandas_docs_ccnet_buckets,
     "docs_contamination_frac": pandas_docs_contamination_frac,
+    "docs_oov_rate": pandas_docs_oov_rate,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the

@@ -228,6 +228,24 @@ def heavy_queries(spark, sf_dir: str):
         ).select("doc_id", "source"),
         # gopher rules: one tokenize pass, pure JVM expressions —
         # expected ~linear (the flattest legitimate shape here)
+        "docs_ccnet_buckets": lambda: etext.ccnet_buckets(docs),
+        # eval split = md5-bucket 5% of the replicated corpus (doc_ids
+        # are offset per copy, so the eval set grows linearly too)
+        "docs_contamination_frac": lambda: ededup.contamination_fraction(
+            docs.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("bigint") % 20 != 0
+            ),
+            docs.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("bigint") % 20 == 0
+            ),
+            "doc_id", "text", k=8,
+        ),
         "docs_gopher_rules": lambda: docs.select(
             "doc_id", etext.gopher_quality_flags("text").alias("g")
         ).select("doc_id", "g.word_count", "g.passes"),
