@@ -1307,6 +1307,33 @@ def q_docs_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (`operators/dedup.py:
+    decontaminate_spans`): maximal training-doc spans whose 8-token
+    windows occur in the held-out eval split — trim surgery instead of
+    whole-doc drops, completing membership (bloom) → score (fraction)
+    → spans. Semi join against the broadcast eval gram set: no
+    occurrence lists, no hot-hash state; islands window doc-partitioned.
+    Registered at k=4: the synthetic corpus's docs share almost no
+    genuine 8-grams across the eval boundary (0 spans at sf0.001), so
+    k=4 is the config that exercises the islands merge with real rows
+    at every scale (41/49/3486 spans); GPT-3-style 13-gram production
+    runs just pass k=13."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 20
+    )
+    out = dedup.decontaminate_spans(
+        docs.filter(bucket != 0), docs.filter(bucket == 0), "doc_id", "text", k=4
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "span_start", "span_end", "n_windows"
+    ).orderBy("doc_id", "span_start")
+
+
 def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source vocabulary coverage (`functions/text.py:
     vocab_coverage`): occurrence- and type-level OOV rates against the
@@ -2210,6 +2237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r9-in-new]
     "docs_contamination_frac": q_docs_contamination_frac,  # [r9-in-new]
     "docs_oov_rate": q_docs_oov_rate,  # [r9-in-new]
+    "docs_decontaminate_spans": q_docs_decontaminate_spans,  # [r9-in-new]
 }
 
 

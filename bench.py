@@ -115,6 +115,8 @@ HEADLINE = [
     "docs_contamination_frac",
     # round 8 (late): per-source OOV dashboard (top-V vocab broadcast)
     "docs_oov_rate",
+    # round 8 (late): span-level decontamination (semi join + islands)
+    "docs_decontaminate_spans",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -2526,3 +2526,40 @@ FROM gt LEFT JOIN vocab v ON v.t = gt.t
 GROUP BY gt.g
 ORDER BY source
 """
+
+# docs_decontaminate_spans: contaminated-position islands — training
+# windows semi-joined against the eval split's distinct gram set, then
+# the duplicate_spans gaps-and-islands merge (row_number per doc over
+# unique positions → deterministic).
+ORACLES["docs_decontaminate_spans"] = f"""
+WITH tagged AS (
+    SELECT doc_id, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20
+               AS bkt
+    FROM documents
+), toks AS (
+    SELECT doc_id, bkt, string_split({_NORM}, ' ') AS t FROM tagged
+), wins AS (
+    SELECT doc_id, bkt, i - 1 AS pos,
+           md5(array_to_string(t[i:i+3], ' ')) AS h
+    FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+    WHERE len(t) >= 4
+), ev AS (
+    SELECT DISTINCT h FROM wins WHERE bkt = 0
+), marked AS (
+    SELECT w.doc_id, w.pos
+    FROM wins w JOIN ev USING (h)
+    WHERE w.bkt != 0
+), isl AS (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 3 AS span_end,
+       COUNT(*)::BIGINT AS n_windows
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""

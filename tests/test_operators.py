@@ -593,3 +593,85 @@ class TestContaminationFraction:
             )
         )
         assert bc == sh
+
+
+class TestDecontaminateSpans:
+    def test_islands_merge_and_eval_only_hits(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        # k=3; train doc "a" contains the eval trigram run "q1 q2 q3 q4"
+        # (two overlapping contaminated windows -> ONE span 2..5) and a
+        # clean tail; "b" is clean
+        train = spark.createDataFrame(
+            [
+                ("a", "x1 x2 q1 q2 q3 q4 y1 y2"),
+                ("b", "z1 z2 z3 z4 z5"),
+            ],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame(
+            [("e", "q1 q2 q3 q4")], "doc_id string, text string"
+        )
+        out = decontaminate_spans(train, ev, k=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id"], r["span_start"], r["span_end"], r["n_windows"]) == (
+            "a", 2, 5, 2,
+        )
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        train = spark.createDataFrame(
+            [("a", "q1 q2 q3 m1 m2 m3 m4 q1 q2 q3")],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame([("e", "q1 q2 q3")], "doc_id string, text string")
+        out = sorted(
+            (r["span_start"], r["span_end"]) for r in
+            decontaminate_spans(train, ev, k=3).collect()
+        )
+        assert out == [(0, 2), (7, 9)]
+
+    def test_composes_with_trim_spans(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            decontaminate_spans,
+            trim_spans,
+        )
+
+        train = spark.createDataFrame(
+            [("a", "keep1 keep2 bad1 bad2 bad3 keep3")],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame(
+            [("e", "bad1 bad2 bad3")], "doc_id string, text string"
+        )
+        spans = decontaminate_spans(train, ev, k=3)
+        trimmed = trim_spans(train, spans, "doc_id", "text").collect()
+        assert {r["trimmed_text"] for r in trimmed} == {"keep1 keep2 keep3"}
+        assert trimmed[0]["n_removed"] == 3
+
+    def test_shuffle_path_identical(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        train = spark.createDataFrame(
+            [("a", "p q r s t u"), ("b", "q r s t u v")],
+            "doc_id string, text string",
+        )
+        ev = spark.createDataFrame([("e", "r s t u")], "doc_id string, text string")
+        bc = sorted(map(tuple, decontaminate_spans(train, ev, k=3).collect()))
+        sh = sorted(
+            map(
+                tuple,
+                decontaminate_spans(
+                    train, ev, k=3, broadcast_eval=False
+                ).collect(),
+            )
+        )
+        assert bc == sh

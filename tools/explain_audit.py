@@ -209,6 +209,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"\A(?!.*BroadcastNestedLoopJoin[^\n]*(?:Inner|Cross)[^\n]*\n[^\n]*cluster)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_decontaminate_spans": [
+        # semi join against the broadcast eval gram set (no occurrence
+        # list / collect_list state at all — unlike duplicate_spans);
+        # the only window is the doc-partitioned islands row_number
+        ("broadcast eval semi join", r"BroadcastHashJoin.*LeftSemi"),
+        ("no collect_list state", r"\A(?!.*collect_list)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("doc-partitioned islands window", r"windowspecdefinition\(id"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_oov_rate": [
         # top-V vocab via TakeOrderedAndProject (never a full global
         # sort of the vocab table), broadcast into the coverage join;

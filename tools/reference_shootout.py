@@ -904,6 +904,51 @@ def pandas_docs_oov_rate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_docs_decontaminate_spans(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bkt = docs["doc_id"].map(
+        lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) % 20
+    )
+    norm = _pandas_norm(docs)
+    k = 4
+    ev = set()
+    train = []
+    for doc_id, b, t in zip(docs["doc_id"], bkt, norm):
+        toks = t.split(" ") if t else []
+        ws = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - (k - 1))
+        ]
+        if not ws:
+            continue
+        if b == 0:
+            ev.update(ws)
+        else:
+            train.append((doc_id, ws))
+    out = []
+    for doc_id, ws in train:
+        run_start, prev = None, None
+        for pos, h in enumerate(ws):
+            if h in ev:
+                if run_start is None:
+                    run_start = pos
+                prev = pos
+            elif run_start is not None:
+                out.append((doc_id, run_start, prev + k - 1, prev - run_start + 1))
+                run_start, prev = None, None
+        if run_start is not None:
+            out.append((doc_id, run_start, prev + k - 1, prev - run_start + 1))
+    return (
+        pd.DataFrame(
+            out, columns=["doc_id", "span_start", "span_end", "n_windows"]
+        )
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -937,6 +982,7 @@ PANDAS_IMPLS = {
     "docs_ccnet_buckets": pandas_docs_ccnet_buckets,
     "docs_contamination_frac": pandas_docs_contamination_frac,
     "docs_oov_rate": pandas_docs_oov_rate,
+    "docs_decontaminate_spans": pandas_docs_decontaminate_spans,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
