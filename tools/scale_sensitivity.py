@@ -246,6 +246,21 @@ def heavy_queries(spark, sf_dir: str):
             ),
             "doc_id", "text", k=8,
         ),
+        "docs_decontaminate_spans": lambda: ededup.decontaminate_spans(
+            docs.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("bigint") % 20 != 0
+            ),
+            docs.filter(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10,
+                ).cast("bigint") % 20 == 0
+            ),
+            "doc_id", "text", k=4,
+        ),
         "docs_gopher_rules": lambda: docs.select(
             "doc_id", etext.gopher_quality_flags("text").alias("g")
         ).select("doc_id", "g.word_count", "g.passes"),
