@@ -315,21 +315,31 @@ def live_files(path: str) -> list[str]:
 
 
 def manifest_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a table honoring its manifest — the safe reader for tables
     mutated by `selective_upsert` (a raw `spark.read.parquet(dir)`
     additionally sees uncommitted staged files during a swap). With
     `version`, time-travel to that generation's exact snapshot
     (requires the upserts to have run with `keep_history=True`, and the
-    generation to be inside the `vacuum_table` retention window)."""
+    generation to be inside the `vacuum_table` retention window).
+    `merge_schema=True` unions per-file schemas (parquet mergeSchema) —
+    required after `selective_upsert(..., evolve_schema=True)` added a
+    column, because non-rewritten files still carry the old schema and
+    a plain read resolves columns from one footer only."""
     if version is not None:
         files = read_table_manifest(path, version)
     else:
         files = live_files(path)
     if not files:
         raise ValueError(f"manifest_read: no live files under {path}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def pruned_read(
@@ -632,6 +642,7 @@ def selective_upsert(
     updates: DataFrame,
     key: str,
     keep_history: bool = False,
+    evolve_schema: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert by `key`) that rewrites ONLY the
     files whose footer key range can contain an updated key; every
@@ -672,11 +683,32 @@ def selective_upsert(
         for r in upsert_rewrite_set(ranges_df, updates, key).collect()
     )
     before = live_files(path)
-    target_cols = spark.read.parquet(*before).columns
+    # mergeSchema so an earlier evolved column counts as part of the
+    # target schema (a plain read resolves one footer and could flag
+    # it as "extra" on the next upsert)
+    target_cols = spark.read.option("mergeSchema", "true").parquet(*before).columns
+    extra = [c for c in updates.columns if c not in target_cols]
+    if extra and not evolve_schema:
+        # silent column drops are a data-loss hazard; evolving the
+        # schema is an explicit opt-in (the Delta mergeSchema contract)
+        raise ValueError(
+            f"updates carry columns not in the target table {extra}; "
+            "pass evolve_schema=True to add them (non-rewritten files "
+            "keep the old schema — read through manifest_read(..., "
+            "merge_schema=True))"
+        )
     if rewrite:
-        old = spark.read.parquet(*rewrite)
+        # mergeSchema: after an earlier evolve_schema=True upsert the
+        # rewrite set can mix schemas; a plain read would resolve one
+        # footer and drop the evolved column from kept rows
+        old = spark.read.option("mergeSchema", "true").parquet(*rewrite)
         keep = old.join(updates.select(key).distinct(), key, "left_anti")
-        merged = keep.unionByName(updates.select(*target_cols))
+        if evolve_schema:
+            merged = keep.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = keep.unionByName(updates.select(*target_cols))
+    elif evolve_schema:
+        merged = updates
     else:
         merged = updates.select(*target_cols)
     staging = path.rstrip("/") + f"__upsert_{_uuid.uuid4().hex[:8]}"
@@ -804,15 +836,18 @@ def compact_table(
     staged: list[str] = []
     for i, g in enumerate(groups):
         gdir = _os.path.join(staging, f"g{i}")
+        # mergeSchema: after selective_upsert(..., evolve_schema=True)
+        # files in one group can disagree on columns — a plain read
+        # resolves ONE footer and would silently drop the evolved
+        # column from the rewritten file (pinned by test)
+        gread = spark.read.option("mergeSchema", "true").parquet(*g)
         if sort_cols:
             n_out = max(1, -(-sum(sizes[f] for f in g) // target_bytes))
-            gdf = (
-                spark.read.parquet(*g)
-                .repartitionByRange(n_out, *sort_cols)
-                .sortWithinPartitions(*sort_cols)
+            gdf = gread.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+                *sort_cols
             )
         else:
-            gdf = spark.read.parquet(*g).coalesce(1)
+            gdf = gread.coalesce(1)
         gdf.write.mode("overwrite").parquet(gdir)
         parts = [f for f in sorted(_os.listdir(gdir)) if f.endswith(".parquet")]
         if not sort_cols:

@@ -883,3 +883,90 @@ class TestCompactTable:
             .count()
         )
         assert total >= 3 and hit <= 1
+
+
+class TestSchemaEvolution:
+    def _table(self, spark, path, n=400, files=4):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def test_extra_column_refused_without_opt_in(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        updates = spark.createDataFrame(
+            [(1, -1, "x")], "k long, v long, tag string"
+        )
+        with pytest.raises(ValueError, match="evolve_schema"):
+            scale.selective_upsert(spark, path, updates, "k")
+
+    def test_evolved_column_null_for_untouched_rows(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        updates = spark.createDataFrame(
+            [(k, -1, "new") for k in range(5)], "k long, v long, tag string"
+        )
+        scale.selective_upsert(spark, path, updates, "k", evolve_schema=True)
+        # plain read may resolve the old schema; merge_schema sees all
+        out = scale.manifest_read(spark, path, merge_schema=True)
+        assert set(out.columns) == {"k", "v", "tag"}
+        rows = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+        assert len(rows) == 400
+        assert all(rows[k] == (-1, "new") for k in range(5))
+        # rows in non-rewritten files carry NULL for the new column
+        assert rows[399] == (798, None)
+
+    def test_evolution_then_compaction_unifies_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        updates = spark.createDataFrame(
+            [(0, -1, "new")], "k long, v long, tag string"
+        )
+        scale.selective_upsert(spark, path, updates, "k", evolve_schema=True)
+        pre = {
+            r["k"]: (r["v"], r["tag"])
+            for r in scale.manifest_read(spark, path, merge_schema=True).collect()
+        }
+        # compaction rewrites through a merge-schema read? No — groups
+        # read their own files; after compacting ALL files into one
+        # group the output schema must still be the union
+        import os
+
+        sizes = sum(
+            os.path.getsize(f) for f in scale.live_files(path)
+        )
+        scale.compact_table(spark, path, target_bytes=sizes + 1)
+        post = {
+            r["k"]: (r["v"], r["tag"])
+            for r in scale.manifest_read(spark, path, merge_schema=True).collect()
+        }
+        assert post == pre
+
+    def test_second_upsert_after_evolution_keeps_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        scale.selective_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(0, -1, "new")], "k long, v long, tag string"),
+            "k",
+            evolve_schema=True,
+        )
+        # second upsert WITH the evolved column must not be flagged
+        # extra, and must not lose 'tag' from kept rows it rewrites
+        scale.selective_upsert(
+            spark,
+            path,
+            spark.createDataFrame([(1, -2, "two")], "k long, v long, tag string"),
+            "k",
+        )
+        rows = {
+            r["k"]: (r["v"], r["tag"])
+            for r in scale.manifest_read(spark, path, merge_schema=True).collect()
+        }
+        assert rows[0] == (-1, "new") and rows[1] == (-2, "two")
+        assert rows[2] == (4, None)
