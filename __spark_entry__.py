@@ -1966,6 +1966,31 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.triangle_counts(edges).orderBy("node")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the support-2 part co-purchase graph
+    (`functions/graph.py:kcore`): bounded-round peeling — each round
+    one degree partial-aggregate + two hash-equi semi joins, edge set
+    monotonically shrinking, observe-metric early stop. `rounds=10`
+    is a replay bound, not an approximation: measured convergence is
+    1/3/6 rounds at sf0.001/0.01/0.1 and extra rounds are identity,
+    so Spark's early stop and the oracle's full 10-round unroll
+    (`build_kcore_sql`) agree bit-for-bit."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return egraph.kcore(edges, k=2, rounds=10).orderBy("node")
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, epoch-day)
     (`scale.py:zorder_key`): the multi-dimensional layout key behind
@@ -2238,6 +2263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_contamination_frac": q_docs_contamination_frac,  # [r9-in-new]
     "docs_oov_rate": q_docs_oov_rate,  # [r9-in-new]
     "docs_decontaminate_spans": q_docs_decontaminate_spans,  # [r9-in-new]
+    "graph_kcore": q_graph_kcore,  # [r9-in-new]
 }
 
 

@@ -117,6 +117,9 @@ HEADLINE = [
     "docs_oov_rate",
     # round 8 (late): span-level decontamination (semi join + islands)
     "docs_decontaminate_spans",
+    # round 8 (late): bounded-round k-core peeling (iterative: per-round
+    # lineage cuts run at construction)
+    "graph_kcore",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -137,6 +140,8 @@ ITERATIVE = {
     # triangle counting pins the undirected + oriented edge sets at
     # construction (localCheckpoint)
     "graph_triangles",
+    # k-core peels with an unconditional per-round lineage cut
+    "graph_kcore",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -2563,3 +2563,27 @@ FROM isl
 GROUP BY doc_id, grp
 ORDER BY doc_id, span_start
 """
+
+# graph_kcore: bounded-round peeling to the 2-core of the support-2
+# part co-purchase graph (functions/graph.py:build_kcore_sql) — the
+# 10-round unroll is a replay bound (convergence measured at 1/3/6
+# rounds across sf0.001/0.01/0.1; extra rounds are identity), so the
+# fixed chain equals Spark's early-stopped run exactly.
+from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
+    build_kcore_sql as _kcore_sql,
+)
+
+ORACLES["graph_kcore"] = _kcore_sql(
+    """
+    SELECT pa AS src, pb AS dst FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ) WHERE sup >= 2""",
+    k=2,
+    rounds=10,
+) + """
+SELECT node, COUNT(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10
+) GROUP BY node ORDER BY node"""

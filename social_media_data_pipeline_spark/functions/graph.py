@@ -372,3 +372,114 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("tri_cnt"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+) -> DataFrame:
+    """k-core of an undirected graph by bounded-round peeling →
+    (node, deg): the maximal subgraph in which every node has degree
+    ≥ k, with `deg` the node's degree INSIDE that subgraph (its
+    coreness witness). The classic crawl/interaction-graph curation
+    primitive (Seidman 1983 "Network structure and minimum degree"):
+    spam rings and boilerplate clusters live in dense cores, stray
+    one-off links peel away.
+
+    Peeling is monotone and idempotent: each round deletes every edge
+    with an endpoint of current degree < k; once no edge is deleted
+    the subgraph is the exact k-core and further rounds are no-ops.
+    `rounds` is therefore a REPLAY bound, not an approximation knob —
+    any `rounds` ≥ the convergence round returns the exact core, and
+    the generated DuckDB oracle (`build_kcore_sql`) replays the same
+    fixed number of rounds bit-for-bit (extra rounds are identity on
+    both sides, so Spark's early stop never diverges from the
+    oracle's full unroll).
+
+    Scale shape (100 TB): per round one degree aggregation (partial
+    map-side combine on each endpoint) + two semi joins back to the
+    edge list — all hash-equi, no window, no collect of anything but
+    the observe scalar. The edge set shrinks monotonically, so round
+    cost is non-increasing; the per-round lineage cut is UNCONDITIONAL
+    (no `checkpoint=False` escape hatch, unlike `pagerank`): the
+    degree table is recomputed FROM the current edge set each round,
+    so an uncut plan references the previous round ~5× and grows
+    exponentially — 10 lazy rounds OOM the driver at analysis time on
+    a 4-edge graph (measured). The edge-count observe metric rides the
+    checkpoint materialization (no extra job) and stops the loop as
+    soon as a round deletes nothing.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a0, b0 = F.col(src), F.col(dst)
+    live = (
+        edges.select(F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_m: int | None = None
+    for i in range(rounds):
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        keep = deg.filter(F.col("__d") >= k)
+        nxt = live.join(
+            keep.select(F.col("node").alias("a")), "a", "leftsemi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "leftsemi")
+        obs = Observation(f"kcore_round_{i}")
+        live = nxt.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint(
+            eager=True
+        )
+        m = int(obs.get["m"] or 0)
+        if m == prev_m:
+            break  # fixpoint: the oracle's remaining rounds are no-ops
+        prev_m = m
+    return (
+        live.select(F.col("a").alias("node"))
+        .unionByName(live.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def build_kcore_sql(edges_cte: str, k: int, rounds: int = 10) -> str:
+    """DuckDB WITH-chain replaying `kcore` round-for-round: `edges_cte`
+    must yield a directed/duplicated edge list (src, dst); the chain
+    dedups to undirected (a < b) and unrolls `rounds` peel rounds.
+    Returns the chain up to `e{rounds}`; append a final SELECT, e.g.
+    ``SELECT node, COUNT(*)::BIGINT AS deg FROM (SELECT a AS node FROM
+    e10 UNION ALL SELECT b FROM e10) GROUP BY node ORDER BY node``.
+    """
+    # every e{i} is referenced ~5x by round i+1 (degree union twice, the
+    # FROM once, both IN subqueries once each); DuckDB inlines CTEs by
+    # default, so an unhinted chain expands ~5^rounds in the planner —
+    # measured: 8 unhinted rounds on a 60-edge VALUES graph ran the
+    # planner to tens of GB. MATERIALIZED pins each round to one
+    # evaluation (the mixture-solver oracle convention).
+    parts = [
+        f"WITH raw AS ({edges_cte}),",
+        "e0 AS MATERIALIZED (",
+        "    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b",
+        "    FROM raw WHERE src <> dst",
+        ")",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", d{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}
+    ) GROUP BY node HAVING COUNT(*) >= {k}
+), e{i} AS MATERIALIZED (
+    SELECT a, b FROM e{p}
+    WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
+)""")
+    return "\n".join(parts) + "\n"

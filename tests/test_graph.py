@@ -254,3 +254,75 @@ class TestTriangleCounts:
             for r in graph.triangle_counts(df, checkpoint=True).collect()
         }
         assert lazy == pinned
+
+
+class TestKcore:
+    def _core(self, spark, pairs, k, rounds=10):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        out = graph.kcore(df, k=k, rounds=rounds).collect()
+        return {r["node"]: r["deg"] for r in out}
+
+    def _brute(self, pairs, k):
+        und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+        while True:
+            deg: dict[int, int] = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return deg
+            und = {(a, b) for a, b in und if a not in drop and b not in drop}
+
+    def test_triangle_with_tail_peels_tail(self, spark):
+        # triangle 1-2-3 plus pendant 3-4: 2-core is the triangle
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        assert self._core(spark, pairs, k=2) == {1: 2, 2: 2, 3: 2}
+
+    def test_chain_peels_to_empty(self, spark):
+        assert self._core(spark, [(1, 2), (2, 3), (3, 4)], k=2) == {}
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        # path hung off a square: each round removes one more pendant
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7)]
+        assert self._core(spark, pairs, k=2) == {1: 2, 2: 2, 3: 2, 4: 2}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(13)
+        for trial in range(3):
+            pairs = [(rng.randrange(14), rng.randrange(14)) for _ in range(50)]
+            for k in (2, 3):
+                assert self._core(spark, pairs, k=k) == self._brute(pairs, k)
+
+    def test_extra_rounds_are_identity(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+        assert self._core(spark, pairs, k=2, rounds=3) == self._core(
+            spark, pairs, k=2, rounds=12
+        )
+
+    def test_sql_replay_matches(self, spark):
+        import duckdb
+        import random
+
+        rng = random.Random(19)
+        pairs = [(rng.randrange(15), rng.randrange(15)) for _ in range(60)]
+        got = self._core(spark, pairs, k=2, rounds=8)
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        sql = graph.build_kcore_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", k=2, rounds=8
+        ) + (
+            "SELECT node, COUNT(*)::BIGINT AS deg FROM ("
+            "SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8"
+            ") GROUP BY node ORDER BY node"
+        )
+        oracle = {n: d for n, d in duckdb.connect().execute(sql).fetchall()}
+        assert got == oracle
+
+    def test_bad_args_raise(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="k must"):
+            graph.kcore(df, k=0)
+        with pytest.raises(ValueError, match="rounds"):
+            graph.kcore(df, k=2, rounds=0)

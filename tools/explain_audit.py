@@ -263,6 +263,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
     ],
+    "graph_kcore": [
+        # bounded-round peeling with an unconditional per-round lineage
+        # cut: the returned plan is a degree partial-aggregate over the
+        # checkpointed final edge set — no cartesian, no window, no
+        # Python; Scan ExistingRDD is the pinned (early-stopped) core
+        ("pinned peeled edges", r"Scan ExistingRDD"),
+        ("partial aggregation", r"HashAggregate"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_dup_window_frac": [
         # no occurrence-list state: aggregates only, no collect_list,
         # no window function, hash-equi join back

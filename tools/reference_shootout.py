@@ -808,6 +808,32 @@ def pandas_graph_triangles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_graph_kcore(sf_dir: str) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] < e["l_partkey_b"]]
+    sup = e.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    und = sup[sup >= 2].reset_index()[["l_partkey_a", "l_partkey_b"]]
+    und.columns = ["a", "b"]
+    while True:
+        deg = pd.concat([und["a"], und["b"]]).value_counts()
+        keep = set(deg[deg >= 2].index)
+        nxt = und[und["a"].isin(keep) & und["b"].isin(keep)]
+        if len(nxt) == len(und):
+            break
+        und = nxt
+    out = (
+        pd.concat([und["a"], und["b"]])
+        .value_counts()
+        .rename("deg")
+        .rename_axis("node")
+        .reset_index()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -979,6 +1005,7 @@ PANDAS_IMPLS = {
     "docs_bpe_merges_80": pandas_docs_bpe_merges_80,
     "docs_dup_window_frac": pandas_docs_dup_window_frac,
     "graph_triangles": pandas_graph_triangles,
+    "graph_kcore": pandas_graph_kcore,
     "docs_ccnet_buckets": pandas_docs_ccnet_buckets,
     "docs_contamination_frac": pandas_docs_contamination_frac,
     "docs_oov_rate": pandas_docs_oov_rate,
@@ -987,7 +1014,7 @@ PANDAS_IMPLS = {
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
+ITERATIVE_IMPLS = {"graph_kcore", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
 
 
 def main() -> None:
