@@ -199,3 +199,134 @@ def write_training_shards(
         .mode(mode)
         .parquet(path)
     )
+
+
+def pack_bestfit(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    budget: int,
+    n_shards: int,
+    *,
+    seed: str = "bestfit-v1",
+) -> DataFrame:
+    """Best-fit-decreasing WHOLE-DOCUMENT packing → (id, n_tokens,
+    shard, bin_id): every document lands entirely inside one
+    `budget`-token bin, no document is ever split across sequences —
+    the truncation-free layout of Ding et al. 2024 ("Fewer Truncations
+    Improve Language Modeling"), the complement of `pack_sequences`'
+    contiguous split-at-boundary layout. Documents LONGER than the
+    budget get a dedicated bin each (`oversize = true`); the
+    training-side loader decides whether to truncate or skip them.
+
+    Shape: documents are hashed into `n_shards` independent shards
+    (md5 of the id + seed — deterministic, reproducible across runs
+    and partitionings); within a shard, best-fit-decreasing runs as a
+    per-shard `applyInPandas`. BFD is inherently sequential (each
+    placement depends on every earlier bin fill), so this is the
+    documented Pandas-UDF boundary — the state is per-shard bin
+    fills, bounded by shard size, never corpus-wide. Placement is
+    fully deterministic: docs descend by (n_tokens, id); the chosen
+    bin is the FULLEST bin that still fits (leftmost (remaining,
+    bin_id) with remaining ≥ size), ties to the lowest bin_id.
+
+    At 100 TB: `n_shards` bounds both the Arrow batch (one shard's
+    (id, n_tokens) pairs — 16 bytes/doc, so even 10M-doc shards are
+    ~160 MB driver-free executor state) and the packing locality a
+    distributed loader consumes; shards pack in parallel with ONE
+    hash-partition shuffle. Bin ids are globally unique as
+    (shard, bin_id) pairs.
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    toks = (F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col).cast(
+        "long"
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+
+    out_schema = (
+        "id " + dict(base.dtypes)["id"]
+        + ", n_tokens bigint, shard int, bin_id bigint, oversize boolean"
+    )
+
+    def _bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+        )
+        # sorted list of (remaining, bin_id); best fit = leftmost
+        # entry with remaining >= size (smallest qualifying remaining,
+        # lowest bin_id among equals)
+        open_bins: list[tuple[int, int]] = []
+        next_bin = 0
+        bin_ids, oversize = [], []
+        for size in pdf["n_tokens"].to_numpy():
+            size = int(size)
+            if size > budget:
+                bin_ids.append(next_bin)
+                oversize.append(True)
+                next_bin += 1  # dedicated bin, never reopened
+                continue
+            i = bisect.bisect_left(open_bins, (size, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                new_rem = rem - size
+                if new_rem > 0:
+                    bisect.insort(open_bins, (new_rem, b))
+                bin_ids.append(b)
+            else:
+                b = next_bin
+                next_bin += 1
+                new_rem = budget - size
+                if new_rem > 0:
+                    bisect.insort(open_bins, (new_rem, b))
+                bin_ids.append(b)
+            oversize.append(False)
+        pdf = pdf.assign(bin_id=bin_ids, oversize=oversize)
+        return pdf[["id", "n_tokens", "shard", "bin_id", "oversize"]]
+
+    return base.groupBy("shard").applyInPandas(_bfd, out_schema)
+
+
+def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Packing-efficiency dashboard over `pack_bestfit` output →
+    one row per shard: bins used, docs, token totals, waste fraction
+    (1 − fill/capacity over non-oversize bins). Pure aggregate —
+    compare against `pack_sequences`' zero-waste-but-splitting layout
+    to price the truncation-free property in padding tokens.
+    """
+    nb = F.countDistinct(F.when(~F.col("oversize"), F.col("bin_id")))
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens")).alias("total_tokens"),
+            nb.alias("bins_used"),
+            F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+            F.sum(F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(F.lit(0))).alias("packed_tokens"),
+        )
+        .withColumn(
+            "waste_frac",
+            F.when(
+                F.col("bins_used") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("packed_tokens")
+                    / (F.col("bins_used") * F.lit(float(budget))),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -347,3 +347,133 @@ class TestWriteTrainingShards:
         # every shard is one hive directory readable on its own
         sh0 = spark.read.parquet(f"{path}/shard=0")
         assert sh0.count() == sum(1 for v in want.values() if v == 0)
+
+
+class TestPackBestfit:
+    def _ref_bfd(self, sizes_ids, budget):
+        """Sequential best-fit-decreasing reference (list scan)."""
+        order = sorted(sizes_ids, key=lambda t: (-t[0], t[1]))
+        bins = []  # bin_id -> remaining
+        out = {}
+        next_bin = 0
+        for size, did in order:
+            if size > budget:
+                out[did] = (next_bin, True)
+                next_bin += 1
+                continue
+            best = None
+            for b, rem in enumerate(bins):
+                if rem >= size and (best is None or rem < bins[best]):
+                    best = b
+            if best is None:
+                bins.append(budget - size)
+                out[did] = (next_bin, False)
+                assert len(bins) - 1 == next_bin - sum(
+                    1 for _, (bb, ov) in out.items() if ov
+                ) or True
+                next_bin += 1
+                # remap: reference tracks open bins positionally; align
+                # ids by creation order below instead
+            else:
+                bins[best] -= size
+                out[did] = (best, False)
+        return out
+
+    def _spark_pack(self, spark, rows, budget, n_shards=1):
+        df = spark.createDataFrame(rows, "doc_id long, toks long")
+        return packing.pack_bestfit(
+            df, "doc_id", "toks", budget, n_shards=n_shards
+        ).collect()
+
+    def test_validity_and_no_split(self, spark):
+        import random
+
+        rng = random.Random(23)
+        rows = [(i, rng.randrange(1, 900)) for i in range(200)]
+        got = self._spark_pack(spark, rows, budget=1000, n_shards=4)
+        assert len(got) == 200 and len({r["id"] for r in got}) == 200
+        fills = {}
+        for r in got:
+            assert not r["oversize"]
+            fills.setdefault((r["shard"], r["bin_id"]), 0)
+            fills[(r["shard"], r["bin_id"])] += r["n_tokens"]
+        assert all(v <= 1000 for v in fills.values())
+
+    def test_oversize_gets_dedicated_bin(self, spark):
+        rows = [(1, 5000), (2, 100), (3, 6000), (4, 200)]
+        got = self._spark_pack(spark, rows, budget=1000)
+        by_id = {r["id"]: r for r in got}
+        assert by_id[1]["oversize"] and by_id[3]["oversize"]
+        assert by_id[1]["bin_id"] != by_id[3]["bin_id"]
+        # small docs never share an oversize doc's bin
+        assert by_id[2]["bin_id"] not in (by_id[1]["bin_id"], by_id[3]["bin_id"])
+
+    def test_matches_sequential_reference_bins(self, spark):
+        # compare BIN CONTENTS (sets of doc ids packed together), which
+        # is representation-independent, against a brute-force best-fit
+        import random
+
+        rng = random.Random(29)
+        rows = [(i, rng.randrange(50, 700)) for i in range(60)]
+        got = self._spark_pack(spark, rows, budget=1000, n_shards=1)
+        groups = {}
+        for r in got:
+            groups.setdefault(r["bin_id"], set()).add(r["id"])
+        # sequential reference with identical tie-breaks
+        order = sorted(rows, key=lambda t: (-t[1], t[0]))
+        bins = []  # (remaining, creation_id)
+        ref_groups = {}
+        for did, size in [(d, s) for (d, s) in order]:
+            cands = [
+                (rem, b) for (rem, b) in bins if rem >= size
+            ]
+            if cands:
+                rem, b = min(cands)
+                bins.remove((rem, b))
+                bins.append((rem - size, b))
+                ref_groups[b].add(did)
+            else:
+                b = len(ref_groups)
+                ref_groups[b] = {did}
+                bins.append((1000 - size, b))
+        assert sorted(map(sorted, groups.values())) == sorted(
+            map(sorted, ref_groups.values())
+        )
+
+    def test_deterministic_across_partitionings(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = [(i, rng.randrange(1, 500)) for i in range(150)]
+        df1 = spark.createDataFrame(rows, "doc_id long, toks long").repartition(1)
+        df7 = spark.createDataFrame(rows, "doc_id long, toks long").repartition(7)
+        a = sorted(
+            (r["id"], r["shard"], r["bin_id"])
+            for r in packing.pack_bestfit(df1, "doc_id", "toks", 600, 3).collect()
+        )
+        b = sorted(
+            (r["id"], r["shard"], r["bin_id"])
+            for r in packing.pack_bestfit(df7, "doc_id", "toks", 600, 3).collect()
+        )
+        assert a == b
+
+    def test_stats_and_waste_vs_contiguous(self, spark):
+        import random
+
+        rng = random.Random(37)
+        rows = [(i, rng.randrange(100, 900)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, toks long")
+        packed = packing.pack_bestfit(df, "doc_id", "toks", 1000, n_shards=2)
+        stats = packing.packing_stats(packed, 1000).collect()
+        total = sum(r["total_tokens"] for r in stats)
+        assert total == sum(s for _, s in rows)
+        for r in stats:
+            assert 0.0 <= r["waste_frac"] < 0.5
+            assert r["n_oversize"] == 0
+
+    def test_bad_args_raise(self, spark):
+        df = spark.createDataFrame([(1, 10)], "doc_id long, toks long")
+        with pytest.raises(ValueError, match="budget"):
+            packing.pack_bestfit(df, "doc_id", "toks", 0, 1)
+        with pytest.raises(ValueError, match="n_shards"):
+            packing.pack_bestfit(df, "doc_id", "toks", 10, 0)
