@@ -1991,6 +1991,81 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.kcore(edges, k=2, rounds=10).orderBy("node")
 
 
+def q_docs_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing whole-document packing
+    (`operators/packing.py:pack_bestfit`): truncation-free bins — no
+    document is ever split across sequences (Ding et al. 2024), the
+    complement of `docs_pack_sequences`' zero-waste split layout.
+    Docs hash into 4 independent shards (one hash-partition shuffle);
+    within a shard BFD runs sequentially inside one `applyInPandas`
+    with bounded per-shard state — the documented Pandas-UDF boundary
+    for an inherently sequential placement. The oracle replays the
+    exact placement with a DuckDB RECURSIVE CTE carrying the open-bin
+    list as per-shard state (one recursion step per document), so
+    every (doc → bin) decision is differential-checked, not just the
+    aggregate fill."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.greatest(F.lit(1), F.expr("n_chars div 4"))
+    out = packing.pack_bestfit(
+        docs.select("doc_id", "n_chars"), "doc_id", toks,
+        budget=512, n_shards=4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "shard", "bin_id", "oversize"
+    ).orderBy("doc_id")
+
+
+def q_orders_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join
+    (`functions/sketches.py:join_key_sample/join_size_estimate`,
+    Vengerov et al. 2015 correlated sampling): both sides keep exact
+    per-key counts for the ~1/8 of DISTINCT keys whose md5 hash clears
+    the shared threshold — the same keys survive on both sides, so the
+    sample observes matching-key count PRODUCTS directly. The sketch
+    is a mergeable (key, n_rows) table built per ingest slice; the
+    estimate is integer arithmetic end-to-end and replays in SQL. The
+    exact join size rides along for calibration — at 100 TB you build
+    the sketches at ingest and SKIP the exact column; this is the
+    planning primitive for broadcast-vs-shuffle decisions."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sa = sketches.join_key_sample(orders, "o_orderkey", inv_rate=8)
+    sb = sketches.join_key_sample(li, "l_orderkey", inv_rate=8)
+    est = sketches.join_size_estimate(sa, sb, inv_rate=8)
+    exact = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .join(li.select(F.col("l_orderkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("exact_pairs"))
+    )
+    return est.crossJoin(exact)
+
+
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join (`operators/joins.py:salted_join`,
+    HYBRID mode): the top-3 event users take the salted path (content
+    hash spreads each hot key over 8 shuffle partitions, dim rows
+    replicated per salt), the cold tail joins plainly, results
+    unioned. The salt is a DETERMINISTIC xxhash64 of the row — a
+    rand() salt in a shuffle key can lose/duplicate rows on task
+    retry. Result provably identical to the plain join: the oracle IS
+    the plain join. This is the manual fallback for skew AQE can't
+    repair (stream-stream joins, downstream agg skew, AQE-off)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    hot = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), "user_id")
+        .limit(3)
+        .select("user_id")
+    )
+    out = joins.salted_join(ev, dim, "user_id", n_salts=8, hot_keys=hot)
+    return out.select("event_id", "user_id", "segment", "value").orderBy("event_id")
+
+
 def q_events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user_id, epoch-day)
     (`scale.py:zorder_key`): the multi-dimensional layout key behind
@@ -2264,6 +2339,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_oov_rate": q_docs_oov_rate,  # [r9-in-new]
     "docs_decontaminate_spans": q_docs_decontaminate_spans,  # [r9-in-new]
     "graph_kcore": q_graph_kcore,  # [r9-in-new]
+    "docs_pack_bfd": q_docs_pack_bfd,  # [r9-in-new]
+    "events_salted_join": q_events_salted_join,  # [r9-in-new]
+    "orders_join_size_est": q_orders_join_size_est,  # [r9-in-new]
 }
 
 

@@ -120,6 +120,13 @@ HEADLINE = [
     # round 8 (late): bounded-round k-core peeling (iterative: per-round
     # lineage cuts run at construction)
     "graph_kcore",
+    # round 8 (late): best-fit-decreasing whole-document packing — the
+    # one sanctioned sequential applyInPandas stage
+    "docs_pack_bfd",
+    # round 8 (late): hybrid skew-salted join (deterministic salt)
+    "events_salted_join",
+    # round 8 (late): correlated-sampling join-size estimation
+    "orders_join_size_est",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

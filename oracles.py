@@ -2587,3 +2587,104 @@ ORACLES["graph_kcore"] = _kcore_sql(
 SELECT node, COUNT(*)::BIGINT AS deg FROM (
     SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10
 ) GROUP BY node ORDER BY node"""
+
+
+# docs_pack_bfd: best-fit-decreasing whole-document packing replayed
+# exactly — a RECURSIVE CTE walks each shard's (n_tokens DESC, id)
+# order one document per step, carrying the open-bin list
+# STRUCT(rem, b)[] as per-shard state; best fit = list-min (rem, b)
+# among bins with rem >= size (the same (remaining, bin_id) bisect
+# order as operators/packing.py:pack_bestfit), full bins drop out,
+# oversize docs take a dedicated flagged bin. Every (doc -> bin)
+# decision is checked, not just fills.
+_BFD_B, _BFD_S = 512, 4
+ORACLES["docs_pack_bfd"] = f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id AS id,
+         GREATEST(1, n_chars // 4)::BIGINT AS n_tokens,
+         (('0x' || substr(md5('bestfit-v1' || '|' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % {_BFD_S}) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, id ASC) AS idx
+  FROM sized
+),
+st AS (
+  SELECT shard, 0::BIGINT AS idx,
+         CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS bins,
+         0::BIGINT AS next_bin,
+         NULL::BIGINT AS p_id, NULL::BIGINT AS p_tokens,
+         NULL::BIGINT AS p_bin, NULL::BOOLEAN AS p_over
+  FROM (SELECT DISTINCT shard FROM ordered)
+  UNION ALL
+  SELECT s.shard, s.idx + 1,
+    CASE
+      WHEN d.n_tokens > {_BFD_B} THEN s.bins
+      WHEN len(list_filter(s.bins, x -> x.rem >= d.n_tokens)) = 0 THEN
+        CASE WHEN {_BFD_B} - d.n_tokens > 0
+             THEN list_append(s.bins, {{'rem': {_BFD_B} - d.n_tokens, 'b': s.next_bin}})
+             ELSE s.bins END
+      ELSE
+        list_concat(
+          list_filter(s.bins,
+                      x -> x.b != list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].b),
+          CASE WHEN list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].rem
+                      - d.n_tokens > 0
+               THEN [{{'rem': list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].rem
+                               - d.n_tokens,
+                       'b':   list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].b}}]
+               ELSE CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) END)
+    END AS bins,
+    CASE WHEN d.n_tokens > {_BFD_B}
+              OR len(list_filter(s.bins, x -> x.rem >= d.n_tokens)) = 0
+         THEN s.next_bin + 1 ELSE s.next_bin END AS next_bin,
+    d.id, d.n_tokens,
+    CASE WHEN d.n_tokens > {_BFD_B}
+              OR len(list_filter(s.bins, x -> x.rem >= d.n_tokens)) = 0
+         THEN s.next_bin
+         ELSE list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].b END AS p_bin,
+    (d.n_tokens > {_BFD_B}) AS p_over
+  FROM st s JOIN ordered d ON d.shard = s.shard AND d.idx = s.idx + 1
+)
+SELECT p_id AS doc_id, p_tokens AS n_tokens, shard, p_bin AS bin_id, p_over AS oversize
+FROM st WHERE idx > 0 ORDER BY doc_id"""
+
+
+# events_salted_join: the salted/hybrid join must be RESULT-IDENTICAL
+# to the plain equi join — the oracle is exactly that plain join, so
+# any row lost or duplicated by the salting machinery (the production
+# hazard of rand() salts) hash-mismatches immediately.
+ORACLES["events_salted_join"] = """
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id"""
+
+
+# orders_join_size_est: correlated-sampling join-size estimate — the
+# same 60-bit md5 threshold keeps the same ~1/8 of DISTINCT keys on
+# both sides; exact per-key counts for sampled keys; estimate =
+# inv_rate x sum of count products. Integer end-to-end; the exact join
+# size rides along for calibration.
+ORACLES["orders_join_size_est"] = """
+WITH sa AS (
+    SELECT o_orderkey AS key, count(*)::BIGINT AS n
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+          < 144115188075855872
+    GROUP BY 1
+), sb AS (
+    SELECT l_orderkey AS key, count(*)::BIGINT AS n
+    FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT
+          < 144115188075855872
+    GROUP BY 1
+), est AS (
+    SELECT count(*)::BIGINT AS sampled_keys,
+           (coalesce(sum(sa.n * sb.n), 0) * 8)::BIGINT AS est_pairs
+    FROM sa JOIN sb USING (key)
+), ex AS (
+    SELECT count(*)::BIGINT AS exact_pairs
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est.sampled_keys, est.est_pairs, ex.exact_pairs FROM est, ex"""

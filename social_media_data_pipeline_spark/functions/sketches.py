@@ -1018,3 +1018,65 @@ def minhash_band_table(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def join_key_sample(
+    df: DataFrame, key_col: str, inv_rate: int = 8
+) -> DataFrame:
+    """Correlated key-sample sketch for JOIN-SIZE estimation (the
+    end-biased / correlated-sampling estimator of Vengerov et al.,
+    VLDB 2015): keep the EXACT per-key row count for every key whose
+    60-bit md5 hash falls below 2^60 / inv_rate — about 1/inv_rate of
+    the DISTINCT keys, with all of a kept key's rows counted. Because
+    both sides of a prospective join hash keys identically, the same
+    keys survive on both sides ("correlated"): the sample directly
+    observes matching-key count PRODUCTS, which Bernoulli row sampling
+    fundamentally cannot (it needs p² luck to catch a match).
+
+    The sketch is a (key, n_rows) table, expected size
+    distinct/inv_rate. It is MERGEABLE across shards/days: union and
+    re-sum (`groupBy(key).sum`) — counts are additive and the key
+    filter is a pure function of the key. Build once per ingest slice,
+    persist beside the data, estimate any join's output size without
+    running it — the 100 TB planning primitive for choosing broadcast
+    vs shuffle vs pre-aggregation BEFORE paying the shuffle.
+    """
+    if inv_rate < 1:
+        raise ValueError(f"inv_rate must be >= 1, got {inv_rate}")
+    thresh = (1 << 60) // inv_rate
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .filter(_kmv_hash(F.col("key")) < thresh)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def join_size_estimate(
+    sample_a: DataFrame, sample_b: DataFrame, inv_rate: int = 8
+) -> DataFrame:
+    """Estimate |A ⋈ B| from two `join_key_sample` sketches built with
+    the SAME inv_rate: Σ over co-sampled keys of n_a·n_b, scaled by
+    inv_rate (each distinct key is sampled with probability
+    ≈ 1/inv_rate, and sampling is decided once per KEY, so the whole
+    product a_k·b_k is in or out together — an unbiased estimator of
+    Σ_k a_k·b_k, the exact equi-join output size). Integer arithmetic
+    end-to-end; deterministic md5 sampling → the estimate replays
+    bit-for-bit in SQL. Returns one row: (sampled_keys, est_pairs).
+
+    Estimator variance concentrates on heavy keys — exactly the keys
+    that matter for the shuffle-vs-broadcast decision; a hot key is
+    sampled with the same 1/inv_rate chance but contributes a_k·b_k
+    when caught, so raise inv_rate⁻¹ (lower `inv_rate`) when the key
+    distribution is known to be skewed.
+    """
+    j = sample_a.join(
+        sample_b.withColumnRenamed("n_rows", "__nb"), "key"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("sampled_keys"),
+        (
+            F.coalesce(F.sum(F.col("n_rows") * F.col("__nb")), F.lit(0)).cast("bigint")
+            * F.lit(inv_rate)
+        ).alias("est_pairs"),
+    )

@@ -132,6 +132,83 @@ def asof_join(
     return out.drop("_asof_side", "_asof_match")
 
 
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    *,
+    how: str = "inner",
+    hot_keys: DataFrame | None = None,
+    seed: str = "salt-v1",
+) -> DataFrame:
+    """Skew-salted equi join — result identical to ``big.join(other,
+    on, how)``, but the hot key's rows spread across `n_salts`
+    shuffle partitions instead of landing in one straggler task.
+
+    Spark-first shape: the big side gets a DETERMINISTIC salt
+    (xxhash64 over all its columns + `seed`, mod `n_salts`); the other
+    side replicates once per salt value; the join runs EQUI on
+    (keys..., salt). Determinism matters for correctness, not just
+    reproducibility: a `rand()` salt participates in the shuffle key,
+    and a task retry that re-rolls it can route rows to partitions
+    that were already consumed — lost/duplicated output on real
+    clusters. A content hash re-computes identically on retry.
+
+    Caveat: rows that are bit-identical across ALL columns hash to
+    the same salt, so a hot key whose rows are all identical cannot
+    be spread (no deterministic function of the row can split them —
+    pre-aggregate instead).
+
+    With ``hot_keys`` (a small DataFrame holding just the key
+    columns, e.g. from a count-desc head): HYBRID mode — only rows
+    whose key appears there take the salted path; the cold remainder
+    joins plainly, so the other side is replicated only for the hot
+    slice instead of n_salts× in full. This is the production form:
+    find the heavy hitters (exact count head or `sketches.cms_*`),
+    salt those, leave the long tail alone.
+
+    When to reach for this instead of AQE: AQE's skew-join split
+    (`spark.sql.adaptive.skewJoin`) already repairs sort-merge /
+    shuffled-hash INNER joins at runtime — but it does not apply to
+    stream-stream joins, to skew that appears in a downstream
+    aggregation, or to engines/paths with AQE off. Supported `how`:
+    inner, left, left_semi, left_anti (the other side is replicated,
+    so right/full would duplicate its unmatched rows).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+
+    def _salted(b: DataFrame, o: DataFrame) -> DataFrame:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in b.columns], F.lit(seed)),
+            F.lit(n_salts),
+        ).cast("int")
+        bs = b.withColumn("_salt", salt)
+        os_ = o.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        )
+        return bs.join(os_, [*keys, "_salt"], how).drop("_salt")
+
+    if hot_keys is None:
+        return _salted(big, other)
+
+    hot = F.broadcast(hot_keys.select(*keys).dropDuplicates(keys))
+    big_hot = big.join(hot, keys, "left_semi")
+    big_cold = big.join(hot, keys, "left_anti")
+    other_hot = other.join(hot, keys, "left_semi")
+    hot_part = _salted(big_hot, other_hot)
+    # cold keys join the FULL other side: a cold big row can't match a
+    # hot other row anyway (keys differ), and filtering the other side
+    # again would just add a second anti-join scan
+    cold_part = big_cold.join(other, keys, how)
+    return hot_part.unionByName(cold_part)
+
+
 def interval_join_bucketed(
     facts: DataFrame,
     intervals: DataFrame,

@@ -67,20 +67,16 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: the big side salts each row into one of
-    `salt_buckets` sub-keys; the small side replicates across all salts.
-    One hot key becomes `salt_buckets` evenly-sized partitions.
-
-    Use when the small side is too big to broadcast but the key is
-    power-law distributed. Salt column derives from a hash of the whole
-    row (`monotonically_increasing_id`-free → deterministic repartition).
+    """Skew-resistant equi-join — thin alias for the canonical
+    `operators.joins.salted_join` (which adds hybrid hot-key mode,
+    `how` validation, and pmod salting — `abs(hash) %` maps
+    Long.MIN_VALUE to a NEGATIVE bucket, the hazard the old inline
+    version here carried). Kept for the original round-1 signature;
+    new code should import from `operators.joins`.
     """
-    salt = (F.abs(F.xxhash64(*big.columns)) % salt_buckets).alias("__salt")
-    big_salted = big.withColumn("__salt", salt)
-    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
-    small_replicated = small.select("*", salts)
-    out = big_salted.join(small_replicated, [key, "__salt"], how)
-    return out.drop("__salt")
+    from .operators.joins import salted_join as _sj
+
+    return _sj(big, small, key, n_salts=salt_buckets, how=how)
 
 
 def coalesce_small_files(spark: SparkSession, path: str, target_files: int) -> None:
@@ -748,6 +744,81 @@ def selective_upsert(
         "files_total": files_total,
         "files_rewritten": len(rewrite),
         "rows_written": rows_written,
+    }
+
+
+def selective_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    keep_history: bool = False,
+) -> dict:
+    """Copy-on-write DELETE by key — the right-to-be-forgotten /
+    retention-expiry primitive (Delta `DELETE FROM ... WHERE key IN`),
+    completing the table-maintenance suite (upsert / compact / vacuum /
+    time-travel / evolve). Footer stats pick the files whose key range
+    can contain a deleted key (the same bucket-blocked equi semi-join
+    as `selective_upsert` — no target scan, no BroadcastNestedLoopJoin);
+    only those files are rewritten (anti-join on the keys), and the
+    swap commits through the live-file manifest with the identical
+    crash contract: staged files move in, the manifest flips atomically
+    (THE commit point), replaced files are deleted post-commit. A file
+    whose every row is deleted simply leaves the manifest — no empty
+    file is written. With `keep_history=True` the pre-delete
+    generation stays readable via `manifest_read(version=...)` until
+    `vacuum_table` — note that for GDPR erasure the vacuum IS the
+    erasure: history generations still hold the deleted rows.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    idx = footer_stats_index_table(spark, path, [key])
+    ranges_df = idx.groupBy("file").agg(
+        F.min(f"min_{key}").alias("lo"), F.max(f"max_{key}").alias("hi")
+    )
+    files_total = ranges_df.count()
+    del_keys = keys.select(key).distinct()
+    rewrite = sorted(
+        r["file"] for r in upsert_rewrite_set(ranges_df, del_keys, key).collect()
+    )
+    if not rewrite:
+        return {"files_total": files_total, "files_rewritten": 0, "rows_deleted": 0}
+    before = live_files(path)
+    # mergeSchema: the rewrite set can mix schemas after an
+    # evolve_schema=True upsert (same hazard as selective_upsert)
+    old = spark.read.option("mergeSchema", "true").parquet(*rewrite)
+    kept = old.join(del_keys, key, "left_anti")
+    n_old = old.count()
+    n_kept = kept.count()
+    moved: list[str] = []
+    staging = path.rstrip("/") + f"__delete_{_uuid.uuid4().hex[:8]}"
+    if n_kept > 0:
+        kept.write.mode("overwrite").parquet(staging)
+        if read_table_manifest(path) is None:
+            write_table_manifest(path, before)
+        for f in sorted(_os.listdir(staging)):
+            if f.endswith(".parquet"):
+                dst = _os.path.join(
+                    path, f"delete-{_uuid.uuid4().hex[:8]}-{len(moved)}.parquet"
+                )
+                _shutil.move(_os.path.join(staging, f), dst)
+                moved.append(dst)
+    elif read_table_manifest(path) is None:
+        write_table_manifest(path, before)
+    rewritten = set(rewrite)
+    write_table_manifest(path, [f for f in before if f not in rewritten] + moved)
+    if not keep_history:
+        for f in rewrite:
+            _os.remove(f)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(rewrite),
+        "rows_deleted": n_old - n_kept,
     }
 
 

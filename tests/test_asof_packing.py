@@ -477,3 +477,72 @@ class TestPackBestfit:
             packing.pack_bestfit(df, "doc_id", "toks", 0, 1)
         with pytest.raises(ValueError, match="n_shards"):
             packing.pack_bestfit(df, "doc_id", "toks", 10, 0)
+
+
+# ------------------------------------------------------------- salted join
+
+
+@pytest.fixture(scope="module")
+def salt_frames(spark):
+    # key 7 is the hot key (most rows, duplicate matches on both sides);
+    # key 9 exists only on the big side, key 5 only on the other side;
+    # a NULL key on each side must never match (SQL join semantics)
+    big = spark.createDataFrame(
+        [Row(k=7, v=i) for i in range(40)]
+        + [Row(k=1, v=100), Row(k=2, v=200), Row(k=9, v=900), Row(k=None, v=-1)]
+    )
+    other = spark.createDataFrame(
+        [Row(k=7, w="h1"), Row(k=7, w="h2"), Row(k=1, w="a"),
+         Row(k=2, w="b"), Row(k=5, w="only"), Row(k=None, w="nul")]
+    )
+    return big, other
+
+
+def _sorted_rows(df):
+    # None-safe sort key (left joins produce NULL pickups)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+@pytest.mark.parametrize("hot", [False, True])
+def test_salted_join_matches_plain_join(salt_frames, spark, how, hot):
+    big, other = salt_frames
+    hot_keys = spark.createDataFrame([Row(k=7)]) if hot else None
+    got = joins.salted_join(big, other, "k", n_salts=5, how=how, hot_keys=hot_keys)
+    exp = big.join(other, "k", how)
+    assert _sorted_rows(got) == _sorted_rows(exp)
+    assert got.columns == exp.columns
+
+
+def test_salted_join_spreads_hot_key(salt_frames):
+    """The hot key's 40 distinct rows must land in >1 salt bucket —
+    the whole point. (Rows are distinct in v, so the content hash
+    spreads them.)"""
+    big, _ = salt_frames
+    from pyspark.sql import functions as SF
+
+    salt = SF.pmod(SF.xxhash64("k", "v", SF.lit("salt-v1")), SF.lit(5))
+    n = big.filter("k = 7").select(salt.alias("s")).distinct().count()
+    assert n >= 3
+
+
+def test_salted_join_refuses_replicating_hows(salt_frames):
+    big, other = salt_frames
+    with pytest.raises(ValueError, match="salted_join supports"):
+        joins.salted_join(big, other, "k", how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        joins.salted_join(big, other, "k", n_salts=0)
+
+
+def test_salted_join_stays_equi(salt_frames):
+    """The salted path must plan as an EQUI join on (k, salt) — no
+    nested loop, no cartesian — and hybrid mode's hot-key split must
+    use broadcast semi/anti probes."""
+    big, other = salt_frames
+    plan_df = joins.salted_join(big, other, "k", n_salts=5)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

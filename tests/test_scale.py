@@ -970,3 +970,102 @@ class TestSchemaEvolution:
         }
         assert rows[0] == (-1, "new") and rows[1] == (-2, "two")
         assert rows[2] == (4, None)
+
+
+class TestSelectiveDelete:
+    """Copy-on-write DELETE by key: minimal rewrite set, manifest
+    commit contract, whole-file deletion, absent keys, time travel."""
+
+    def _table(self, spark, path, n=4096, files=16):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def test_delete_rewrites_minimal_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        keys = spark.createDataFrame([(k,) for k in range(10, 20)], "k long")
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["files_total"] == 16
+        assert stats["files_rewritten"] == 1
+        assert stats["rows_deleted"] == 10
+        live = scale.manifest_read(spark, path)
+        got = sorted(r["k"] for r in live.collect())
+        assert got == [k for k in range(4096) if not 10 <= k < 20]
+
+    def test_delete_whole_file_drops_it_from_manifest(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=256, files=4)
+        # file 0 holds keys 0..63 (range-sorted write): delete them all
+        keys = spark.createDataFrame([(k,) for k in range(64)], "k long")
+        n_before = len(scale.live_files(path))
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["rows_deleted"] == 64
+        assert len(scale.live_files(path)) < n_before + stats["files_rewritten"]
+        assert scale.manifest_read(spark, path).count() == 192
+
+    def test_delete_absent_keys_is_lossless(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=256, files=4)
+        keys = spark.createDataFrame([(10**6,), (10**6 + 1,)], "k long")
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["rows_deleted"] == 0
+        assert stats["files_rewritten"] == 0
+        assert spark.read.parquet(path).count() == 256
+
+    def test_delete_key_in_range_but_absent_rewrites_identically(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        # only even keys exist; delete an odd key inside a file's range
+        df = spark.range(128).selectExpr("id * 2 AS k")
+        df.repartitionByRange(2, "k").write.mode("overwrite").parquet(path)
+        keys = spark.createDataFrame([(3,)], "k long")
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["files_rewritten"] == 1
+        assert stats["rows_deleted"] == 0
+        assert sorted(r["k"] for r in scale.manifest_read(spark, path).collect()) == [
+            2 * i for i in range(128)
+        ]
+
+    def test_crash_before_commit_leaves_exact_pre_state(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=256, files=4)
+        pre = sorted(r["k"] for r in spark.read.parquet(path).collect())
+        calls = {"n": 0}
+        real = scale.write_table_manifest
+
+        def crashing(p, files, **kw):
+            # first call = pre-state commit of a plain directory table;
+            # the SECOND call is the post-delete commit point — crash there
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash at commit")
+            return real(p, files, **kw)
+
+        monkeypatch.setattr(scale, "write_table_manifest", crashing)
+        keys = spark.createDataFrame([(k,) for k in range(10)], "k long")
+        import pytest as _pt
+
+        with _pt.raises(RuntimeError, match="simulated crash"):
+            scale.selective_delete(spark, path, keys, "k")
+        monkeypatch.undo()
+        got = sorted(r["k"] for r in scale.manifest_read(spark, path).collect())
+        assert got == pre  # manifest readers still see every pre-delete row
+
+    def test_keep_history_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=256, files=4)
+        keys = spark.createDataFrame([(k,) for k in range(5)], "k long")
+        scale.selective_delete(spark, path, keys, "k", keep_history=True)
+        vs = scale.manifest_versions(path)
+        assert len(vs) >= 2
+        old = scale.manifest_read(spark, path, version=vs[-2])
+        assert old.count() == 256  # pre-delete generation intact
+        assert scale.manifest_read(spark, path).count() == 251

@@ -182,3 +182,80 @@ class TestKmvOverlap:
         out = sketches.kmv_overlap_pairs(sk.select("g", "kmv"), "g", k=256).collect()[0]
         assert abs(out["intersect_est"] - 2000) / 2000 < 0.30
         assert abs(out["jaccard_est"] - 2000 / 8000) < 0.08
+
+
+class TestJoinSizeEstimate:
+    """Correlated-sampling join-size estimation (join_key_sample /
+    join_size_estimate): exactness at inv_rate=1, accuracy on a skewed
+    planted distribution, shard-mergeability, and the correlated-keys
+    property that makes the estimator work at all."""
+
+    def _frames(self, spark):
+        # zipf-ish: key k appears (50 - k) times on side A, (k % 7)+1
+        # times on side B, keys 0..49
+        a = spark.createDataFrame(
+            [(k,) for k in range(50) for _ in range(50 - k)], "key bigint"
+        ).withColumnRenamed("key", "ka")
+        b = spark.createDataFrame(
+            [(k,) for k in range(50) for _ in range(k % 7 + 1)], "key bigint"
+        ).withColumnRenamed("key", "kb")
+        exact = sum((50 - k) * (k % 7 + 1) for k in range(50))
+        return a, b, exact
+
+    def test_inv_rate_1_is_exact(self, spark):
+        a, b, exact = self._frames(spark)
+        sa = sketches.join_key_sample(a, "ka", inv_rate=1)
+        sb = sketches.join_key_sample(b, "kb", inv_rate=1)
+        row = sketches.join_size_estimate(sa, sb, inv_rate=1).collect()[0]
+        assert row["est_pairs"] == exact
+        assert row["sampled_keys"] == 50
+
+    def test_estimate_within_tolerance(self, spark):
+        a, b, exact = self._frames(spark)
+        sa = sketches.join_key_sample(a, "ka", inv_rate=4)
+        sb = sketches.join_key_sample(b, "kb", inv_rate=4)
+        row = sketches.join_size_estimate(sa, sb, inv_rate=4).collect()[0]
+        # ~12 of 50 keys sampled; products bounded by 50*7 so the
+        # relative error stays well inside 2x on this distribution
+        assert 0 < row["sampled_keys"] < 50
+        assert exact / 2 <= row["est_pairs"] <= exact * 2
+
+    def test_sketch_is_mergeable(self, spark):
+        a, b, exact = self._frames(spark)
+        # split side A into two "shards", sketch each, merge by re-sum
+        sh1 = a.filter("ka % 2 = 0")
+        sh2 = a.filter("ka % 2 = 1")
+        merged = (
+            sketches.join_key_sample(sh1, "ka", inv_rate=4)
+            .unionByName(sketches.join_key_sample(sh2, "ka", inv_rate=4))
+            .groupBy("key")
+            .agg(F.sum("n_rows").alias("n_rows"))
+        )
+        direct = sketches.join_key_sample(a, "ka", inv_rate=4)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_correlated_keys_survive_on_both_sides(self, spark):
+        a, b, _ = self._frames(spark)
+        ka = {r["key"] for r in sketches.join_key_sample(a, "ka", inv_rate=4).collect()}
+        kb = {r["key"] for r in sketches.join_key_sample(b, "kb", inv_rate=4).collect()}
+        # both sides hold keys 0..49: the sampled key SETS must be
+        # identical — that's the correlation Bernoulli sampling lacks
+        assert ka == kb and ka
+
+    def test_counts_are_exact_per_sampled_key(self, spark):
+        a, _, _ = self._frames(spark)
+        got = {
+            r["key"]: r["n_rows"]
+            for r in sketches.join_key_sample(a, "ka", inv_rate=4).collect()
+        }
+        for k, n in got.items():
+            assert n == 50 - k
+
+    def test_rejects_bad_rate(self, spark):
+        a, b, _ = self._frames(spark)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="inv_rate"):
+            sketches.join_key_sample(a, "ka", inv_rate=0)

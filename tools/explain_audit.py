@@ -274,6 +274,35 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "orders_join_size_est": [
+        # sketch build: key column only, hash-threshold filter BEFORE
+        # the per-key count (partial agg), equi join of the two tiny
+        # sampled tables; no python, no window
+        ("orders scan prunes to key", r"ReadSchema: [^\n]*o_orderkey"),
+        ("partial aggregation", r"HashAggregate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+    ],
+    "events_salted_join": [
+        # hybrid salted join: deterministic xxhash64 salt on the fact
+        # side (rand() salts corrupt results on task retry), hot-key
+        # split via broadcast semi/anti probes, every join hash-equi
+        ("deterministic content-hash salt", r"xxhash64"),
+        ("hot-key probe broadcast", r"BroadcastHashJoin"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_pack_bfd": [
+        # inherently sequential per-shard BFD: the ONE sanctioned
+        # Pandas stage, fed by exactly one hash-partition shuffle on
+        # the shard key; no join, no window, text never read
+        ("per-shard pandas stage", r"FlatMapGroupsInPandas"),
+        ("sharded by hash key", r"hashpartitioning\(shard"),
+        ("no join", r"\A(?!.*Join)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
+    ],
     "docs_dup_window_frac": [
         # no occurrence-list state: aggregates only, no collect_list,
         # no window function, hash-equi join back

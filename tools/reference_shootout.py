@@ -834,6 +834,80 @@ def pandas_graph_kcore(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def pandas_orders_join_size_est(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    def keep(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) < (1 << 60) // 8
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey"]]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey"]]
+    sa = orders[orders["o_orderkey"].map(keep)].groupby("o_orderkey").size()
+    sb = li[li["l_orderkey"].map(keep)].groupby("l_orderkey").size()
+    joined = pd.concat([sa.rename("na"), sb.rename("nb")], axis=1, join="inner")
+    exact = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey").shape[0]
+    return pd.DataFrame(
+        {
+            "sampled_keys": [len(joined)],
+            "est_pairs": [int((joined["na"] * joined["nb"]).sum()) * 8],
+            "exact_pairs": [exact],
+        }
+    )
+
+
+def pandas_events_salted_join(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_id", "user_id", "value"]]
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    out = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+    return (
+        out.rename(columns={"c_mktsegment": "segment"})[
+            ["event_id", "user_id", "segment", "value"]
+        ]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def pandas_docs_pack_bfd(sf_dir: str) -> pd.DataFrame:
+    import bisect
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "n_chars"]]
+    docs["n_tokens"] = (docs["n_chars"] // 4).clip(lower=1)
+    docs["shard"] = [
+        int(hashlib.md5(f"bestfit-v1|{i}".encode()).hexdigest()[:15], 16) % 4
+        for i in docs["doc_id"]
+    ]
+    B = 512
+    out = []
+    for shard, grp in docs.groupby("shard"):
+        grp = grp.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        open_bins: list[tuple[int, int]] = []
+        nb = 0
+        for i, t in zip(grp["doc_id"], grp["n_tokens"]):
+            t = int(t)
+            if t > B:
+                out.append((i, t, shard, nb, True))
+                nb += 1
+                continue
+            j = bisect.bisect_left(open_bins, (t, -1))
+            if j < len(open_bins):
+                rem, b = open_bins.pop(j)
+                if rem - t > 0:
+                    bisect.insort(open_bins, (rem - t, b))
+            else:
+                b = nb
+                nb += 1
+                if B - t > 0:
+                    bisect.insort(open_bins, (B - t, b))
+            out.append((i, t, shard, b, False))
+    return (
+        pd.DataFrame(out, columns=["doc_id", "n_tokens", "shard", "bin_id", "oversize"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1010,6 +1084,9 @@ PANDAS_IMPLS = {
     "docs_contamination_frac": pandas_docs_contamination_frac,
     "docs_oov_rate": pandas_docs_oov_rate,
     "docs_decontaminate_spans": pandas_docs_decontaminate_spans,
+    "docs_pack_bfd": pandas_docs_pack_bfd,
+    "events_salted_join": pandas_events_salted_join,
+    "orders_join_size_est": pandas_orders_join_size_est,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the

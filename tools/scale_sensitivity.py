@@ -264,6 +264,16 @@ def heavy_queries(spark, sf_dir: str):
         "docs_gopher_rules": lambda: docs.select(
             "doc_id", etext.gopher_quality_flags("text").alias("g")
         ).select("doc_id", "g.word_count", "g.passes"),
+        # round 8 (late): per-shard sequential BFD — 32 shards so the
+        # Arrow batches stay bounded while replicas grow; expected
+        # exponent ~1 (per-shard work linear in shard size)
+        "docs_pack_bfd": lambda: epack.pack_bestfit(
+            docs.select("doc_id", "n_chars"),
+            "doc_id",
+            F.greatest(F.lit(1), F.expr("n_chars div 4")),
+            budget=512,
+            n_shards=32,
+        ),
         # round 6: distributed Lloyd training — fixed rounds, each a
         # full assignment scan + (cluster, dim) partial agg: expected
         # exponent ~1 (linear per round), the honest k-means shape
@@ -348,6 +358,120 @@ def skew_mode(spark, factor: int = 8, hot_frac: float = 0.10) -> int:
             f"{name:22s} {times['uniform']:>8.2f}s {times['skewed']:>8.2f}s "
             f"{ratio:>6.2f}x"
         )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+def skew_join_mode(spark, factor: int = 8, hot_frac: float = 0.30) -> int:
+    """Planted hot-JOIN-key demonstration for `joins.salted_join`:
+    replicate sf0.1 events `factor`×, plant `hot_frac` of all rows on
+    ONE user id, join against a per-user dim with broadcast DISABLED
+    (forcing the shuffle join a big dim would force at 100 TB). Three
+    configurations:
+
+    - plain / AQE-skew-off — the baseline straggler: the hot key's
+      rows land in one sort-merge partition.
+    - salted (hybrid, 32 salts) / AQE-skew-off — the operator under
+      test: hot key spread by content hash, dim replicated per salt.
+    - plain / AQE-skew-on — Spark's built-in repair, with the local
+      thresholds lowered so the split actually triggers at this data
+      size (defaults need a 256 MB partition).
+
+    The honest claim is NOT "salting beats AQE" — it's that salting
+    matches AQE where AQE applies, and remains available where it
+    does not (stream-stream joins, downstream agg skew, AQE-off
+    engines)."""
+    from social_media_data_pipeline_spark.operators import joins as ejoins
+
+    ev = eio.read_table(spark, BASE_SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(k * n)).alias("event_id"),
+            "user_id",
+            "value",
+        )
+        for k in range(factor)
+    ]
+    fact = parts[0]
+    for p in parts[1:]:
+        fact = fact.unionByName(p)
+    skewed = fact.withColumn(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 1000
+            < int(hot_frac * 1000),
+            F.lit(1),
+        ).otherwise(F.col("user_id")),
+    )
+    skew_dir = os.path.join(SCRATCH, "skewjoin")
+    skewed.write.mode("overwrite").parquet(os.path.join(skew_dir, "fact.parquet"))
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg-"), (F.col("user_id") % 7)))
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(skew_dir, "dim.parquet"))
+
+    fact_df = spark.read.parquet(os.path.join(skew_dir, "fact.parquet"))
+    dim_df = spark.read.parquet(os.path.join(skew_dir, "dim.parquet"))
+    hot = spark.createDataFrame([(1,)], "user_id bigint")
+
+    def plain():
+        return fact_df.join(dim_df, "user_id")
+
+    def salted():
+        return ejoins.salted_join(fact_df, dim_df, "user_id", n_salts=32, hot_keys=hot)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    print(
+        f"skew-join sweep: {factor}x events ({n * factor} rows), hot user holds "
+        f"{hot_frac:.0%} of fact rows; broadcast disabled\n"
+    )
+    print(f"{'configuration':28s} {'seconds':>8s}")
+    results = {}
+    cases = [
+        ("plain, AQE skew off", plain, False),
+        ("salted_join(32), skew off", salted, False),
+        ("plain, AQE skew on", plain, True),
+    ]
+    for label, make, aqe_skew in cases:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
+        if aqe_skew:
+            conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+            )
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        make().write.mode("overwrite").format("noop").save()  # warm
+        best = min(
+            _timed(lambda: make().write.mode("overwrite").format("noop").save())
+            for _ in range(2)
+        )
+        results[label] = best
+        print(f"{label:28s} {best:>7.2f}s")
+    for k, v in saved.items():
+        if v is None:
+            conf.unset(k)
+        else:
+            conf.set(k, v)
+    # row-identity spot check while the frames are in hand
+    assert sorted(map(tuple, plain().collect())) == sorted(
+        map(tuple, salted().collect())
+    ), "salted_join result diverged from plain join"
     shutil.rmtree(SCRATCH, ignore_errors=True)
     return 0
 
@@ -542,6 +666,17 @@ def main() -> int:
         shutil.rmtree(SCRATCH, ignore_errors=True)
         factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         return layout_mode(spark, factor)
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-join":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.30
+        return skew_join_mode(spark, factor, frac)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew-dedup":
         spark = get_spark(
             "scale-sensitivity",
