@@ -946,6 +946,30 @@ def q_embedding_ivf_multiprobe_trained(spark: SparkSession, sf_dir: str) -> Data
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — the topic-coverage curation
+    step (SemDeDup's sibling: instead of dropping near-duplicates,
+    cap each semantic cluster): TRAINED k-means cells
+    (`kmeans_centroids`, 5 Lloyd rounds) + shuffle-free broadcast
+    argmax assignment (`similarity.ivf_assign`) + the deterministic
+    per-group cap (`sampling.sample_n_per_group`, md5-keyed order —
+    re-runs and appends reproduce the same sample). One plan: the
+    only exchange after assignment is the per-cluster window. At
+    100 TB this is how a web-scale corpus gets balanced topic
+    coverage without a similarity join: assignment is map-side
+    against broadcast centroids, the cap is one partitioned window.
+    Oracle: k-means replay chain + the same QUALIFY cap."""
+    from social_media_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans.kmeans_centroids(emb, iters=5)
+    assigned = similarity.ivf_assign(emb, centroids).select("vec_id", "cluster")
+    out = sampling.sample_n_per_group(
+        assigned, F.col("cluster"), "vec_id", n=5, seed="balanced-v1"
+    )
+    return out.select("vec_id", "cluster").orderBy("vec_id")
+
+
 def q_embedding_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k over a TRAINED codebook: per-subspace Lloyd k-means
     (`pq.pq_codebook_kmeans`, 3 rounds, all 8 subspaces batched per
@@ -2342,6 +2366,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_bfd": q_docs_pack_bfd,  # [r9-in-new]
     "events_salted_join": q_events_salted_join,  # [r9-in-new]
     "orders_join_size_est": q_orders_join_size_est,  # [r9-in-new]
+    "embedding_balanced_sample": q_embedding_balanced_sample,  # [r9-in-new]
 }
 
 

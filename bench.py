@@ -127,6 +127,8 @@ HEADLINE = [
     "events_salted_join",
     # round 8 (late): correlated-sampling join-size estimation
     "orders_join_size_est",
+    # round 8 (late): cluster-balanced corpus sample (trained cells)
+    "embedding_balanced_sample",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -149,6 +151,8 @@ ITERATIVE = {
     "graph_triangles",
     # k-core peels with an unconditional per-round lineage cut
     "graph_kcore",
+    # balanced sample trains its k-means cells at construction
+    "embedding_balanced_sample",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -2688,3 +2688,26 @@ WITH sa AS (
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )
 SELECT est.sampled_keys, est.est_pairs, ex.exact_pairs FROM est, ex"""
+
+
+# embedding_balanced_sample: trained-cell cluster cap — k-means replay
+# chain + broadcast-argmax assignment (the ivf_topk_trained pattern) +
+# the md5-keyed deterministic per-cluster QUALIFY cap (the
+# sample_per_year pattern). Balanced topic coverage without a
+# similarity join.
+ORACLES["embedding_balanced_sample"] = _kmeans_cent_cte(iters=5) + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS (
+    SELECT vec_id, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+)
+SELECT vec_id, cluster
+FROM assigned
+QUALIFY row_number() OVER (
+    PARTITION BY cluster
+    ORDER BY md5(concat_ws('|', 'balanced-v1', vec_id::VARCHAR)), vec_id
+) <= 5
+ORDER BY vec_id"""

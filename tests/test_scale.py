@@ -1069,3 +1069,60 @@ class TestSelectiveDelete:
         old = scale.manifest_read(spark, path, version=vs[-2])
         assert old.count() == 256  # pre-delete generation intact
         assert scale.manifest_read(spark, path).count() == 251
+
+
+class TestDeleteCompositions:
+    """selective_delete composed with the other lifecycle ops — the
+    mixed-schema and post-compaction file sets are where the r8
+    single-footer-resolution bug chain lived; pin delete against them."""
+
+    def _table(self, spark, path, n=400, files=4):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def test_delete_after_evolve_keeps_evolved_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        # evolve: add `tag` to keys 0..9 (one file's range)
+        updates = spark.createDataFrame(
+            [(k, -1, "upd") for k in range(10)], "k long, v long, tag string"
+        )
+        scale.selective_upsert(spark, path, updates, "k", evolve_schema=True)
+        # delete keys straddling the evolved file AND an unevolved file
+        keys = spark.createDataFrame([(5,), (250,)], "k long")
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["rows_deleted"] == 2
+        live = scale.manifest_read(spark, path, merge_schema=True)
+        assert "tag" in live.columns
+        rows = {r["k"]: (r["v"], r["tag"]) for r in live.collect()}
+        assert 5 not in rows and 250 not in rows
+        assert rows[3] == (-1, "upd")  # evolved rows survive with tag
+        assert rows[300] == (600, None)  # unevolved rows NULL-fill
+
+    def test_delete_after_compact_uses_manifest(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=400, files=8)
+        scale.compact_table(spark, path, target_bytes=1 << 30)
+        n_files = len(scale.live_files(path))
+        keys = spark.createDataFrame([(k,) for k in range(20)], "k long")
+        stats = scale.selective_delete(spark, path, keys, "k")
+        assert stats["files_total"] == n_files
+        assert stats["rows_deleted"] == 20
+        assert scale.manifest_read(spark, path).count() == 380
+
+    def test_upsert_after_delete_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._table(spark, path, n=200, files=2)
+        keys = spark.createDataFrame([(k,) for k in range(50)], "k long")
+        scale.selective_delete(spark, path, keys, "k")
+        # re-insert two deleted keys with new values
+        updates = spark.createDataFrame([(1, -1), (2, -2)], "k long, v long")
+        scale.selective_upsert(spark, path, updates, "k")
+        rows = {r["k"]: r["v"] for r in scale.manifest_read(spark, path).collect()}
+        assert len(rows) == 152
+        assert rows[1] == -1 and rows[2] == -2 and 3 not in rows

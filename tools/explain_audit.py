@@ -347,6 +347,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_balanced_sample": [
+        # assignment is map-side against broadcast centroids; the cap
+        # is the ONE partitioned window (per-cluster) — no similarity
+        # join anywhere, no global window, no python
+        ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("per-cluster cap window", r"Window"),
+        ("no sort-merge similarity join", r"\A(?!.*SortMergeJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_ivf_pq_residual": [
         # assignment + codebook are literals/broadcasts by execution
         # time; candidates stay a cluster-equi join, ADC is JVM-side

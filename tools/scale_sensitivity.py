@@ -278,6 +278,18 @@ def heavy_queries(spark, sf_dir: str):
         # full assignment scan + (cluster, dim) partial agg: expected
         # exponent ~1 (linear per round), the honest k-means shape
         "kmeans_train": lambda: ekm.kmeans_model_df(emb, iters=3),
+        # round 8 (late): cluster-balanced sample — trained cells +
+        # broadcast argmax assignment + per-cluster window cap; the
+        # output is capped at 5 x cells, so work is assignment-linear
+        "embedding_balanced_sample": lambda: esamp.sample_n_per_group(
+            similarity.ivf_assign(
+                emb, ekm.kmeans_centroids(emb, iters=3)
+            ).select("vec_id", "cluster"),
+            F.col("cluster"),
+            "vec_id",
+            5,
+            seed="balanced-v1",
+        ),
     }
 
 
