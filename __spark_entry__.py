@@ -2064,6 +2064,25 @@ def q_orders_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_docs_pack_bfd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency dashboard over `pack_bestfit` output
+    (`operators/packing.py:packing_stats`): per shard — docs, bins
+    used, token totals, oversize count, waste fraction (1 − fill over
+    non-oversize capacity). This is the number that prices the
+    truncation-free property against `pack_sequences`' zero-waste
+    split layout; at 100 TB it is the per-ingest-batch gauge that
+    decides the budget/shard configuration. Pure aggregate over the
+    BFD placements; the oracle replays the same recursive state
+    machine and aggregates identically."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.greatest(F.lit(1), F.expr("n_chars div 4"))
+    packed = packing.pack_bestfit(
+        docs.select("doc_id", "n_chars"), "doc_id", toks,
+        budget=512, n_shards=4,
+    )
+    return packing.packing_stats(packed, budget=512).orderBy("shard")
+
+
 def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-dim join (`operators/joins.py:salted_join`,
     HYBRID mode): the top-3 event users take the salted path (content
@@ -2367,6 +2386,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_salted_join": q_events_salted_join,  # [r9-in-new]
     "orders_join_size_est": q_orders_join_size_est,  # [r9-in-new]
     "embedding_balanced_sample": q_embedding_balanced_sample,  # [r9-in-new]
+    "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r9-in-new]
 }
 
 

@@ -2598,7 +2598,9 @@ SELECT node, COUNT(*)::BIGINT AS deg FROM (
 # oversize docs take a dedicated flagged bin. Every (doc -> bin)
 # decision is checked, not just fills.
 _BFD_B, _BFD_S = 512, 4
-ORACLES["docs_pack_bfd"] = f"""
+# shared recursive replay of the per-shard BFD state machine; the two
+# registered queries (placements; per-shard waste stats) select from it
+_BFD_CTE = f"""
 WITH RECURSIVE sized AS (
   SELECT doc_id AS id,
          GREATEST(1, n_chars // 4)::BIGINT AS n_tokens,
@@ -2646,9 +2648,29 @@ st AS (
          ELSE list_sort(list_filter(s.bins, y -> y.rem >= d.n_tokens))[1].b END AS p_bin,
     (d.n_tokens > {_BFD_B}) AS p_over
   FROM st s JOIN ordered d ON d.shard = s.shard AND d.idx = s.idx + 1
-)
+)"""
+
+ORACLES["docs_pack_bfd"] = _BFD_CTE + """
 SELECT p_id AS doc_id, p_tokens AS n_tokens, shard, p_bin AS bin_id, p_over AS oversize
 FROM st WHERE idx > 0 ORDER BY doc_id"""
+
+# docs_pack_bfd_stats: the packing-efficiency dashboard over the SAME
+# replayed placements — bins used, docs, token totals, waste fraction
+# (1 - fill/capacity over non-oversize bins), per shard.
+ORACLES["docs_pack_bfd_stats"] = _BFD_CTE + f"""
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       sum(p_tokens)::BIGINT AS total_tokens,
+       count(DISTINCT CASE WHEN NOT p_over THEN p_bin END)::BIGINT AS bins_used,
+       sum(CASE WHEN p_over THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+       sum(CASE WHEN NOT p_over THEN p_tokens ELSE 0 END)::BIGINT AS packed_tokens,
+       CASE WHEN count(DISTINCT CASE WHEN NOT p_over THEN p_bin END) > 0
+            THEN round(1.0 - sum(CASE WHEN NOT p_over THEN p_tokens ELSE 0 END)
+                             / (count(DISTINCT CASE WHEN NOT p_over THEN p_bin END) * {_BFD_B}.0),
+                       6)
+            ELSE 0.0 END AS waste_frac
+FROM st WHERE idx > 0
+GROUP BY shard ORDER BY shard"""
 
 
 # events_salted_join: the salted/hybrid join must be RESULT-IDENTICAL

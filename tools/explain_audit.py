@@ -303,6 +303,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
         ("text column not read", r"\A(?!.*ReadSchema: [^\n]*\btext\b)"),
     ],
+    "docs_pack_bfd_stats": [
+        # aggregate over the per-shard pandas placements: partial agg
+        # keyed on shard (already the partition key), no join/window
+        ("per-shard pandas stage", r"FlatMapGroupsInPandas"),
+        ("partial aggregation", r"HashAggregate"),
+        ("no join", r"\A(?!.*Join)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+    ],
     "docs_dup_window_frac": [
         # no occurrence-list state: aggregates only, no collect_list,
         # no window function, hash-equi join back

@@ -908,6 +908,26 @@ def pandas_docs_pack_bfd(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_docs_pack_bfd_stats(sf_dir: str) -> pd.DataFrame:
+    packed = pandas_docs_pack_bfd(sf_dir)
+    B = 512
+    rows = []
+    for shard, g in packed.groupby("shard"):
+        ok = g[~g["oversize"]]
+        bins_used = ok["bin_id"].nunique()
+        packed_tokens = int(ok["n_tokens"].sum())
+        waste = round(1.0 - packed_tokens / (bins_used * float(B)), 6) if bins_used else 0.0
+        rows.append(
+            (shard, len(g), int(g["n_tokens"].sum()), bins_used,
+             int(g["oversize"].sum()), packed_tokens, waste)
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["shard", "n_docs", "total_tokens", "bins_used",
+                 "n_oversize", "packed_tokens", "waste_frac"],
+    ).sort_values("shard").reset_index(drop=True)
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1087,6 +1107,7 @@ PANDAS_IMPLS = {
     "docs_pack_bfd": pandas_docs_pack_bfd,
     "events_salted_join": pandas_events_salted_join,
     "orders_join_size_est": pandas_orders_join_size_est,
+    "docs_pack_bfd_stats": pandas_docs_pack_bfd_stats,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
