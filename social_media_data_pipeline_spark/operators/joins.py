@@ -182,6 +182,10 @@ def salted_join(
         raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if "_salt" in big.columns or "_salt" in other.columns:
+        # withColumn would silently overwrite a caller's _salt column
+        # and corrupt both the salt distribution and the output schema
+        raise ValueError("salted_join reserves the column name '_salt'")
 
     def _salted(b: DataFrame, o: DataFrame) -> DataFrame:
         salt = F.pmod(
@@ -207,6 +211,43 @@ def salted_join(
     # again would just add a second anti-join scan
     cold_part = big_cold.join(other, keys, how)
     return hot_part.unionByName(cold_part)
+
+
+def salted_join_auto(
+    big: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    *,
+    how: str = "inner",
+    hot_share: float = 0.01,
+    max_hot: int = 100,
+    seed: str = "salt-v1",
+) -> DataFrame:
+    """`salted_join` with the heavy hitters discovered inline: one
+    count aggregate over the big side's key column finds every key
+    holding ≥ `hot_share` of rows (capped at `max_hot` keys, largest
+    first), and only those take the salted path. Costs one extra
+    pass over the key column (map-side partial agg + a bounded
+    TakeOrdered); at 100 TB prefer computing the hot list once on
+    ingest statistics (`scale.key_skew_profile`, or a CMS sketch) and
+    calling `salted_join(..., hot_keys=...)` directly — this wrapper
+    is for ad-hoc use where the skew profile isn't known yet.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    total = big.count()
+    floor = max(1, int(hot_share * total))
+    hot = (
+        big.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= floor)
+        .orderBy(F.desc("__n"), *keys)
+        .limit(max_hot)
+        .select(*keys)
+    )
+    return salted_join(
+        big, other, on, n_salts, how=how, hot_keys=hot, seed=seed
+    )
 
 
 def interval_join_bucketed(

@@ -546,3 +546,26 @@ def test_salted_join_stays_equi(salt_frames):
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_reserves_salt_column(salt_frames, spark):
+    big, other = salt_frames
+    with pytest.raises(ValueError, match="_salt"):
+        joins.salted_join(big.withColumn("_salt", F.lit(0)), other, "k")
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_auto_matches_plain(salt_frames, how):
+    big, other = salt_frames
+    got = joins.salted_join_auto(big, other, "k", n_salts=4, how=how, hot_share=0.3)
+    exp = big.join(other, "k", how)
+    assert _sorted_rows(got) == _sorted_rows(exp)
+
+
+def test_salted_join_auto_uniform_no_hot_keys(spark):
+    # uniform keys: nothing clears the hot threshold — the hybrid path
+    # must degrade to the plain cold join and stay correct
+    big = spark.createDataFrame([(i % 10, i) for i in range(100)], "k long, v long")
+    dim = spark.createDataFrame([(i, f"s{i}") for i in range(10)], "k long, seg string")
+    got = joins.salted_join_auto(big, dim, "k", hot_share=0.5)
+    assert _sorted_rows(got) == _sorted_rows(big.join(dim, "k"))

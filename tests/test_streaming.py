@@ -410,3 +410,91 @@ class TestStreamingIncrementalDedup:
         # the store holds bands for the three survivors only
         stored = {r["doc"] for r in spark.read.parquet(store).select("doc").distinct().collect()}
         assert stored == {1, 2, 11}
+
+
+class TestStreamingWatermarkDedup:
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        """Spark 3.5+ `dropDuplicatesWithinWatermark`: exactly-once
+        event-id dedup with BOUNDED state — unlike plain
+        dropDuplicates on a stream (state grows forever), the
+        watermark expires old keys, which is the only shape that
+        survives an unbounded 100 TB event stream. Two micro-batches
+        share an event id inside the watermark window: the duplicate
+        must be dropped; distinct ids must all pass."""
+        import glob
+        import os
+        import time as _time
+
+        src = str(tmp_path / "ev_stream")
+        b1 = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:05")]
+        b2 = [(1, "2024-01-01 10:00:07"), (3, "2024-01-01 10:00:09")]
+        for name, rows in (("b1", b1), ("b2", b2)):
+            spark.createDataFrame(rows, "event_id long, ts_s string").selectExpr(
+                "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+            ).write.parquet(f"{src}/{name}")
+        now = _time.time()
+        for f in glob.glob(src + "/b1/*"):
+            os.utime(f, (now - 60, now - 60))
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+            .withWatermark("ts", "1 minute")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        out: list = []
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("wm_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM wm_dedup").collect()
+        )
+        assert got == [1, 2, 3]  # the batch-2 duplicate of id 1 dropped
+
+
+class TestStreamingSaltedJoin:
+    def test_salted_join_on_stream_static(self, spark, tmp_path):
+        """The claim behind `joins.salted_join`'s AQE comparison: AQE's
+        skew-join split does NOT apply to streaming joins, so salting
+        is the remaining skew lever there. The operator must compose
+        with a streaming fact side unchanged (stateless projections +
+        equi join), and its output must equal the plain stream-static
+        join. One hot key dominates the stream; the dim replicates per
+        salt on the static side only."""
+        from social_media_data_pipeline_spark.operators import joins as ejoins
+
+        src = str(tmp_path / "fact_stream")
+        rows = [(i, 7 if i % 2 == 0 else i % 5, float(i)) for i in range(200)]
+        spark.createDataFrame(
+            rows, "event_id long, k long, v double"
+        ).write.parquet(src + "/b1")
+        dim = spark.createDataFrame(
+            [(7, "hot"), (1, "a"), (2, "b"), (3, "c"), (4, "d"), (0, "z")],
+            "k long, seg string",
+        )
+        stream = spark.readStream.schema("event_id long, k long, v double").parquet(
+            src + "/b*"
+        )
+        out = ejoins.salted_join(stream, dim, "k", n_salts=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("salted_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r["event_id"], r["seg"])
+            for r in spark.sql("SELECT * FROM salted_stream").collect()
+        )
+        want = sorted(
+            (i, "hot" if i % 2 == 0 else {1: "a", 2: "b", 3: "c", 4: "d", 0: "z"}[i % 5])
+            for i in range(200)
+        )
+        assert got == want
