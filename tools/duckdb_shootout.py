@@ -50,8 +50,23 @@ def main() -> int:
     spark_times: dict[str, float] = {}
     iterative: set[str] = set()
     if bench_json:
+        # bench.py (v3.2+) prints TWO JSON lines — the full record and
+        # a compact driver-tail summary; take the richest line that
+        # parses (the one carrying "queries")
+        b = None
         with open(bench_json) as f:
-            b = json.load(f)
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "queries" in cand and (b is None or "iterative" in cand):
+                    b = cand
+        if b is None:
+            raise SystemExit(f"no parseable bench JSON in {bench_json}")
         spark_times = b["queries"]
         iterative = set(b.get("iterative", []))
 
