@@ -2015,6 +2015,33 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.kcore(edges, k=2, rounds=10).orderBy("node")
 
 
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities on the support-2 part co-purchase
+    graph (`functions/graph.py:label_propagation`, Raghavan 2007
+    derandomized with self-votes): 4 synchronous rounds, each one
+    (node, label) partial-count aggregate + an argmax aggregate
+    (max(struct(count, −label)) — no window) + a hash join back;
+    per-round lineage cut unconditional. Completes the graph family
+    (components, PageRank, triangles, k-core → communities). The
+    oracle (`build_lpa_sql`) unrolls exactly 4 rounds; Spark's early
+    stop fires only on a true fixpoint, where extra oracle rounds are
+    identity."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return egraph.label_propagation(edges, rounds=4).orderBy("node")
+
+
 def q_docs_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing whole-document packing
     (`operators/packing.py:pack_bestfit`): truncation-free bins — no
@@ -2387,6 +2414,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_join_size_est": q_orders_join_size_est,  # [r9-in-new]
     "embedding_balanced_sample": q_embedding_balanced_sample,  # [r9-in-new]
     "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r9-in-new]
+    "graph_lpa": q_graph_lpa,  # [r9-in-new]
 }
 
 

@@ -129,6 +129,9 @@ HEADLINE = [
     "orders_join_size_est",
     # round 8 (late): cluster-balanced corpus sample (trained cells)
     "embedding_balanced_sample",
+    # round 8 (late): label-propagation communities (iterative:
+    # per-round lineage cuts run at construction)
+    "graph_lpa",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -153,6 +156,8 @@ ITERATIVE = {
     "graph_kcore",
     # balanced sample trains its k-means cells at construction
     "embedding_balanced_sample",
+    # LPA's per-round label checkpoints materialize at construction
+    "graph_lpa",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -2733,3 +2733,24 @@ QUALIFY row_number() OVER (
     ORDER BY md5(concat_ws('|', 'balanced-v1', vec_id::VARCHAR)), vec_id
 ) <= 5
 ORDER BY vec_id"""
+
+
+# graph_lpa: 4-round synchronous label propagation (self-vote
+# stabilized) on the support-2 co-purchase graph — the chain unrolls
+# exactly the registered round count (rounds is NOT a replay bound for
+# LPA; Spark early-stops only on true fixpoints, where extra rounds
+# are identity).
+from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
+    build_lpa_sql as _lpa_sql,
+)
+
+ORACLES["graph_lpa"] = _lpa_sql(
+    """
+    SELECT pa AS src, pb AS dst FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ) WHERE sup >= 2""",
+    rounds=4,
+) + "SELECT node, label FROM l4 ORDER BY node"

@@ -483,3 +483,121 @@ def build_kcore_sql(edges_cte: str, k: int, rounds: int = 10) -> str:
     WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
 )""")
     return "\n".join(parts) + "\n"
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label-propagation communities → (node, label)
+    (Raghavan et al. 2007, derandomized): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors AND itself, ties to the SMALLEST label — no randomness
+    anywhere, so the result is a pure function of (graph, rounds) and
+    the generated DuckDB oracle (`build_lpa_sql`) replays it
+    bit-for-bit. The self-vote is the standard synchronous-LPA
+    stabilization: without it an isolated edge 2-cycles forever (each
+    endpoint adopts the other's label every round — measured on the
+    test graph); with it, ties settle on the smallest label and true
+    fixpoints exist. The near-linear community primitive for
+    interaction/co-purchase graphs: link farms and engagement rings
+    collapse onto one label within a few rounds.
+
+    Even with self-votes, `rounds` is NOT a convergence-insensitive
+    replay bound in general, so the registered configuration fixes
+    `rounds` and the oracle unrolls exactly that many; the early stop
+    below fires only on a TRUE fixpoint (zero labels changed), where
+    extra oracle rounds are provably identity.
+
+    Scale shape (100 TB): per round one (node, label) partial-count
+    aggregate over the symmetric edge list + one argmax aggregate
+    (max(struct(count, −label)) — no window) + a hash join back to
+    labels; per-round lineage cut UNCONDITIONAL (the kcore lesson —
+    labels feed the next round ~3×, an uncut chain grows
+    exponentially). Node ids must be numeric (the −label tie-break;
+    the graph family convention).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a0, b0 = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr_pairs = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    # self-vote: every node also counts its own current label
+    sym = nbr_pairs.unionByName(
+        nbr_pairs.select("node").distinct().withColumn("nbr", F.col("node"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for i in range(rounds):
+        msg = sym.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        counts = msg.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c"))
+        new = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.__nl")).alias("label"))
+        )
+        obs = Observation(f"lpa_round_{i}")
+        joined = new.join(
+            labels.select("node", F.col("label").alias("__old")), "node"
+        )
+        labels = (
+            joined.observe(
+                obs,
+                F.sum((F.col("label") != F.col("__old")).cast("long")).alias("chg"),
+            )
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["chg"] or 0) == 0:
+            break  # true fixpoint: remaining oracle rounds are identity
+    return labels
+
+
+def build_lpa_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB WITH-chain replaying `label_propagation` round-for-round
+    (same MATERIALIZED hints as `build_kcore_sql` — each round is
+    referenced multiply and an unhinted chain explodes in the
+    planner). Returns the chain up to `l{rounds}`; append a final
+    SELECT, e.g. ``SELECT node, label FROM l4 ORDER BY node``.
+    """
+    parts = [
+        f"WITH raw AS ({edges_cte}),",
+        "e0 AS MATERIALIZED (",
+        "    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b",
+        "    FROM raw WHERE src <> dst",
+        "),",
+        "nbrp AS (",
+        "    SELECT a AS node, b AS nbr FROM e0",
+        "    UNION ALL SELECT b AS node, a AS nbr FROM e0",
+        "),",
+        "sym AS MATERIALIZED (",
+        "    SELECT node, nbr FROM nbrp",
+        "    UNION ALL SELECT DISTINCT node, node AS nbr FROM nbrp",
+        "),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", l{i} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT s.node, l.label, COUNT(*) AS c
+        FROM sym s JOIN l{p} l ON s.nbr = l.node
+        GROUP BY s.node, l.label
+    ) QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1
+)""")
+    return "\n".join(parts) + "\n"

@@ -326,3 +326,96 @@ class TestKcore:
             graph.kcore(df, k=0)
         with pytest.raises(ValueError, match="rounds"):
             graph.kcore(df, k=2, rounds=0)
+
+
+def _lpa_reference(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Pure-Python synchronous LPA with the same tie-break (most
+    frequent neighbor label, ties to the smallest label)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(labels[m] for m in nbrs[n])
+            cnt[labels[n]] += 1  # self-vote (matches the operator)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+class TestLabelPropagation:
+    EDGES = [
+        (1, 2), (2, 3), (1, 3),          # triangle A
+        (5, 6), (6, 7), (5, 7),          # triangle B
+        (3, 5),                          # bridge
+        (10, 11),                        # isolated pair
+    ]
+
+    def test_matches_python_reference(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, rounds=4).collect()
+        }
+        assert got == _lpa_reference(self.EDGES, 4)
+
+    def test_two_cliques_two_communities(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, rounds=4).collect()
+        }
+        assert got[1] == got[2] == got[3]
+        assert got[5] == got[6] == got[7]
+        assert got[1] != got[5]
+        assert got[10] == got[11]
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        doubled = self.EDGES + [(b, a) for a, b in self.EDGES] + [(2, 1)]
+        df = spark.createDataFrame(doubled, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, rounds=4).collect()
+        }
+        assert got == _lpa_reference(self.EDGES, 4)
+
+    def test_sql_twin_replays_identically(self, spark):
+        import duckdb
+
+        values = ", ".join(f"({a}, {b})" for a, b in self.EDGES)
+        sql = graph.build_lpa_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)", rounds=4
+        ) + "SELECT node, label FROM l4 ORDER BY node"
+        oracle = dict(duckdb.connect().execute(sql).fetchall())
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df, rounds=4).collect()
+        }
+        assert got == {int(k): int(v) for k, v in oracle.items()}
+
+    def test_partitioning_invariance(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        one = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df.repartition(7), rounds=3).collect()
+        }
+        two = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(df.coalesce(1), rounds=3).collect()
+        }
+        assert one == two
+
+    def test_rejects_bad_rounds(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError, match="rounds"):
+            graph.label_propagation(df, rounds=0)

@@ -311,6 +311,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join", r"\A(?!.*Join)"),
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
     ],
+    "graph_lpa": [
+        # bounded-round sync LPA: returned plan is the pinned final
+        # label table (per-round lineage cut); argmax is an aggregate
+        # (max(struct)) — no window, no cartesian, no Python
+        ("pinned label table", r"Scan ExistingRDD"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_dup_window_frac": [
         # no occurrence-list state: aggregates only, no collect_list,
         # no window function, hash-equi join back

@@ -928,6 +928,34 @@ def pandas_docs_pack_bfd_stats(sf_dir: str) -> pd.DataFrame:
     ).sort_values("shard").reset_index(drop=True)
 
 
+def pandas_graph_lpa(sf_dir: str) -> pd.DataFrame:
+    from collections import Counter, defaultdict
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] < e["l_partkey_b"]]
+    sup = e.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    und = sup[sup >= 2].index.tolist()
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(4):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(labels[m] for m in nbrs[n])
+            cnt[labels[n]] += 1  # self-vote
+            new[n] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return (
+        pd.DataFrame(sorted(labels.items()), columns=["node", "label"])
+        .reset_index(drop=True)
+    )
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1108,11 +1136,12 @@ PANDAS_IMPLS = {
     "events_salted_join": pandas_events_salted_join,
     "orders_join_size_est": pandas_orders_join_size_est,
     "docs_pack_bfd_stats": pandas_docs_pack_bfd_stats,
+    "graph_lpa": pandas_graph_lpa,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"graph_kcore", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
+ITERATIVE_IMPLS = {"graph_kcore", "graph_lpa", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
 
 
 def main() -> None:
