@@ -46,7 +46,11 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": DEFAULT_SHUFFLE_PARTITIONS,
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.parquet.compression.codec": "snappy",
+        # zstd over the snappy default: measured at sf0.1 (SCALING.md
+        # r8 codec study) 20% smaller files than snappy at identical
+        # scan time and lz4-class write speed — at 100 TB the scan tax
+        # is bytes, and zstd buys gzip's ratio without gzip's CPU
+        "spark.sql.parquet.compression.codec": "zstd",
         # reference timestamps are naive-UTC; keep parquet NTZ inference on
         "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
         # harness events.parquet stores TIMESTAMP(NANOS) which Spark's
