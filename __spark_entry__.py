@@ -1977,16 +1977,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_data_pipeline_spark.functions import graph as egraph
 
     li = _t(spark, sf_dir, "lineitem")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2)
     return egraph.triangle_counts(edges).orderBy("node")
 
 
@@ -2002,16 +1993,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_data_pipeline_spark.functions import graph as egraph
 
     li = _t(spark, sf_dir, "lineitem")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2)
     return egraph.kcore(edges, k=2, rounds=10).orderBy("node")
 
 
@@ -2029,16 +2011,7 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_data_pipeline_spark.functions import graph as egraph
 
     li = _t(spark, sf_dir, "lineitem")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2)
     return egraph.label_propagation(edges, rounds=4).orderBy("node")
 
 

@@ -601,3 +601,38 @@ def build_lpa_sql(edges_cte: str, rounds: int = 4) -> str:
     ) QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) = 1
 )""")
     return "\n".join(parts) + "\n"
+
+
+def project_bipartite(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Bipartite → item-item projection: two items are adjacent when
+    they co-occur in ≥ `min_support` groups (orders → co-purchase,
+    users → co-engagement, documents → co-citation). Returns an
+    undirected edge list (src < dst) with support-thresholded edges —
+    the standard market-basket graph construction feeding
+    `triangle_counts` / `kcore` / `label_propagation` / `pagerank`.
+
+    Scale shape: one self-equi-join on the group key (the group's
+    item fan-out is the quadratic knob — a group with g items emits
+    g²/2 pairs, so cap or skip pathological groups upstream), then a
+    (src, dst) partial-count aggregate; `min_support` prunes the long
+    noise tail BEFORE any graph algorithm sees it (support 1 vs 2 on
+    the sf0.1 co-purchase graph: 41M wedges vs 69 — measured in the
+    triangles study).
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    x = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("pa"))
+    y = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("pb"))
+    return (
+        x.join(y, "__g")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= min_support)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )

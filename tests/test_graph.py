@@ -419,3 +419,24 @@ class TestLabelPropagation:
         df = spark.createDataFrame(self.EDGES, "src long, dst long")
         with pytest.raises(ValueError, match="rounds"):
             graph.label_propagation(df, rounds=0)
+
+
+class TestProjectBipartite:
+    def test_projection_support_threshold(self, spark):
+        # groups: g1={1,2,3}, g2={1,2}, g3={2,4} → support(1,2)=2,
+        # (1,3)=(2,3)=1, (2,4)=1
+        rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 2), (3, 4)]
+        df = spark.createDataFrame(rows, "g long, item long")
+        e1 = sorted(
+            map(tuple, graph.project_bipartite(df, "g", "item", 1).collect())
+        )
+        assert e1 == [(1, 2), (1, 3), (2, 3), (2, 4)]
+        e2 = sorted(
+            map(tuple, graph.project_bipartite(df, "g", "item", 2).collect())
+        )
+        assert e2 == [(1, 2)]
+
+    def test_rejects_bad_support(self, spark):
+        df = spark.createDataFrame([(1, 1)], "g long, item long")
+        with pytest.raises(ValueError, match="min_support"):
+            graph.project_bipartite(df, "g", "item", 0)
