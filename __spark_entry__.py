@@ -1997,6 +1997,32 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.kcore(edges, k=2, rounds=10).orderBy("node")
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type outlier clipping (`operators/aggregates.py:winsorize`):
+    `value` clipped to its exact per-event_type [p01, p99] — the
+    standard guard before a numeric column feeds features or means.
+    One exact-percentile aggregate per type (Spark `percentile` ≡
+    DuckDB `quantile_cont` to the bit — verified), broadcast back,
+    clip map-side; the output aggregates the clipped column in
+    integer micro-units (per-value round-then-sum, the registry
+    convention)."""
+    ev = _t(spark, sf_dir, "events")
+    w = aggregates.winsorize(ev, "value", 0.01, 0.99, group_cols=("event_type",))
+    micro = F.round(F.col("value_w") * 1e6).cast("bigint")
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.round(F.min("__q_lo"), 6).alias("q_lo"),
+            F.round(F.max("__q_hi"), 6).alias("q_hi"),
+            F.sum((F.col("value") < F.col("__q_lo")).cast("long")).alias("n_low"),
+            F.sum((F.col("value") > F.col("__q_hi")).cast("long")).alias("n_high"),
+            F.sum(micro).alias("sum_w_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities on the support-2 part co-purchase
     graph (`functions/graph.py:label_propagation`, Raghavan 2007
@@ -2388,6 +2414,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_balanced_sample": q_embedding_balanced_sample,  # [r9-in-new]
     "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r9-in-new]
     "graph_lpa": q_graph_lpa,  # [r9-in-new]
+    "events_winsorized": q_events_winsorized,  # [r9-in-new]
 }
 
 

@@ -132,6 +132,8 @@ HEADLINE = [
     # round 8 (late): label-propagation communities (iterative:
     # per-round lineage cuts run at construction)
     "graph_lpa",
+    # round 8 (late): exact per-group winsorization
+    "events_winsorized",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -2754,3 +2754,26 @@ ORACLES["graph_lpa"] = _lpa_sql(
     ) WHERE sup >= 2""",
     rounds=4,
 ) + "SELECT node, label FROM l4 ORDER BY node"
+
+
+# events_winsorized: exact per-type [p01, p99] clip — Spark
+# `percentile` and DuckDB `quantile_cont` interpolate identically on
+# the same doubles (verified bit-equal), so the clip comparisons and
+# the micro-unit sums replay exactly.
+ORACLES["events_winsorized"] = """
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.01) AS q_lo_raw,
+           quantile_cont(value, 0.99) AS q_hi_raw
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(min(q.q_lo_raw), 6) AS q_lo,
+       round(max(q.q_hi_raw), 6) AS q_hi,
+       sum(CASE WHEN e.value < q.q_lo_raw THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       sum(CASE WHEN e.value > q.q_hi_raw THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       sum(round(least(greatest(e.value, q.q_lo_raw), q.q_hi_raw) * 1000000))::BIGINT
+           AS sum_w_micro,
+       count(*)::BIGINT AS n
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type"""

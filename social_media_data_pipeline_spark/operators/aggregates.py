@@ -240,3 +240,41 @@ def funnel_stages(
         .agg(F.count(F.lit(1)).alias("n_user_days"))
         .orderBy("funnel_stage")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    group_cols: tuple[str, ...] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization — clip `col` to its exact [lo, hi] quantiles
+    (per group when `group_cols` given): the standard outlier guard
+    before a numeric column feeds training features or a mean-based
+    metric (a single corrupt 1e15 value otherwise owns the average).
+    Adds `out_col` (default `{col}_w`) plus `__q_lo`/`__q_hi`.
+
+    Plan: one EXACT percentile aggregate per group (Spark's
+    `percentile` — sort-based within the aggregate; DuckDB's
+    `quantile_cont` interpolates identically, verified to the bit,
+    which is what makes the oracle exact), broadcast the tiny quantile
+    table back, clip map-side. At 100 TB the exact per-group sort is
+    the cost knob: when approximation is acceptable use the mergeable
+    sample-quantile sketch (`sketches.sample_quantile_*`) and feed its
+    estimates to the same clip expression.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    out_col = out_col or f"{col}_w"
+    gb = list(group_cols)
+    q = df.groupBy(*gb).agg(
+        F.expr(f"percentile({col}, {lo!r})").alias("__q_lo"),
+        F.expr(f"percentile({col}, {hi!r})").alias("__q_hi"),
+    )
+    joined = df.join(F.broadcast(q), gb) if gb else df.crossJoin(F.broadcast(q))
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(col), F.col("__q_lo")), F.col("__q_hi")),
+    )

@@ -675,3 +675,43 @@ class TestDecontaminateSpans:
             )
         )
         assert bc == sh
+
+
+class TestWinsorize:
+    def test_clip_bounds_and_flags(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        # 0..99 plus two wild outliers; p01/p99 pin the clip range
+        rows = [(float(i),) for i in range(100)] + [(1e9,), (-1e9,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = agg.winsorize(df, "v", 0.01, 0.99)
+        r = out.agg(
+            F.min("v_w").alias("mn"), F.max("v_w").alias("mx")
+        ).collect()[0]
+        assert r["mn"] >= 0.0 and r["mx"] <= 99.99 + 1e-6
+        # interior values untouched
+        inner = out.filter("v = 50.0").collect()[0]
+        assert inner["v_w"] == 50.0
+
+    def test_grouped_quantiles_independent(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        rows = [("a", float(i)) for i in range(10)] + [
+            ("b", float(100 + i)) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = agg.winsorize(df, "v", 0.0, 0.5, group_cols=("g",))
+        got = {
+            (r["g"], r["v"]): r["v_w"] for r in out.collect()
+        }
+        assert got[("a", 9.0)] == 4.5  # clipped to a's median
+        assert got[("b", 109.0)] == 104.5  # b's own median, not a's
+
+    def test_rejects_bad_range(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="lo < hi"):
+            agg.winsorize(df, "v", 0.9, 0.1)

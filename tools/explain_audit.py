@@ -311,6 +311,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join", r"\A(?!.*Join)"),
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
     ],
+    "events_winsorized": [
+        # quantile table broadcast back to the fact side; clip is a
+        # pure map expression; no window, no python
+        ("quantile table broadcast", r"BroadcastHashJoin"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("partial aggregation", r"HashAggregate|SortAggregate|ObjectHashAggregate"),
+    ],
     "graph_lpa": [
         # bounded-round sync LPA: returned plan is the pinned final
         # label table (per-round lineage cut); argmax is an aggregate

@@ -956,6 +956,25 @@ def pandas_graph_lpa(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def pandas_events_winsorized(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    out = []
+    for et, g in ev.groupby("event_type"):
+        lo = g["value"].quantile(0.01, interpolation="linear")
+        hi = g["value"].quantile(0.99, interpolation="linear")
+        w = g["value"].clip(lo, hi)
+        out.append(
+            (et, round(lo, 6), round(hi, 6),
+             int((g["value"] < lo).sum()), int((g["value"] > hi).sum()),
+             int((w * 1e6).round().sum()), len(g))
+        )
+    return pd.DataFrame(
+        out,
+        columns=["event_type", "q_lo", "q_hi", "n_low", "n_high",
+                 "sum_w_micro", "n"],
+    ).sort_values("event_type").reset_index(drop=True)
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1137,6 +1156,7 @@ PANDAS_IMPLS = {
     "orders_join_size_est": pandas_orders_join_size_est,
     "docs_pack_bfd_stats": pandas_docs_pack_bfd_stats,
     "graph_lpa": pandas_graph_lpa,
+    "events_winsorized": pandas_events_winsorized,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
