@@ -2023,6 +2023,30 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier detection
+    (`operators/aggregates.py:robust_anomalies`): modified z-score
+    |value − median| > 3.5 × 1.4826 × MAD (Iglewicz–Hoaglin) — the
+    50%-breakdown detector whose threshold outliers cannot drag,
+    unlike mean/stddev gates. Two exact-percentile aggregates
+    (median, MAD) broadcast back, division-free map-side flag;
+    exactness rides the verified Spark `percentile` ≡ DuckDB
+    `quantile_cont` bit-equality. ~4% of the synthetic event values
+    flag at every scale — real rows, not a vacuous gate."""
+    ev = _t(spark, sf_dir, "events")
+    out = aggregates.robust_anomalies(ev, "value", group_cols=("event_type",))
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.round(F.min("__med"), 6).alias("med"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anom"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities on the support-2 part co-purchase
     graph (`functions/graph.py:label_propagation`, Raghavan 2007
@@ -2415,6 +2439,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r9-in-new]
     "graph_lpa": q_graph_lpa,  # [r9-in-new]
     "events_winsorized": q_events_winsorized,  # [r9-in-new]
+    "events_robust_anomalies": q_events_robust_anomalies,  # [r9-in-new]
 }
 
 

@@ -132,8 +132,9 @@ HEADLINE = [
     # round 8 (late): label-propagation communities (iterative:
     # per-round lineage cuts run at construction)
     "graph_lpa",
-    # round 8 (late): exact per-group winsorization
+    # round 8 (late): exact per-group winsorization + robust outlier flags
     "events_winsorized",
+    "events_robust_anomalies",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

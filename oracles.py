@@ -2777,3 +2777,27 @@ SELECT e.event_type,
        count(*)::BIGINT AS n
 FROM events e JOIN q USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type"""
+
+
+# events_robust_anomalies: modified z-score outlier flags — median and
+# MAD via quantile_cont (bit-equal to Spark percentile), the flag a
+# division-free float comparison with the same literals.
+ORACLES["events_robust_anomalies"] = """
+WITH m AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), d AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+    FROM events e JOIN m USING (event_type)
+), s AS (
+    SELECT event_type, quantile_cont(dev, 0.5) AS mad
+    FROM d GROUP BY event_type
+)
+SELECT d.event_type,
+       round(min(d.med), 6) AS med,
+       round(min(s.mad), 6) AS mad,
+       sum(CASE WHEN d.dev > 3.5 * 1.4826 * s.mad THEN 1 ELSE 0 END)::BIGINT
+           AS n_anom,
+       count(*)::BIGINT AS n
+FROM d JOIN s USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type"""

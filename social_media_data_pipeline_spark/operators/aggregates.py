@@ -278,3 +278,46 @@ def winsorize(
         out_col,
         F.least(F.greatest(F.col(col), F.col("__q_lo")), F.col("__q_hi")),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust outlier DETECTION (winsorize's sibling — flag instead of
+    clip): a value is anomalous when its absolute deviation from the
+    group median exceeds `z` × 1.4826 × MAD (the median absolute
+    deviation; 1.4826 scales MAD to σ under normality — Iglewicz &
+    Hoaglin's modified z-score rule, z=3.5 the customary cut). Median
+    and MAD are 50%-breakdown estimators: unlike mean/stddev, the
+    outliers being hunted cannot drag the threshold toward
+    themselves. Adds `__med`, `__mad`, `is_anomaly`.
+
+    Plan: two exact-percentile aggregates (median, then MAD over the
+    deviations), each broadcast back; the flag is a map-side
+    comparison — division-free, so an all-identical group (MAD 0)
+    flags only true deviants and never divides by zero. Exactness
+    rides the same verified Spark `percentile` ≡ DuckDB
+    `quantile_cont` bit-equality as `winsorize`.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    gb = list(group_cols)
+    med = df.groupBy(*gb).agg(
+        F.expr(f"percentile({col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), gb) if gb else df.crossJoin(F.broadcast(med))
+    dev = F.abs(F.col(col) - F.col("__med"))
+    mad = with_med.groupBy(*gb).agg(
+        F.expr(f"percentile(abs({col} - __med), 0.5)").alias("__mad")
+    )
+    out = (
+        with_med.join(F.broadcast(mad), gb)
+        if gb
+        else with_med.crossJoin(F.broadcast(mad))
+    )
+    return out.withColumn(
+        "is_anomaly", dev > F.lit(z) * F.lit(1.4826) * F.col("__mad")
+    )

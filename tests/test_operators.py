@@ -715,3 +715,47 @@ class TestWinsorize:
 
         with _pt.raises(ValueError, match="lo < hi"):
             agg.winsorize(df, "v", 0.9, 0.1)
+
+
+class TestRobustAnomalies:
+    def test_flags_planted_outliers_only(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        rows = [(float(i % 10),) for i in range(100)] + [(1e6,), (-1e6,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = agg.robust_anomalies(df, "v")
+        flagged = sorted(r["v"] for r in out.filter("is_anomaly").collect())
+        assert flagged == [-1e6, 1e6]
+
+    def test_constant_group_mad_zero_flags_deviants_only(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        # all-identical group: MAD 0 — identical values must NOT flag
+        # (dev 0 > 0 false), the single deviant must
+        rows = [("a", 5.0)] * 20 + [("a", 6.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = agg.robust_anomalies(df, "v", group_cols=("g",))
+        got = {(r["v"], r["is_anomaly"]) for r in out.collect()}
+        assert (5.0, False) in got and (6.0, True) in got
+
+    def test_grouped_thresholds_independent(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        # 1000 is wild for group a (tight around 0-9) but typical for b
+        rows = [("a", float(i % 10)) for i in range(50)] + [("a", 1000.0)] + [
+            ("b", 1000.0 + (i % 10)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = agg.robust_anomalies(df, "v", group_cols=("g",))
+        a_flagged = [r["v"] for r in out.filter("g = 'a' AND is_anomaly").collect()]
+        b_flagged = [r["v"] for r in out.filter("g = 'b' AND is_anomaly").collect()]
+        assert a_flagged == [1000.0] and b_flagged == []
+
+    def test_rejects_bad_z(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="z must"):
+            agg.robust_anomalies(df, "v", z=0)

@@ -311,6 +311,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join", r"\A(?!.*Join)"),
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
     ],
+    "events_robust_anomalies": [
+        # median + MAD tables broadcast; flag is a division-free map
+        # comparison; no window, no python
+        ("stat tables broadcast", r"BroadcastHashJoin"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "events_winsorized": [
         # quantile table broadcast back to the fact side; clip is a
         # pure map expression; no window, no python

@@ -975,6 +975,19 @@ def pandas_events_winsorized(sf_dir: str) -> pd.DataFrame:
     ).sort_values("event_type").reset_index(drop=True)
 
 
+def pandas_events_robust_anomalies(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    out = []
+    for et, g in ev.groupby("event_type"):
+        med = g["value"].quantile(0.5, interpolation="linear")
+        mad = (g["value"] - med).abs().quantile(0.5, interpolation="linear")
+        n_anom = int(((g["value"] - med).abs() > 3.5 * 1.4826 * mad).sum())
+        out.append((et, round(med, 6), round(mad, 6), n_anom, len(g)))
+    return pd.DataFrame(
+        out, columns=["event_type", "med", "mad", "n_anom", "n"]
+    ).sort_values("event_type").reset_index(drop=True)
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1157,6 +1170,7 @@ PANDAS_IMPLS = {
     "docs_pack_bfd_stats": pandas_docs_pack_bfd_stats,
     "graph_lpa": pandas_graph_lpa,
     "events_winsorized": pandas_events_winsorized,
+    "events_robust_anomalies": pandas_events_robust_anomalies,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
