@@ -498,3 +498,61 @@ class TestStreamingSaltedJoin:
             for i in range(200)
         )
         assert got == want
+
+
+class TestStreamingUpsert:
+    def test_foreachbatch_selective_upsert_cdc(self, spark, tmp_path):
+        """The CDC composition: micro-batches MERGE into a
+        manifest-committed table via foreachBatch + selective_upsert —
+        streaming ingest and the table lifecycle are one story. Batch
+        2 updates a batch-1 key and inserts a new one; the final table
+        must show exactly-once upsert semantics and the manifest must
+        resolve the live files (no transient duplicates)."""
+        import glob
+        import os
+        import time as _time
+
+        from social_media_data_pipeline_spark import scale
+
+        table = str(tmp_path / "target")
+        spark.createDataFrame(
+            [(k, 0) for k in range(100)], "k long, v long"
+        ).repartitionByRange(4, "k").write.parquet(table)
+
+        src = str(tmp_path / "updates_stream")
+        spark.createDataFrame([(5, 50), (6, 60)], "k long, v long").write.parquet(
+            src + "/b1"
+        )
+        spark.createDataFrame([(5, 555), (200, 2000)], "k long, v long").write.parquet(
+            src + "/b2"
+        )
+        now = _time.time()
+        for f in glob.glob(src + "/b1/*"):
+            os.utime(f, (now - 60, now - 60))
+
+        def merge(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            # keys are unique within each batch; a real CDC feed would
+            # first collapse to last-writer-wins per key
+            scale.selective_upsert(spark, table, batch_df, "k")
+
+        stream = (
+            spark.readStream.schema("k long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        live = scale.manifest_read(spark, table)
+        rows = {r["k"]: r["v"] for r in live.collect()}
+        assert len(rows) == 101  # 100 originals + 1 insert
+        assert rows[5] == 555  # batch-2 overwrote batch-1's update
+        assert rows[6] == 60
+        assert rows[200] == 2000
+        assert rows[0] == 0  # untouched keys intact
