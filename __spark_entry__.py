@@ -2023,6 +2023,26 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement per (user, type)
+    (`operators/aggregates.py:decayed_sum`): Σ value × 0.5^halvings
+    with a 7-day half-life as of 2024-02-01 — stepped decay because
+    0.5^n is dyadic and therefore BIT-EXACT in IEEE doubles on both
+    engines (a smooth per-day exponent is transcendental and
+    last-ulp engine-dependent). Pure map expressions into one
+    partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    out = aggregates.decayed_sum(
+        ev,
+        "ts",
+        "value",
+        as_of="2024-02-01",
+        half_life_days=7,
+        group_cols=("user_id", "event_type"),
+    )
+    return out.orderBy("user_id", "event_type")
+
+
 def q_events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust outlier detection
     (`operators/aggregates.py:robust_anomalies`): modified z-score
@@ -2440,6 +2460,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_lpa": q_graph_lpa,  # [r9-in-new]
     "events_winsorized": q_events_winsorized,  # [r9-in-new]
     "events_robust_anomalies": q_events_robust_anomalies,  # [r9-in-new]
+    "events_decayed_engagement": q_events_decayed_engagement,  # [r9-in-new]
 }
 
 

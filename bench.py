@@ -135,6 +135,8 @@ HEADLINE = [
     # round 8 (late): exact per-group winsorization + robust outlier flags
     "events_winsorized",
     "events_robust_anomalies",
+    # round 8 (late): recency-decayed engagement (dyadic-exact decay)
+    "events_decayed_engagement",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -2801,3 +2801,18 @@ SELECT d.event_type,
        count(*)::BIGINT AS n
 FROM d JOIN s USING (event_type)
 GROUP BY d.event_type ORDER BY d.event_type"""
+
+
+# events_decayed_engagement: stepped half-life decay — 0.5^n is a
+# dyadic rational, bit-exact in IEEE doubles on both engines, so the
+# float product value * decay replays exactly (per-value round-then-sum
+# micro units, the registry convention).
+ORACLES["events_decayed_engagement"] = """
+SELECT user_id, event_type,
+       sum(round(value * power(0.5, floor(datediff('day', ts::DATE, DATE '2024-02-01') / 7.0)) * 1000000))::BIGINT
+           AS decayed_micro,
+       count(*)::BIGINT AS n
+FROM events
+WHERE datediff('day', ts::DATE, DATE '2024-02-01') >= 0
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type"""

@@ -321,3 +321,46 @@ def robust_anomalies(
     return out.withColumn(
         "is_anomaly", dev > F.lit(z) * F.lit(1.4826) * F.col("__mad")
     )
+
+
+def decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    as_of: str,
+    half_life_days: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Recency-decayed aggregate → one row per group with
+    `decayed_micro` (Σ value × 0.5^halvings, integer micro-units) and
+    `n`: the standard engagement/freshness score where yesterday's
+    event outweighs last month's. Decay is STEPPED — the weight
+    halves once per completed `half_life_days` window before `as_of`
+    — because 0.5^n for integer n is a dyadic rational, EXACTLY
+    representable in IEEE doubles: Spark's pow and DuckDB's power
+    return bit-identical values, so the oracle replays the float
+    product exactly (a smooth per-day decay exponent would be
+    transcendental and engine-dependent in the last ulp — the same
+    reason the sketch family uses literal correction tables). Rows
+    after `as_of` are excluded (no negative exponents).
+
+    Plan: pure map expressions (datediff → floor-div → pow → round)
+    feeding one partial-aggregate shuffle — the cheapest possible
+    shape; at 100 TB the decay re-evaluates per scan, so persist
+    `as_of`-stamped snapshots rather than recomputing a moving target.
+    """
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    days = F.datediff(F.lit(as_of).cast("date"), F.to_date(F.col(ts_col)))
+    halvings = F.floor(days / half_life_days)
+    decay = F.pow(F.lit(0.5), halvings.cast("double"))
+    micro = F.round(F.col(value_col) * decay * 1e6).cast("bigint")
+    return (
+        df.filter(days >= 0)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(micro).alias("decayed_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -759,3 +759,49 @@ class TestRobustAnomalies:
 
         with _pt.raises(ValueError, match="z must"):
             agg.robust_anomalies(df, "v", z=0)
+
+
+class TestDecayedSum:
+    def test_stepped_halving_exact(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        rows = [
+            ("2024-01-31 12:00:00", 100.0),  # 1 day before as_of → 0 halvings
+            ("2024-01-20 00:00:00", 100.0),  # 12 days → 1 halving
+            ("2024-01-01 00:00:00", 100.0),  # 31 days → 4 halvings
+            ("2024-02-05 00:00:00", 999.0),  # after as_of → excluded
+        ]
+        df = spark.createDataFrame(rows, "ts_s string, value double").selectExpr(
+            "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+        )
+        out = agg.decayed_sum(
+            df, "ts", "value", as_of="2024-02-01", half_life_days=7
+        ).collect()[0]
+        # 100 + 50 + 6.25 = 156.25 → exact dyadic arithmetic
+        assert out["decayed_micro"] == 156_250_000
+        assert out["n"] == 3
+
+    def test_grouped(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        rows = [("a", "2024-01-31 00:00:00", 8.0), ("b", "2024-01-17 00:00:00", 8.0)]
+        df = spark.createDataFrame(rows, "g string, ts_s string, value double").selectExpr(
+            "g", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+        )
+        got = {
+            r["g"]: r["decayed_micro"]
+            for r in agg.decayed_sum(
+                df, "ts", "value", as_of="2024-02-01", half_life_days=7,
+                group_cols=("g",),
+            ).collect()
+        }
+        assert got == {"a": 8_000_000, "b": 2_000_000}  # 0 vs 2 halvings
+
+    def test_rejects_bad_half_life(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates as agg
+
+        df = spark.createDataFrame([("2024-01-01 00:00:00", 1.0)], "ts_s string, v double").selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "v")
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="half_life_days"):
+            agg.decayed_sum(df, "ts", "v", as_of="2024-02-01", half_life_days=0)

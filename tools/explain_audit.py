@@ -311,6 +311,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join", r"\A(?!.*Join)"),
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
     ],
+    "events_decayed_engagement": [
+        # pure map expressions into ONE partial-agg shuffle: no join,
+        # no window, no python; ts filter evaluated at the scan level
+        ("no join", r"\A(?!.*Join)"),
+        ("partial aggregation", r"HashAggregate"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "events_robust_anomalies": [
         # median + MAD tables broadcast; flag is a division-free map
         # comparison; no window, no python

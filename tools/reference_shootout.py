@@ -988,6 +988,21 @@ def pandas_events_robust_anomalies(sf_dir: str) -> pd.DataFrame:
     ).sort_values("event_type").reset_index(drop=True)
 
 
+def pandas_events_decayed_engagement(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "event_type", "ts", "value"]]
+    days = (pd.Timestamp("2024-02-01") - ev["ts"].dt.normalize()).dt.days
+    ev = ev[days >= 0].assign(__d=days[days >= 0] // 7)
+    ev["__m"] = (ev["value"] * (0.5 ** ev["__d"]) * 1e6).round().astype("int64")
+    out = (
+        ev.groupby(["user_id", "event_type"])
+        .agg(decayed_micro=("__m", "sum"), n=("__m", "count"))
+        .reset_index()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1171,6 +1186,7 @@ PANDAS_IMPLS = {
     "graph_lpa": pandas_graph_lpa,
     "events_winsorized": pandas_events_winsorized,
     "events_robust_anomalies": pandas_events_robust_anomalies,
+    "events_decayed_engagement": pandas_events_decayed_engagement,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
