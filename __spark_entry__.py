@@ -2067,6 +2067,26 @@ def q_events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph
+    (`functions/graph.py:pagerank(weight_col=...)`) — co-purchase
+    support as edge strength: contribution rank×85×w div (100×W(u)),
+    still exact integer micro-units, still order-independent, so the
+    generated oracle (`build_pagerank_sql(weighted=True)`) replays
+    bit-for-bit. The undirected graph enters as both directed edges
+    (same construction both sides); duplicate weighted edges collapse
+    by summing. Overflow bound documented in the operator: w × rank
+    < 1.08e17 micro."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2, keep_support=True)
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "sup")
+    )
+    return egraph.pagerank(sym, iters=5, weight_col="sup").orderBy("node")
+
+
 def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities on the support-2 part co-purchase
     graph (`functions/graph.py:label_propagation`, Raghavan 2007
@@ -2461,6 +2481,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorized": q_events_winsorized,  # [r9-in-new]
     "events_robust_anomalies": q_events_robust_anomalies,  # [r9-in-new]
     "events_decayed_engagement": q_events_decayed_engagement,  # [r9-in-new]
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # [r9-in-new]
 }
 
 

@@ -137,6 +137,8 @@ HEADLINE = [
     "events_robust_anomalies",
     # round 8 (late): recency-decayed engagement (dyadic-exact decay)
     "events_decayed_engagement",
+    # round 8 (late): weighted PageRank (iterative)
+    "graph_pagerank_weighted",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -154,6 +156,7 @@ ITERATIVE = {
     # pagerank's per-round localCheckpoints materialize during construction
     "graph_pagerank",
     "graph_pagerank_dangling",
+    "graph_pagerank_weighted",
     # triangle counting pins the undirected + oriented edge sets at
     # construction (localCheckpoint)
     "graph_triangles",

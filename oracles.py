@@ -2816,3 +2816,32 @@ FROM events
 WHERE datediff('day', ts::DATE, DATE '2024-02-01') >= 0
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type"""
+
+
+# graph_pagerank_weighted: co-purchase strength as edge weight —
+# contribution rank*85*w // (100*W(u)), still exact integer micro
+# units; the symmetric doubled edge list mirrors the Spark side.
+from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
+    build_pagerank_sql as _prw_sql,
+)
+
+ORACLES["graph_pagerank_weighted"] = _prw_sql(
+    """
+    SELECT src, dst, sup AS w FROM (
+        SELECT pa AS src, pb AS dst, sup FROM (
+            SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        ) WHERE sup >= 2
+        UNION ALL
+        SELECT pb, pa, sup FROM (
+            SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        ) WHERE sup >= 2
+    )""",
+    iters=5,
+    weighted=True,
+) + "SELECT node, rank_micro FROM r5 ORDER BY node"

@@ -131,6 +131,7 @@ def pagerank(
     iters: int = 5,
     checkpoint: bool = True,
     dangling: str = "drop",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Bounded-round PageRank over a directed edge list → (node,
     rank_micro).
@@ -166,10 +167,29 @@ def pagerank(
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be 'drop' or 'redistribute': {dangling!r}")
-    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
+    if weight_col is None:
+        e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
+    else:
+        # weighted: duplicate (src, dst) rows collapse by SUMMING their
+        # integer weights; contribution becomes rank*85*w div (100*W(u))
+        # — still exact integer arithmetic, still order-independent.
+        # Overflow bound: rank_micro * 85 * w must stay < 2^63, i.e.
+        # w * rank < 1.08e17 micro — support-count weights on graphs up
+        # to ~1e9 nodes clear it; renormalize weights if yours do not.
+        e = (
+            edges.selectExpr(
+                f"{src} AS src", f"{dst} AS dst",
+                f"CAST({weight_col} AS BIGINT) AS __w",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
     if checkpoint:
         e = e.repartition("src").localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count("*").alias("__d"))
+    if weight_col is None:
+        deg = e.groupBy("src").agg(F.count("*").alias("__d"))
+    else:
+        deg = e.groupBy("src").agg(F.sum("__w").alias("__d"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -204,7 +224,11 @@ def pagerank(
             .join(ranks.select(F.col("node").alias("src"), "rank_micro"), "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("(rank_micro * 85) div (100 * __d)").alias("__c"),
+                F.expr(
+                    "(rank_micro * 85 * __w) div (100 * __d)"
+                    if weight_col is not None
+                    else "(rank_micro * 85) div (100 * __d)"
+                ).alias("__c"),
             )
         )
         share = (
@@ -235,7 +259,9 @@ def pagerank(
     return ranks.select("node", "rank_micro")
 
 
-def build_pagerank_sql(edges_cte: str, iters: int = 5, dangling: str = "drop") -> str:
+def build_pagerank_sql(
+    edges_cte: str, iters: int = 5, dangling: str = "drop", weighted: bool = False
+) -> str:
     """Generated DuckDB WITH-chain replaying `pagerank` exactly:
     `edges_cte` is the body of an `e(src, dst)` CTE (rows must be
     distinct); output (node, rank_micro) matches bit-for-bit because
@@ -247,10 +273,11 @@ def build_pagerank_sql(edges_cte: str, iters: int = 5, dangling: str = "drop") -
     if dangling not in ("drop", "redistribute"):
         raise ValueError(f"dangling must be 'drop' or 'redistribute': {dangling!r}")
     redistribute = dangling == "redistribute"
+    deg_expr = "SUM(w)" if weighted else "COUNT(*)"
     parts = [
         f"""WITH e AS MATERIALIZED ({edges_cte}
 ), deg AS MATERIALIZED (
-    SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    SELECT src, {deg_expr} AS d FROM e GROUP BY src
 ), nodes AS MATERIALIZED (
     SELECT DISTINCT node FROM (
         SELECT src AS node FROM e UNION ALL SELECT dst FROM e
@@ -276,7 +303,7 @@ def build_pagerank_sql(edges_cte: str, iters: int = 5, dangling: str = "drop") -
             f""", r{r + 1} AS MATERIALIZED (
     SELECT n.node,
            CAST(150000 + {share}
-                + COALESCE(SUM((r.rank_micro * 85) // (100 * deg.d)), 0)
+                + COALESCE(SUM((r.rank_micro * 85{" * e.w" if weighted else ""}) // (100 * deg.d)), 0)
                 AS BIGINT) AS rank_micro
     FROM nodes n
     LEFT JOIN e ON e.dst = n.node
@@ -608,6 +635,7 @@ def project_bipartite(
     group_col: str,
     item_col: str,
     min_support: int = 1,
+    keep_support: bool = False,
 ) -> DataFrame:
     """Bipartite → item-item projection: two items are adjacent when
     they co-occur in ≥ `min_support` groups (orders → co-purchase,
@@ -634,5 +662,9 @@ def project_bipartite(
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= min_support)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            *([F.col("sup")] if keep_support else []),
+        )
     )

@@ -440,3 +440,69 @@ class TestProjectBipartite:
         df = spark.createDataFrame([(1, 1)], "g long, item long")
         with pytest.raises(ValueError, match="min_support"):
             graph.project_bipartite(df, "g", "item", 0)
+
+
+class TestWeightedPagerank:
+    EDGES = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (4, 1, 5)]
+
+    def test_unit_weights_equal_unweighted(self, spark):
+        unw = spark.createDataFrame(
+            [(a, b) for a, b, _ in self.EDGES], "src long, dst long"
+        )
+        w1 = spark.createDataFrame(
+            [(a, b, 1) for a, b, _ in self.EDGES], "src long, dst long, w long"
+        )
+        got_u = {r["node"]: r["rank_micro"] for r in graph.pagerank(unw, iters=3).collect()}
+        got_w = {
+            r["node"]: r["rank_micro"]
+            for r in graph.pagerank(w1, iters=3, weight_col="w").collect()
+        }
+        assert got_u == got_w
+
+    def test_integer_reference(self, spark):
+        # pure-python integer replay of the weighted update
+        edges = self.EDGES
+        wsum = {}
+        for s, _, w in edges:
+            wsum[s] = wsum.get(s, 0) + w
+        nodes = sorted({n for e in edges for n in e[:2]})
+        ranks = {n: 1_000_000 for n in nodes}
+        for _ in range(3):
+            new = {n: 150_000 for n in nodes}
+            for s, d, w in edges:
+                new[d] += (ranks[s] * 85 * w) // (100 * wsum[s])
+            ranks = new
+        df = spark.createDataFrame(self.EDGES, "src long, dst long, w long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.pagerank(df, iters=3, weight_col="w").collect()
+        }
+        assert got == ranks
+
+    def test_duplicate_weighted_edges_sum(self, spark):
+        # (1,2,3) should equal (1,2,1)+(1,2,2)
+        a = spark.createDataFrame(self.EDGES, "src long, dst long, w long")
+        dup = spark.createDataFrame(
+            [(1, 2, 1), (1, 2, 2)] + [e for e in self.EDGES if e != (1, 2, 3)],
+            "src long, dst long, w long",
+        )
+        ga = {r["node"]: r["rank_micro"] for r in graph.pagerank(a, iters=3, weight_col="w").collect()}
+        gd = {r["node"]: r["rank_micro"] for r in graph.pagerank(dup, iters=3, weight_col="w").collect()}
+        assert ga == gd
+
+    def test_sql_twin_weighted(self, spark):
+        import duckdb
+
+        values = ", ".join(f"({a}, {b}, {w})" for a, b, w in self.EDGES)
+        sql = graph.build_pagerank_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst, w)",
+            iters=3,
+            weighted=True,
+        ) + "SELECT node, rank_micro FROM r3 ORDER BY node"
+        oracle = dict(duckdb.connect().execute(sql).fetchall())
+        df = spark.createDataFrame(self.EDGES, "src long, dst long, w long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.pagerank(df, iters=3, weight_col="w").collect()
+        }
+        assert got == {int(k): int(v) for k, v in oracle.items()}

@@ -414,6 +414,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
     ],
+    "graph_pagerank_weighted": [
+        # rounds are checkpointed — the final plan joins the last rank
+        # table against pinned nodes; nothing cartesian, nothing Python
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+    ],
     "graph_pagerank_dangling": [
         # the dangling share is a plan LITERAL (observe scalar folded in
         # by the driver) — same checkpointed-round shape as the sibling

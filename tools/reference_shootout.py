@@ -1003,6 +1003,31 @@ def pandas_events_decayed_engagement(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def pandas_graph_pagerank_weighted(sf_dir: str) -> pd.DataFrame:
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] < e["l_partkey_b"]]
+    sup = e.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    und = sup[sup >= 2]
+    edges = []
+    for (a, b), w in und.items():
+        edges.append((a, b, int(w)))
+        edges.append((b, a, int(w)))
+    wsum = {}
+    for s, _, w in edges:
+        wsum[s] = wsum.get(s, 0) + w
+    nodes = sorted({n for s, d, _ in edges for n in (s, d)})
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        new = {n: 150_000 for n in nodes}
+        for s, d, w in edges:
+            new[d] += (ranks[s] * 85 * w) // (100 * wsum[s])
+        ranks = new
+    return pd.DataFrame(
+        sorted(ranks.items()), columns=["node", "rank_micro"]
+    ).reset_index(drop=True)
+
+
 def pandas_docs_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
     from collections import Counter
 
@@ -1187,11 +1212,12 @@ PANDAS_IMPLS = {
     "events_winsorized": pandas_events_winsorized,
     "events_robust_anomalies": pandas_events_robust_anomalies,
     "events_decayed_engagement": pandas_events_decayed_engagement,
+    "graph_pagerank_weighted": pandas_graph_pagerank_weighted,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"graph_kcore", "graph_lpa", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
+ITERATIVE_IMPLS = {"graph_kcore", "graph_lpa", "graph_pagerank_weighted", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
 
 
 def main() -> None:
