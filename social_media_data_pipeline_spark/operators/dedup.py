@@ -546,6 +546,15 @@ def band_store_append(
     first append and verified on every later append/read: joining bands
     built with different signature parameters silently matches nothing,
     so a mismatch raises instead.
+
+    Crash/empty-batch safety (r9): the meta stamp — which includes the
+    band schema DDL — is written BEFORE the first data write, so a
+    crash between the two leaves a store that later reads resolve as
+    EMPTY (schema comes from the stamp, never footer inference), and a
+    zero-row batch (a routine event in continuous streams: empty part
+    files, all-duplicate batches) skips the data write entirely instead
+    of creating a footerless parquet directory that poisons every
+    later `spark.read.parquet`.
     """
     import json
     import os
@@ -559,22 +568,38 @@ def band_store_append(
     out = bands.withColumn(
         "band_bucket", F.pmod(F.crc32(F.col("band_hash")), F.lit(buckets))
     )
-    meta = {"buckets": buckets, **(params or {})}
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out.schema.fields
+    )
+    meta = {"buckets": buckets, **(params or {}), "schema": schema_ddl}
     mp = _band_store_params_path(store_path)
     if os.path.exists(mp):
         have = json.load(open(mp))
-        if have != meta:
+        if {k: v for k, v in have.items() if k != "schema"} != {
+            k: v for k, v in meta.items() if k != "schema"
+        }:
             raise ValueError(
                 f"band_store_append: store {store_path} was built with "
                 f"{have}, got {meta} — mixed signature parameters never "
                 "match; recompute with the store's parameters or rebuild"
             )
-    out.write.mode("append").partitionBy("band_idx", "band_bucket").parquet(
-        store_path
-    )
-    if not os.path.exists(mp):
+        if have.get("schema", schema_ddl) != schema_ddl:
+            raise ValueError(
+                f"band_store_append: store {store_path} stamped schema "
+                f"{have['schema']!r}, batch writes {schema_ddl!r} — "
+                "mixed id types corrupt the store"
+            )
+    else:
+        # meta BEFORE data: a crash after this point leaves a store
+        # that reads as empty (schema from the stamp) instead of one
+        # that accepts any later params / dies on schema inference
+        os.makedirs(store_path, exist_ok=True)
         with open(mp, "w") as f:
             json.dump(meta, f)
+    if not out.isEmpty():
+        out.write.mode("append").partitionBy(
+            "band_idx", "band_bucket"
+        ).parquet(store_path)
 
 
 def band_store_read(
@@ -587,12 +612,39 @@ def band_store_read(
     `probe_bands` (the NEW batch's band table) the read is pruned to
     the (band_idx, band_bucket) partitions the probe can possibly hit —
     the collected probe-bucket set is bounded by bands × buckets, never
-    by data size. `params` re-verifies the signature stamp."""
+    by data size. `params` re-verifies the signature stamp.
+
+    The read takes its schema from the meta stamp, never from parquet
+    footer inference: a store holding only the stamp (zero-row appends,
+    a crash before the first data write) resolves to an EMPTY frame
+    instead of UNABLE_TO_INFER_SCHEMA. Parquet data WITHOUT a stamp is
+    refused — silently assuming default params would mis-prune buckets.
+    """
+    import glob
     import json
     import os
 
     mp = _band_store_params_path(store_path)
-    meta = json.load(open(mp)) if os.path.exists(mp) else {}
+    if not os.path.exists(mp):
+        if glob.glob(os.path.join(store_path, "**", "*.parquet"),
+                     recursive=True):
+            raise ValueError(
+                f"band_store_read: {store_path} has parquet data but no "
+                f"{_BAND_STORE_META} stamp — refusing to guess signature "
+                "params (wrong bucket pruning); restore the stamp or "
+                "rebuild the store"
+            )
+        old = store_path.rstrip("/") + ".old"
+        hint = (
+            f"; a compact crashed mid-swap — restore with "
+            f"os.rename({old!r}, {store_path!r})"
+            if os.path.exists(old)
+            else ""
+        )
+        raise FileNotFoundError(
+            f"band_store_read: no band store at {store_path}{hint}"
+        )
+    meta = json.load(open(mp))
     if params:
         mism = {k: v for k, v in params.items() if meta.get(k) != v}
         if mism:
@@ -600,7 +652,10 @@ def band_store_read(
                 f"band_store_read: store {store_path} stamped {meta}, "
                 f"caller expects {mism} — mixed signature parameters"
             )
-    df = spark.read.parquet(store_path)
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(meta["schema"])
+    df = reader.parquet(store_path)
     if probe_bands is not None:
         buckets = int(meta.get("buckets", 64))
         touched = [
@@ -639,8 +694,16 @@ def band_store_compact(
     BEFORE the old directory is swapped out, so a crash before the swap
     leaves the old store untouched; the swap itself is two renames
     (at 100 TB this is a metastore/manifest commit — the same boundary
-    documented on `selective_upsert`). Returns before/after row and
-    file counts so callers can alert on runaway growth."""
+    documented on `selective_upsert`). Crash recovery windows:
+      * before `os.rename(store_path, old)` — old store intact, delete
+        `<path>.compact` and re-run;
+      * BETWEEN the two renames — the store path is briefly ABSENT and
+        the complete pre-compact store sits at `<path>.old`: restore
+        with `os.rename(old, store_path)` (band_store_read raises with
+        exactly this instruction when it finds `.old` and no store).
+    Single compactor per store assumed, like `vacuum_table`.
+    Returns before/after row and file counts so callers can alert on
+    runaway growth."""
     import glob
     import json
     import os
@@ -649,7 +712,20 @@ def band_store_compact(
     staged = store_path.rstrip("/") + ".compact"
     old = store_path.rstrip("/") + ".old"
     meta = json.load(open(_band_store_params_path(store_path)))
-    cur = spark.read.parquet(store_path)
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(meta["schema"])
+    cur = reader.parquet(store_path)
+    # legacy (pre-r9) stores lack the schema stamp: adopt the inferred
+    # one so the compacted store — possibly zero-row — reads cleanly
+    meta.setdefault(
+        "schema",
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in cur.schema.fields
+        ),
+    )
+    reader = spark.read.schema(meta["schema"])
     n_before = cur.count()
     f_before = len(glob.glob(os.path.join(store_path, "**", "*.parquet"),
                              recursive=True))
@@ -670,7 +746,7 @@ def band_store_compact(
     )
     with open(_band_store_params_path(staged), "w") as f:
         json.dump(meta, f)
-    n_after = spark.read.parquet(staged).count()
+    n_after = reader.parquet(staged).count()
     f_after = len(glob.glob(os.path.join(staged, "**", "*.parquet"),
                             recursive=True))
     if os.path.exists(old):
@@ -719,7 +795,11 @@ def incremental_dedup_against_store(
     new_bands = sketches.minhash_band_table(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
     ).localCheckpoint(eager=True)
-    if os.path.exists(store_path):
+    # "store exists" = the meta stamp exists (written before any data,
+    # so a stamp-only store reads as an empty frame — correct for a
+    # first batch); bare parquet without a stamp is refused by
+    # band_store_read rather than silently assuming default params
+    if os.path.exists(_band_store_params_path(store_path)):
         hist_bands = band_store_read(
             spark, store_path, probe_bands=new_bands, params=params
         )
@@ -733,6 +813,23 @@ def incremental_dedup_against_store(
             bands,
             shingle_k,
             hist_bands=hist_bands,
+        ).localCheckpoint(eager=True)
+    elif not history.isEmpty():
+        # no store yet but a non-empty history corpus was passed:
+        # silently flagging nothing would under-dedup the first batch
+        # against an existing corpus — recompute the history bands
+        # (plain incremental_dedup) for this one bootstrap cycle; the
+        # history's bands are NOT appended (they belong to the corpus
+        # owner's own ingest path), only the new batch's survivors
+        flagged = incremental_dedup(
+            new_docs,
+            history,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+            shingle_k,
         ).localCheckpoint(eager=True)
     else:
         flagged = spark.createDataFrame(

@@ -475,6 +475,93 @@ class TestBandStoreLifecycle:
                        for r in ddp.band_store_read(spark, store).collect())
         assert after == before  # staged-rewrite: old store untouched
 
+    def test_empty_first_batch_does_not_poison_store(self, spark, tmp_path):
+        """r9 regression (r8 verdict #1): an EMPTY first micro-batch —
+        routine in continuous streams (empty part files, all-duplicate
+        batches) — must not leave a store that every later read dies
+        on. The zero-row append stamps meta (schema included) and skips
+        the data write; reads resolve from the stamp, never footer
+        inference; the next real cycle works normally."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        f0 = ddp.incremental_dedup_against_store(
+            empty, empty, store, "doc_id", "text"
+        )
+        assert f0.count() == 0
+        import os
+
+        assert os.path.exists(os.path.join(store, "_band_store_meta.json"))
+        # the r8 bug: this read raised UNABLE_TO_INFER_SCHEMA forever
+        got = ddp.band_store_read(spark, store)
+        assert got.count() == 0
+        assert got.columns == ["doc", "band_idx", "band_hash"]
+        # store still fully functional: real batch 1 keeps, batch 2 dup flagged
+        b1 = self._docs(spark, [(1, self.BASE)])
+        assert ddp.incremental_dedup_against_store(
+            b1, empty, store, "doc_id", "text"
+        ).count() == 0
+        b2 = self._docs(spark, [(10, self.BASE), (11, "fresh unseen body")])
+        flagged = ddp.incremental_dedup_against_store(
+            b2, b1, store, "doc_id", "text"
+        ).collect()
+        assert {r["doc_id"] for r in flagged} == {10}
+
+    def test_data_without_meta_stamp_refused(self, spark, tmp_path):
+        """Parquet data with no meta stamp must be refused, not read
+        with silently-assumed default params (wrong bucket pruning)."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+        from social_media_data_pipeline_spark.functions import sketches
+        import pytest
+
+        store = str(tmp_path / "bands")
+        docs = self._docs(spark, [(1, self.BASE)])
+        bands = sketches.minhash_band_table(docs, "doc_id", "text")
+        ddp.band_store_append(bands, store)
+        import os
+
+        os.remove(os.path.join(store, "_band_store_meta.json"))
+        with pytest.raises(ValueError, match="no _band_store_meta"):
+            ddp.band_store_read(spark, store)
+
+    def test_absent_store_nonempty_history_bootstraps(self, spark, tmp_path):
+        """r9 (ADVICE): store absent + non-empty history must fall back
+        to recomputing history bands, not silently flag nothing."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        store = str(tmp_path / "bands")
+        history = self._docs(spark, [(1, self.BASE)])
+        batch = self._docs(spark, [(10, self.BASE), (11, "fresh unseen body")])
+        flagged = ddp.incremental_dedup_against_store(
+            batch, history, store, "doc_id", "text"
+        ).collect()
+        assert {(r["doc_id"], r["dup_of"]) for r in flagged} == {(10, 1)}
+        # survivors (11) appended; the flagged dup (10) and the history
+        # corpus's own bands (owner's ingest path) are not
+        stored = {r["doc"] for r in ddp.band_store_read(spark, store).collect()}
+        assert stored == {11}
+
+    def test_mid_swap_crash_recovery_hint(self, spark, tmp_path):
+        """A compact crash between the two swap renames leaves the
+        store absent with the full pre-compact copy at <path>.old —
+        the read error must say exactly how to restore."""
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+        from social_media_data_pipeline_spark.functions import sketches
+        import os
+        import pytest
+
+        store = str(tmp_path / "bands")
+        docs = self._docs(spark, [(1, self.BASE)])
+        ddp.band_store_append(
+            sketches.minhash_band_table(docs, "doc_id", "text"), store
+        )
+        os.rename(store, store + ".old")  # the mid-swap crash state
+        with pytest.raises(FileNotFoundError, match="os.rename"):
+            ddp.band_store_read(spark, store)
+        os.rename(store + ".old", store)  # the documented recovery
+        assert ddp.band_store_read(spark, store).count() > 0
+
 
 class TestDuplicateWindowFraction:
     def test_planted_boilerplate_fraction(self, spark):
