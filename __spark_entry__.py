@@ -2315,17 +2315,14 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each round; the rotation policy prioritizes DRIVER-NEVER-CHECKED queries
 # over re-confirming long-green ones: every registered query must receive a
 # driver row within 2 rounds (schedule in ROADMAP.md "Driver window
-# schedule"). r8 rotates IN the 8 never-driver-checked r7 registrations
-# ([r8-in-new]), the 8 stalest rows ([r8-in-stale]: numeric_describe /
-# cube_agg / embedding_ann_lsh last checked r3; quantiles / simhash /
-# embedding_topk / minhash_jaccard_est / sessionize last checked r5), and
-# 34 returns from the r6-green tail ([r8-in-return]). Everything green in
-# the r7 driver run moves to the tail and returns r9, together with the 16
-# r6-green variant/simple queries left out of this window (each has a
-# fresher driver row via a named sibling — see the variant notes below —
-# or is a single-shuffle aggregate). All tail queries remain verified
-# every session by tools/check_correctness.py (the local mirror of the
-# driver gate).
+# schedule"). r9 rotates IN the 19 never-driver-checked r8 registrations
+# ([r9-in-new]), the 16 stalest rows ([r9-in-stale]: last checked r6),
+# and the first 15 of the r7-checked set in registry order
+# ([r9-in-return]). The 35 remaining r7-checked rows sit 2 rounds stale
+# after r9 and rotate back FIRST in r10, followed by r9 window entries
+# displaced by any new registrations; the 50 r8-green rows are 1 round
+# old. All tail queries remain verified every session by
+# tools/check_correctness.py (the local mirror of the driver gate).
 # Variant notes (tail entries whose operator has a fresher driver row via
 # a named sibling): numeric_describe → describe family via column_profile
 # (r6); cube_agg → rollup_revenue variant; embedding_ann_lsh → ANN family
@@ -2338,131 +2335,8 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs_fingerprint → text.fingerprint also tested; date_format_labels →
 # date_format also covered by derive_columns.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r8 driver window (50) ----
-    # never driver-checked before r8 (8; registered r7)
-    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r8-in-new]
-    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r8-in-new]
-    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r8-in-new]
-    "docs_temperature_mixture": q_docs_temperature_mixture,  # [r8-in-new]
-    "docs_incremental_dedup": q_docs_incremental_dedup,  # [r8-in-new]
-    "docs_gopher_rules": q_docs_gopher_rules,  # [r8-in-new]
-    "docs_curation_report": q_docs_curation_report,  # [r8-in-new]
-    "docs_mixture_solver": q_docs_mixture_solver,  # [r8-in-new]
-    # oldest driver rows: r3 (3) and r5 (5) — stalest first
-    "numeric_describe": q_numeric_describe,  # [r8-in-stale]
-    "cube_agg": q_cube_agg,  # [r8-in-stale]
-    "embedding_ann_lsh": q_embedding_ann_lsh,  # [r8-in-stale]
-    "quantiles": q_quantiles,  # [r8-in-stale]
-    "simhash": q_simhash,  # [r8-in-stale]
-    "embedding_topk": q_embedding_topk,  # [r8-in-stale]
-    "minhash_jaccard_est": q_minhash_jaccard_est,  # [r8-in-stale]
-    "sessionize": q_sessionize,  # [r8-in-stale]
-    # r6-green tail returning (34; displaced by the r7 rotation)
-    "docs_dsir_weights": q_docs_dsir_weights,  # [r8-in-return]
-    "docs_dsir_sample": q_docs_dsir_sample,  # [r8-in-return]
-    "docs_bigram_logprob": q_docs_bigram_logprob,  # [r8-in-return]
-    "docs_chunks": q_docs_chunks,  # [r8-in-return]
-    "docs_bpe_merges": q_docs_bpe_merges,  # [r8-in-return]
-    "docs_bpe_tokens": q_docs_bpe_tokens,  # [r8-in-return]
-    "docs_quality_classifier": q_docs_quality_classifier,  # [r8-in-return]
-    "token_cms_estimates": q_token_cms_estimates,  # [r8-in-return]
-    "sessionize_bounded": q_sessionize_bounded,  # [r8-in-return]
-    "docs_token_pmi": q_docs_token_pmi,  # [r8-in-return]
-    "docs_containment": q_docs_containment,  # [r8-in-return]
-    "events_anomaly_days": q_events_anomaly_days,  # [r8-in-return]
-    "events_trailing_avg": q_events_trailing_avg,  # [r8-in-return]
-    "customer_quartiles": q_customer_quartiles,  # [r8-in-return]
-    "docs_fingerprint": q_docs_fingerprint,  # [r8-in-return]
-    "embedding_semdedup": q_embedding_semdedup,  # [r8-in-return]
-    "events_kmv_distinct": q_events_kmv_distinct,  # [r8-in-return]
-    "embedding_pq_topk": q_embedding_pq_topk,  # [r8-in-return]
-    "events_quantile_sketch": q_events_quantile_sketch,  # [r8-in-return]
-    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # [r8-in-return]
-    "customers_with_open_orders": q_customers_with_open_orders,  # [r8-in-return]
-    "series_align": q_series_align,  # [r8-in-return]
-    "union_overlap": q_union_overlap,  # [r8-in-return]
-    "top_revenue_orders": q_top_revenue_orders,  # [r8-in-return]
-    "top_parts_per_brand": q_top_parts_per_brand,  # [r8-in-return]
-    "running_revenue": q_running_revenue,  # [r8-in-return]
-    "count_pushdown": q_count_pushdown,  # [r8-in-return]
-    "distinct_sorted": q_distinct_sorted,  # [r8-in-return]
-    "kmeans_train": q_kmeans_train,  # [r8-in-return]
-    "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,  # [r8-in-return]
-    "embedding_pq_topk_trained": q_embedding_pq_topk_trained,  # [r8-in-return]
-    "events_daily": q_events_daily,  # [r8-in-return]
-    "simhash_near_pairs": q_simhash_near_pairs,  # [r8-in-return]
-    "docs_llm_pipeline": q_docs_llm_pipeline,  # [r8-in-return]
-    # ---- tail: green in the r7 driver run, return r9 ----
-    "graph_pagerank": q_graph_pagerank,
-    "events_zorder_key": q_events_zorder_key,
-    "events_hll_distinct": q_events_hll_distinct,
-    "events_kmv_overlap": q_events_kmv_overlap,
-    "docs_training_shards": q_docs_training_shards,
-    "embedding_ivf_pq_residual": q_embedding_ivf_pq_residual,
-    "filter_project": q_filter_project,
-    "dedup_first_wins": q_dedup_first_wins,
-    "pricing_summary": q_pricing_summary,
-    "region_revenue": q_region_revenue,
-    "events_lag_lead": q_events_lag_lead,
-    "docs_exact_dedup": q_docs_exact_dedup,
-    "docs_token_stats": q_docs_token_stats,
-    "docs_quality": q_docs_quality,
-    "docs_language": q_docs_language,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,
-    "docs_segment_dedup": q_docs_segment_dedup,
-    "derive_columns": q_derive_columns,
-    "json_props_extract": q_json_props_extract,
-    "array_ops": q_array_ops,
-    "conditional_buckets": q_conditional_buckets,
-    "rollup_revenue": q_rollup_revenue,
-    "except_rows": q_except_rows,
-    "docs_pipeline_chain": q_docs_pipeline_chain,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
-    "embedding_ivf_topk": q_embedding_ivf_topk,
-    "events_asof_purchase": q_events_asof_purchase,
-    "docs_decontaminate": q_docs_decontaminate,
-    "docs_trim_spans": q_docs_trim_spans,
-    "docs_duplicate_spans": q_docs_duplicate_spans,
-    "events_retention": q_events_retention,
-    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,
-    "docs_zipf_slope": q_docs_zipf_slope,
-    "events_funnel": q_events_funnel,
-    "docs_split": q_docs_split,
-    "docs_shuffle": q_docs_shuffle,
-    "docs_mixture_sample": q_docs_mixture_sample,
-    "docs_unigram_logprob": q_docs_unigram_logprob,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "docs_bm25": q_docs_bm25,
-    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,
-    "dedup_survivors": q_dedup_survivors,
-    "events_in_windows": q_events_in_windows,
-    "docs_pack_sequences": q_docs_pack_sequences,
-    "docs_repetition": q_docs_repetition,
-    "docs_pii_redact": q_docs_pii_redact,
-    "embedding_quantize": q_embedding_quantize,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    # r6-green variants/simple aggregates left out of the r8 window
-    # (driver row r6; operators also covered by fresher siblings or
-    # the every-session local 3-scale sweep) — rotate in r9
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dup": q_embedding_near_dup,
-    "row_wise_total": q_row_wise_total,
-    "date_format_labels": q_date_format_labels,
-    "filter_in_contains": q_filter_in_contains,
-    "state_undone": q_state_undone,
-    "sample_per_year": q_sample_per_year,
-    "events_weekly_by_type": q_events_weekly_by_type,
-    "token_frequency": q_token_frequency,
-    "price_histogram": q_price_histogram,
-    "column_profile": q_column_profile,
-    "correlation": q_correlation,
-    "events_pivot": q_events_pivot,
-    "nation_share": q_nation_share,
-    "order_status_counts": q_order_status_counts,
-    "customers_no_orders": q_customers_no_orders,
-    # ---- new in r8 (never driver-checked; rotate into the r9 window) ----
+    # ---- r9 driver window (50) ----
+    # never driver-checked (19; registered r8)
     "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
     "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r9-in-new]
     "docs_dup_window_frac": q_docs_dup_window_frac,  # [r9-in-new]
@@ -2482,6 +2356,127 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_anomalies": q_events_robust_anomalies,  # [r9-in-new]
     "events_decayed_engagement": q_events_decayed_engagement,  # [r9-in-new]
     "graph_pagerank_weighted": q_graph_pagerank_weighted,  # [r9-in-new]
+    # stalest rows: last driver-checked r6 (16)
+    "ngram_jaccard": q_ngram_jaccard,  # [r9-in-stale] r6
+    "embedding_near_dup": q_embedding_near_dup,  # [r9-in-stale] r6
+    "row_wise_total": q_row_wise_total,  # [r9-in-stale] r6
+    "date_format_labels": q_date_format_labels,  # [r9-in-stale] r6
+    "filter_in_contains": q_filter_in_contains,  # [r9-in-stale] r6
+    "state_undone": q_state_undone,  # [r9-in-stale] r6
+    "sample_per_year": q_sample_per_year,  # [r9-in-stale] r6
+    "events_weekly_by_type": q_events_weekly_by_type,  # [r9-in-stale] r6
+    "token_frequency": q_token_frequency,  # [r9-in-stale] r6
+    "price_histogram": q_price_histogram,  # [r9-in-stale] r6
+    "column_profile": q_column_profile,  # [r9-in-stale] r6
+    "correlation": q_correlation,  # [r9-in-stale] r6
+    "events_pivot": q_events_pivot,  # [r9-in-stale] r6
+    "nation_share": q_nation_share,  # [r9-in-stale] r6
+    "order_status_counts": q_order_status_counts,  # [r9-in-stale] r6
+    "customers_no_orders": q_customers_no_orders,  # [r9-in-stale] r6
+    # window fill: last driver-checked r7, first 15 in registry order
+    "graph_pagerank": q_graph_pagerank,  # [r9-in-return] r7
+    "events_zorder_key": q_events_zorder_key,  # [r9-in-return] r7
+    "events_hll_distinct": q_events_hll_distinct,  # [r9-in-return] r7
+    "events_kmv_overlap": q_events_kmv_overlap,  # [r9-in-return] r7
+    "docs_training_shards": q_docs_training_shards,  # [r9-in-return] r7
+    "embedding_ivf_pq_residual": q_embedding_ivf_pq_residual,  # [r9-in-return] r7
+    "filter_project": q_filter_project,  # [r9-in-return] r7
+    "dedup_first_wins": q_dedup_first_wins,  # [r9-in-return] r7
+    "pricing_summary": q_pricing_summary,  # [r9-in-return] r7
+    "region_revenue": q_region_revenue,  # [r9-in-return] r7
+    "events_lag_lead": q_events_lag_lead,  # [r9-in-return] r7
+    "docs_exact_dedup": q_docs_exact_dedup,  # [r9-in-return] r7
+    "docs_token_stats": q_docs_token_stats,  # [r9-in-return] r7
+    "docs_quality": q_docs_quality,  # [r9-in-return] r7
+    "docs_language": q_docs_language,  # [r9-in-return] r7
+    # ---- tail (verified every session by tools/check_correctness.py) ----
+    # r7-checked remainder (35): rotate back r10 (2 rounds stale after r9)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r7-green
+    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,  # r7-green
+    "docs_segment_dedup": q_docs_segment_dedup,  # r7-green
+    "derive_columns": q_derive_columns,  # r7-green
+    "json_props_extract": q_json_props_extract,  # r7-green
+    "array_ops": q_array_ops,  # r7-green
+    "conditional_buckets": q_conditional_buckets,  # r7-green
+    "rollup_revenue": q_rollup_revenue,  # r7-green
+    "except_rows": q_except_rows,  # r7-green
+    "docs_pipeline_chain": q_docs_pipeline_chain,  # r7-green
+    "dedup_clusters": q_dedup_clusters,  # r7-green
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,  # r7-green
+    "embedding_ivf_topk": q_embedding_ivf_topk,  # r7-green
+    "events_asof_purchase": q_events_asof_purchase,  # r7-green
+    "docs_decontaminate": q_docs_decontaminate,  # r7-green
+    "docs_trim_spans": q_docs_trim_spans,  # r7-green
+    "docs_duplicate_spans": q_docs_duplicate_spans,  # r7-green
+    "events_retention": q_events_retention,  # r7-green
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # r7-green
+    "docs_zipf_slope": q_docs_zipf_slope,  # r7-green
+    "events_funnel": q_events_funnel,  # r7-green
+    "docs_split": q_docs_split,  # r7-green
+    "docs_shuffle": q_docs_shuffle,  # r7-green
+    "docs_mixture_sample": q_docs_mixture_sample,  # r7-green
+    "docs_unigram_logprob": q_docs_unigram_logprob,  # r7-green
+    "docs_tfidf_topk": q_docs_tfidf_topk,  # r7-green
+    "docs_bm25": q_docs_bm25,  # r7-green
+    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # r7-green
+    "dedup_survivors": q_dedup_survivors,  # r7-green
+    "events_in_windows": q_events_in_windows,  # r7-green
+    "docs_pack_sequences": q_docs_pack_sequences,  # r7-green
+    "docs_repetition": q_docs_repetition,  # r7-green
+    "docs_pii_redact": q_docs_pii_redact,  # r7-green
+    "embedding_quantize": q_embedding_quantize,  # r7-green
+    "docs_weighted_sample": q_docs_weighted_sample,  # r7-green
+    # r8-checked (50): green in CORRECTNESS_r08, 1 round old
+    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # r8-green
+    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # r8-green
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # r8-green
+    "docs_temperature_mixture": q_docs_temperature_mixture,  # r8-green
+    "docs_incremental_dedup": q_docs_incremental_dedup,  # r8-green
+    "docs_gopher_rules": q_docs_gopher_rules,  # r8-green
+    "docs_curation_report": q_docs_curation_report,  # r8-green
+    "docs_mixture_solver": q_docs_mixture_solver,  # r8-green
+    "numeric_describe": q_numeric_describe,  # r8-green
+    "cube_agg": q_cube_agg,  # r8-green
+    "embedding_ann_lsh": q_embedding_ann_lsh,  # r8-green
+    "quantiles": q_quantiles,  # r8-green
+    "simhash": q_simhash,  # r8-green
+    "embedding_topk": q_embedding_topk,  # r8-green
+    "minhash_jaccard_est": q_minhash_jaccard_est,  # r8-green
+    "sessionize": q_sessionize,  # r8-green
+    "docs_dsir_weights": q_docs_dsir_weights,  # r8-green
+    "docs_dsir_sample": q_docs_dsir_sample,  # r8-green
+    "docs_bigram_logprob": q_docs_bigram_logprob,  # r8-green
+    "docs_chunks": q_docs_chunks,  # r8-green
+    "docs_bpe_merges": q_docs_bpe_merges,  # r8-green
+    "docs_bpe_tokens": q_docs_bpe_tokens,  # r8-green
+    "docs_quality_classifier": q_docs_quality_classifier,  # r8-green
+    "token_cms_estimates": q_token_cms_estimates,  # r8-green
+    "sessionize_bounded": q_sessionize_bounded,  # r8-green
+    "docs_token_pmi": q_docs_token_pmi,  # r8-green
+    "docs_containment": q_docs_containment,  # r8-green
+    "events_anomaly_days": q_events_anomaly_days,  # r8-green
+    "events_trailing_avg": q_events_trailing_avg,  # r8-green
+    "customer_quartiles": q_customer_quartiles,  # r8-green
+    "docs_fingerprint": q_docs_fingerprint,  # r8-green
+    "embedding_semdedup": q_embedding_semdedup,  # r8-green
+    "events_kmv_distinct": q_events_kmv_distinct,  # r8-green
+    "embedding_pq_topk": q_embedding_pq_topk,  # r8-green
+    "events_quantile_sketch": q_events_quantile_sketch,  # r8-green
+    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # r8-green
+    "customers_with_open_orders": q_customers_with_open_orders,  # r8-green
+    "series_align": q_series_align,  # r8-green
+    "union_overlap": q_union_overlap,  # r8-green
+    "top_revenue_orders": q_top_revenue_orders,  # r8-green
+    "top_parts_per_brand": q_top_parts_per_brand,  # r8-green
+    "running_revenue": q_running_revenue,  # r8-green
+    "count_pushdown": q_count_pushdown,  # r8-green
+    "distinct_sorted": q_distinct_sorted,  # r8-green
+    "kmeans_train": q_kmeans_train,  # r8-green
+    "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,  # r8-green
+    "embedding_pq_topk_trained": q_embedding_pq_topk_trained,  # r8-green
+    "events_daily": q_events_daily,  # r8-green
+    "simhash_near_pairs": q_simhash_near_pairs,  # r8-green
+    "docs_llm_pipeline": q_docs_llm_pipeline,  # r8-green
 }
 
 

@@ -189,6 +189,26 @@ def pagerank(
     if weight_col is None:
         deg = e.groupBy("src").agg(F.count("*").alias("__d"))
     else:
+        # the integer-exact contract requires positive weights: a src
+        # whose weights sum to 0 gives __d=0, where Spark's `div`
+        # yields NULL (contribution silently dropped) but the DuckDB
+        # oracle's `//` raises — enforce loudly instead of diverging.
+        # Checked on the collapsed (src, dst) sums, which is exactly
+        # what feeds the divisor; short-circuits on the first hit.
+        bad = (
+            e.filter(F.col("__w").isNull() | (F.col("__w") <= 0))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                f"pagerank: summed weight for edge ({r['src']!r} -> "
+                f"{r['dst']!r}) is {r['__w']} — weights must be "
+                "positive integers (NULL/zero/negative sums make the "
+                "divisor 0 and silently drop contributions); filter or "
+                "shift weights before calling"
+            )
         deg = e.groupBy("src").agg(F.sum("__w").alias("__d"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -548,6 +568,23 @@ def label_propagation(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # the −label tie-break REQUIRES numeric node ids: on strings it
+    # either raises mid-job (ANSI) or — legacy mode — nulls out and
+    # silently breaks tie determinism. Enforce the convention up front
+    # (the sampling._reject_null_groups pattern: loud, before any job).
+    # triangle_counts/kcore/pagerank use only order/join semantics and
+    # accept any orderable id type.
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        t = edges.schema[c].dataType
+        if not isinstance(t, NumericType):
+            raise ValueError(
+                f"label_propagation: node-id column {c!r} is "
+                f"{t.simpleString()}, but the smallest-label tie-break "
+                "needs numeric ids — hash or dictionary-encode string "
+                "ids first (e.g. xxhash64), the graph family convention"
+            )
     a0, b0 = F.col(src), F.col(dst)
     und = (
         edges.select(F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b"))

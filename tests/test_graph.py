@@ -506,3 +506,45 @@ class TestWeightedPagerank:
             for r in graph.pagerank(df, iters=3, weight_col="w").collect()
         }
         assert got == {int(k): int(v) for k, v in oracle.items()}
+
+
+class TestGraphInputValidation:
+    """r9 (verdict #8 + ADVICE): the conventions the docstrings only
+    documented are now enforced loudly, before any Spark job."""
+
+    def test_lpa_rejects_string_node_ids(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        with pytest.raises(ValueError, match="numeric ids"):
+            graph.label_propagation(df, rounds=2)
+
+    def test_lpa_accepts_all_numeric_widths(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+        assert graph.label_propagation(df, rounds=2).count() == 3
+
+    def test_weighted_pagerank_rejects_zero_sum_weights(self, spark):
+        # the (1,2) weights sum to 0: Spark div would yield NULL
+        # (contribution dropped) while the DuckDB oracle raises —
+        # refuse up front instead of diverging
+        df = spark.createDataFrame(
+            [(1, 2, 2), (1, 2, -2), (2, 3, 1)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="must be\n?.*positive"):
+            graph.pagerank(df, iters=2, weight_col="w")
+
+    def test_weighted_pagerank_rejects_null_weight(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, None), (2, 3, 1)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="positive integers"):
+            graph.pagerank(df, iters=2, weight_col="w")
+
+    def test_triangles_and_kcore_accept_string_ids(self, spark):
+        # order/join-only algorithms keep working on any orderable id
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+        )
+        tri = {r["node"]: r["tri_cnt"] for r in graph.triangle_counts(df).collect()}
+        assert tri == {"a": 1, "b": 1, "c": 1}
+        assert graph.kcore(df, k=2).count() == 3
