@@ -139,6 +139,13 @@ HEADLINE = [
     "events_decayed_engagement",
     # round 8 (late): weighted PageRank (iterative)
     "graph_pagerank_weighted",
+    # round 9: train-once/search-many lifecycle — the amortized search
+    # cost over PERSISTED centroids (the full-cycle trained entries
+    # above stay as the training benchmarks). First-ever run trains and
+    # commits the artifact (ITERATIVE-class cost); steady state is a
+    # fingerprint scan + broadcast search, ~1-2 s at sf0.1
+    "embedding_ivf_search_persisted",
+    "embedding_balanced_sample_persisted",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -157,6 +164,10 @@ ITERATIVE = {
     "graph_pagerank",
     "graph_pagerank_dangling",
     "graph_pagerank_weighted",
+    # get-or-train centroid load (fingerprint aggregate; trains on a
+    # cold artifact) runs at construction
+    "embedding_ivf_search_persisted",
+    "embedding_balanced_sample_persisted",
     # triangle counting pins the undirected + oriented edge sets at
     # construction (localCheckpoint)
     "graph_triangles",

@@ -2845,3 +2845,17 @@ ORACLES["graph_pagerank_weighted"] = _prw_sql(
     iters=5,
     weighted=True,
 ) + "SELECT node, rank_micro FROM r5 ORDER BY node"
+
+
+# r9 train-once/search-many lifecycle: the persisted-centroid queries
+# have IDENTICAL result semantics to their full-cycle siblings — the
+# artifact cache returns bit-identical centroids to a fresh train
+# (deterministic seeded k-means), so the oracles are the same replayed
+# train+search chains; a stale/corrupt artifact would hash-mismatch
+# here, which is exactly the regression this aliasing is meant to catch.
+ORACLES["embedding_ivf_search_persisted"] = ORACLES[
+    "embedding_ivf_multiprobe_trained"
+]
+ORACLES["embedding_balanced_sample_persisted"] = ORACLES[
+    "embedding_balanced_sample"
+]

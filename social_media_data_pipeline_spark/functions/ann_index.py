@@ -1,0 +1,179 @@
+"""Train-once / search-many ANN index lifecycle.
+
+The full-cycle trained-ANN queries (`embedding_ivf_multiprobe_trained`,
+`embedding_balanced_sample`) RE-train k-means inside every invocation —
+the right shape for a training *benchmark*, the wrong lifecycle for
+production, where centroids are a persisted artifact trained once and
+read by every search (reference analog: the reference trains its DIR
+model once and reuses it across runs, ImageLabeling/DIRAdapter.py:20-76
+— it never retrains per query).
+
+This module persists trained IVF centroids as a manifest-committed
+parquet table (the `scale.write_table_manifest` commit point — the
+same crash-safe flip the mutable tables use) stamped with the training
+params AND a corpus fingerprint, and serves them back to searches:
+
+    centroids = ivf_centroids_for(spark, sf_dir)   # get-or-train
+    hits = similarity.ivf_topk_multiprobe(queries, emb, centroids, ...)
+
+`ivf_centroids_for` retrains only when the artifact is missing, its
+params differ, or the corpus fingerprint moved (the table was
+regenerated); otherwise the load is one tiny parquet read — the two
+8.5 s bench whales become ~1 s searches, and the train cost amortizes
+over every search that follows (SCALING.md r9 "train-once" row).
+
+Determinism contract: `kmeans.kmeans_centroids` is a pure function of
+(corpus, params) — seeded id-stride init, integer micro-unit Lloyd
+rounds — so a cache hit returns bit-identical centroids to a fresh
+train, and the differential oracles (which REPLAY training in SQL)
+hash-match against searches over the persisted artifact.
+
+At 100 TB the artifact is exactly what this models: a k×d table, tiny
+next to the corpus, broadcast to every search; the fingerprint read is
+one count + one column-hash aggregate (a single corpus scan, paid per
+*validation*, not per Lloyd round — skip it with `trust_cache=True`
+for hot paths that own their invalidation).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_ann_index_meta.json"
+
+
+def artifacts_root() -> str:
+    """Repo-local artifact directory (override: SPARK_GRAFT_ARTIFACTS_DIR)."""
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS_DIR")
+    if env:
+        return env
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, ".artifacts")
+
+
+def corpus_fingerprint(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> dict:
+    """(row count, order-independent content hash) of the embedding
+    corpus — one aggregate scan; any regeneration of the table under
+    the same path flips it and forces a retrain."""
+    # bit_xor, not sum: order-independent AND overflow-free under ANSI
+    # (summing raw 64-bit hashes overflows BIGINT within a few rows)
+    row = emb.select(
+        F.xxhash64(F.col(id_col), F.col(vec_col)).alias("__h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(__h)").alias("h"),
+    ).collect()[0]
+    return {"n": int(row["n"]), "h": int(row["h"] or 0)}
+
+
+def ivf_index_path(corpus_tag: str, params: dict) -> str:
+    """Deterministic artifact directory for (corpus, params)."""
+    import hashlib
+
+    key = hashlib.md5(
+        json.dumps({"corpus": corpus_tag, **params}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifacts_root(), "ann_ivf", key)
+
+
+def _load_meta(path: str) -> dict | None:
+    mp = os.path.join(path, _META)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def train_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fingerprint: dict | None = None,
+) -> DataFrame:
+    """Train centroids and COMMIT them at `path`: parquet data files,
+    then the meta stamp (params + corpus fingerprint), then the
+    manifest flip — the flip is the commit point, so a crash anywhere
+    earlier leaves the previous generation live and readable."""
+    from social_media_data_pipeline_spark.functions import kmeans
+    from social_media_data_pipeline_spark import scale
+
+    spark = emb.sparkSession
+    cents = kmeans.kmeans_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
+    os.makedirs(path, exist_ok=True)
+    gen_tag = f"g{len(scale.manifest_versions(path))}"
+    staged = os.path.join(path, f"_staged-{gen_tag}")
+    cents.coalesce(1).write.mode("overwrite").parquet(staged)
+    live = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(staged, "*.parquet")))):
+        dst = os.path.join(path, f"centroids-{gen_tag}-{i}.parquet")
+        os.replace(f, dst)
+        live.append(dst)
+    import shutil
+
+    shutil.rmtree(staged)
+    meta = {
+        "params": {"k": k, "iters": iters, "id_col": id_col,
+                   "vec_col": vec_col},
+        "fingerprint": fp,
+    }
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, _META))
+    scale.write_table_manifest(path, live)
+    return cents
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the committed centroid table (manifest-honoring)."""
+    from social_media_data_pipeline_spark import scale
+
+    return scale.manifest_read(spark, path)
+
+
+def ivf_centroids_for(
+    emb: DataFrame,
+    corpus_tag: str,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_cache: bool = False,
+) -> DataFrame:
+    """Get-or-train: return persisted centroids for (corpus, params),
+    training and committing them on the first call or whenever the
+    params/corpus fingerprint no longer match. `trust_cache=True`
+    skips the fingerprint scan (params still checked) for callers that
+    own their invalidation."""
+    params = {"k": k, "iters": iters, "id_col": id_col, "vec_col": vec_col}
+    path = ivf_index_path(corpus_tag, params)
+    meta = _load_meta(path)
+    from social_media_data_pipeline_spark import scale
+
+    if meta is not None and meta.get("params") == params and (
+        scale.read_table_manifest(path) or None
+    ):
+        if trust_cache:
+            return load_ivf_index(emb.sparkSession, path)
+        fp = corpus_fingerprint(emb, id_col, vec_col)
+        if meta.get("fingerprint") == fp:
+            return load_ivf_index(emb.sparkSession, path)
+        return train_ivf_index(
+            emb, path, k, iters, id_col, vec_col, fingerprint=fp
+        )
+    return train_ivf_index(emb, path, k, iters, id_col, vec_col)

@@ -396,6 +396,22 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no sort-merge similarity join", r"\A(?!.*SortMergeJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_search_persisted": [
+        # r9 lifecycle: persisted centroids enter as a parquet scan of
+        # the tiny committed artifact (or a local relation right after
+        # a cold train) — search shape identical to the trained sibling
+        ("cell-equi candidate join", r"BroadcastHashJoin.*cluster|SortMergeJoin.*cluster"),
+        ("no cartesian", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "embedding_balanced_sample_persisted": [
+        # same contract as the full-cycle sibling: map-side assignment
+        # against the (broadcast) centroid table, ONE per-cluster window
+        ("centroids broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("per-cluster cap window", r"Window"),
+        ("no sort-merge similarity join", r"\A(?!.*SortMergeJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_ivf_pq_residual": [
         # assignment + codebook are literals/broadcasts by execution
         # time; candidates stay a cluster-equi join, ADC is JVM-side
