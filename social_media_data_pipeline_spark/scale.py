@@ -186,26 +186,74 @@ def file_skipping_index(spark: SparkSession, path: str, cols: Sequence[str]) -> 
 _MANIFEST = "_manifest.json"
 
 
-def write_table_manifest(path: str, files: Sequence[str]) -> int:
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed (or is mid-commit) since this writer
+    read the table — the losing commit's file list is stale, and
+    flipping it anyway would silently drop the winner's files from the
+    live set."""
+
+
+def write_table_manifest(
+    path: str, files: Sequence[str], expect_generation: int | None = None
+) -> int:
     """Atomically commit `files` (basenames or absolute paths under
     `path`) as the table's live set. Each commit is also preserved as a
     numbered GENERATION (`_manifest-<n>.json`, written before the
     pointer flips), so `manifest_read(..., version=n)` can time-travel
     to any snapshot whose files still exist (see `selective_upsert`'s
     `keep_history` and `vacuum_table`). Returns the generation number.
+
+    Concurrency (r9): with `expect_generation` the commit is a CAS —
+    it refuses (`ConcurrentCommitError`) unless the current pointer is
+    still at that generation, and the O_EXCL creation of the NEXT
+    generation file is the atomic claim, so two writers that both read
+    generation N can never both commit N+1 (one loses loudly; retry by
+    re-reading the table and redoing the rewrite against the new live
+    set). All the in-package mutators (`selective_upsert`,
+    `selective_delete`, `compact_table`) pass it. Without
+    `expect_generation` the commit keeps the legacy last-writer-wins
+    semantics — single-writer-per-table is then the caller's contract.
+
+    Crash note: a writer that claimed a generation file and died before
+    the pointer flip leaves an orphan `_manifest-<n>.json`; the next
+    CAS commit refuses with instructions to delete the orphan (safe —
+    the pointer never flipped, so nothing references it).
     """
     import json as _json
     import os as _os
 
     names = sorted(_os.path.basename(f) for f in files)
     prev = _read_manifest_doc(path)
-    gen = (prev["generation"] + 1) if prev else 0
+    cur_gen = prev["generation"] if prev else None
+    if expect_generation is not None and cur_gen != expect_generation:
+        raise ConcurrentCommitError(
+            f"write_table_manifest: {path} is at generation {cur_gen}, "
+            f"writer expected {expect_generation} — another commit "
+            "landed since this writer read the table; re-read and retry"
+        )
+    gen = (cur_gen + 1) if prev else 0
     doc = {"files": names, "generation": gen}
     hist = _os.path.join(path, f"_manifest-{gen}.json")
-    tmp = hist + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(doc, fh)
-    _os.replace(tmp, hist)
+    if expect_generation is not None:
+        # O_EXCL claim: the atomic arbiter between two writers that
+        # both passed the pointer check above
+        try:
+            fd = _os.open(hist, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"write_table_manifest: generation file {hist} already "
+                f"exists while the pointer is at {cur_gen} — either a "
+                "concurrent writer is mid-commit (let it finish and "
+                "retry), or a crashed commit left an orphan (safe to "
+                "delete: the pointer never flipped to it)"
+            ) from None
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump(doc, fh)
+    else:
+        tmp = hist + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        _os.replace(tmp, hist)
     tmp = _os.path.join(path, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
         _json.dump(doc, fh)
@@ -259,13 +307,25 @@ def manifest_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def vacuum_table(path: str, keep_generations: int = 1) -> dict:
+def vacuum_table(
+    path: str, keep_generations: int = 1, grace_seconds: float = 3600.0
+) -> dict:
     """Delta-VACUUM analog: drop manifest generations beyond the newest
     `keep_generations` and delete data files no kept generation (nor
     the current pointer) references. After a vacuum, time travel is
     bounded to the kept window — that is the documented trade the
-    retention knob buys. Returns counts for alerting."""
+    retention knob buys. Returns counts for alerting.
+
+    `grace_seconds` (r9, the Delta retention-grace analog): unreferenced
+    files YOUNGER than the grace are kept — a concurrent
+    upsert/delete/compact moves its staged files in BEFORE its manifest
+    flip, so without the grace a vacuum running in that window would
+    delete them and let the writer commit a manifest pointing at
+    missing files. One vacuum per table at a time is still the
+    contract (two concurrent vacuums can race each other's listdir);
+    pass `grace_seconds=0` only when no writer can be in flight."""
     import os as _os
+    import time as _time
 
     if keep_generations < 1:
         raise ValueError(
@@ -285,13 +345,20 @@ def vacuum_table(path: str, keep_generations: int = 1) -> dict:
             _os.remove(_os.path.join(path, f"_manifest-{g}.json"))
             dropped_gens += 1
     dropped_files = 0
+    kept_young = 0
+    cutoff = _time.time() - grace_seconds
     for f in sorted(_os.listdir(path)):
         if f.endswith(".parquet") and f not in referenced:
-            _os.remove(_os.path.join(path, f))
+            fp = _os.path.join(path, f)
+            if _os.path.getmtime(fp) > cutoff:
+                kept_young += 1  # possibly an in-flight writer's move-in
+                continue
+            _os.remove(fp)
             dropped_files += 1
     return {
         "dropped_generations": dropped_gens,
         "dropped_files": dropped_files,
+        "kept_young_files": kept_young,
         "kept_generations": sorted(keep),
     }
 
@@ -679,6 +746,15 @@ def selective_upsert(
         for r in upsert_rewrite_set(ranges_df, updates, key).collect()
     )
     before = live_files(path)
+    # CAS base (r9): the generation this writer's `before` list was
+    # read at — the final commit refuses if another writer moved it.
+    # Plain directory tables are bootstrapped to generation 0 HERE
+    # (committing the current live set changes nothing for readers,
+    # and makes the later move-in invisible to the glob fallback).
+    _doc0 = _read_manifest_doc(path)
+    gen0 = (
+        _doc0["generation"] if _doc0 else write_table_manifest(path, before)
+    )
     # mergeSchema so an earlier evolved column counts as part of the
     # target schema (a plain read resolves one footer and could flag
     # it as "extra" on the next upsert)
@@ -716,11 +792,6 @@ def selective_upsert(
     # (post-commit cleanup; a crash before it leaves dead files the
     # manifest no longer lists). Crash at any point = pre- or
     # post-commit snapshot for manifest readers, never duplicates.
-    if read_table_manifest(path) is None:
-        # first mutation of a plain directory table: commit the CURRENT
-        # live set first, so the move-in below is invisible to readers
-        # (otherwise the glob fallback would see staged files mid-swap)
-        write_table_manifest(path, before)
     moved = []
     for f in sorted(_os.listdir(staging)):
         if f.endswith(".parquet"):
@@ -730,9 +801,19 @@ def selective_upsert(
             _shutil.move(_os.path.join(staging, f), dst)
             moved.append(dst)
     rewritten = set(rewrite)
-    write_table_manifest(
-        path, [f for f in before if f not in rewritten] + moved
-    )
+    try:
+        write_table_manifest(
+            path,
+            [f for f in before if f not in rewritten] + moved,
+            expect_generation=gen0,
+        )
+    except ConcurrentCommitError:
+        # lost the race: un-stage our files so the winner's live set
+        # stays exactly what it committed, then surface the conflict
+        for f in moved:
+            _os.remove(f)
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
     if not keep_history:
         # keep_history=True leaves replaced files on disk so earlier
         # manifest generations stay readable (manifest_read(version=));
@@ -788,6 +869,13 @@ def selective_delete(
     if not rewrite:
         return {"files_total": files_total, "files_rewritten": 0, "rows_deleted": 0}
     before = live_files(path)
+    # CAS base (r9): same contract as selective_upsert — bootstrap
+    # plain tables to generation 0 up front, refuse the final flip if
+    # another writer committed since this read
+    _doc0 = _read_manifest_doc(path)
+    gen0 = (
+        _doc0["generation"] if _doc0 else write_table_manifest(path, before)
+    )
     # mergeSchema: the rewrite set can mix schemas after an
     # evolve_schema=True upsert (same hazard as selective_upsert)
     old = spark.read.option("mergeSchema", "true").parquet(*rewrite)
@@ -798,8 +886,6 @@ def selective_delete(
     staging = path.rstrip("/") + f"__delete_{_uuid.uuid4().hex[:8]}"
     if n_kept > 0:
         kept.write.mode("overwrite").parquet(staging)
-        if read_table_manifest(path) is None:
-            write_table_manifest(path, before)
         for f in sorted(_os.listdir(staging)):
             if f.endswith(".parquet"):
                 dst = _os.path.join(
@@ -807,10 +893,18 @@ def selective_delete(
                 )
                 _shutil.move(_os.path.join(staging, f), dst)
                 moved.append(dst)
-    elif read_table_manifest(path) is None:
-        write_table_manifest(path, before)
     rewritten = set(rewrite)
-    write_table_manifest(path, [f for f in before if f not in rewritten] + moved)
+    try:
+        write_table_manifest(
+            path,
+            [f for f in before if f not in rewritten] + moved,
+            expect_generation=gen0,
+        )
+    except ConcurrentCommitError:
+        for f in moved:
+            _os.remove(f)
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
     if not keep_history:
         for f in rewrite:
             _os.remove(f)
@@ -875,6 +969,12 @@ def compact_table(
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
     before = live_files(path)
+    # CAS base (r9): compaction races ingest at 100 TB — refuse the
+    # flip if an upsert/delete committed since this read
+    _doc0 = _read_manifest_doc(path)
+    gen0 = (
+        _doc0["generation"] if _doc0 else write_table_manifest(path, before)
+    )
     sizes = {f: _os.path.getsize(f) for f in before}
     small = sorted(
         (f for f in before if sizes[f] < target_bytes), key=lambda f: sizes[f]
@@ -930,19 +1030,23 @@ def compact_table(
             )
             _shutil.move(src, dst)
             staged.append(dst)
-    if read_table_manifest(path) is None:
-        # first mutation of a plain directory table: commit the current
-        # live set so the move-in stays invisible to glob readers
-        write_table_manifest(path, before)
     moved = []
     for f in staged:
         dst = _os.path.join(path, _os.path.basename(f))
         _shutil.move(f, dst)
         moved.append(dst)
     replaced = {f for g in groups for f in g}
-    write_table_manifest(
-        path, [f for f in before if f not in replaced] + moved
-    )
+    try:
+        write_table_manifest(
+            path,
+            [f for f in before if f not in replaced] + moved,
+            expect_generation=gen0,
+        )
+    except ConcurrentCommitError:
+        for f in moved:
+            _os.remove(f)
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
     if not keep_history:
         for f in sorted(replaced):
             _os.remove(f)

@@ -614,13 +614,13 @@ class TestManifestCommit:
         real_write = scale.write_table_manifest
         calls = {"n": 0}
 
-        def crash_at_commit(p, files):
+        def crash_at_commit(p, files, expect_generation=None):
             # the first write is the pre-state manifest (plain dir →
             # manifest); the SECOND is the commit — crash there
             calls["n"] += 1
             if calls["n"] >= 2:
                 raise OSError("simulated crash at manifest commit")
-            real_write(p, files)
+            real_write(p, files, expect_generation)
 
         monkeypatch.setattr(scale, "write_table_manifest", crash_at_commit)
         with pytest.raises(OSError, match="simulated crash"):
@@ -716,7 +716,7 @@ class TestManifestTimeTravel:
         scale.selective_upsert(spark, path, u2, "k", keep_history=True)
         current = self._snap(spark, path)
         n_files_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-        stats = scale.vacuum_table(path, keep_generations=1)
+        stats = scale.vacuum_table(path, keep_generations=1, grace_seconds=0)
         assert stats["dropped_generations"] == 2
         assert stats["dropped_files"] > 0
         assert scale.manifest_versions(path) == [2]
@@ -817,11 +817,11 @@ class TestCompactTable:
         real = scale.write_table_manifest
         calls = {"n": 0}
 
-        def crash_at_commit(p, files):
+        def crash_at_commit(p, files, expect_generation=None):
             calls["n"] += 1
             if calls["n"] == 2:  # first call snapshots the plain dir
                 raise OSError("simulated crash at manifest commit")
-            return real(p, files)
+            return real(p, files, expect_generation)
 
         monkeypatch.setattr(scale, "write_table_manifest", crash_at_commit)
         with pytest.raises(OSError, match="simulated crash"):
@@ -1126,3 +1126,124 @@ class TestDeleteCompositions:
         rows = {r["k"]: r["v"] for r in scale.manifest_read(spark, path).collect()}
         assert len(rows) == 152
         assert rows[1] == -1 and rows[2] == -2 and 3 not in rows
+
+
+class TestManifestConcurrency:
+    """r9 (verdict #4): generation-check CAS on the manifest flip —
+    two writers that both read generation N can never both commit N+1;
+    the loser raises ConcurrentCommitError, never silently dropping the
+    winner's files from the live set."""
+
+    def _table(self, spark, path, n=256, files=4):
+        df = spark.range(n).selectExpr("id AS k", "id * 2 AS v")
+        (
+            df.repartitionByRange(files, "k")
+            .sortWithinPartitions("k")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def _snap(self, spark, path):
+        return {
+            r["k"]: r["v"] for r in scale.manifest_read(spark, path).collect()
+        }
+
+    def test_cas_refuses_stale_generation(self, tmp_path):
+        import os
+
+        path = str(tmp_path / "t")
+        os.makedirs(path)
+        open(os.path.join(path, "a.parquet"), "wb").close()
+        open(os.path.join(path, "b.parquet"), "wb").close()
+        g0 = scale.write_table_manifest(path, ["a.parquet"])
+        # writer A reads at g0; writer B commits g0+1; A's CAS refuses
+        scale.write_table_manifest(
+            path, ["a.parquet", "b.parquet"], expect_generation=g0
+        )
+        with pytest.raises(scale.ConcurrentCommitError, match="re-read"):
+            scale.write_table_manifest(
+                path, ["a.parquet"], expect_generation=g0
+            )
+        # winner's commit intact
+        assert scale.read_table_manifest(path) == [
+            os.path.join(path, "a.parquet"),
+            os.path.join(path, "b.parquet"),
+        ]
+
+    def test_cas_refuses_orphan_generation_file(self, tmp_path):
+        import json
+        import os
+
+        path = str(tmp_path / "t")
+        os.makedirs(path)
+        open(os.path.join(path, "a.parquet"), "wb").close()
+        g0 = scale.write_table_manifest(path, ["a.parquet"])
+        # a crashed commit claimed g0+1 but never flipped the pointer
+        with open(os.path.join(path, f"_manifest-{g0 + 1}.json"), "w") as fh:
+            json.dump({"files": [], "generation": g0 + 1}, fh)
+        with pytest.raises(scale.ConcurrentCommitError, match="orphan"):
+            scale.write_table_manifest(
+                path, ["a.parquet"], expect_generation=g0
+            )
+
+    def test_interleaved_upserts_loser_fails_loudly(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two interleaved selective_upserts: writer B lands fully
+        inside writer A's read→commit window. A must raise; the table
+        must hold exactly B's committed state (no silent drop of B's
+        files, none of A's staged files left in the live set)."""
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        ua = spark.createDataFrame([(1, -101)], "k long, v long")
+        ub = spark.createDataFrame([(2, -202)], "k long, v long")
+        real_commit = scale.write_table_manifest
+        fired = {"b": False}
+
+        def interleave(p, files, expect_generation=None):
+            # on writer A's FINAL (CAS) commit, writer B's whole upsert
+            # runs first — the exact lost-update interleaving
+            if expect_generation is not None and not fired["b"]:
+                fired["b"] = True
+                monkeypatch.setattr(scale, "write_table_manifest", real_commit)
+                scale.selective_upsert(spark, p, ub, "k")
+                monkeypatch.setattr(scale, "write_table_manifest", interleave)
+            return real_commit(p, files, expect_generation)
+
+        monkeypatch.setattr(scale, "write_table_manifest", interleave)
+        with pytest.raises(scale.ConcurrentCommitError):
+            scale.selective_upsert(spark, path, ua, "k")
+        monkeypatch.setattr(scale, "write_table_manifest", real_commit)
+        snap = self._snap(spark, path)
+        assert snap[2] == -202          # winner's update survives
+        assert snap[1] == 2             # loser's update NOT applied
+        assert len(snap) == 256
+        # every live file exists on disk (no manifest->missing-file rot)
+        for f in scale.read_table_manifest(path):
+            assert os.path.exists(f), f
+        # retry against the fresh read now succeeds
+        scale.selective_upsert(spark, path, ua, "k")
+        snap = self._snap(spark, path)
+        assert snap[1] == -101 and snap[2] == -202
+
+    def test_vacuum_grace_protects_inflight_movein(self, spark, tmp_path):
+        """ADVICE r9: an unreferenced file younger than the grace (an
+        in-flight writer's move-in before its manifest flip) survives
+        vacuum; with grace 0 it is reclaimed."""
+        import os
+
+        path = str(tmp_path / "t")
+        self._table(spark, path)
+        u = spark.createDataFrame([(0, -1)], "k long, v long")
+        scale.selective_upsert(spark, path, u, "k", keep_history=True)
+        # simulate a concurrent writer's staged move-in (not committed)
+        inflight = os.path.join(path, "upsert-inflight-0.parquet")
+        open(inflight, "wb").close()
+        stats = scale.vacuum_table(path, keep_generations=1)
+        assert os.path.exists(inflight)
+        assert stats["kept_young_files"] >= 1
+        stats0 = scale.vacuum_table(path, keep_generations=1, grace_seconds=0)
+        assert not os.path.exists(inflight)
+        assert stats0["dropped_files"] >= 1
