@@ -195,20 +195,7 @@ def pagerank(
         # oracle's `//` raises — enforce loudly instead of diverging.
         # Checked on the collapsed (src, dst) sums, which is exactly
         # what feeds the divisor; short-circuits on the first hit.
-        bad = (
-            e.filter(F.col("__w").isNull() | (F.col("__w") <= 0))
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            r = bad[0]
-            raise ValueError(
-                f"pagerank: summed weight for edge ({r['src']!r} -> "
-                f"{r['dst']!r}) is {r['__w']} — weights must be "
-                "positive integers (NULL/zero/negative sums make the "
-                "divisor 0 and silently drop contributions); filter or "
-                "shift weights before calling"
-            )
+        _require_positive_weights(e, "pagerank")
         deg = e.groupBy("src").agg(F.sum("__w").alias("__d"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -703,5 +690,253 @@ def project_bipartite(
             F.col("pa").alias("src"),
             F.col("pb").alias("dst"),
             *([F.col("sup")] if keep_support else []),
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    weight_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded-round personalized PageRank (random walk with restart
+    to a SEED set) → (node, rank_micro), touched nodes only. The
+    related-item / crawl-prioritization primitive (Haveliwala 2002
+    "Topic-sensitive PageRank"; Jeh–Widom 2003): rank mass starts at
+    the seeds and every round teleports back only to them, so scores
+    measure proximity TO THE SEEDS, not global centrality.
+
+    Seed-scaled exact integer micro-units (the `pagerank` convention):
+    r0 = 1_000_000 per seed, 0 elsewhere; each round
+        r[v] = (v ∈ S ? 150_000 : 0)
+             + Σ_{u→v} (r[u] * 85 * w) div (100 * W(u))
+    — the same associative, order-independent integer update, so the
+    whole run replays bit-for-bit in the generated DuckDB WITH-chain
+    (`build_ppr_sql`). Dangling mass drops (the lean `pagerank`
+    default): for retrieval, walk mass leaving through sinks simply
+    stops voting. Output keeps rank_micro > 0 rows — exactly the
+    ≤ iters-hop neighborhood of the seeds, which is the point: on a
+    100 TB graph the result is seed-local, not |V|-sized.
+
+    `seeds` is a 1-column DataFrame of node ids or a Python list.
+    Scale shape identical to `pagerank`: edges deduped (weighted:
+    duplicate edges collapse by summing), hash-partitioned by src and
+    pinned once; per round one contribution shuffle + partial-agg by
+    dst, lineage cut per round. The rank frame shrinks to the touched
+    set instead of |V|, so seed-local walks on huge graphs join a
+    SMALL rank table against the pre-partitioned edge list every
+    round — broadcast-able when the neighborhood is.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = list(seeds)
+        if not seeds:
+            raise ValueError("personalized_pagerank: empty seed set")
+        seeds = spark.createDataFrame(
+            [(s,) for s in seeds], [edges.select(src).columns[0]]
+        )
+    seed_df = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    if weight_col is None:
+        e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
+        e = e.withColumn("__w", F.lit(1).cast("bigint"))
+    else:
+        e = (
+            edges.selectExpr(
+                f"{src} AS src", f"{dst} AS dst",
+                f"CAST({weight_col} AS BIGINT) AS __w",
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        _require_positive_weights(e, "personalized_pagerank")
+    if checkpoint:
+        e = e.repartition("src").localCheckpoint(eager=True)
+        seed_df = seed_df.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.sum("__w").alias("__d"))
+    ranks = seed_df.select(
+        "node", F.lit(1_000_000).cast("bigint").alias("rank_micro")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank_micro"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_micro * 85 * __w) div (100 * __d)").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            seed_df.select("node", F.lit(150_000).cast("bigint").alias("__t"))
+            .join(contribs, "node", "full")
+            .select(
+                "node",
+                (F.coalesce(F.col("__t"), F.lit(0))
+                 + F.coalesce(F.col("__s"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.filter(F.col("rank_micro") > 0)
+
+
+def _require_positive_weights(e: DataFrame, op: str) -> None:
+    """Shared weighted-graph contract: collapsed (src, dst) weight sums
+    must be positive integers — a 0/NULL sum makes the contribution
+    divisor 0, where Spark's `div` yields NULL (silently dropped) but
+    the DuckDB oracle's `//` raises. Short-circuits on the first hit."""
+    bad = (
+        e.filter(F.col("__w").isNull() | (F.col("__w") <= 0)).limit(1).collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"{op}: summed weight for edge ({r['src']!r} -> {r['dst']!r}) "
+            f"is {r['__w']} — weights must be positive integers "
+            "(NULL/zero/negative sums make the divisor 0 and silently "
+            "drop contributions); filter or shift weights before calling"
+        )
+
+
+def build_ppr_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    weighted: bool = False,
+) -> str:
+    """DuckDB WITH-chain replaying `personalized_pagerank` exactly:
+    `edges_cte` yields (src, dst[, w]) rows (distinct if unweighted —
+    the chain collapses duplicate weighted edges by summing, same as
+    the operator), `seeds_cte` yields (node). Append a final SELECT,
+    e.g. ``SELECT node, rank_micro FROM r5 WHERE rank_micro > 0 ORDER
+    BY node``."""
+    w_expr = "SUM(w)" if weighted else "COUNT(*)"
+    c_w = " * e.w" if weighted else ""
+    e_body = (
+        f"SELECT src, dst, SUM(w) AS w FROM ({edges_cte}) GROUP BY src, dst"
+        if weighted
+        else f"SELECT DISTINCT src, dst FROM ({edges_cte})"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED ({e_body}
+), deg AS MATERIALIZED (
+    SELECT src, {w_expr} AS d FROM e GROUP BY src
+), seeds AS MATERIALIZED (
+    SELECT DISTINCT node FROM ({seeds_cte})
+), r0 AS MATERIALIZED (
+    SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM seeds
+)"""
+    ]
+    for r in range(iters):
+        parts.append(
+            f""", c{r + 1} AS MATERIALIZED (
+    SELECT e.dst AS node,
+           SUM((r.rank_micro * 85{c_w}) // (100 * deg.d)) AS s
+    FROM e JOIN deg ON deg.src = e.src
+           JOIN r{r} r ON r.node = e.src
+    GROUP BY e.dst
+), r{r + 1} AS MATERIALIZED (
+    SELECT COALESCE(s.node, c.node) AS node,
+           CAST(COALESCE(s.t, 0) + COALESCE(c.s, 0) AS BIGINT) AS rank_micro
+    FROM (SELECT node, 150000 AS t FROM seeds) s
+    FULL JOIN c{r + 1} c ON c.node = s.node
+)"""
+        )
+    return "".join(parts)
+
+
+def link_predict_ra(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph →
+    (n1, n2, cn, ra_micro, jaccard_micro) for NON-adjacent node pairs
+    sharing ≥ `min_common` neighbors, n1 < n2:
+
+    - `cn` — common-neighbor count (Newman 2001);
+    - `ra_micro` — resource-allocation index Σ_w 1/deg(w) over common
+      neighbors w (Zhou–Lü–Zhang 2009, EPJ B 71), the consistently
+      strongest local predictor in their benchmark; summed as exact
+      integer micro-units (1_000_000 div deg(w) per term — integer
+      div, order-independent, replays bit-for-bit in SQL);
+    - `jaccard_micro` — (cn * 1_000_000) div (deg(n1)+deg(n2)-cn).
+
+    The recommender / related-content primitive: predicted co-purchase
+    edges, crawl frontier expansion, near-dup cluster stitching.
+
+    Scale shape: one wedge self-join keyed by the CENTER node w (each
+    common neighbor generates the candidate pair), then a (n1, n2)
+    partial-count aggregate and a broadcast-able degree join; the
+    existing-edge exclusion is an anti join on the pair key. The wedge
+    join's output is inherently Σ_w deg(w)² — a celebrity center emits
+    deg² candidate pairs, and NO join strategy can bound an output
+    (the lsh_pairs lesson). `max_center_degree` is the structural cure
+    and is ALSO the metric's own logic: RA damps every center by
+    1/deg(w), so a 10⁵-degree hub contributes ~0 signal per pair while
+    costing deg² rows — capping it drops noise, not evidence (the
+    Zhou–Lü–Zhang rationale for why RA beats raw common-neighbors).
+    Unlike the doc-freq-pruned Jaccard join, the cap changes reported
+    scores for pairs whose ONLY witnesses are super-hubs — document
+    the cap with the result when you set it.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    a0, b0 = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.selectExpr("a AS w", "b AS n").unionByName(
+        und.selectExpr("b AS w", "a AS n")
+    )
+    deg = sym.groupBy(F.col("w").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    centers = sym.join(deg.select(F.col("node").alias("w"), "d"), "w")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    wedges = (
+        centers.selectExpr("w", "d", "n AS n1")
+        .join(centers.selectExpr("w", "n AS n2"), "w")
+        .filter(F.col("n1") < F.col("n2"))
+    )
+    scored = (
+        wedges.groupBy("n1", "n2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_micro"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    non_adj = scored.join(
+        und.selectExpr("a AS n1", "b AS n2"), ["n1", "n2"], "left_anti"
+    )
+    return (
+        non_adj.join(deg.selectExpr("node AS n1", "d AS __d1"), "n1")
+        .join(deg.selectExpr("node AS n2", "d AS __d2"), "n2")
+        .select(
+            "n1",
+            "n2",
+            "cn",
+            "ra_micro",
+            F.expr("(cn * 1000000) div (__d1 + __d2 - cn)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
         )
     )

@@ -593,6 +593,209 @@ def skew_dedup_mode(spark, factor: int = 4, hot_frac: float = 0.05) -> int:
     return 0
 
 
+def _stage_straggler(spark, min_stage: int) -> tuple[float, int]:
+    """Worst within-stage task imbalance (p100/p50 executorRunTime)
+    over stages with id > `min_stage`, via the UI REST API (the
+    skew-graph session enables the UI for exactly this). Returns
+    (ratio, max_stage_id_seen); (nan, min_stage) if unavailable.
+    Stages with < 4 tasks or a sub-200ms max task are skipped — a
+    2-task stage's p100/p50 is noise, not a straggler."""
+    import json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete"
+            "&withSummaries=true&quantiles=0.0,0.5,1.0",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return float("nan"), min_stage
+    worst, top = 0.0, min_stage
+    for st in stages:
+        sid = st.get("stageId", -1)
+        top = max(top, sid)
+        if sid <= min_stage or st.get("numCompleteTasks", 0) < 4:
+            continue
+        dist = (st.get("taskMetricsDistributions") or {}).get(
+            "executorRunTime"
+        )
+        if not dist or len(dist) < 3:
+            continue
+        _, p50, p100 = dist[0], dist[1], dist[2]
+        if p100 < 200 or p50 <= 0:
+            continue
+        worst = max(worst, p100 / p50)
+    return worst, top
+
+
+def skew_graph_mode(
+    spark, n_nodes: int = 400_000, m_edges: int = 1_200_000
+) -> int:
+    """Planted power-law-hub sweep for the GRAPH family (r8 verdict
+    Next #5): triangles, k-core, LPA, and weighted PageRank are argued
+    skew-safe by construction (degree-ordered orientation, partial
+    degree aggregates, (node,label) pre-agg, src-partitioned
+    contributions) but were measured only on near-uniform co-purchase
+    graphs. This plants the celebrity: a synthetic uniform random
+    graph (deterministic xxhash64 endpoints — no rand(), the salted-
+    join lesson) vs the same graph plus ONE hub node receiving 10% /
+    30% of all edge rows from random sources.
+
+    Reported per cell: wall seconds, wall per million edge rows (the
+    hub variants carry more edges — the honest comparison is
+    per-edge), and the worst within-stage p100/p50 task-time ratio
+    from the REST API (the straggler itself, not just its wall-clock
+    shadow).
+
+    A hub holding 30% of edge rows concentrates ~n(1-e^-λ) DISTINCT
+    neighbors after dedup (λ = hub_rows/n_nodes) — at the default
+    sizes ≈ 290k of 400k nodes, i.e. a degree ~10⁵× the mean. The
+    'curse of the last reducer' contrast (Suri–Vassilvitskii): a
+    separate small config additionally times the NAIVE wedge join
+    (wedges generated at every center node — the hub center alone
+    emits deg²/2 wedges) against the degree-ordered implementation on
+    the identical graph; the naive cell is kept small because its hub
+    wedge count is ~10⁸ already at a 14k-degree hub.
+    """
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    skew_dir = os.path.join(SCRATCH, "skew_graph")
+
+    def gen(n: int, m: int, hub_frac: float, path: str) -> None:
+        base = spark.range(m).select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n)).alias("dst"),
+        )
+        if hub_frac > 0.0:
+            h = int(m * hub_frac / (1.0 - hub_frac))
+            hub = spark.range(h).select(
+                F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n)).alias("src"),
+                F.lit(n).cast("bigint").alias("dst"),
+            )
+            base = base.unionByName(hub)
+        base.write.mode("overwrite").parquet(path)
+
+    def tri(df):
+        return egraph.triangle_counts(df)
+
+    def tri_naive(df):
+        und = (
+            df.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = und.selectExpr("a AS u", "b AS v").unionByName(
+            und.selectExpr("b AS u", "a AS v")
+        )
+        wedges = (
+            sym.selectExpr("u", "v AS v1")
+            .join(sym.selectExpr("u", "v AS v2"), "u")
+            .filter(F.col("v1") < F.col("v2"))
+        )
+        tri_ = wedges.join(
+            und.selectExpr("a AS v1", "b AS v2"), ["v1", "v2"]
+        )
+        return (
+            tri_.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("tri_cnt"))
+        )
+
+    def kcore(df):
+        return egraph.kcore(df, k=3, rounds=8)
+
+    def lpa(df):
+        return egraph.label_propagation(df, rounds=4)
+
+    def pr_w(df):
+        return egraph.pagerank(
+            df.withColumn("w", F.lit(1)), iters=5, weight_col="w"
+        )
+
+    ops = {
+        "triangles_oriented": tri,
+        "kcore_k3": kcore,
+        "lpa_r4": lpa,
+        "pagerank_weighted": pr_w,
+    }
+    fracs = [0.0, 0.10, 0.30]
+    print(
+        f"graph hub-skew sweep: n={n_nodes} nodes, m={m_edges} uniform "
+        f"edge rows; hub variants add rows until the hub holds "
+        f"10% / 30% of all edge rows\n"
+    )
+    print(
+        f"{'op':20s} {'hub':>5s} {'Medges':>7s} {'wall':>7s} "
+        f"{'s/Medge':>8s} {'straggle':>9s}"
+    )
+    stage_hi = -1
+    for frac in fracs:
+        path = os.path.join(skew_dir, f"hub{int(frac * 100)}")
+        gen(n_nodes, m_edges, frac, path)
+        edges = spark.read.parquet(path)
+        m_rows = edges.count()
+        for name, make in ops.items():
+            make(edges).write.mode("overwrite").format("noop").save()  # warm
+            _, stage_hi = _stage_straggler(spark, stage_hi)
+            t = min(
+                _timed(
+                    lambda: make(edges)
+                    .write.mode("overwrite")
+                    .format("noop")
+                    .save()
+                )
+                for _ in range(2)
+            )
+            straggle, stage_hi = _stage_straggler(spark, stage_hi)
+            print(
+                f"{name:20s} {frac:>4.0%} {m_rows / 1e6:>6.2f}M "
+                f"{t:>6.2f}s {t / (m_rows / 1e6):>7.2f}s "
+                f"{straggle:>8.1f}x",
+                flush=True,
+            )
+    # --- curse-of-the-last-reducer contrast, small config ---
+    n_s, m_s = (
+        int(x)
+        for x in os.environ.get("SMDP_GRAPH_SMALL", "50000,150000").split(",")
+    )
+    import math
+
+    h_s = int(m_s * 0.10 / 0.90)
+    deg_s = int(n_s * (1.0 - math.exp(-h_s / n_s)))
+    print(
+        f"\nnaive-wedge contrast: n={n_s}, m={m_s} (hub degree after "
+        f"dedup ~{deg_s}; naive hub wedge count ~{deg_s * deg_s // 2:.1e})"
+    )
+    print(f"{'op':20s} {'hub':>5s} {'wall':>7s} {'straggle':>9s}")
+    for frac in (0.0, 0.10):
+        path = os.path.join(skew_dir, f"small{int(frac * 100)}")
+        gen(n_s, m_s, frac, path)
+        edges = spark.read.parquet(path)
+        for name, make in (
+            ("triangles_oriented", tri),
+            ("triangles_naive", tri_naive),
+        ):
+            _, stage_hi = _stage_straggler(spark, stage_hi)
+            t = _timed(
+                lambda: make(edges).write.mode("overwrite").format("noop").save()
+            )
+            straggle, stage_hi = _stage_straggler(spark, stage_hi)
+            print(
+                f"{name:20s} {frac:>4.0%} {t:>6.2f}s {straggle:>8.1f}x",
+                flush=True,
+            )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
 def layout_mode(spark, factor: int = 8) -> int:
     """Z-order layout pruning demo on the REAL events table: replicate
     sf0.1 events `factor`× (per-copy day offsets), write (a) the naive
@@ -689,6 +892,20 @@ def main() -> int:
         factor = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.30
         return skew_join_mode(spark, factor, frac)
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew-graph":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g"),
+                # the straggler probe reads task-time quantiles off the
+                # UI REST API — this mode alone pays the UI overhead
+                "spark.ui.enabled": "true",
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+        m_edges = int(sys.argv[3]) if len(sys.argv) > 3 else 1_200_000
+        return skew_graph_mode(spark, n_nodes, m_edges)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew-dedup":
         spark = get_spark(
             "scale-sensitivity",
