@@ -2147,6 +2147,73 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.label_propagation(edges, rounds=4).orderBy("node")
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (`functions/graph.py:personalized_pagerank`
+    — Haveliwala 2002 topic-sensitive restart) from one brand's part
+    catalog over the support-weighted co-purchase graph: "what does
+    Brand#11's audience also buy", the related-item retrieval query.
+    Seed-scaled exact integer micro-units — restart mass teleports only
+    to the seed parts, so scores are proximity to the catalog, not
+    global centrality, and the 4-round weighted run replays bit-for-bit
+    in the generated DuckDB WITH-chain (`build_ppr_sql`). Output is the
+    touched set only (rank_micro > 0): seed-local by construction — at
+    100 TB the per-round rank table stays neighborhood-sized while the
+    pre-partitioned edge list never re-shuffles."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    und = egraph.project_bipartite(
+        li, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "sup")
+    )
+    seeds = part.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    return (
+        egraph.personalized_pagerank(sym, seeds, iters=4, weight_col="sup")
+        .orderBy("node")
+    )
+
+
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction
+    (`functions/graph.py:link_predict_ra` — Zhou–Lü–Zhang 2009) on the
+    support-2 co-purchase graph: non-adjacent part pairs ranked by
+    common-neighbor evidence (cn), RA index (Σ 1/deg(w) as exact
+    integer micro-units — integer div per term, order-independent),
+    and neighborhood Jaccard. The "predicted co-purchase" recommender
+    query; every score column is integer-exact so the oracle is a
+    direct SQL mirror. Scale shape: one center-keyed wedge join + a
+    pair partial-count aggregate + anti join against the edge set; the
+    celebrity-center blow-up knob (`max_center_degree`) stays unset
+    here — the support-thresholded graph's max degree is 52 — and is
+    measured in the hub-skew suite."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2)
+    return egraph.link_predict_ra(edges, min_common=1).orderBy("n1", "n2")
+
+
+def q_docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard join at 0.6 via prefix filtering
+    (`functions/sketches.py:ngram_jaccard_pairs_prefix` — SSJoin /
+    All-Pairs, Bayardo 2007): identical result to the naive
+    inverted-index join with NO doc-freq pruning — boilerplate-only
+    duplicates included, the pairs `max_doc_freq` pruning drops — but
+    the self-join runs over rarity-ordered per-doc PREFIXES
+    (p = n − ⌈t·n⌉ + 1 tokens), so a shingle's join fan-out is its
+    count among prefixes, not its corpus frequency. The lossless
+    scale path for high-threshold dedup joins."""
+    docs = _t(spark, sf_dir, "documents")
+    return sketches.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
 def q_docs_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing whole-document packing
     (`operators/packing.py:pack_bestfit`): truncation-free bins — no
@@ -2522,6 +2589,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 late registrations (never driver-checked): rotate into r10 FIRST
     "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # [r10-in-new]
     "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # [r10-in-new]
+    "graph_ppr": q_graph_ppr,  # [r10-in-new]
+    "graph_link_predict": q_graph_link_predict,  # [r10-in-new]
+    "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
 }
 
 

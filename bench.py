@@ -146,6 +146,11 @@ HEADLINE = [
     # fingerprint scan + broadcast search, ~1-2 s at sf0.1
     "embedding_ivf_search_persisted",
     "embedding_balanced_sample_persisted",
+    # round 9: seed-local retrieval + link prediction + the lossless
+    # prefix-filter similarity join
+    "graph_ppr",
+    "graph_link_predict",
+    "docs_setsim_prefix",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -177,6 +182,10 @@ ITERATIVE = {
     "embedding_balanced_sample",
     # LPA's per-round label checkpoints materialize at construction
     "graph_lpa",
+    # PPR's per-round rank checkpoints + the RA wedge join's pinned
+    # undirected edge set materialize at construction
+    "graph_ppr",
+    "graph_link_predict",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -2859,3 +2859,95 @@ ORACLES["embedding_ivf_search_persisted"] = ORACLES[
 ORACLES["embedding_balanced_sample_persisted"] = ORACLES[
     "embedding_balanced_sample"
 ]
+
+
+# The symmetric support-weighted co-purchase edge list shared by the
+# r9 graph additions (same construction as graph_pagerank_weighted).
+_COPURCHASE_SYM_W = """
+    SELECT src, dst, sup AS w FROM (
+        SELECT pa AS src, pb AS dst, sup FROM (
+            SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        ) WHERE sup >= 2
+        UNION ALL
+        SELECT pb, pa, sup FROM (
+            SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+        ) WHERE sup >= 2
+    )"""
+
+# graph_ppr: personalized PageRank from Brand#11's parts — the
+# generated WITH-chain replays the seed-scaled integer update
+# bit-for-bit (restart mass only to seeds, weighted contributions
+# rank*85*w // (100*W(u))); the touched-set filter mirrors the
+# operator's rank_micro > 0 output contract.
+from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
+    build_ppr_sql as _ppr_sql,
+)
+
+ORACLES["graph_ppr"] = _ppr_sql(
+    _COPURCHASE_SYM_W,
+    "SELECT p_partkey AS node FROM part WHERE p_brand = 'Brand#11'",
+    iters=4,
+    weighted=True,
+) + "SELECT node, rank_micro FROM r4 WHERE rank_micro > 0 ORDER BY node"
+
+
+# graph_link_predict: RA/CN/Jaccard link prediction — every score is
+# integer-exact (1000000 // deg per RA term, (cn*1e6) // (d1+d2-cn)),
+# so the mirror is direct SQL over the same undirected dedup.
+ORACLES["graph_link_predict"] = f"""
+WITH rawe AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM ({_COPURCHASE_SYM_W}) WHERE src <> dst
+), adj AS (
+    SELECT a AS w, b AS n FROM rawe UNION ALL SELECT b, a FROM rawe
+), deg AS (
+    SELECT w AS node, COUNT(*) AS d FROM adj GROUP BY w
+), wed AS (
+    SELECT x.n AS n1, y.n AS n2, x.w
+    FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+), sc AS (
+    SELECT n1, n2, COUNT(*)::BIGINT AS cn,
+           SUM(1000000 // deg.d)::BIGINT AS ra_micro
+    FROM wed JOIN deg ON deg.node = wed.w
+    GROUP BY n1, n2 HAVING COUNT(*) >= 1
+), nonadj AS (
+    SELECT sc.* FROM sc
+    LEFT JOIN rawe r ON r.a = sc.n1 AND r.b = sc.n2
+    WHERE r.a IS NULL
+)
+SELECT n1, n2, cn, ra_micro,
+       ((cn * 1000000) // (d1.d + d2.d - cn))::BIGINT AS jaccard_micro
+FROM nonadj
+JOIN deg d1 ON d1.node = n1
+JOIN deg d2 ON d2.node = n2
+ORDER BY n1, n2"""
+
+
+# docs_setsim_prefix: the oracle computes the exact Jaccard-pair RESULT
+# directly (inverted-index join, no pruning) — the prefix filter is a
+# candidate-generation mechanism whose whole claim is that it changes
+# nothing about the result; any lost pair hash-mismatches here.
+ORACLES["docs_setsim_prefix"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+ORDER BY id_a, id_b
+"""

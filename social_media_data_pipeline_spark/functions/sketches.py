@@ -253,6 +253,109 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard join via prefix filtering (Chaudhuri–
+    Ganti–Kaushik SSJoin, ICDE 2006; Bayardo–Ma–Srikant "Scaling Up
+    All Pairs Similarity Search", WWW 2007): same result as
+    `ngram_jaccard_pairs` with NO `max_doc_freq` — every qualifying
+    pair, boilerplate shingles included — but the self-join runs over
+    per-doc PREFIXES instead of full shingle sets.
+
+    Mechanism: order every doc's shingles by global rarity (doc-freq,
+    shingle) ascending; a doc with n shingles indexes only its first
+    p = n − ⌈t·n⌉ + 1 tokens. Completeness: J(A,B) ≥ t forces
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉ (via the length bound min ≥ t·max), and
+    sets with overlap ≥ α must share a token inside their
+    (size − α + 1)-prefixes under ANY common total order — so every
+    true pair meets in the candidate join, and the exact verification
+    pass (intersection of the FULL shingle arrays, JVM
+    `array_intersect`) discards the rest. ⌈t·n⌉ is computed with a
+    −1e-9 guard so float noise can only LENGTHEN a prefix (a longer
+    prefix is a superset candidate generator; a shorter one can miss
+    pairs).
+
+    Why this is the 100 TB shape, and how it differs from
+    `max_doc_freq` pruning: both attack the hot-shingle join key, but
+    doc-freq pruning CHANGES the metric (Jaccard over pruned sets) and
+    can ship a duplicate whose overlap hides in stop-shingles; the
+    rarity-ordered prefix drops frequent shingles from most prefixes
+    automatically — a stop-shingle enters a doc's prefix only when the
+    doc has nothing rarer, i.e. exactly when it IS the evidence —
+    keeping the result lossless. The candidate join's key skew is
+    bounded by construction: a shingle's join fan-out is its count
+    among PREFIXES, not its corpus frequency. Costs one extra
+    aggregate (doc-freq) + per-doc array sort vs the naive join;
+    verification joins are candidate-count-sized.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc shingles sorted rarest-first under the (df, shingle)
+    # total order; struct sort is lexicographic by field, so the order
+    # is deterministic and common to all docs
+    arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ts")
+        )
+        .select(
+            "doc",
+            F.transform("__ts", lambda s: s["shingle"]).alias("toks"),
+            F.size("__ts").alias("n"),
+        )
+    )
+    p = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1).cast(
+        "int"
+    )
+    pref = arr.select(
+        "doc", "n", F.explode(F.slice("toks", 1, p)).alias("shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter: J >= t forces min >= t*max (same -1e-9
+            # safe-side guard); candidates only, exactness unaffected
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9)),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    ta = arr.select(F.col("doc").alias("id_a"), F.col("toks").alias("__ta"),
+                    F.col("n").alias("size_a"))
+    tb = arr.select(F.col("doc").alias("id_b"), F.col("toks").alias("__tb"),
+                    F.col("n").alias("size_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     id_col: str,

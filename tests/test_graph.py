@@ -548,3 +548,234 @@ class TestGraphInputValidation:
         tri = {r["node"]: r["tri_cnt"] for r in graph.triangle_counts(df).collect()}
         assert tri == {"a": 1, "b": 1, "c": 1}
         assert graph.kcore(df, k=2).count() == 3
+
+
+def _ppr_reference(edges, seeds, iters, weights=None):
+    """Straight-line integer replay of the documented PPR update."""
+    from collections import defaultdict
+
+    if weights is None:
+        edges = sorted(set(edges))
+        weights = [1] * len(edges)
+    else:
+        agg = defaultdict(int)
+        for (s, d), w in zip(edges, weights):
+            agg[(s, d)] += w
+        edges = sorted(agg)
+        weights = [agg[e] for e in edges]
+    wsum = defaultdict(int)
+    for (s, _), w in zip(edges, weights):
+        wsum[s] += w
+    ranks = {n: 1_000_000 for n in seeds}
+    for _ in range(iters):
+        new = defaultdict(int)
+        for n in seeds:
+            new[n] += 150_000
+        for (s, d), w in zip(edges, weights):
+            if s in ranks:
+                new[d] += (ranks[s] * 85 * w) // (100 * wsum[s])
+        ranks = dict(new)
+    return {n: r for n, r in ranks.items() if r > 0}
+
+
+class TestPersonalizedPagerank:
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 6), (6, 5)]
+
+    def test_matches_integer_reference(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(df, [1], iters=4).collect()
+        }
+        assert got == _ppr_reference(self.EDGES, [1], 4)
+
+    def test_seed_locality(self, spark):
+        # the 5-6 component is unreachable from seed 1: absent from output
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        nodes = {
+            r["node"]
+            for r in graph.personalized_pagerank(df, [1], iters=4).collect()
+        }
+        assert nodes == {1, 2, 3, 4}
+
+    def test_seed_dataframe_and_multi_seed(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (5,)], "node long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(df, seeds, iters=3).collect()
+        }
+        assert got == _ppr_reference(self.EDGES, [1, 5], 3)
+
+    def test_empty_seed_list_raises(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        with pytest.raises(ValueError, match="empty seed"):
+            graph.personalized_pagerank(df, [], iters=2)
+
+    def test_weighted_matches_reference_and_unit_equals_unweighted(self, spark):
+        wedges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1)]
+        dfw = spark.createDataFrame(wedges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(
+                dfw, [1], iters=3, weight_col="w"
+            ).collect()
+        }
+        ref = _ppr_reference(
+            [(a, b) for a, b, _ in wedges], [1], 3, [w for _, _, w in wedges]
+        )
+        assert got == ref
+        df1 = spark.createDataFrame(
+            [(a, b, 1) for a, b, _ in wedges], "src long, dst long, w long"
+        )
+        unw = spark.createDataFrame(
+            [(a, b) for a, b, _ in wedges], "src long, dst long"
+        )
+        gu = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(unw, [1], iters=3).collect()
+        }
+        g1 = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(
+                df1, [1], iters=3, weight_col="w"
+            ).collect()
+        }
+        assert gu == g1
+
+    def test_sql_twin(self, spark):
+        import duckdb
+
+        values = ", ".join(f"({a}, {b})" for a, b in self.EDGES)
+        sql = graph.build_ppr_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+            "SELECT 1 AS node",
+            iters=4,
+        ) + "SELECT node, rank_micro FROM r4 WHERE rank_micro > 0 ORDER BY node"
+        oracle = dict(duckdb.connect().execute(sql).fetchall())
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(df, [1], iters=4).collect()
+        }
+        assert got == {int(k): int(v) for k, v in oracle.items()}
+
+    def test_sql_twin_weighted(self, spark):
+        import duckdb
+
+        wedges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1), (2, 4, 5)]
+        values = ", ".join(f"({a}, {b}, {w})" for a, b, w in wedges)
+        sql = graph.build_ppr_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst, w)",
+            "SELECT 2 AS node",
+            iters=3,
+            weighted=True,
+        ) + "SELECT node, rank_micro FROM r3 WHERE rank_micro > 0 ORDER BY node"
+        oracle = dict(duckdb.connect().execute(sql).fetchall())
+        df = spark.createDataFrame(wedges, "src long, dst long, w long")
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in graph.personalized_pagerank(
+                df, [2], iters=3, weight_col="w"
+            ).collect()
+        }
+        assert got == {int(k): int(v) for k, v in oracle.items()}
+
+
+def _ra_reference(edges, min_common=1, max_center_degree=None):
+    """Brute-force RA/CN/Jaccard link prediction on an undirected graph."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    scores = defaultdict(lambda: [0, 0])
+    for w, nbrs in adj.items():
+        if max_center_degree is not None and deg[w] > max_center_degree:
+            continue
+        for n1, n2 in combinations(sorted(nbrs), 2):
+            scores[(n1, n2)][0] += 1
+            scores[(n1, n2)][1] += 1_000_000 // deg[w]
+    out = {}
+    for (n1, n2), (cn, ra) in scores.items():
+        if cn < min_common or (n1, n2) in und:
+            continue
+        out[(n1, n2)] = (
+            cn, ra, (cn * 1_000_000) // (deg[n1] + deg[n2] - cn)
+        )
+    return out
+
+
+class TestLinkPredictRA:
+    def test_square_hand_computed(self, spark):
+        # 4-cycle: (1,3) and (2,4) are the predicted diagonals
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        got = {
+            (r["n1"], r["n2"]): (r["cn"], r["ra_micro"], r["jaccard_micro"])
+            for r in graph.link_predict_ra(df).collect()
+        }
+        assert got == {
+            (1, 3): (2, 1_000_000, 1_000_000),
+            (2, 4): (2, 1_000_000, 1_000_000),
+        }
+
+    def test_adjacent_pairs_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        pairs = {
+            (r["n1"], r["n2"]) for r in graph.link_predict_ra(df).collect()
+        }
+        assert (1, 2) not in pairs and (1, 3) not in pairs
+
+    def test_matches_brute_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = list({
+            tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)
+        })
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["n1"], r["n2"]): (r["cn"], r["ra_micro"], r["jaccard_micro"])
+            for r in graph.link_predict_ra(df).collect()
+        }
+        assert got == _ra_reference(edges)
+
+    def test_center_degree_cap(self, spark):
+        # star: every candidate pair's only witness is the 5-degree hub
+        star = [(0, i) for i in range(1, 6)]
+        df = spark.createDataFrame(star, "src long, dst long")
+        assert graph.link_predict_ra(df).count() == 10
+        assert (
+            graph.link_predict_ra(df, max_center_degree=4).count() == 0
+        )
+        # brute reference agrees under the same cap
+        mixed = star + [(1, 2), (2, 3)]
+        dfm = spark.createDataFrame(mixed, "src long, dst long")
+        got = {
+            (r["n1"], r["n2"]): (r["cn"], r["ra_micro"], r["jaccard_micro"])
+            for r in graph.link_predict_ra(dfm, max_center_degree=4).collect()
+        }
+        assert got == _ra_reference(mixed, max_center_degree=4)
+
+    def test_min_common_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5), (5, 9)],
+            "src long, dst long",
+        )
+        got = {
+            (r["n1"], r["n2"]) for r in graph.link_predict_ra(df, min_common=2).collect()
+        }
+        assert got == {(1, 3), (2, 4)}
+
+    def test_min_common_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="min_common"):
+            graph.link_predict_ra(df, min_common=0)

@@ -1058,3 +1058,95 @@ class TestVocabCoverage:
         df = spark.createDataFrame([("s", "x")], "source string, text string")
         with pytest.raises(ValueError, match="top_v"):
             vocab_coverage(df, top_v=0)
+
+
+class TestPrefixFilterJaccard:
+    """ngram_jaccard_pairs_prefix: EXACT result over prefix-token
+    candidates (SSJoin/All-Pairs) — must equal the naive inverted-index
+    join with NO doc-freq pruning, on every corpus."""
+
+    def _pairs(self, spark, rows, threshold, k=3):
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        naive = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in sk.ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_k=k, threshold=threshold
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in sk.ngram_jaccard_pairs_prefix(
+                df, "doc_id", "text", shingle_k=k, threshold=threshold
+            ).collect()
+        }
+        return naive, pref
+
+    def test_equals_naive_on_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " tail"),
+            (3, base.replace("lazy", "sleepy")),
+            (4, "completely different words everywhere in this one here"),
+            (5, base),
+        ]
+        for t in (0.5, 0.8, 0.95):
+            naive, pref = self._pairs(spark, rows, t)
+            assert pref == naive and (1, 5, 1.0) in pref
+
+    def test_equals_naive_randomized(self, spark):
+        import random
+
+        rng = random.Random(31)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = []
+        for i in range(40):
+            if i % 3 == 0 and rows:
+                # mutate an earlier doc -> planted near-dups
+                words = rows[rng.randrange(len(rows))][1].split()
+                j = rng.randrange(len(words))
+                words[j] = rng.choice(vocab)
+                rows.append((i, " ".join(words)))
+            else:
+                rows.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 18))))
+                )
+        for t in (0.4, 0.7, 0.9):
+            naive, pref = self._pairs(spark, rows, t)
+            assert pref == naive
+            if t == 0.4:
+                assert len(pref) > 0  # the comparison is not vacuous
+
+    def test_lossless_where_doc_freq_pruning_is_not(self, spark):
+        """The operator's reason to exist: a duplicated doc whose
+        shingles are ALL corpus-hot boilerplate. max_doc_freq pruning
+        empties the shingle sets and ships the duplicate; the
+        rarity-ordered prefix keeps hot shingles exactly where they
+        are the only evidence."""
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        boiler = "subscribe to our newsletter for all the latest updates"
+        rows = [(i, boiler) for i in range(6)] + [
+            (10 + i, f"unique content number {i} with words w{i} x{i} y{i} z{i}")
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pruned = sk.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.8, max_doc_freq=3
+        ).collect()
+        assert pruned == []  # every boilerplate shingle exceeds df=3
+        pref = {
+            (r.id_a, r.id_b)
+            for r in sk.ngram_jaccard_pairs_prefix(
+                df, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+        assert pref == {(a, b) for a in range(6) for b in range(6) if a < b}
+
+    def test_single_shingle_docs(self, spark):
+        # docs shorter than k fall back to one whole-text shingle
+        rows = [(1, "a b"), (2, "a b"), (3, "c d")]
+        naive, pref = self._pairs(spark, rows, 0.8)
+        assert pref == naive == {(1, 2, 1.0)}

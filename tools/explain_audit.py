@@ -444,6 +444,36 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
     ],
+    "graph_ppr": [
+        # checkpointed rounds: the final plan joins the last (touched-
+        # set-sized) rank table; integer exprs only, nothing cartesian,
+        # no Python, no window
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("pinned edges/seeds", r"Scan ExistingRDD"),
+    ],
+    "graph_link_predict": [
+        # wedge self-join and closing anti join are hash-equi (center
+        # key / pair key); scores are integer divs in codegen — never
+        # cartesian/BNLJ, no window, no Python
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("pair partial aggregation", r"HashAggregate"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_setsim_prefix": [
+        # candidate join keyed by prefix shingle (hash-equi with the
+        # length filter as a join condition), doc-freq via partial agg,
+        # per-doc rarity sort is an array expression (no window), exact
+        # verification via array_intersect in codegen — no Python
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "events_zorder_key": [
         # the layout key is a pure JVM bit expression: scan → project →
         # presentation sort, nothing else

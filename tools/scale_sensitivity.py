@@ -562,10 +562,22 @@ def skew_dedup_mode(spark, factor: int = 4, hot_frac: float = 0.05) -> int:
             df, "doc_id", "text", shingle_k=3, threshold=0.8, max_doc_freq=50
         )
 
+    def jaccard_prefix(df):
+        # the LOSSLESS cure for the same hot-shingle disease: exact
+        # result (boilerplate dup pairs INCLUDED — h²/2 of them here,
+        # so its output is the honest quadratic the pruned variant
+        # silently drops), but the join fans out only on prefix
+        # membership: a stop-shingle enters a doc's prefix only when
+        # the doc has nothing rarer
+        return sketches.ngram_jaccard_pairs_prefix(
+            df, "doc_id", "text", shingle_k=3, threshold=0.8
+        )
+
     queries = {
         "lsh_pairs_naive": lsh_naive,
         "lsh_pairs_dedup_first": lsh_dedup_first,
         "ngram_jaccard_pruned": jaccard_pruned,
+        "ngram_jaccard_prefix": jaccard_prefix,
     }
     print(
         f"dedup skew sweep: {factor}x documents ({n * factor} rows), "
@@ -779,9 +791,20 @@ def skew_graph_mode(
         path = os.path.join(skew_dir, f"small{int(frac * 100)}")
         gen(n_s, m_s, frac, path)
         edges = spark.read.parquet(path)
+        def ra_uncapped(df):
+            return egraph.link_predict_ra(df)
+
+        def ra_capped(df):
+            # the cap is ALSO the metric's logic: a 14k-degree center
+            # contributes ra ≈ 1e6/14000 ≈ 71 micro per pair — noise —
+            # while costing deg²/2 wedge rows
+            return egraph.link_predict_ra(df, max_center_degree=256)
+
         for name, make in (
             ("triangles_oriented", tri),
             ("triangles_naive", tri_naive),
+            ("link_ra_uncapped", ra_uncapped),
+            ("link_ra_capped256", ra_capped),
         ):
             _, stage_hi = _stage_straggler(spark, stage_hi)
             t = _timed(
@@ -792,6 +815,70 @@ def skew_graph_mode(
                 f"{name:20s} {frac:>4.0%} {t:>6.2f}s {straggle:>8.1f}x",
                 flush=True,
             )
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    return 0
+
+
+def ppr_growth_mode(spark, factors=(1, 4, 8)) -> int:
+    """Seed-locality growth check for `personalized_pagerank` vs global
+    `pagerank` (both weighted, 4 rounds) on N× disjoint replicas of the
+    sf0.1 co-purchase graph, seeds fixed to Brand#11's copy-0 parts.
+
+    The claim under test: PPR's per-round rank table stays TOUCHED-SET
+    sized while global PR's is |V|-sized — so as the graph grows ×N
+    with the workload (new independent regions), PPR pays only the
+    edge-scan side of each round's join, and its output stays constant
+    where global PR's output (and rank shuffle) grows ×N."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li0 = eio.read_table(spark, BASE_SF, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = eio.read_table(spark, BASE_SF, "part")
+    seeds = part.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    n_ord = li0.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    n_part = li0.agg(F.max("l_partkey")).collect()[0][0] + 1
+    print(f"{'variant':16s} {'N':>3s} {'edges':>9s} {'wall':>7s} {'out_rows':>9s}")
+    for n in factors:
+        reps = [
+            li0.select(
+                (F.col("l_orderkey") + F.lit(k * n_ord)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(k * n_part)).alias("l_partkey"),
+            )
+            for k in range(n)
+        ]
+        li = reps[0]
+        for p in reps[1:]:
+            li = li.unionByName(p)
+        path = os.path.join(SCRATCH, f"ppr_{n}")
+        li.write.mode("overwrite").parquet(path)
+        li = spark.read.parquet(path)
+        und = egraph.project_bipartite(
+            li, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+        )
+        sym = und.unionByName(
+            und.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "sup"
+            )
+        ).localCheckpoint(eager=True)
+        m = sym.count()
+        for label, make in (
+            ("ppr_seeded", lambda: egraph.personalized_pagerank(
+                sym, seeds, iters=4, weight_col="sup")),
+            ("pagerank_global", lambda: egraph.pagerank(
+                sym, iters=4, weight_col="sup")),
+        ):
+            t = _timed(
+                lambda: make().write.mode("overwrite").format("noop").save()
+            )
+            rows = make().count()
+            print(
+                f"{label:16s} {n:>3d} {m:>9d} {t:>6.2f}s {rows:>9d}",
+                flush=True,
+            )
+        shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(SCRATCH, ignore_errors=True)
     return 0
 
@@ -906,6 +993,16 @@ def main() -> int:
         n_nodes = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
         m_edges = int(sys.argv[3]) if len(sys.argv) > 3 else 1_200_000
         return skew_graph_mode(spark, n_nodes, m_edges)
+    if len(sys.argv) > 1 and sys.argv[1] == "--ppr-growth":
+        spark = get_spark(
+            "scale-sensitivity",
+            extra_conf={
+                "spark.driver.memory": os.environ.get("SMDP_SCALE_MEM", "12g")
+            },
+        )
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        factors = tuple(int(a) for a in sys.argv[2:]) or (1, 4, 8)
+        return ppr_growth_mode(spark, factors)
     if len(sys.argv) > 1 and sys.argv[1] == "--skew-dedup":
         spark = get_spark(
             "scale-sensitivity",
