@@ -2214,6 +2214,47 @@ def q_docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_docs_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs
+    (`operators/dedup.py:snm_pairs` — Hernández–Stolfo 1995) over the
+    32-char normalized-text prefix, window 5: the entity-resolution
+    blocking method for near-dups that SORT together (typo variants,
+    title prefixes) without needing token overlap — complements the
+    shingle/minhash family. Global rank with NO global window (the
+    `deterministic_shuffle` bucket-offset decomposition over an
+    order-preserving key prefix), neighborhoods via a block-banded
+    hash-equi self-join — never quadratic, pairs straddling bucket
+    boundaries included. Oracle = ROW_NUMBER over the same sort + a
+    rank-distance join, so a single missed boundary pair
+    hash-mismatches."""
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+    from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.substring(normalize_text("text"), 1, 32)
+    return snm_pairs(docs, "doc_id", key, window=5).orderBy("id_a", "id_b")
+
+
+def q_docs_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling
+    (`operators/sampling.py:negative_pairs`, k=2): contrastive-training
+    partners without a cartesian product and without rand() (task
+    retries corrupt rand() — the salted-join lesson). Dense 1..N md5
+    order index (bucket-offset rank, no global window), per-anchor md5
+    draws mapped to [1, N−1] with the skip-self shift — exactly
+    uniform over the other N−1 rows — resolved by one hash-equi join.
+    The whole construction replays in SQL, so the SAMPLER ITSELF is
+    differentially tested, not just its row count."""
+    from social_media_data_pipeline_spark.operators.sampling import (
+        negative_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", k=2).orderBy(
+        "anchor_id", "sample_idx"
+    )
+
+
 def q_docs_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing whole-document packing
     (`operators/packing.py:pack_bestfit`): truncation-free bins — no
@@ -2592,6 +2633,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_ppr": q_graph_ppr,  # [r10-in-new]
     "graph_link_predict": q_graph_link_predict,  # [r10-in-new]
     "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
+    "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
+    "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
 }
 
 

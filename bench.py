@@ -151,6 +151,10 @@ HEADLINE = [
     "graph_ppr",
     "graph_link_predict",
     "docs_setsim_prefix",
+    # round 9: sorted-neighborhood blocking + deterministic negative
+    # sampling (both rank-table construction — ITERATIVE class)
+    "docs_snm_pairs",
+    "docs_negative_pairs",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -186,6 +190,9 @@ ITERATIVE = {
     # undirected edge set materialize at construction
     "graph_ppr",
     "graph_link_predict",
+    # bucket-count collect + pinned rank table at construction
+    "docs_snm_pairs",
+    "docs_negative_pairs",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -2951,3 +2951,48 @@ JOIN sizes sb ON sb.doc = id_b
 WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
 ORDER BY id_a, id_b
 """
+
+
+# docs_snm_pairs: sorted-neighborhood blocking — the oracle IS the
+# definition (global ROW_NUMBER over (key-prefix, id) + rank-distance
+# join), so the bucket-offset decomposition and the block-banded join
+# are both on trial: one pair lost at a bucket or block boundary
+# hash-mismatches.
+ORACLES["docs_snm_pairs"] = f"""
+WITH p AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr({_NORM}, 1, 32), doc_id) AS pos
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.pos - a.pos)::INT AS dist
+FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos <= 4
+ORDER BY id_a, id_b
+"""
+
+# docs_negative_pairs: the sampler replays exactly — md5 permutation
+# rank, per-draw md5 index in [1, N-1], skip-self shift, index join.
+ORACLES["docs_negative_pairs"] = """
+WITH p AS (
+    SELECT doc_id,
+           (ROW_NUMBER() OVER (
+               ORDER BY ('0x' || substr(md5('neg-v1:perm:' || doc_id), 1, 8))::BIGINT,
+                        doc_id
+           ))::BIGINT AS pos
+    FROM documents
+), n AS (
+    SELECT COUNT(*) AS c FROM p
+), d AS (
+    SELECT p.doc_id AS anchor_id, p.pos, j.sample_idx,
+           (('0x' || substr(md5('neg-v1:' || j.sample_idx || ':' || p.doc_id), 1, 8))::BIGINT
+            % (n.c - 1)) + 1 AS idx
+    FROM p, n, (VALUES (1), (2)) AS j(sample_idx)
+)
+SELECT dd.anchor_id, dd.sample_idx, q.doc_id AS neg_id
+FROM (
+    SELECT anchor_id, sample_idx,
+           idx + CASE WHEN idx >= pos THEN 1 ELSE 0 END AS ppos
+    FROM d
+) dd
+JOIN p q ON q.pos = dd.ppos
+ORDER BY anchor_id, sample_idx
+"""

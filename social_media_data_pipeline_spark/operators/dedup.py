@@ -983,3 +983,91 @@ def decontaminate_spans(
         )
         .drop("grp")
     )
+
+
+def snm_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str | Column,
+    window: int = 5,
+    bucket_prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández–Stolfo 1995 "The
+    merge/purge problem") → (id_a, id_b, dist): every pair of records
+    within `window` positions of each other under the global sort
+    order `(key, id)` — the classic entity-resolution blocking method
+    for keys where similarity means SORTING NEAR each other (names,
+    addresses, normalized title prefixes), complementing the
+    shingle/minhash family which needs token overlap. `dist` is the
+    rank distance (1 .. window−1); id_a is the earlier record.
+
+    The global rank is computed WITHOUT a global window (the
+    `splits.deterministic_shuffle` decomposition, adapted to an
+    arbitrary key): records bucket by the first `bucket_prefix_len`
+    characters of the key — an order-preserving pure function, so
+    bucket order equals key order — per-bucket counts (one map-side-
+    combined aggregate, bucket-count-sized collect) become broadcast
+    offsets, and the window ranks only WITHIN a bucket. Neighborhoods
+    then come from a banded self-join: block = (pos−1) div (window−1);
+    a pair within the window is in the same or adjacent blocks, so the
+    join is hash-equi on the block id and never quadratic. Pairs that
+    straddle bucket boundaries are found — blocks derive from the
+    GLOBAL position, buckets only localize the rank computation.
+
+    Contracts: the key must be a STRING (cast numerics; byte-wise
+    ordering must agree between Spark, Python's `sorted`, and the SQL
+    oracle — ASCII keys, e.g. `normalize_text` output, are safe). A
+    corpus-hot key prefix concentrates one bucket's window — raise
+    `bucket_prefix_len` to re-localize (the knob trades collect size,
+    ≤ charset^len rows, for balance).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if bucket_prefix_len < 1:
+        raise ValueError(
+            f"bucket_prefix_len must be >= 1, got {bucket_prefix_len}"
+        )
+    d = window - 1
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = df.select(
+        F.col(id_col).alias("rid"), key.cast("string").alias("__k")
+    ).withColumn("__b", F.substring("__k", 1, bucket_prefix_len))
+    counts = keyed.groupBy("__b").count().collect()
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__b"]):
+        offsets[r["__b"]] = acc
+        acc += r["count"]
+    # 0- or 1-row inputs flow through and produce no pairs; the guard
+    # only keeps create_map() non-empty (it rejects zero args)
+    if not offsets:
+        offsets = {"": 0}
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local = Window.partitionBy("__b").orderBy("__k", "rid")
+    pos = keyed.select(
+        "rid",
+        (F.row_number().over(local) + off[F.col("__b")]).cast("bigint").alias(
+            "__pos"
+        ),
+    ).localCheckpoint(eager=True)  # consumed by both join sides
+    blk = F.expr(f"(__pos - 1) div {d}")
+    a = pos.select(
+        F.col("rid").alias("id_a"),
+        F.col("__pos").alias("__pa"),
+        F.explode(F.array(blk, blk + 1)).alias("__blk"),
+    )
+    b = pos.select(
+        F.col("rid").alias("id_b"),
+        F.col("__pos").alias("__pb"),
+        blk.alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("__pb") > F.col("__pa"))
+            & (F.col("__pb") - F.col("__pa") <= d)
+        )
+        .select(
+            "id_a", "id_b",
+            (F.col("__pb") - F.col("__pa")).cast("int").alias("dist"),
+        )
+    )

@@ -391,3 +391,82 @@ DOC_MIXTURE_TARGETS = {
     },
 }
 DOC_MIXTURE_BUDGET = 300
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: str = "neg-v1",
+) -> DataFrame:
+    """k deterministic uniform negative partners per anchor row →
+    (anchor_id, sample_idx, neg_id) — the contrastive-training data
+    generator (in-batch/random negatives for embedding training, the
+    SimCLR/DPR recipe) WITHOUT a cartesian product and without rand()
+    (task retries corrupt rand() sampling — the salted-join lesson).
+
+    Construction: a dense 1..N index from
+    `splits.deterministic_shuffle` (md5 order, bucket-offset
+    decomposition — no global window), then per anchor k independent
+    md5 draws mapped to [1, N−1] with the classic skip-self shift
+    (idx ≥ own position → idx+1), so every partner is uniform over the
+    other N−1 rows, exactly — and the whole construction replays in
+    SQL (`ROW_NUMBER` + the same md5 arithmetic), so the sampler is
+    differentially testable. Partners resolve via one hash-equi join
+    on the dense index.
+
+    Scale shape: one rank shuffle + one partial-agg counts pass (from
+    deterministic_shuffle) + one equi join; output is exactly k·N
+    rows. Self-pairs are impossible by construction; duplicate
+    partners across an anchor's k draws are possible (independent
+    draws, birthday-rare for k ≪ N) — dedup downstream if the loss
+    requires distinct negatives.
+    """
+    from social_media_data_pipeline_spark.operators.splits import (
+        deterministic_shuffle,
+        fingerprint32,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = (
+        deterministic_shuffle(
+            df.select(id_col), id_col, seed=f"{seed}:perm", pos_col="__pos"
+        )
+        .select(id_col, "__pos")
+        .localCheckpoint(eager=True)  # consumed by both join sides
+    )
+    n = pos.count()
+    if n < 2:
+        raise ValueError(
+            f"negative_pairs needs >= 2 rows to sample partners, got {n}"
+        )
+    draws = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sample_idx"),
+                (F.pmod(fingerprint32(id_col, f"{seed}:{j}"), F.lit(n - 1)) + 1)
+                .alias("__idx"),
+            )
+            for j in range(1, k + 1)
+        ]
+    )
+    anchors = (
+        pos.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("__pos").alias("__apos"),
+            F.explode(draws).alias("__d"),
+        )
+        .select(
+            "anchor_id",
+            F.col("__d.sample_idx").alias("sample_idx"),
+            (
+                F.col("__d.__idx")
+                + (F.col("__d.__idx") >= F.col("__apos")).cast("bigint")
+            ).alias("__ppos"),
+        )
+    )
+    return anchors.join(
+        pos.select(F.col(id_col).alias("neg_id"), F.col("__pos").alias("__ppos")),
+        "__ppos",
+    ).select("anchor_id", "sample_idx", "neg_id")

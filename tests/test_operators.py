@@ -892,3 +892,169 @@ class TestDecayedSum:
 
         with _pt.raises(ValueError, match="half_life_days"):
             agg.decayed_sum(df, "ts", "v", as_of="2024-02-01", half_life_days=0)
+
+
+class TestSnmPairs:
+    """Sorted-neighborhood candidate generation: pairs within `window`
+    global sort positions, rank computed bucket-locally."""
+
+    def _brute(self, rows, window):
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        out = set()
+        for i in range(len(order)):
+            for j in range(i + 1, min(i + window, len(order))):
+                out.add((order[i][0], order[j][0], j - i))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, "".join(rng.choice("abcd") for _ in range(6)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        for w in (2, 4, 7):
+            got = {
+                (r.id_a, r.id_b, r.dist)
+                for r in snm_pairs(df, "rid", "key", window=w).collect()
+            }
+            assert got == self._brute(rows, w)
+
+    def test_pairs_cross_bucket_boundaries(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        # keys span prefixes "aa".."ad": neighbors straddle bucket edges
+        rows = [(i, f"a{chr(97 + i % 4)}{i:03d}") for i in range(20)]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in snm_pairs(df, "rid", "key", window=3,
+                               bucket_prefix_len=2).collect()
+        }
+        assert got == self._brute(rows, 3)
+
+    def test_prefix_len_invariance(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        rows = [(i, f"k{i % 7}{i:02d}") for i in range(30)]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        base = {
+            (r.id_a, r.id_b, r.dist)
+            for r in snm_pairs(df, "rid", "key", window=4,
+                               bucket_prefix_len=1).collect()
+        }
+        for plen in (2, 3):
+            assert {
+                (r.id_a, r.id_b, r.dist)
+                for r in snm_pairs(df, "rid", "key", window=4,
+                                   bucket_prefix_len=plen).collect()
+            } == base
+
+    def test_degenerate_inputs(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        import pytest as _pytest
+
+        one = spark.createDataFrame([(1, "a")], "rid long, key string")
+        assert snm_pairs(one, "rid", "key").count() == 0
+        assert snm_pairs(one.limit(0), "rid", "key").count() == 0
+        with _pytest.raises(ValueError, match="window"):
+            snm_pairs(one, "rid", "key", window=1)
+        with _pytest.raises(ValueError, match="bucket_prefix_len"):
+            snm_pairs(one, "rid", "key", bucket_prefix_len=0)
+
+    def test_near_dup_titles_meet(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        # the ER motivation: typo variants sort adjacent, no token overlap
+        # needed (single-token keys defeat 3-gram shingles)
+        rows = [
+            (1, "smith john 1985"),
+            (2, "smith jon 1985"),
+            (3, "smyth john 1985"),
+            (4, "adams jane 1990"),
+        ]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in snm_pairs(df, "rid", "key", window=2).collect()
+        }
+        assert (1, 2) in got or (2, 1) in got  # adjacent in sort order
+
+
+class TestNegativePairs:
+    def test_shape_and_determinism(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            negative_pairs,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = sorted(
+            (r.anchor_id, r.sample_idx, r.neg_id)
+            for r in negative_pairs(df, "doc_id", k=3).collect()
+        )
+        b = sorted(
+            (r.anchor_id, r.sample_idx, r.neg_id)
+            for r in negative_pairs(df, "doc_id", k=3).collect()
+        )
+        assert a == b and len(a) == 150
+        assert all(x[0] != x[2] for x in a), "self-pair produced"
+        # every anchor has exactly k draws
+        from collections import Counter
+
+        c = Counter(x[0] for x in a)
+        assert set(c.values()) == {3}
+
+    def test_uniformity_is_plausible(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            negative_pairs,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+        hits = [
+            r.neg_id for r in negative_pairs(df, "doc_id", k=8).collect()
+        ]
+        from collections import Counter
+
+        counts = Counter(hits)
+        # 320 draws over 40 targets: expect ~8 each; md5 uniformity
+        # should keep every target in a generous band
+        assert set(counts) == set(range(40))
+        assert max(counts.values()) <= 24
+
+    def test_seed_changes_sample(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            negative_pairs,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+        a = sorted(
+            (r.anchor_id, r.sample_idx, r.neg_id)
+            for r in negative_pairs(df, "doc_id", k=2, seed="s1").collect()
+        )
+        b = sorted(
+            (r.anchor_id, r.sample_idx, r.neg_id)
+            for r in negative_pairs(df, "doc_id", k=2, seed="s2").collect()
+        )
+        assert a != b
+
+    def test_validation(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            negative_pairs,
+        )
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError, match=">= 2 rows"):
+            negative_pairs(df, "doc_id", k=1)
+        two = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        with _pytest.raises(ValueError, match="k must be"):
+            negative_pairs(two, "doc_id", k=0)
+        # N=2: the only possible partner is the other row
+        got = {(r.anchor_id, r.neg_id) for r in negative_pairs(two, "doc_id", k=2).collect()}
+        assert got == {(1, 2), (2, 1)}

@@ -474,6 +474,29 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_snm_pairs": [
+        # the rank window is PARTITIONED by the key-prefix bucket (the
+        # bucket-offset decomposition) — a bare global ORDER BY window
+        # here would be the scale-killer this operator exists to avoid;
+        # neighborhood join is hash-equi on the block id
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        # the rank table is pinned (localCheckpoint — both join sides
+        # consume it; the partitioned window ran at construction)
+        ("pinned rank table", r"Scan ExistingRDD"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_negative_pairs": [
+        # dense index via the same partitioned-rank decomposition;
+        # partner resolution is one hash-equi join; draws are md5
+        # expressions in codegen — no rand(), no python, no cartesian
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no rand in plan", r"\A(?!.*\brand\()"),
+    ],
     "events_zorder_key": [
         # the layout key is a pure JVM bit expression: scan → project →
         # presentation sort, nothing else
