@@ -550,6 +550,22 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(queries, emb, k=5).orderBy("query_id", "rank")
 
 
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`functions/similarity.py:hard_negatives`
+    — the DPR recipe, Karpukhin 2020): top-5 most-similar
+    DIFFERENT-label vectors per query, with the max_cos=0.95
+    false-negative guard (RocketQA denoising — a near-identical vector
+    with another label is a labeling error or undetected dup, not a
+    negative). Same broadcast + partitioned-rank plan as
+    embedding_topk with the label predicate pruning before the window;
+    the IVF-cell composition is the documented corpus-scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.hard_negatives(
+        queries, emb, k=5, max_cos=0.95
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN (approximate; no SQL oracle — numpy planes).
 
@@ -2635,6 +2651,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
     "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
     "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
+    "embedding_hard_negatives": q_embedding_hard_negatives,  # [r10-in-new]
 }
 
 

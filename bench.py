@@ -155,6 +155,7 @@ HEADLINE = [
     # sampling (both rank-table construction — ITERATIVE class)
     "docs_snm_pairs",
     "docs_negative_pairs",
+    "embedding_hard_negatives",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

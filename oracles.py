@@ -2996,3 +2996,34 @@ FROM (
 JOIN p q ON q.pos = dd.ppos
 ORDER BY anchor_id, sample_idx
 """
+
+
+# embedding_hard_negatives: the embedding_topk chain with the label
+# predicate and the max_cos false-negative guard applied before the
+# per-query rank — double-precision dot products round to 6 identically
+# on both engines (the embedding_topk convention).
+ORACLES["embedding_hard_negatives"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_vec, label AS q_label
+    FROM embeddings WHERE vec_id < 20
+), c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c_vec, label AS c_label
+    FROM embeddings
+), scored AS (
+    SELECT query_id, neighbor_id,
+           ROUND(
+             CASE WHEN sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec)) > 0
+                  THEN list_dot_product(q_vec, c_vec)
+                       / (sqrt(list_dot_product(q_vec, q_vec)) * sqrt(list_dot_product(c_vec, c_vec)))
+                  ELSE 0.0 END
+           , 6) AS cos
+    FROM c, q
+    WHERE q_label <> c_label
+)
+SELECT query_id, neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored
+WHERE cos <= 0.95
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""

@@ -595,3 +595,70 @@ def l2_normalize(vec_col: Column | str) -> Column:
     return F.when(n > 0, F.transform(v, lambda x: (x / n).cast("double"))).otherwise(
         F.transform(v, lambda x: x.cast("double"))
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    max_cos: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training → (query_id,
+    neighbor_id, cos, rank): for each query vector, the k MOST similar
+    corpus vectors with a DIFFERENT label — the DPR/SimCLR recipe
+    (Karpukhin et al. 2020: negatives that are hard, not random, are
+    what make the bi-encoder learn). Complements
+    `sampling.negative_pairs` (uniform randoms): mix both in practice.
+
+    `max_cos` drops cross-label pairs ABOVE the threshold before
+    ranking — the standard false-negative guard (a near-identical
+    vector with a different label is usually a labeling error or an
+    undetected duplicate, and training on it as a negative is
+    poisonous; Qu et al. 2021 "RocketQA" denoising rationale).
+
+    Plan shape = `brute_force_topk` with the label predicate folded
+    into the broadcast join: queries broadcast, corpus scans once,
+    label mismatch + threshold prune BEFORE the per-query rank window
+    (partitioned by query_id — perfectly parallel). Exact by
+    construction; for corpus-scale query sets swap the candidate
+    generator for the IVF cell join (`ivf_topk_multiprobe`) and apply
+    the same label predicate — the registered query keeps the exact
+    brute form, the composition is the documented scale path.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    denom = F.col("q_norm") * F.col("c_norm")
+    cos = F.when(
+        denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom
+    ).otherwise(F.lit(0.0))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+    )
+    if max_cos is not None:
+        scored = scored.filter(F.col("cos") <= max_cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

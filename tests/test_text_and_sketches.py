@@ -1150,3 +1150,97 @@ class TestPrefixFilterJaccard:
         rows = [(1, "a b"), (2, "a b"), (3, "c d")]
         naive, pref = self._pairs(spark, rows, 0.8)
         assert pref == naive == {(1, 2, 1.0)}
+
+
+class TestHardNegatives:
+    def _emb(self, spark):
+        import math
+
+        # 8 vectors on a circle: angle i*22.5°, label = parity
+        rows = [
+            (i, [math.cos(i * math.pi / 8), math.sin(i * math.pi / 8)], i % 2)
+            for i in range(8)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_excludes_same_label_and_ranks_by_cos(self, spark):
+        from social_media_data_pipeline_spark.functions.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark)
+        q = emb.filter("vec_id = 0")
+        got = [
+            (r.neighbor_id, r.rank)
+            for r in hard_negatives(q, emb, k=3).orderBy("rank").collect()
+        ]
+        # odd-label neighbors of vec 0 sorted by angle distance: 1, 3, 5
+        assert got == [(1, 1), (3, 2), (5, 3)]
+
+    def test_max_cos_guard_drops_near_dup(self, spark):
+        from social_media_data_pipeline_spark.functions.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark)
+        q = emb.filter("vec_id = 0")
+        got = [
+            r.neighbor_id
+            for r in hard_negatives(q, emb, k=3, max_cos=0.9)
+            .orderBy("rank")
+            .collect()
+        ]
+        # cos(22.5°) ≈ 0.924 > 0.9: vector 1 (the near-dup-with-wrong-
+        # label case) is filtered; next-hardest odd labels remain
+        assert got == [3, 5, 7]
+
+    def test_matches_brute_reference(self, spark):
+        import math
+
+        from social_media_data_pipeline_spark.functions.similarity import (
+            hard_negatives,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], rng.randrange(3))
+            for i in range(40)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in hard_negatives(
+                emb.filter("vec_id < 5"), emb, k=4
+            ).collect()
+        }
+        by_id = {i: (v, l) for i, v, l in rows}
+        for qid in range(5):
+            qv, ql = by_id[qid]
+            scored = []
+            for nid, (nv, nl) in by_id.items():
+                if nl == ql:
+                    continue
+                d = sum(a * b for a, b in zip(qv, nv))
+                na = math.sqrt(sum(a * a for a in qv))
+                nb = math.sqrt(sum(b * b for b in nv))
+                scored.append((round(d / (na * nb), 6), nid))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (_, nid) in enumerate(scored[:4], 1):
+                assert got[(qid, rank)] == nid
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.functions.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark)
+        with _pytest.raises(ValueError, match="k must be"):
+            hard_negatives(emb, emb, k=0)

@@ -474,6 +474,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_hard_negatives": [
+        # query side broadcast (20 rows) against one corpus scan; the
+        # label predicate and max_cos guard prune BEFORE the per-query
+        # rank window (partitioned by query_id); JVM float exprs only
+        ("query side broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
     "docs_snm_pairs": [
         # the rank window is PARTITIONED by the key-prefix bucket (the
         # bucket-offset decomposition) — a bare global ORDER BY window
