@@ -1056,6 +1056,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_docs_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance
+    (`functions/graph.py:incremental_components`): the MinHash-LSH
+    candidate pairs arrive as 3 ordered chunks (a replayed stream);
+    each chunk merges into the standing (node, component) labeling —
+    untouched components pass through as rows, touched ones recompute
+    over their depth-1 star edges ∪ the batch. The oracle is the FULL
+    batch CC over all pairs (`dedup_clusters`' reachability SQL), so
+    the identity 'incremental ≡ recompute-from-scratch' is what the
+    differential gate checks. Per-batch cost ∝ affected subgraph —
+    the clustering-side completion of the band-store incremental-dedup
+    economics."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sketches.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4
+    ).localCheckpoint()
+    labels = None
+    for c in range(3):
+        chunk = pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == c)
+        labels = graph.incremental_components(labels, chunk).localCheckpoint()
+    out = docs.select("doc_id").join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    out = out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    return out.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component")
+    ).orderBy("doc_id")
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup survivor policy: MinHash-LSH candidates → CC
     clusters → keep the HIGHEST-QUALITY doc per cluster (quality-argmax
@@ -2652,6 +2685,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
     "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
     "embedding_hard_negatives": q_embedding_hard_negatives,  # [r10-in-new]
+    "docs_incremental_clusters": q_docs_incremental_clusters,  # [r10-in-new]
 }
 
 

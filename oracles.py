@@ -3027,3 +3027,12 @@ WHERE cos <= 0.95
 QUALIFY rank <= 5
 ORDER BY query_id, rank
 """
+
+
+# docs_incremental_clusters: the oracle is the FULL batch CC over all
+# LSH pairs (dedup_clusters' reachability chain) — the Spark side
+# builds the SAME labeling through 3 incremental merges, so
+# 'incremental ≡ recompute-from-scratch' is the property under test;
+# any drift in the star-edge compression or the untouched pass-through
+# hash-mismatches here.
+ORACLES["docs_incremental_clusters"] = ORACLES["dedup_clusters"]

@@ -940,3 +940,71 @@ def link_predict_ra(
             .alias("jaccard_micro"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame | None,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Merge one batch of new edges into an existing (node, component)
+    labeling → the updated labeling, EXACTLY equal to
+    `connected_components` over the union of every edge ever seen —
+    the streaming/incremental completion of the dedup-cluster story:
+    `incremental_dedup_against_store` flags near-dup PAIRS per
+    micro-batch; this maintains the CLUSTERS those pairs imply without
+    ever recomputing history.
+
+    Why it is exact: an existing labeling is a union-find forest
+    compressed to depth 1, so the star edges (node → component) are
+    connectivity-equivalent to all historic edges; CC over (affected
+    stars ∪ new edges) therefore reproduces CC over (history ∪ batch)
+    on the affected part, and the min-id label of a merged component
+    is min(old component ids ∪ new node ids) = the global min — the
+    same label batch CC would assign (the property the differential
+    oracle checks end-to-end).
+
+    Per-batch cost is proportional to the AFFECTED subgraph, not the
+    corpus: components untouched by the batch pass through as rows
+    (one anti join); touched components contribute only their star
+    edges to the CC, which runs on |affected| + |batch| edges. At
+    100 TB the label store is node-count-sized and partitioned by
+    component; a batch touching k components reads k stars — the
+    incremental-dedup band-store economics, applied to clustering.
+
+    `labels` is None (or empty) on first use — the batch CC alone.
+    Nodes appear in the output once they appear in any edge;
+    singletons are the caller's join (the `dedup_clusters` contract).
+    """
+    e = new_pairs.selectExpr(f"{src} AS a", f"{dst} AS b")
+    if labels is None:
+        return connected_components(e, src="a", dst="b",
+                                    max_iterations=max_iterations)
+    touched = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    affected_comps = (
+        labels.join(touched, "node", "leftsemi").select("component").distinct()
+    )
+    affected = labels.join(affected_comps, "component", "leftsemi")
+    untouched = labels.join(affected_comps, "component", "left_anti")
+    stars = affected.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("a"), F.col("component").alias("b")
+    )
+    sub = connected_components(
+        stars.unionByName(e), src="a", dst="b", max_iterations=max_iterations
+    )
+    # nodes of affected components that had NO star edge (singleton
+    # label rows whose node == component and no new edge) are still in
+    # `affected`; CC over stars∪e covers every node with ≥1 edge —
+    # re-attach edgeless affected rows that CC did not see
+    leftover = affected.join(sub, "node", "left_anti").select(
+        "node", "component"
+    )
+    return untouched.unionByName(sub.select("node", "component")).unionByName(
+        leftover
+    )

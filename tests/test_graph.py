@@ -779,3 +779,66 @@ class TestLinkPredictRA:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError, match="min_common"):
             graph.link_predict_ra(df, min_common=0)
+
+
+class TestIncrementalComponents:
+    """incremental_components(labels, batch) must equal batch CC over
+    the union of all edges ever seen — the streaming dedup-cluster
+    maintenance contract."""
+
+    def _full(self, spark, edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            (r.node, r.component)
+            for r in graph.connected_components(df, src="id_a", dst="id_b").collect()
+        }
+
+    def test_three_batches_equal_full_cc(self, spark):
+        import random
+
+        rng = random.Random(17)
+        edges = list({
+            tuple(sorted(rng.sample(range(40), 2))) for _ in range(60)
+        })
+        batches = [edges[0::3], edges[1::3], edges[2::3]]
+        labels = None
+        seen = []
+        for b in batches:
+            seen += b
+            bdf = spark.createDataFrame(b, "id_a long, id_b long")
+            labels = graph.incremental_components(labels, bdf).localCheckpoint()
+            got = {(r.node, r.component) for r in labels.collect()}
+            assert got == self._full(spark, seen)
+
+    def test_merge_two_old_components(self, spark):
+        b1 = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+        labels = graph.incremental_components(None, b1)
+        got1 = {(r.node, r.component) for r in labels.collect()}
+        assert got1 == {(1, 1), (2, 1), (10, 10), (11, 10)}
+        # bridge the two components: every member must relabel to 1
+        b2 = spark.createDataFrame([(2, 11)], "id_a long, id_b long")
+        labels = graph.incremental_components(labels, b2)
+        got2 = {(r.node, r.component) for r in labels.collect()}
+        assert got2 == {(1, 1), (2, 1), (10, 1), (11, 1)}
+
+    def test_untouched_components_pass_through(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+        )
+        labels = graph.incremental_components(None, b1)
+        b2 = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+        out = graph.incremental_components(labels, b2)
+        got = {(r.node, r.component) for r in out.collect()}
+        assert got == {
+            (1, 1), (2, 1), (3, 1),
+            (10, 10), (11, 10), (20, 20), (21, 20),
+        }
+
+    def test_empty_labels_frame_equals_none(self, spark):
+        b = spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+        empty = graph.incremental_components(None, b).limit(0)
+        got = {
+            (r.node, r.component)
+            for r in graph.incremental_components(empty, b).collect()
+        }
+        assert got == {(5, 5), (6, 5), (7, 5)}

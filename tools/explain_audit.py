@@ -474,6 +474,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_incremental_clusters": [
+        # per-chunk merges are checkpointed — the returned plan joins
+        # docs against the pinned final labeling; CC is join+aggregate
+        # only: no window, no cartesian, no Python anywhere
+        ("pinned labeling", r"Scan ExistingRDD"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window function", r"\A(?!.*WindowExec|.*\bWindow\b)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "embedding_hard_negatives": [
         # query side broadcast (20 rows) against one corpus scan; the
         # label predicate and max_cos guard prune BEFORE the per-query
