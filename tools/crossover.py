@@ -227,12 +227,71 @@ def pandas_pagerank_weighted(path: str) -> pd.DataFrame:
     return pd.DataFrame(sorted(ranks.items()), columns=["node", "rank_micro"])
 
 
+def spark_triangles(spark, path: str) -> None:
+    from social_media_data_pipeline_spark.functions import graph
+
+    li = spark.read.parquet(path)
+    edges = graph.project_bipartite(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    graph.triangle_counts(edges).write.mode("overwrite").format("noop").save()
+
+
+def pandas_triangles(path: str) -> pd.DataFrame:
+    # the cell-validated reference_shootout baseline (vectorized
+    # numpy orientation), reading the replicated scratch parquet
+    import numpy as np
+
+    li = pd.read_parquet(path)
+    e = li.merge(li, on="l_orderkey", suffixes=("_a", "_b"))
+    e = e[e["l_partkey_a"] < e["l_partkey_b"]]
+    sup = e.groupby(["l_partkey_a", "l_partkey_b"]).size()
+    und = sup[sup >= 2].reset_index()[["l_partkey_a", "l_partkey_b"]]
+    und.columns = ["a", "b"]
+    deg = pd.concat([und["a"], und["b"]]).value_counts()
+    da = deg.loc[und["a"]].to_numpy()
+    db = deg.loc[und["b"]].to_numpy()
+    a = und["a"].to_numpy()
+    b = und["b"].to_numpy()
+    afirst = (da < db) | ((da == db) & (a < b))
+    ore = pd.DataFrame(
+        {
+            "u": np.where(afirst, a, b),
+            "v": np.where(afirst, b, a),
+            "dv": np.where(afirst, db, da),
+        }
+    )
+    wed = ore.merge(ore, on="u", suffixes=("1", "2"))
+    wed = wed[
+        (wed["dv1"] < wed["dv2"])
+        | ((wed["dv1"] == wed["dv2"]) & (wed["v1"] < wed["v2"]))
+    ]
+    tri = wed.merge(
+        ore.rename(columns={"u": "v1", "v": "v2"})[["v1", "v2"]],
+        on=["v1", "v2"],
+    )
+    nodes = pd.concat([tri["u"], tri["v1"], tri["v2"]])
+    return (
+        nodes.value_counts()
+        .rename("tri_cnt")
+        .rename_axis("node")
+        .reset_index()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
 FAMILIES = {
     "winsorized": (replicate_events, spark_winsorized, pandas_winsorized,
                    "events"),
     "decayed": (replicate_events, spark_decayed, pandas_decayed, "events"),
     "pagerank_weighted": (replicate_lineitem, spark_pagerank_weighted,
                           pandas_pagerank_weighted, "lineitem"),
+    # graph pair-join family: the full co-purchase cycle (projection +
+    # degree-ordered triangle counting) both sides, same as the
+    # registered query and its 0.20x shootout cell
+    "triangles": (replicate_lineitem, spark_triangles, pandas_triangles,
+                  "lineitem"),
 }
 
 
