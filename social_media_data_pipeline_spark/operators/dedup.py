@@ -1033,6 +1033,15 @@ def snm_pairs(
         F.col(id_col).alias("rid"), key.cast("string").alias("__k")
     ).withColumn("__b", F.substring("__k", 1, bucket_prefix_len))
     counts = keyed.groupBy("__b").count().collect()
+    # NULL keys have no place in a sort order: they would land in a
+    # NULL bucket whose Python-side offset sort throws an obscure
+    # TypeError (None vs str) — refuse loudly instead (the
+    # null_normalize / mixture-group convention)
+    if any(r["__b"] is None for r in counts):
+        raise ValueError(
+            f"snm_pairs: NULL sort key in column {key_col!r} — "
+            "null_normalize or filter null keys before calling"
+        )
     offsets, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["__b"]):
         offsets[r["__b"]] = acc

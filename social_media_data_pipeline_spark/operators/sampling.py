@@ -436,10 +436,23 @@ def negative_pairs(
         .select(id_col, "__pos")
         .localCheckpoint(eager=True)  # consumed by both join sides
     )
-    n = pos.count()
+    stats = pos.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()[0]
+    n = int(stats["n"])
     if n < 2:
         raise ValueError(
             f"negative_pairs needs >= 2 rows to sample partners, got {n}"
+        )
+    # duplicate ids would tie in the permutation (identical md5 key),
+    # making positions — and therefore the sample — nondeterministic
+    # across runs: refuse loudly (the rand()-corruption hazard class)
+    if int(stats["nd"]) != n:
+        raise ValueError(
+            f"negative_pairs: {id_col!r} has {n - int(stats['nd'])} "
+            "duplicate ids — the anchor id must be unique for the "
+            "deterministic permutation; dedup first"
         )
     draws = F.array(
         *[

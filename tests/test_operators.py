@@ -1058,3 +1058,29 @@ class TestNegativePairs:
         # N=2: the only possible partner is the other row
         got = {(r.anchor_id, r.neg_id) for r in negative_pairs(two, "doc_id", k=2).collect()}
         assert got == {(1, 2), (2, 1)}
+
+
+class TestR9LoudRefusals:
+    def test_snm_null_key_refused(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, None), (3, "ab")], "rid long, key string"
+        )
+        with _pytest.raises(ValueError, match="NULL sort key"):
+            snm_pairs(df, "rid", "key", window=3)
+
+    def test_negative_pairs_duplicate_ids_refused(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            negative_pairs,
+        )
+
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (2,), (3,)], "doc_id long"
+        )
+        with _pytest.raises(ValueError, match="duplicate ids"):
+            negative_pairs(df, "doc_id", k=1)
