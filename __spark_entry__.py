@@ -2522,6 +2522,13 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # displaced by any new registrations; the 50 r8-green rows are 1 round
 # old. All tail queries remain verified every session by
 # tools/check_correctness.py (the local mirror of the driver gate).
+# r10 executes the ROADMAP "r10 window plan (authoritative)": rotate IN the
+# 9 never-driver-checked r9 registrations ([r10-in-new]), then the 35
+# r7-checked tail rows (2 rounds stale after r9, [r10-in-stale]), then the
+# first 6 r8-green rows in registry order ([r10-in-return]) — exactly 50.
+# After r10 every registered query's driver row is <=2 rounds old. The 44
+# remaining r8-green rows rotate back FIRST in r11, followed by the 50
+# r9-green rows.
 # Variant notes (tail entries whose operator has a fresher driver row via
 # a named sibling): numeric_describe → describe family via column_profile
 # (r6); cube_agg → rollup_revenue variant; embedding_ann_lsh → ANN family
@@ -2534,104 +2541,62 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs_fingerprint → text.fingerprint also tested; date_format_labels →
 # date_format also covered by derive_columns.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r9 driver window (50) ----
-    # never driver-checked (19; registered r8)
-    "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r9-in-new]
-    "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r9-in-new]
-    "docs_dup_window_frac": q_docs_dup_window_frac,  # [r9-in-new]
-    "graph_triangles": q_graph_triangles,  # [r9-in-new]
-    "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r9-in-new]
-    "docs_contamination_frac": q_docs_contamination_frac,  # [r9-in-new]
-    "docs_oov_rate": q_docs_oov_rate,  # [r9-in-new]
-    "docs_decontaminate_spans": q_docs_decontaminate_spans,  # [r9-in-new]
-    "graph_kcore": q_graph_kcore,  # [r9-in-new]
-    "docs_pack_bfd": q_docs_pack_bfd,  # [r9-in-new]
-    "events_salted_join": q_events_salted_join,  # [r9-in-new]
-    "orders_join_size_est": q_orders_join_size_est,  # [r9-in-new]
-    "embedding_balanced_sample": q_embedding_balanced_sample,  # [r9-in-new]
-    "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r9-in-new]
-    "graph_lpa": q_graph_lpa,  # [r9-in-new]
-    "events_winsorized": q_events_winsorized,  # [r9-in-new]
-    "events_robust_anomalies": q_events_robust_anomalies,  # [r9-in-new]
-    "events_decayed_engagement": q_events_decayed_engagement,  # [r9-in-new]
-    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # [r9-in-new]
-    # stalest rows: last driver-checked r6 (16)
-    "ngram_jaccard": q_ngram_jaccard,  # [r9-in-stale] r6
-    "embedding_near_dup": q_embedding_near_dup,  # [r9-in-stale] r6
-    "row_wise_total": q_row_wise_total,  # [r9-in-stale] r6
-    "date_format_labels": q_date_format_labels,  # [r9-in-stale] r6
-    "filter_in_contains": q_filter_in_contains,  # [r9-in-stale] r6
-    "state_undone": q_state_undone,  # [r9-in-stale] r6
-    "sample_per_year": q_sample_per_year,  # [r9-in-stale] r6
-    "events_weekly_by_type": q_events_weekly_by_type,  # [r9-in-stale] r6
-    "token_frequency": q_token_frequency,  # [r9-in-stale] r6
-    "price_histogram": q_price_histogram,  # [r9-in-stale] r6
-    "column_profile": q_column_profile,  # [r9-in-stale] r6
-    "correlation": q_correlation,  # [r9-in-stale] r6
-    "events_pivot": q_events_pivot,  # [r9-in-stale] r6
-    "nation_share": q_nation_share,  # [r9-in-stale] r6
-    "order_status_counts": q_order_status_counts,  # [r9-in-stale] r6
-    "customers_no_orders": q_customers_no_orders,  # [r9-in-stale] r6
-    # window fill: last driver-checked r7, first 15 in registry order
-    "graph_pagerank": q_graph_pagerank,  # [r9-in-return] r7
-    "events_zorder_key": q_events_zorder_key,  # [r9-in-return] r7
-    "events_hll_distinct": q_events_hll_distinct,  # [r9-in-return] r7
-    "events_kmv_overlap": q_events_kmv_overlap,  # [r9-in-return] r7
-    "docs_training_shards": q_docs_training_shards,  # [r9-in-return] r7
-    "embedding_ivf_pq_residual": q_embedding_ivf_pq_residual,  # [r9-in-return] r7
-    "filter_project": q_filter_project,  # [r9-in-return] r7
-    "dedup_first_wins": q_dedup_first_wins,  # [r9-in-return] r7
-    "pricing_summary": q_pricing_summary,  # [r9-in-return] r7
-    "region_revenue": q_region_revenue,  # [r9-in-return] r7
-    "events_lag_lead": q_events_lag_lead,  # [r9-in-return] r7
-    "docs_exact_dedup": q_docs_exact_dedup,  # [r9-in-return] r7
-    "docs_token_stats": q_docs_token_stats,  # [r9-in-return] r7
-    "docs_quality": q_docs_quality,  # [r9-in-return] r7
-    "docs_language": q_docs_language,  # [r9-in-return] r7
+    # ---- r10 driver window (50) ----
+    # never driver-checked (9; registered r9)
+    "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # [r10-in-new]
+    "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # [r10-in-new]
+    "graph_ppr": q_graph_ppr,  # [r10-in-new]
+    "graph_link_predict": q_graph_link_predict,  # [r10-in-new]
+    "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
+    "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
+    "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
+    "embedding_hard_negatives": q_embedding_hard_negatives,  # [r10-in-new]
+    "docs_incremental_clusters": q_docs_incremental_clusters,  # [r10-in-new]
+    # r7-checked tail rows (35): last driver-checked r7, 2 rounds stale
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # [r10-in-stale] r7
+    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,  # [r10-in-stale] r7
+    "docs_segment_dedup": q_docs_segment_dedup,  # [r10-in-stale] r7
+    "derive_columns": q_derive_columns,  # [r10-in-stale] r7
+    "json_props_extract": q_json_props_extract,  # [r10-in-stale] r7
+    "array_ops": q_array_ops,  # [r10-in-stale] r7
+    "conditional_buckets": q_conditional_buckets,  # [r10-in-stale] r7
+    "rollup_revenue": q_rollup_revenue,  # [r10-in-stale] r7
+    "except_rows": q_except_rows,  # [r10-in-stale] r7
+    "docs_pipeline_chain": q_docs_pipeline_chain,  # [r10-in-stale] r7
+    "dedup_clusters": q_dedup_clusters,  # [r10-in-stale] r7
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,  # [r10-in-stale] r7
+    "embedding_ivf_topk": q_embedding_ivf_topk,  # [r10-in-stale] r7
+    "events_asof_purchase": q_events_asof_purchase,  # [r10-in-stale] r7
+    "docs_decontaminate": q_docs_decontaminate,  # [r10-in-stale] r7
+    "docs_trim_spans": q_docs_trim_spans,  # [r10-in-stale] r7
+    "docs_duplicate_spans": q_docs_duplicate_spans,  # [r10-in-stale] r7
+    "events_retention": q_events_retention,  # [r10-in-stale] r7
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # [r10-in-stale] r7
+    "docs_zipf_slope": q_docs_zipf_slope,  # [r10-in-stale] r7
+    "events_funnel": q_events_funnel,  # [r10-in-stale] r7
+    "docs_split": q_docs_split,  # [r10-in-stale] r7
+    "docs_shuffle": q_docs_shuffle,  # [r10-in-stale] r7
+    "docs_mixture_sample": q_docs_mixture_sample,  # [r10-in-stale] r7
+    "docs_unigram_logprob": q_docs_unigram_logprob,  # [r10-in-stale] r7
+    "docs_tfidf_topk": q_docs_tfidf_topk,  # [r10-in-stale] r7
+    "docs_bm25": q_docs_bm25,  # [r10-in-stale] r7
+    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # [r10-in-stale] r7
+    "dedup_survivors": q_dedup_survivors,  # [r10-in-stale] r7
+    "events_in_windows": q_events_in_windows,  # [r10-in-stale] r7
+    "docs_pack_sequences": q_docs_pack_sequences,  # [r10-in-stale] r7
+    "docs_repetition": q_docs_repetition,  # [r10-in-stale] r7
+    "docs_pii_redact": q_docs_pii_redact,  # [r10-in-stale] r7
+    "embedding_quantize": q_embedding_quantize,  # [r10-in-stale] r7
+    "docs_weighted_sample": q_docs_weighted_sample,  # [r10-in-stale] r7
+    # window fill: r8-green returns, first 6 in registry order
+    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r10-in-return] r8
+    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r10-in-return] r8
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r10-in-return] r8
+    "docs_temperature_mixture": q_docs_temperature_mixture,  # [r10-in-return] r8
+    "docs_incremental_dedup": q_docs_incremental_dedup,  # [r10-in-return] r8
+    "docs_gopher_rules": q_docs_gopher_rules,  # [r10-in-return] r8
     # ---- tail (verified every session by tools/check_correctness.py) ----
-    # r7-checked remainder (35): rotate back r10 (2 rounds stale after r9)
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r7-green
-    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,  # r7-green
-    "docs_segment_dedup": q_docs_segment_dedup,  # r7-green
-    "derive_columns": q_derive_columns,  # r7-green
-    "json_props_extract": q_json_props_extract,  # r7-green
-    "array_ops": q_array_ops,  # r7-green
-    "conditional_buckets": q_conditional_buckets,  # r7-green
-    "rollup_revenue": q_rollup_revenue,  # r7-green
-    "except_rows": q_except_rows,  # r7-green
-    "docs_pipeline_chain": q_docs_pipeline_chain,  # r7-green
-    "dedup_clusters": q_dedup_clusters,  # r7-green
-    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,  # r7-green
-    "embedding_ivf_topk": q_embedding_ivf_topk,  # r7-green
-    "events_asof_purchase": q_events_asof_purchase,  # r7-green
-    "docs_decontaminate": q_docs_decontaminate,  # r7-green
-    "docs_trim_spans": q_docs_trim_spans,  # r7-green
-    "docs_duplicate_spans": q_docs_duplicate_spans,  # r7-green
-    "events_retention": q_events_retention,  # r7-green
-    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # r7-green
-    "docs_zipf_slope": q_docs_zipf_slope,  # r7-green
-    "events_funnel": q_events_funnel,  # r7-green
-    "docs_split": q_docs_split,  # r7-green
-    "docs_shuffle": q_docs_shuffle,  # r7-green
-    "docs_mixture_sample": q_docs_mixture_sample,  # r7-green
-    "docs_unigram_logprob": q_docs_unigram_logprob,  # r7-green
-    "docs_tfidf_topk": q_docs_tfidf_topk,  # r7-green
-    "docs_bm25": q_docs_bm25,  # r7-green
-    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # r7-green
-    "dedup_survivors": q_dedup_survivors,  # r7-green
-    "events_in_windows": q_events_in_windows,  # r7-green
-    "docs_pack_sequences": q_docs_pack_sequences,  # r7-green
-    "docs_repetition": q_docs_repetition,  # r7-green
-    "docs_pii_redact": q_docs_pii_redact,  # r7-green
-    "embedding_quantize": q_embedding_quantize,  # r7-green
-    "docs_weighted_sample": q_docs_weighted_sample,  # r7-green
-    # r8-checked (50): green in CORRECTNESS_r08, 1 round old
-    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # r8-green
-    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # r8-green
-    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # r8-green
-    "docs_temperature_mixture": q_docs_temperature_mixture,  # r8-green
-    "docs_incremental_dedup": q_docs_incremental_dedup,  # r8-green
-    "docs_gopher_rules": q_docs_gopher_rules,  # r8-green
+    # r8-checked remainder (44): green in CORRECTNESS_r08, rotate back r11
     "docs_curation_report": q_docs_curation_report,  # r8-green
     "docs_mixture_solver": q_docs_mixture_solver,  # r8-green
     "numeric_describe": q_numeric_describe,  # r8-green
@@ -2676,16 +2641,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily": q_events_daily,  # r8-green
     "simhash_near_pairs": q_simhash_near_pairs,  # r8-green
     "docs_llm_pipeline": q_docs_llm_pipeline,  # r8-green
-    # r9 late registrations (never driver-checked): rotate into r10 FIRST
-    "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # [r10-in-new]
-    "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # [r10-in-new]
-    "graph_ppr": q_graph_ppr,  # [r10-in-new]
-    "graph_link_predict": q_graph_link_predict,  # [r10-in-new]
-    "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
-    "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
-    "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
-    "embedding_hard_negatives": q_embedding_hard_negatives,  # [r10-in-new]
-    "docs_incremental_clusters": q_docs_incremental_clusters,  # [r10-in-new]
+    # r9 driver window (50): green in CORRECTNESS_r09, 1 round old
+    "docs_bpe_merges_80": q_docs_bpe_merges_80,  # r9-green
+    "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # r9-green
+    "docs_dup_window_frac": q_docs_dup_window_frac,  # r9-green
+    "graph_triangles": q_graph_triangles,  # r9-green
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,  # r9-green
+    "docs_contamination_frac": q_docs_contamination_frac,  # r9-green
+    "docs_oov_rate": q_docs_oov_rate,  # r9-green
+    "docs_decontaminate_spans": q_docs_decontaminate_spans,  # r9-green
+    "graph_kcore": q_graph_kcore,  # r9-green
+    "docs_pack_bfd": q_docs_pack_bfd,  # r9-green
+    "events_salted_join": q_events_salted_join,  # r9-green
+    "orders_join_size_est": q_orders_join_size_est,  # r9-green
+    "embedding_balanced_sample": q_embedding_balanced_sample,  # r9-green
+    "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # r9-green
+    "graph_lpa": q_graph_lpa,  # r9-green
+    "events_winsorized": q_events_winsorized,  # r9-green
+    "events_robust_anomalies": q_events_robust_anomalies,  # r9-green
+    "events_decayed_engagement": q_events_decayed_engagement,  # r9-green
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # r9-green
+    "ngram_jaccard": q_ngram_jaccard,  # r9-green
+    "embedding_near_dup": q_embedding_near_dup,  # r9-green
+    "row_wise_total": q_row_wise_total,  # r9-green
+    "date_format_labels": q_date_format_labels,  # r9-green
+    "filter_in_contains": q_filter_in_contains,  # r9-green
+    "state_undone": q_state_undone,  # r9-green
+    "sample_per_year": q_sample_per_year,  # r9-green
+    "events_weekly_by_type": q_events_weekly_by_type,  # r9-green
+    "token_frequency": q_token_frequency,  # r9-green
+    "price_histogram": q_price_histogram,  # r9-green
+    "column_profile": q_column_profile,  # r9-green
+    "correlation": q_correlation,  # r9-green
+    "events_pivot": q_events_pivot,  # r9-green
+    "nation_share": q_nation_share,  # r9-green
+    "order_status_counts": q_order_status_counts,  # r9-green
+    "customers_no_orders": q_customers_no_orders,  # r9-green
+    "graph_pagerank": q_graph_pagerank,  # r9-green
+    "events_zorder_key": q_events_zorder_key,  # r9-green
+    "events_hll_distinct": q_events_hll_distinct,  # r9-green
+    "events_kmv_overlap": q_events_kmv_overlap,  # r9-green
+    "docs_training_shards": q_docs_training_shards,  # r9-green
+    "embedding_ivf_pq_residual": q_embedding_ivf_pq_residual,  # r9-green
+    "filter_project": q_filter_project,  # r9-green
+    "dedup_first_wins": q_dedup_first_wins,  # r9-green
+    "pricing_summary": q_pricing_summary,  # r9-green
+    "region_revenue": q_region_revenue,  # r9-green
+    "events_lag_lead": q_events_lag_lead,  # r9-green
+    "docs_exact_dedup": q_docs_exact_dedup,  # r9-green
+    "docs_token_stats": q_docs_token_stats,  # r9-green
+    "docs_quality": q_docs_quality,  # r9-green
+    "docs_language": q_docs_language,  # r9-green
 }
 
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,7 +116,17 @@ def train_ivf_index(
     )
     fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
     os.makedirs(path, exist_ok=True)
-    gen_tag = f"g{len(scale.manifest_versions(path))}"
+    # Data-file naming (r10, ADVICE fix): derive the tag from the LIVE
+    # manifest's generation + 1 — not from len(manifest_versions()),
+    # which shrinks after vacuum_table drops old generation files and
+    # would re-issue a tag that live centroid files already carry —
+    # plus a per-writer unique suffix, so even two concurrent trainers
+    # that both read the same generation stage into DISJOINT file
+    # names: os.replace below can never overwrite a committed file.
+    prev_doc = scale._read_manifest_doc(path)
+    cur_gen = prev_doc["generation"] if prev_doc else None
+    next_gen = 0 if cur_gen is None else cur_gen + 1
+    gen_tag = f"g{next_gen}-{uuid.uuid4().hex[:8]}"
     staged = os.path.join(path, f"_staged-{gen_tag}")
     cents.coalesce(1).write.mode("overwrite").parquet(staged)
     live = []
@@ -135,7 +146,25 @@ def train_ivf_index(
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, _META))
-    scale.write_table_manifest(path, live)
+    # CAS commit (r10): a concurrent trainer that committed since this
+    # writer read the table loses loudly (ConcurrentCommitError) and
+    # its staged files stay orphans — cleaned by the next vacuum —
+    # instead of silently mutating the live artifact. A brand-new path
+    # (cur_gen is None) has no pointer to compare against; the unique
+    # gen_tag still keeps racing first-trainers' files disjoint, and
+    # both commit IDENTICAL content (same seeded k-means over the same
+    # fingerprinted corpus), so last-writer-wins is benign there.
+    try:
+        scale.write_table_manifest(
+            path, live, expect_generation=cur_gen
+        )
+    except scale.ConcurrentCommitError:
+        for f in live:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
     return cents
 
 

@@ -644,6 +644,19 @@ def hard_negatives(
         F.col(label_col).alias("c_label"),
         norm(F.col(vec_col)).alias("c_norm"),
     )
+    # NULL labels make the != join predicate NULL, silently dropping
+    # those rows from BOTH sides (r10, ADVICE fix) — refuse loudly
+    # instead, matching the snm_pairs / label_propagation NULL-key
+    # convention. One cheap aggregate per side (2 longs collected).
+    for side, name in ((q, "queries"), (c, "corpus")):
+        lbl = "q_label" if name == "queries" else "c_label"
+        n_null = side.filter(F.col(lbl).isNull()).limit(1).count()
+        if n_null:
+            raise ValueError(
+                f"hard_negatives: NULL label in {name}.{label_col!r} — "
+                "NULL != x is NULL, so such rows silently vanish from "
+                "the cross-label join; filter or impute labels first"
+            )
     denom = F.col("q_norm") * F.col("c_norm")
     cos = F.when(
         denom > 0, dot(F.col("q_vec"), F.col("c_vec")) / denom

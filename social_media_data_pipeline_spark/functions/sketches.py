@@ -293,6 +293,18 @@ def ngram_jaccard_pairs_prefix(
     aggregate (doc-freq) + per-doc array sort vs the naive join;
     verification joins are candidate-count-sized.
     """
+    # Threshold range guard (r10, ADVICE fix): t > 1 makes the prefix
+    # length n − ⌈t·n⌉ + 1 non-positive (obscure mid-job slice
+    # failure); t <= 0 silently degenerates the prefix to the whole
+    # set, i.e. the quadratic all-pairs join this operator exists to
+    # avoid. Same loud-refusal convention as the window/min_common
+    # guards elsewhere in this module.
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            "ngram_jaccard_pairs_prefix: threshold must be in (0, 1], "
+            f"got {threshold!r} — t > 1 yields a non-positive prefix "
+            "length and t <= 0 degenerates to the all-pairs join"
+        )
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(text_col, shingle_k)).alias("shingle"),

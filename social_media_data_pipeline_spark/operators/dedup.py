@@ -1032,6 +1032,25 @@ def snm_pairs(
     keyed = df.select(
         F.col(id_col).alias("rid"), key.cast("string").alias("__k")
     ).withColumn("__b", F.substring("__k", 1, bucket_prefix_len))
+    # Duplicate ids tie in the (key, rid) row_number order (r10, ADVICE
+    # fix): two rows with the same (key, id) are indistinguishable to
+    # the sort, so the global positions — and the emitted pairs/dist
+    # values — become run-order-dependent. Refuse loudly, the same
+    # hazard class (and the same fix) as negative_pairs' duplicate-
+    # anchor refusal; dedup the id column upstream first.
+    dup = (
+        keyed.groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"snm_pairs: duplicate id {dup[0]['rid']!r} in column "
+            f"{id_col!r} — duplicate (key, id) rows make the global "
+            "sort positions nondeterministic; dedup ids before calling"
+        )
     counts = keyed.groupBy("__b").count().collect()
     # NULL keys have no place in a sort order: they would land in a
     # NULL bucket whose Python-side offset sort throws an obscure

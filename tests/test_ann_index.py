@@ -114,3 +114,92 @@ class TestIvfIndexLifecycle:
         f1 = ann_index.corpus_fingerprint(emb)
         f2 = ann_index.corpus_fingerprint(emb.orderBy(F.desc("vec_id")))
         assert f1 == f2 and f1["n"] == 64
+
+
+class TestTrainCommitSafety:
+    """r10 ADVICE regression: retrain after vacuum (or a racing
+    trainer) must never reuse a live generation tag and os.replace a
+    committed centroid file in place — the crash-safety claim is that
+    the previous generation stays live and BYTE-IDENTICAL until the
+    manifest flip, and forever after for readers pinned to it."""
+
+    def _bump(self, emb, delta):
+        return emb.withColumn(
+            "embedding", F.transform("embedding", lambda x: x + F.lit(delta))
+        )
+
+    def test_retrain_after_vacuum_never_overwrites_live_files(
+        self, spark, emb
+    ):
+        from social_media_data_pipeline_spark import scale
+
+        tag = "unit:emb"
+        params = {"k": 4, "iters": 2, "id_col": "vec_id",
+                  "vec_col": "embedding"}
+        ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        path = ann_index.ivf_index_path(tag, params)
+        ann_index.ivf_centroids_for(self._bump(emb, 1.0), tag, k=4, iters=2)
+        # drop gen-0 history: the old len(manifest_versions())-derived
+        # tag would now collide with the LIVE generation's files
+        scale.vacuum_table(path, keep_generations=1, grace_seconds=0)
+        live = scale.read_table_manifest(path)
+        assert live, "live manifest must survive vacuum"
+        before = {
+            f: open(os.path.join(path, os.path.basename(f)), "rb").read()
+            for f in live
+        }
+        ann_index.ivf_centroids_for(self._bump(emb, 2.0), tag, k=4, iters=2)
+        for f, blob in before.items():
+            fp = os.path.join(path, os.path.basename(f))
+            assert os.path.exists(fp), f"live file {f} deleted by retrain"
+            assert open(fp, "rb").read() == blob, (
+                f"live file {f} mutated in place by retrain"
+            )
+        # and the new commit is a NEW generation readable via manifest
+        new_live = scale.read_table_manifest(path)
+        assert new_live and set(new_live).isdisjoint(set(before))
+
+    def test_concurrent_trainer_loses_loudly_and_unstages(
+        self, spark, emb
+    ):
+        from social_media_data_pipeline_spark import scale
+
+        tag = "unit:emb"
+        params = {"k": 4, "iters": 2, "id_col": "vec_id",
+                  "vec_col": "embedding"}
+        ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        path = ann_index.ivf_index_path(tag, params)
+        live0 = sorted(scale.read_table_manifest(path))
+        # simulate a writer that lands between this trainer's manifest
+        # read and its commit: steal the CAS by bumping the pointer
+        # from inside the fingerprint scan (which train_ivf_index runs
+        # before reading the generation? no — fingerprint is passed in;
+        # patch write_table_manifest's first call window via a stolen
+        # generation file)
+        real_read = scale._read_manifest_doc
+
+        def stolen_read(p, version=None):
+            doc = real_read(p, version)
+            if p == path and not getattr(stolen_read, "_done", False):
+                stolen_read._done = True
+                # concurrent winner commits AFTER our read
+                scale.write_table_manifest(
+                    p, scale.read_table_manifest(p),
+                    expect_generation=doc["generation"],
+                )
+            return doc
+
+        orig = scale._read_manifest_doc
+        scale._read_manifest_doc = stolen_read
+        try:
+            with pytest.raises(scale.ConcurrentCommitError):
+                ann_index.train_ivf_index(
+                    self._bump(emb, 1.0), path, k=4, iters=2
+                )
+        finally:
+            scale._read_manifest_doc = orig
+        # loser un-staged: the winner's live set is intact and no
+        # loser parquet is referenced by the live manifest
+        assert sorted(scale.read_table_manifest(path)) == live0
+        for f in live0:
+            assert os.path.exists(os.path.join(path, os.path.basename(f)))

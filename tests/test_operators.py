@@ -967,6 +967,20 @@ class TestSnmPairs:
         with _pytest.raises(ValueError, match="bucket_prefix_len"):
             snm_pairs(one, "rid", "key", bucket_prefix_len=0)
 
+
+    def test_duplicate_ids_refused(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        import pytest as _pytest
+
+        # duplicate (key, id) rows tie in the row_number order, making
+        # global positions run-order-dependent (r10 ADVICE fix)
+        df = spark.createDataFrame(
+            [(1, "aa"), (1, "aa"), (2, "ab")], "rid long, key string"
+        )
+        with _pytest.raises(ValueError, match="duplicate id"):
+            snm_pairs(df, "rid", "key")
+
     def test_near_dup_titles_meet(self, spark):
         from social_media_data_pipeline_spark.operators.dedup import snm_pairs
 

@@ -1152,6 +1152,24 @@ class TestPrefixFilterJaccard:
         assert pref == naive == {(1, 2, 1.0)}
 
 
+
+    def test_threshold_range_guard(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.functions import sketches as sk
+
+        df = spark.createDataFrame(
+            [(1, "abcdef"), (2, "abcdeg")], "doc_id long, text string"
+        )
+        # t > 1 => non-positive prefix length; t <= 0 => quadratic
+        # all-pairs degeneration (r10 ADVICE fix) — both refused
+        for bad in (0.0, -0.5, 1.5):
+            with _pytest.raises(ValueError, match="threshold"):
+                sk.ngram_jaccard_pairs_prefix(
+                    df, "doc_id", "text", threshold=bad
+                )
+
+
 class TestHardNegatives:
     def _emb(self, spark):
         import math
@@ -1195,6 +1213,21 @@ class TestHardNegatives:
         # cos(22.5°) ≈ 0.924 > 0.9: vector 1 (the near-dup-with-wrong-
         # label case) is filtered; next-hardest odd labels remain
         assert got == [3, 5, 7]
+
+
+    def test_null_label_refused(self, spark):
+        from social_media_data_pipeline_spark.functions.similarity import (
+            hard_negatives,
+        )
+
+        emb = self._emb(spark)
+        nulled = emb.withColumn(
+            "label", F.when(F.col("vec_id") == 3, None).otherwise(F.col("label"))
+        )
+        with pytest.raises(ValueError, match="NULL label"):
+            hard_negatives(emb.filter("vec_id = 0"), nulled, k=3).collect()
+        with pytest.raises(ValueError, match="NULL label"):
+            hard_negatives(nulled.filter("vec_id = 3"), emb, k=3).collect()
 
     def test_matches_brute_reference(self, spark):
         import math
