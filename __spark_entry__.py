@@ -1028,6 +1028,35 @@ def q_embedding_balanced_sample_persisted(spark: SparkSession, sf_dir: str) -> D
     return out.select("vec_id", "cluster").orderBy("vec_id")
 
 
+def q_embedding_ivf_multiprobe_searched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production ANN stack, amortized (r10): residual IVF-PQ
+    multiprobe search reading BOTH persisted trained artifacts — the
+    manifest-committed IVF centroids (`ann_index.ivf_centroids_for`)
+    and the manifest-committed residual codebook
+    (`ann_index.pq_residual_codebook_for`) — instead of re-running
+    5 Lloyd rounds + 8 subspace k-means per query like the full-cycle
+    `embedding_ivf_pq_residual` sibling (8.6-11 s at sf0.1). First
+    invocation trains and commits both artifacts; every later one pays
+    two corpus-fingerprint aggregates + two tiny parquet reads
+    (reference analog: DIRAdapter.py:20-76 loads its trained model
+    once). probes=4 — the multiprobe recall lever over the persisted
+    cells. The oracle REPLAYS both trainings in SQL (kmeans chain →
+    residual CTE → pq-kmeans chain → multiprobe ADC), which also
+    proves the two cache paths bit-match a fresh train."""
+    from social_media_data_pipeline_spark.functions import ann_index, pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = _os.path.abspath(sf_dir) + ":embeddings"
+    centroids = ann_index.ivf_centroids_for(emb, tag, iters=5)
+    codebook = ann_index.pq_residual_codebook_for(
+        emb, tag, ivf_iters=5, m=8, ksub=16, iters=3
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq.ivf_pq_residual_topk(
+        queries, emb, centroids, k=5, probes=4, codebook=codebook
+    ).orderBy("query_id", "rank")
+
+
 def q_embedding_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-k over a TRAINED codebook: per-subspace Lloyd k-means
     (`pq.pq_codebook_kmeans`, 3 rounds, all 8 subspaces batched per
@@ -1655,6 +1684,29 @@ def q_docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-rank over the vocabulary (`functions/text.py:zipf_slope`)."""
     docs = _t(spark, sf_dir, "documents")
     return etext.zipf_slope(docs, "text")
+
+
+def q_docs_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution flagship
+    (`operators/dedup.py:entity_resolution_clusters`): candidates from
+    BOTH blind-spot-complementary generators — the lossless prefix-
+    filter Jaccard join (content duplication, exact >= 0.6) ∪
+    sorted-neighborhood blocking (typo variants with no token overlap,
+    verified by Levenshtein <= 4 on the 32-char normalized keys) —
+    then connected components via the INCREMENTAL maintenance path
+    (2 ordered edge chunks through `graph.incremental_components`).
+    The oracle is the full reachability recursion over the complete
+    verified edge set, so one lost candidate, one wrong verifier
+    decision, or any incremental-vs-full divergence hash-mismatches.
+    The ER mirror of `docs_llm_pipeline` (reference analog: dedup is
+    the reference's first preprocessing stage, Preprocessor.py:115-116,
+    generalized to near-dup entities)."""
+    from social_media_data_pipeline_spark.operators.dedup import (
+        entity_resolution_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return entity_resolution_clusters(docs).orderBy("doc_id")
 
 
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2692,6 +2744,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,  # r9-green
     "docs_quality": q_docs_quality,  # r9-green
     "docs_language": q_docs_language,  # r9-green
+    # r10 registrations (never driver-checked): rotate into r11 FIRST
+    "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
+    "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
 }
 
 

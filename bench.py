@@ -156,6 +156,14 @@ HEADLINE = [
     "docs_snm_pairs",
     "docs_negative_pairs",
     "embedding_hard_negatives",
+    # round 10: the full amortized ANN stack — residual IVF-PQ
+    # multiprobe search over BOTH persisted artifacts (centroids +
+    # residual codebook); steady state is two fingerprint scans + two
+    # tiny artifact reads + the broadcast search
+    "embedding_ivf_multiprobe_searched",
+    # round 10: the ER flagship — dual-channel candidates -> verify ->
+    # incremental CC (edge set + per-batch labels pin at construction)
+    "docs_entity_resolution",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -178,6 +186,10 @@ ITERATIVE = {
     # cold artifact) runs at construction
     "embedding_ivf_search_persisted",
     "embedding_balanced_sample_persisted",
+    "embedding_ivf_multiprobe_searched",
+    # ER flagship: snm rank table, edge-set pin and per-chunk CC labels
+    # all materialize at construction
+    "docs_entity_resolution",
     # triangle counting pins the undirected + oriented edge sets at
     # construction (localCheckpoint)
     "graph_triangles",

@@ -2259,6 +2259,83 @@ QUALIFY rank <= 5
 ORDER BY query_id, rank"""
 )
 
+# embedding_ivf_multiprobe_searched (r10): the Spark side reads BOTH
+# persisted artifacts (manifest-committed centroids + residual
+# codebook); this oracle replays BOTH trainings — kmeans centroid
+# chain -> assignment -> residual CTE -> pq-kmeans codeword chain —
+# then the MULTIPROBE ADC body: queries probe their top-4 cells
+# (rn <= 4, the ivf_assign_multiprobe mirror) and compare via their
+# PER-PROBED-CELL residual (Jégou 2011 §IV-A: a query's residual is
+# cell-relative). A neighbor lives in exactly one cell, so the
+# (query, neighbor) ADC sum never double-counts across probes.
+# Hash-match here proves the two persisted cache paths are
+# bit-identical to a fresh train.
+ORACLES["embedding_ivf_multiprobe_searched"] = (
+    _kmeans_cent_cte(iters=5)
+    + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), assigned AS MATERIALIZED (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), resid_t AS MATERIALIZED (
+    SELECT a.vec_id, a.cluster,
+           list_transform(generate_series(1, 64), i -> a.vec[i] - c.c_vec[i]) AS embedding
+    FROM assigned a JOIN cent c ON c.centroid_id = a.cluster
+)"""
+    + _pq_kmeans_chain(m=8, ksub=16, iters=3, table="resid_t", continue_chain=True)
+    + f"""
+, rsubs AS MATERIALIZED (
+    SELECT vec_id, cluster, j, list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sub
+    FROM resid_t, (SELECT unnest(generate_series(0, 7)) AS j) js2
+), rdists AS (
+    SELECT rsubs.vec_id, rsubs.cluster, rsubs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM rsubs JOIN cw ON rsubs.j = cw.j
+), rcodes AS MATERIALIZED (
+    SELECT vec_id, cluster, j, c AS code
+    FROM rdists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+), qprobe AS MATERIALIZED (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    WHERE vec_id < 5
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) <= 4
+), qres AS MATERIALIZED (
+    SELECT q.vec_id, q.cluster,
+           list_transform(generate_series(1, 64), i -> q.vec[i] - c.c_vec[i]) AS embedding
+    FROM qprobe q JOIN cent c ON c.centroid_id = q.cluster
+), qsubs AS MATERIALIZED (
+    SELECT vec_id, cluster, j, list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sub
+    FROM qres, (SELECT unnest(generate_series(0, 7)) AS j) js3
+), adc_terms AS (
+    SELECT qs.vec_id AS query_id, rcodes.vec_id AS neighbor_id, rcodes.j,
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
+    FROM rcodes
+    JOIN cw ON cw.j = rcodes.j AND cw.c = rcodes.code
+    JOIN qsubs qs ON qs.j = rcodes.j AND qs.cluster = rcodes.cluster
+    WHERE qs.vec_id <> rcodes.vec_id
+), adc AS (
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= 5
+ORDER BY query_id, rank"""
+)
+
 # docs_gopher_rules: the Rae et al. 2021 Appendix-A document rules as
 # the same rounded expressions over one token split
 ORACLES["docs_gopher_rules"] = f"""
@@ -2952,6 +3029,57 @@ WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
 ORDER BY id_a, id_b
 """
 
+
+# docs_entity_resolution (r10 ER flagship): the full reachability
+# recursion over the COMPLETE verified edge set — jp = exact-Jaccard
+# pairs >= 0.6 (the prefix channel's lossless target), sp = sorted-
+# neighborhood candidates (global ROW_NUMBER rank distance <= 4)
+# verified by levenshtein <= 4 on the 32-char normalized keys. The
+# Spark side unions the two generators and clusters through the
+# INCREMENTAL maintenance path in 2 chunks, so this oracle tries the
+# candidate completeness of both channels, both verifiers, AND the
+# incremental ≡ full-recompute identity at once.
+ORACLES["docs_entity_resolution"] = f"""
+WITH RECURSIVE sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+), jp AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+), p AS (
+    SELECT doc_id, substr({_NORM}, 1, 32) AS k,
+           ROW_NUMBER() OVER (ORDER BY substr({_NORM}, 1, 32), doc_id) AS pos
+    FROM documents
+), sp AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos <= 4
+    WHERE levenshtein(a.k, b.k) <= 4
+), edges AS (
+    SELECT id_a, id_b FROM jp
+    UNION
+    SELECT id_a, id_b FROM sp
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM edges
+    UNION
+    SELECT id_b AS a, id_a AS b FROM edges
+), reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.a AS node, reach.r AS r FROM sym s JOIN reach ON s.b = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component, (node = MIN(r)) AS is_canonical
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
 
 # docs_snm_pairs: sorted-neighborhood blocking — the oracle IS the
 # definition (global ROW_NUMBER over (key-prefix, id) + rank-distance

@@ -440,6 +440,39 @@ def build_pq_kmeans_chain_sql(
     return "".join(parts)
 
 
+def residual_table(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, __resid): each vector's IVF cell and its residual
+    vector − cell centroid — the training input for the residual PQ
+    codebook and the encode input of `ivf_pq_residual_topk`.
+    Assignment is map-side (broadcast centroid row via `ivf_assign`);
+    the residual is a zip_with projection — no shuffle."""
+    from social_media_data_pipeline_spark.functions.similarity import (
+        ivf_assign,
+    )
+
+    cents = centroids.select(
+        F.col(id_col).cast("int").alias("cluster"),
+        F.col(vec_col).alias("__cent"),
+    )
+    return (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .join(F.broadcast(cents), "cluster")
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with(
+                F.col(vec_col), F.col("__cent"),
+                lambda a, b: (a - b).cast("double"),
+            ).alias("__resid"),
+        )
+    )
+
+
 def ivf_pq_residual_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -451,6 +484,7 @@ def ivf_pq_residual_topk(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """FULL residual IVF-PQ (Jégou et al. 2011 §IV-A): the codebook
     quantizes RESIDUALS (vector − its cell centroid), not raw vectors —
@@ -467,6 +501,12 @@ def ivf_pq_residual_topk(
     literal-codebook expressions, candidates = cluster-equi join
     against ≤`probes` cells, per-query top-k the only window. Recall is
     MEASURED against brute force in `tools/ann_recall.py`.
+
+    `codebook` (r10): a pre-trained residual codebook (the nested-list
+    shape `pq_codebook_kmeans` returns, e.g. loaded from the persisted
+    `ann_index.pq_residual_codebook_for` artifact) skips the per-call
+    Lloyd training — the train-once/search-many path; `m` and `ksub`
+    are then taken from its shape and `iters` is ignored.
     """
     from pyspark.sql.window import Window
 
@@ -482,14 +522,14 @@ def ivf_pq_residual_topk(
     _res = lambda v: F.zip_with(  # noqa: E731
         v, F.col("__cent"), lambda a, b: (a - b).cast("double")
     )
-    c_res = (
-        ivf_assign(corpus, centroids, id_col, vec_col)
-        .join(F.broadcast(cents), "cluster")
-        .select(id_col, "cluster", _res(F.col(vec_col)).alias("__resid"))
-    )
-    codebook = pq_codebook_kmeans(
-        c_res, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="__resid"
-    )
+    c_res = residual_table(corpus, centroids, id_col, vec_col)
+    if codebook is None:
+        codebook = pq_codebook_kmeans(
+            c_res, m=m, ksub=ksub, iters=iters, id_col=id_col,
+            vec_col="__resid",
+        )
+    else:
+        m = len(codebook)
     codes = pq_encode(c_res, codebook, id_col, "__resid", keep_cols=["cluster"]).select(
         F.col(id_col).alias("neighbor_id"), "cluster", "codes"
     )

@@ -985,12 +985,62 @@ def decontaminate_spans(
     )
 
 
+def _snm_bucket_prefix(
+    keyed: DataFrame,
+    plen: int,
+    hot_share: float | None,
+    max_prefix_len: int,
+    key_col,
+) -> tuple[int, list]:
+    """Heavy-hitter probe for the SNM bucketing (r10, the
+    `salted_join_auto` mirror): the per-bucket count aggregate
+    `snm_pairs` needs anyway doubles as the skew detector. While the
+    largest bucket holds more than `hot_share` of all rows, DOUBLE the
+    key-prefix length (longer order-preserving prefix → finer buckets
+    → the rank window re-localizes) and re-probe — one extra bounded
+    aggregate per raise. Stops when balanced, at `max_prefix_len`, or
+    when raising stopped shrinking the hot bucket (an EXACT-key mass:
+    identical keys share every prefix, and rows with equal sort keys
+    must rank inside one window partition under any order-preserving
+    scheme — that residual is inherent to rank computation, not to
+    this decomposition; dedup identical keys upstream if it bites).
+    Returns (chosen_prefix_len, bucket-count rows at that length)."""
+    prev_max = None
+    while True:
+        counts = (
+            keyed.groupBy(F.substring("__k", 1, plen).alias("__b"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .collect()
+        )
+        # NULL keys have no place in a sort order: they would land in a
+        # NULL bucket whose Python-side offset sort throws an obscure
+        # TypeError (None vs str) — refuse loudly instead (the
+        # null_normalize / mixture-group convention)
+        if any(r["__b"] is None for r in counts):
+            raise ValueError(
+                f"snm_pairs: NULL sort key in column {key_col!r} — "
+                "null_normalize or filter null keys before calling"
+            )
+        if hot_share is None or not counts:
+            return plen, counts
+        total = sum(r["count"] for r in counts)
+        mx = max(r["count"] for r in counts)
+        if mx <= hot_share * total or plen >= max_prefix_len:
+            return plen, counts
+        if prev_max is not None and mx >= prev_max:
+            return plen, counts
+        prev_max = mx
+        plen = min(max_prefix_len, plen * 2)
+
+
 def snm_pairs(
     df: DataFrame,
     id_col: str,
     key_col: str | Column,
     window: int = 5,
     bucket_prefix_len: int = 2,
+    hot_share: float | None = 0.25,
+    max_prefix_len: int = 12,
 ) -> DataFrame:
     """Sorted-neighborhood candidate pairs (Hernández–Stolfo 1995 "The
     merge/purge problem") → (id_a, id_b, dist): every pair of records
@@ -1017,9 +1067,17 @@ def snm_pairs(
     Contracts: the key must be a STRING (cast numerics; byte-wise
     ordering must agree between Spark, Python's `sorted`, and the SQL
     oracle — ASCII keys, e.g. `normalize_text` output, are safe). A
-    corpus-hot key prefix concentrates one bucket's window — raise
-    `bucket_prefix_len` to re-localize (the knob trades collect size,
-    ≤ charset^len rows, for balance).
+    corpus-hot key prefix concentrates one bucket's window — the
+    default-on heavy-hitter probe (r10, the `salted_join_auto`
+    mirror) detects it from the bucket-count aggregate this
+    decomposition collects anyway and DOUBLES the prefix length until
+    no bucket holds more than `hot_share` of rows (or
+    `max_prefix_len`, or the mass is an exact-key tie that no
+    order-preserving scheme can split — see `_snm_bucket_prefix`).
+    `hot_share=None` pins the prefix at `bucket_prefix_len` (the
+    pre-r10 fixed behavior). The chosen length trades collect size
+    (≤ distinct prefixes) for balance; output is IDENTICAL under any
+    length — buckets only localize the rank computation.
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -1031,7 +1089,7 @@ def snm_pairs(
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     keyed = df.select(
         F.col(id_col).alias("rid"), key.cast("string").alias("__k")
-    ).withColumn("__b", F.substring("__k", 1, bucket_prefix_len))
+    )
     # Duplicate ids tie in the (key, rid) row_number order (r10, ADVICE
     # fix): two rows with the same (key, id) are indistinguishable to
     # the sort, so the global positions — and the emitted pairs/dist
@@ -1051,16 +1109,10 @@ def snm_pairs(
             f"{id_col!r} — duplicate (key, id) rows make the global "
             "sort positions nondeterministic; dedup ids before calling"
         )
-    counts = keyed.groupBy("__b").count().collect()
-    # NULL keys have no place in a sort order: they would land in a
-    # NULL bucket whose Python-side offset sort throws an obscure
-    # TypeError (None vs str) — refuse loudly instead (the
-    # null_normalize / mixture-group convention)
-    if any(r["__b"] is None for r in counts):
-        raise ValueError(
-            f"snm_pairs: NULL sort key in column {key_col!r} — "
-            "null_normalize or filter null keys before calling"
-        )
+    plen, counts = _snm_bucket_prefix(
+        keyed, bucket_prefix_len, hot_share, max_prefix_len, key_col
+    )
+    keyed = keyed.withColumn("__b", F.substring("__k", 1, plen))
     offsets, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["__b"]):
         offsets[r["__b"]] = acc
@@ -1098,4 +1150,95 @@ def snm_pairs(
             "id_a", "id_b",
             (F.col("__pb") - F.col("__pa")).cast("int").alias("dist"),
         )
+    )
+
+
+def entity_resolution_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+    key_len: int = 32,
+    window: int = 5,
+    max_key_edit: int = 4,
+    batches: int = 2,
+) -> DataFrame:
+    """Entity-resolution flagship (r10): candidate generation from TWO
+    complementary channels → channel-specific exact verification →
+    connected components via the INCREMENTAL maintenance path →
+    (id, component, is_canonical) for every input row. The ER mirror
+    of the `docs_llm_pipeline` corpus flagship: dedup is the
+    reference's first preprocessing stage (`Preprocessor.py:115-116`),
+    here generalized from exact-key drop_duplicates to near-dup
+    entity clusters.
+
+    Channels (the similarity-join decision rule, SCALING.md r10):
+
+    - CONTENT duplication: `ngram_jaccard_pairs_prefix` — the lossless
+      SSJoin prefix filter, exact Jaccard >= `jaccard_threshold`
+      verified by construction (candidates ⊇ all true pairs, then the
+      exact intersection join).
+    - SORT-ADJACENT typo variants: `snm_pairs` over the `key_len`-char
+      normalized-text prefix — catches near-dups with NO token overlap
+      (shingle methods are blind there) — verified by Levenshtein
+      distance <= `max_key_edit` on the sort keys, a candidate-count-
+      sized projection (never corpus-quadratic).
+
+    The union de-dups pairs found by both channels, then the edges
+    stream through `graph.incremental_components` in `batches` ordered
+    chunks — the continuously-maintained-cluster path a production ER
+    store runs — and the differential oracle is the FULL reachability
+    recursion over the complete verified edge set, so the identity
+    "incremental ≡ recompute-from-scratch" is checked alongside both
+    channels' candidate completeness and both verifiers.
+
+    Scale shape (100 TB): both generators are measured-flat under
+    planted hot-key skew (SCALING r9/r10 tables: prefix 0.91×, snm
+    auto-rebalanced); the verify joins touch candidate pairs only; the
+    edge set is pinned (localCheckpoint) because both the chunk filter
+    and every CC round consume it; per-batch CC cost ∝ affected
+    subgraph (the `incremental_components` economics). Rows never in
+    any pair pass through as singleton components via the left join —
+    no shuffle grows beyond candidate volume.
+    """
+    from social_media_data_pipeline_spark.functions import graph, sketches
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    if batches < 1:
+        raise ValueError(f"batches must be >= 1, got {batches}")
+    key = F.substring(normalize_text(text_col), 1, key_len)
+    j_pairs = sketches.ngram_jaccard_pairs_prefix(
+        df, id_col, text_col, shingle_k=shingle_k,
+        threshold=jaccard_threshold,
+    ).select("id_a", "id_b")
+    snm_cand = snm_pairs(df, id_col, key, window=window)
+    keys = df.select(F.col(id_col), key.alias("__key"))
+    ka = keys.select(F.col(id_col).alias("id_a"), F.col("__key").alias("__ka"))
+    kb = keys.select(F.col(id_col).alias("id_b"), F.col("__key").alias("__kb"))
+    s_pairs = (
+        snm_cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .filter(F.levenshtein("__ka", "__kb") <= max_key_edit)
+        .select("id_a", "id_b")
+    )
+    edges = (
+        j_pairs.unionByName(s_pairs).distinct().localCheckpoint(eager=True)
+    )
+    labels = None
+    for c in range(batches):
+        chunk = edges.filter(
+            F.pmod(F.col("id_a") + F.col("id_b"), F.lit(batches)) == c
+        )
+        labels = graph.incremental_components(labels, chunk).localCheckpoint(
+            eager=True
+        )
+    out = df.select(F.col(id_col)).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    out = out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return out.withColumn(
+        "is_canonical", F.col("component") == F.col(id_col)
     )

@@ -203,3 +203,72 @@ class TestTrainCommitSafety:
         assert sorted(scale.read_table_manifest(path)) == live0
         for f in live0:
             assert os.path.exists(os.path.join(path, os.path.basename(f)))
+
+
+class TestPqCodebookLifecycle:
+    """r10: the persisted residual-PQ codebook — second trained
+    artifact through the same meta-stamp + manifest-CAS commit path."""
+
+    def test_get_or_train_caches_and_matches_fresh_train(self, spark, emb):
+        from social_media_data_pipeline_spark.functions import pq
+
+        tag = "unit:emb"
+        cb1 = ann_index.pq_residual_codebook_for(
+            emb, tag, ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2
+        )
+        params = {
+            "ivf_k": 4, "ivf_iters": 2, "m": 2, "ksub": 4, "iters": 2,
+            "id_col": "vec_id", "vec_col": "embedding",
+        }
+        path = ann_index.pq_index_path(tag, params)
+        assert os.path.exists(os.path.join(path, "_manifest.json"))
+        meta = os.path.join(path, ann_index._META)
+        t0 = os.path.getmtime(meta)
+        cb2 = ann_index.pq_residual_codebook_for(
+            emb, tag, ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2
+        )
+        assert os.path.getmtime(meta) == t0, "second call must cache-hit"
+        # bit-identical to a fresh in-process train on the same
+        # residuals (float lists compare exactly: micro-int/1e6 doubles
+        # round-trip parquet bit-for-bit)
+        cents = ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        fresh = pq.pq_codebook_kmeans(
+            pq.residual_table(emb, cents), m=2, ksub=4, iters=2,
+            vec_col="__resid",
+        )
+        assert cb1 == fresh and cb2 == fresh
+
+    def test_corpus_change_forces_retrain(self, spark, emb):
+        tag = "unit:emb"
+        cb1 = ann_index.pq_residual_codebook_for(
+            emb, tag, ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2
+        )
+        emb2 = emb.withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x * F.lit(2.0)),
+        )
+        cb2 = ann_index.pq_residual_codebook_for(
+            emb2, tag, ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2
+        )
+        assert cb1 != cb2, "moved fingerprint must retrain"
+
+    def test_searched_query_matches_full_cycle(self, spark, emb):
+        from social_media_data_pipeline_spark.functions import pq
+
+        tag = "unit:emb"
+        cents = ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        cb = ann_index.pq_residual_codebook_for(
+            emb, tag, ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2
+        )
+        queries = emb.filter("vec_id < 3")
+        searched = pq.ivf_pq_residual_topk(
+            queries, emb, cents, k=3, probes=2, codebook=cb
+        )
+        full = pq.ivf_pq_residual_topk(
+            queries, emb, cents, m=2, ksub=4, iters=2, k=3, probes=2
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+            for r in df.collect()
+        )
+        assert key(searched) == key(full)

@@ -968,6 +968,59 @@ class TestSnmPairs:
             snm_pairs(one, "rid", "key", bucket_prefix_len=0)
 
 
+
+    def test_auto_hot_prefix_rebalances(self, spark):
+        """r10: the default-on heavy-hitter probe — a corpus-hot 2-char
+        key prefix must raise the bucket prefix length until no bucket
+        holds more than hot_share of rows, and the emitted pairs are
+        IDENTICAL to the fixed-prefix run (buckets only localize the
+        rank computation)."""
+        from social_media_data_pipeline_spark.operators.dedup import (
+            _snm_bucket_prefix,
+            snm_pairs,
+        )
+
+        # 80% of keys share the "aa" prefix but spread at chars 3-4;
+        # the rest spread across other prefixes
+        rows = [(i, f"aa{i % 16:02d}x") for i in range(80)] + [
+            (100 + i, f"{chr(98 + i % 8)}k{i:02d}") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        keyed = df.select(
+            F.col("rid"), F.col("key").cast("string").alias("__k")
+        )
+        plen, counts = _snm_bucket_prefix(keyed, 2, 0.25, 12, "key")
+        assert plen > 2, "hot prefix must raise the bucket length"
+        mx = max(r["count"] for r in counts)
+        assert mx <= 0.25 * 100, f"largest bucket still hot: {mx}"
+        auto = {
+            (r.id_a, r.id_b, r.dist)
+            for r in snm_pairs(df, "rid", "key", window=4).collect()
+        }
+        fixed = {
+            (r.id_a, r.id_b, r.dist)
+            for r in snm_pairs(
+                df, "rid", "key", window=4, hot_share=None
+            ).collect()
+        }
+        assert auto == fixed and len(auto) > 0
+
+    def test_auto_probe_stops_on_exact_key_mass(self, spark):
+        """Identical keys share every prefix — the probe must detect
+        that raising stopped helping and terminate (the inherent
+        equal-sort-key residual), still producing correct pairs."""
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        rows = [(i, "samekey") for i in range(40)] + [(50, "zz")]
+        df = spark.createDataFrame(rows, "rid long, key string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in snm_pairs(df, "rid", "key", window=2).collect()
+        }
+        # adjacent pairs under (key, rid): (0,1)..(38,39),(39,50)
+        want = {(i, i + 1) for i in range(39)} | {(39, 50)}
+        assert got == want
+
     def test_duplicate_ids_refused(self, spark):
         from social_media_data_pipeline_spark.operators.dedup import snm_pairs
 
@@ -1098,3 +1151,74 @@ class TestR9LoudRefusals:
         )
         with _pytest.raises(ValueError, match="duplicate ids"):
             negative_pairs(df, "doc_id", k=1)
+
+
+class TestEntityResolution:
+    """r10 ER flagship: dual-channel candidates -> verify ->
+    incremental CC. The channels must catch each other's blind spots."""
+
+    def test_clusters_merge_both_channels(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            entity_resolution_clusters,
+        )
+
+        base = "quarterly revenue review for the northern region office"
+        rows = [
+            # content-dup pair: high shingle overlap (jaccard channel)
+            (1, base + " draft one final"),
+            (2, base + " draft one FINAL"),
+            # typo variants: sort-adjacent, tiny key edit (snm channel)
+            (3, "smith john 1985 account ledger entry"),
+            (4, "smyth john 1985 account ledger entry"),
+            # singleton
+            (5, "completely unrelated gardening notes tomatoes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.component, r.is_canonical)
+            for r in entity_resolution_clusters(
+                df, jaccard_threshold=0.6, window=2
+            ).collect()
+        }
+        assert got[1] == (1, True) and got[2] == (1, False)
+        assert got[3] == (3, True) and got[4] == (3, False)
+        assert got[5] == (5, True)
+        # transitive closure across channels: 1-2 by content, and a
+        # typo variant of 2's text links 6 into the same component
+        rows2 = rows + [(6, base + " draft one FINAJ")]
+        df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+        got2 = {
+            r.doc_id: r.component
+            for r in entity_resolution_clusters(
+                df2, jaccard_threshold=0.6, window=2
+            ).collect()
+        }
+        assert got2[6] == got2[1] == got2[2] == 1
+
+    def test_matches_full_recompute(self, spark):
+        """incremental batching inside the flagship ≡ one-shot CC."""
+        from social_media_data_pipeline_spark.functions import graph
+        from social_media_data_pipeline_spark.operators.dedup import (
+            entity_resolution_clusters,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = []
+        for i in range(30):
+            base = " ".join(rng.choices(words, k=12))
+            rows.append((2 * i, base))
+            if rng.random() < 0.5:
+                rows.append((2 * i + 1, base + " tail"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        one = {
+            (r.doc_id, r.component)
+            for r in entity_resolution_clusters(df, batches=1).collect()
+        }
+        three = {
+            (r.doc_id, r.component)
+            for r in entity_resolution_clusters(df, batches=3).collect()
+        }
+        assert one == three

@@ -412,6 +412,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no sort-merge similarity join", r"\A(?!.*SortMergeJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_ivf_multiprobe_searched": [
+        # r10 lifecycle: BOTH trained artifacts persisted — centroids
+        # scan in as the tiny committed parquet, the codebook enters as
+        # pure literals; search shape identical to the full-cycle
+        # residual sibling (cluster-equi candidates, JVM-side ADC)
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+    ],
     "embedding_ivf_pq_residual": [
         # assignment + codebook are literals/broadcasts by execution
         # time; candidates stay a cluster-equi join, ADC is JVM-side
@@ -499,10 +508,22 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         # neighborhood join is hash-equi on the block id
         ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
         # the rank table is pinned (localCheckpoint — both join sides
-        # consume it; the partitioned window ran at construction)
+        # consume it; the partitioned window AND the r10 heavy-hitter
+        # prefix probe (auto bucket rebalance, driver-side bounded
+        # aggregate — see dedup._snm_bucket_prefix) ran at construction
         ("pinned rank table", r"Scan ExistingRDD"),
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
+    "docs_entity_resolution": [
+        # r10 ER flagship: the final plan joins the doc spine against
+        # the pinned incremental-CC labels; the rank window, edge-set
+        # pin and per-chunk CC all ran at construction. No global
+        # window, no quadratic join anywhere in the composition.
+        ("pinned labels", r"Scan ExistingRDD"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
     "docs_negative_pairs": [
