@@ -1047,9 +1047,13 @@ def q_embedding_ivf_multiprobe_searched(spark: SparkSession, sf_dir: str) -> Dat
 
     emb = _t(spark, sf_dir, "embeddings")
     tag = _os.path.abspath(sf_dir) + ":embeddings"
-    centroids = ann_index.ivf_centroids_for(emb, tag, iters=5)
+    # ONE validation scan shared by both artifacts (r10): the
+    # fingerprint is a pure function of the corpus, so computing it
+    # once and passing it down halves the warm path's corpus scans
+    fp = ann_index.corpus_fingerprint(emb)
+    centroids = ann_index.ivf_centroids_for(emb, tag, iters=5, fingerprint=fp)
     codebook = ann_index.pq_residual_codebook_for(
-        emb, tag, ivf_iters=5, m=8, ksub=16, iters=3
+        emb, tag, ivf_iters=5, m=8, ksub=16, iters=3, fingerprint=fp
     )
     queries = emb.filter(F.col("vec_id") < 5)
     return pq.ivf_pq_residual_topk(

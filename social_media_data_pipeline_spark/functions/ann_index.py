@@ -193,12 +193,16 @@ def ivf_centroids_for(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trust_cache: bool = False,
+    fingerprint: dict | None = None,
 ) -> DataFrame:
     """Get-or-train: return persisted centroids for (corpus, params),
     training and committing them on the first call or whenever the
     params/corpus fingerprint no longer match. `trust_cache=True`
     skips the fingerprint scan (params still checked) for callers that
-    own their invalidation."""
+    own their invalidation. `fingerprint` (r10): pass a fingerprint
+    already computed this cycle — multi-artifact searches (centroids +
+    PQ codebook over the same corpus) then pay ONE validation scan
+    instead of one per artifact."""
     params = {"k": k, "iters": iters, "id_col": id_col, "vec_col": vec_col}
     path = ivf_index_path(corpus_tag, params)
     meta = _load_meta(path)
@@ -209,13 +213,15 @@ def ivf_centroids_for(
     ):
         if trust_cache:
             return load_ivf_index(emb.sparkSession, path)
-        fp = corpus_fingerprint(emb, id_col, vec_col)
+        fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
         if meta.get("fingerprint") == fp:
             return load_ivf_index(emb.sparkSession, path)
         return train_ivf_index(
             emb, path, k, iters, id_col, vec_col, fingerprint=fp
         )
-    return train_ivf_index(emb, path, k, iters, id_col, vec_col)
+    return train_ivf_index(
+        emb, path, k, iters, id_col, vec_col, fingerprint=fingerprint
+    )
 
 
 # --------------------------------------------------------------------------
@@ -317,13 +323,15 @@ def pq_residual_codebook_for(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trust_cache: bool = False,
+    fingerprint: dict | None = None,
 ) -> list[list[list[float]]]:
     """Get-or-train for the residual-PQ codebook. Trains (and persists,
     via `ivf_centroids_for` — the two artifacts share the corpus tag)
     the IVF centroids it depends on when they are not cached yet.
     Invalidation contract mirrors `ivf_centroids_for`: params mismatch
     or a moved corpus fingerprint retrains; `trust_cache=True` skips
-    the fingerprint scan."""
+    the fingerprint scan; `fingerprint` shares one validation scan
+    across both artifacts of a search cycle."""
     params = {
         "ivf_k": ivf_k, "ivf_iters": ivf_iters,
         "m": m, "ksub": ksub, "iters": iters,
@@ -338,21 +346,23 @@ def pq_residual_codebook_for(
     ):
         if trust_cache:
             return load_pq_codebook(emb.sparkSession, path)
-        fp = corpus_fingerprint(emb, id_col, vec_col)
+        fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
         if meta.get("fingerprint") == fp:
             return load_pq_codebook(emb.sparkSession, path)
         centroids = ivf_centroids_for(
             emb, corpus_tag, k=ivf_k, iters=ivf_iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, fingerprint=fp,
         )
         return train_pq_residual_codebook(
             emb, centroids, path, m, ksub, iters, id_col, vec_col,
             fingerprint=fp, params=params,
         )
+    fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
     centroids = ivf_centroids_for(
         emb, corpus_tag, k=ivf_k, iters=ivf_iters,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, fingerprint=fp,
     )
     return train_pq_residual_codebook(
-        emb, centroids, path, m, ksub, iters, id_col, vec_col, params=params
+        emb, centroids, path, m, ksub, iters, id_col, vec_col,
+        fingerprint=fp, params=params,
     )

@@ -32,6 +32,17 @@ History contract: the dedup history IS the curated table (what the
 pipeline has kept so far), read through its manifest — so duplicates
 are flagged against committed survivors only, and a crashed batch
 re-runs idempotently (same upsert keys, same band-store append set).
+
+Cluster maintenance (r10): pass `labels_path` and the near-dup PAIRS
+each batch finds also maintain a standing (node, component) label
+table through `graph.incremental_components` — the labeling stays
+EXACTLY equal to a full recompute over every pair ever seen (the
+operator's proven identity), while per-batch cost stays ∝ the
+affected subgraph: untouched components pass through as rows inside
+the operator, and the STORE commit writes only rows whose label
+actually changed (an anti join), which is precisely the shape
+`selective_upsert`'s key-range file pruning rewards. The label store
+is node-count-sized no matter how many historic pairs produced it.
 """
 
 from __future__ import annotations
@@ -54,6 +65,7 @@ def curate_batch(
     bands: int = 4,
     shingle_k: int = 3,
     quality_predicate: Column | None = None,
+    labels_path: str | None = None,
 ) -> dict:
     """One curation cycle over a micro-batch; returns per-stage counts
     (`{"batch", "quality_pass", "dup_flagged", "committed"}`) for the
@@ -71,9 +83,16 @@ def curate_batch(
     from social_media_data_pipeline_spark.functions import text as etext
     from social_media_data_pipeline_spark.operators import dedup as ddp
 
-    if batch_df.isEmpty():
-        return {"batch": 0, "quality_pass": 0, "dup_flagged": 0,
+    def _counts(**kw) -> dict:
+        base = {"batch": 0, "quality_pass": 0, "dup_flagged": 0,
                 "committed": 0}
+        base.update(kw)
+        if labels_path is not None:
+            base.setdefault("labels_changed", 0)
+        return base
+
+    if batch_df.isEmpty():
+        return _counts()
     n_batch = batch_df.count()
     gate = (
         quality_predicate
@@ -83,8 +102,7 @@ def curate_batch(
     gated = batch_df.filter(gate).localCheckpoint(eager=True)
     n_gated = gated.count()
     if n_gated == 0:
-        return {"batch": n_batch, "quality_pass": 0, "dup_flagged": 0,
-                "committed": 0}
+        return _counts(batch=n_batch)
     if os.path.exists(table_path) and scale.live_files(table_path):
         history = scale.manifest_read(spark, table_path)
     else:
@@ -110,9 +128,45 @@ def curate_batch(
             scale.selective_upsert(spark, table_path, survivors, id_col)
         else:
             survivors.write.mode("overwrite").parquet(table_path)
-    return {
-        "batch": n_batch,
-        "quality_pass": n_gated,
-        "dup_flagged": n_flagged,
-        "committed": n_out,
-    }
+    n_labels_changed = 0
+    if labels_path is not None and n_flagged > 0:
+        from social_media_data_pipeline_spark.functions import graph
+
+        pairs = flagged.select(
+            F.col(id_col).alias("id_a"), F.col("dup_of").alias("id_b")
+        )
+        have_store = os.path.exists(labels_path) and scale.live_files(
+            labels_path
+        )
+        old_labels = (
+            scale.manifest_read(spark, labels_path) if have_store else None
+        )
+        updated = graph.incremental_components(old_labels, pairs)
+        # commit only rows whose label moved (plus brand-new nodes):
+        # the untouched pass-through stays untouched ON DISK too —
+        # selective_upsert's key-range pruning rewrites only files
+        # overlapping the changed nodes
+        if old_labels is not None:
+            changed = updated.join(
+                old_labels, ["node", "component"], "left_anti"
+            )
+        else:
+            changed = updated
+        changed = changed.localCheckpoint(eager=True)
+        n_labels_changed = changed.count()
+        if n_labels_changed > 0:
+            if have_store:
+                scale.selective_upsert(spark, labels_path, changed, "node")
+            else:
+                # bootstrap mirrors the curated table: plain write,
+                # first upsert adopts it (live_files globs manifest-less
+                # directories)
+                changed.write.mode("overwrite").parquet(labels_path)
+    return _counts(
+        batch=n_batch,
+        quality_pass=n_gated,
+        dup_flagged=n_flagged,
+        committed=n_out,
+        **({"labels_changed": n_labels_changed}
+           if labels_path is not None else {}),
+    )

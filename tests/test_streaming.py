@@ -663,3 +663,108 @@ class TestStreamingCurationFlagship:
 
         stored = {r["doc"] for r in ddp.band_store_read(spark, store).collect()}
         assert stored == {1, 2, 11}
+
+
+class TestStreamingCurationLabels:
+    """r10 (verdict #7): continuous cluster-label maintenance inside
+    the curation flagship — each batch's near-dup pairs stream through
+    `graph.incremental_components` into a standing manifest-committed
+    (node, component) store, and after EVERY batch the store equals a
+    full CC recompute over all pairs seen so far."""
+
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog with great energy "
+        "and the hunt continues through fields that stretch far beyond "
+        "sight while every creature keeps moving with purpose "
+    )
+    ALT = (
+        "a completely different body of text where many animals "
+        "gather near the river to drink and rest with their young "
+        "while the seasons turn slowly and the forest listens "
+    )
+
+    def _doc(self, base, salt=""):
+        return (base * 2) + f"closing words about {salt} journeys home"
+
+    def test_labels_equal_full_recompute_per_batch(self, spark, tmp_path):
+        import glob
+        import os
+        import time as _time
+
+        from social_media_data_pipeline_spark import scale
+        from social_media_data_pipeline_spark.functions import graph
+        from social_media_data_pipeline_spark.streaming import curation
+
+        table = str(tmp_path / "curated")
+        store = str(tmp_path / "bands")
+        labels = str(tmp_path / "labels")
+        src = str(tmp_path / "crawl")
+
+        # b1: two independent docs; b2: near-dups of BOTH (pairs
+        # 10-1, 11-2); b3: another near-dup of doc 1's text (pair 20-1
+        # — grows component 1) plus a fresh doc
+        b1 = [(1, self._doc(self.GOOD, "northern")),
+              (2, self._doc(self.ALT, "river"))]
+        b2 = [(10, self._doc(self.GOOD, "nothern")),
+              (11, self._doc(self.ALT, "rivers"))]
+        b3 = [(20, self._doc(self.GOOD, "norther")),
+              (21, self._doc(
+                  "yet another independent document about engineering "
+                  "where teams build systems that scale to enormous "
+                  "volumes and the work demands care with every change "
+              , "systems"))]
+        for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(src + f"/{name}")
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2", "b3")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 60 + i * 20, now - 60 + i * 20))
+
+        stats: list[dict] = []
+        snaps: list[dict] = []
+
+        def step(batch_df, batch_id):
+            stats.append(
+                curation.curate_batch(
+                    spark, batch_df, table, store, labels_path=labels
+                )
+            )
+            if os.path.exists(labels):
+                snaps.append({
+                    r["node"]: r["component"]
+                    for r in scale.manifest_read(spark, labels).collect()
+                })
+            else:
+                snaps.append({})
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        assert [s["dup_flagged"] for s in stats] == [0, 2, 1]
+        assert [s["labels_changed"] for s in stats] == [0, 4, 1]
+        # per-batch store ≡ full CC over all pairs seen so far
+        pair_sets = [[], [(10, 1), (11, 2)], [(10, 1), (11, 2), (20, 1)]]
+        for snap, pairs in zip(snaps, pair_sets):
+            if not pairs:
+                assert snap == {}
+                continue
+            full = {
+                r["node"]: r["component"]
+                for r in graph.connected_components(
+                    spark.createDataFrame(pairs, "src long, dst long")
+                ).collect()
+            }
+            assert snap == full
+        # final components: {1,10,20} -> 1 and {2,11} -> 2
+        assert snaps[-1] == {1: 1, 10: 1, 20: 1, 2: 2, 11: 2}
