@@ -281,6 +281,128 @@ def pandas_triangles(path: str) -> pd.DataFrame:
     )
 
 
+
+
+# ------------------------------------------------------------- documents
+
+
+def replicate_documents(spark, factor: int, path: str) -> None:
+    """N disjoint corpus copies: doc_id shifted AND every word salted
+    with the copy index — corpus tokens scale ×N (the scan cost both
+    engines pay) and the vocabulary scales ×N too (the per-merge /
+    per-shingle state), while copies never near-dup or share merges
+    ACROSS copies beyond coincidental symbol pairs. This is the
+    realistic growth direction for corpus trainers: more data brings
+    more vocabulary (Heaps' law), not more repeats of one word."""
+    docs = eio.read_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for k in range(factor):
+        toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+        salted = F.array_join(
+            F.transform(toks, lambda t: F.concat(t, F.lit(str(k)))), " "
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * n_doc)).alias("doc_id"),
+                salted.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+
+
+def spark_bpe80(spark, path: str) -> None:
+    from social_media_data_pipeline_spark.functions import bpe
+
+    docs = spark.read.parquet(path)
+    # production head sizing (the defaults cover the vocabulary; the
+    # REGISTERED query's head_words=24 truncation exists to exercise
+    # the multi-round certification path on the 31-word toy vocab, and
+    # under ×N vocabulary growth it would measure the recollection
+    # pathology, not the family)
+    bpe.bpe_train_batched(docs, num_merges=80).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+
+def pandas_bpe80(path: str) -> pd.DataFrame:
+    # the reference_shootout sequential trainer, reading the scratch
+    from collections import Counter
+
+    docs = pd.read_parquet(path)
+    wf: Counter = Counter()
+    for t in docs["text"]:
+        for w in str(t or "").lower().strip().split():
+            if w:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(80):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    return pd.DataFrame(
+        merges, columns=["merge_rank", "lhs", "rhs", "pair_freq"]
+    )
+
+
+def spark_setsim_prefix(spark, path: str) -> None:
+    from social_media_data_pipeline_spark.functions import sketches
+
+    docs = spark.read.parquet(path)
+    sketches.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.6
+    ).write.mode("overwrite").format("noop").save()
+
+
+def pandas_setsim_prefix(path: str) -> pd.DataFrame:
+    # single-node inverted-index exact Jaccard (the standard pandas
+    # formulation: explode shingles, self-merge on shingle, pair
+    # group-count, length-sum join) — same 3-word shingles, same
+    # normalize+distinct semantics as functions.text.shingles
+    import re as _re
+
+    docs = pd.read_parquet(path)
+    rows = []
+    sizes = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in _re.sub(r"\s+", " ", str(t or "").lower().strip()).split(" ") if w]
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        sizes[doc_id] = len(sh)
+        rows.extend((doc_id, s) for s in sh)
+    inv = pd.DataFrame(rows, columns=["doc", "shingle"])
+    m = inv.merge(inv, on="shingle", suffixes=("_a", "_b"))
+    m = m[m["doc_a"] < m["doc_b"]]
+    common = m.groupby(["doc_a", "doc_b"]).size().rename("common").reset_index()
+    sz = pd.Series(sizes)
+    na = sz.loc[common["doc_a"]].to_numpy()
+    nb = sz.loc[common["doc_b"]].to_numpy()
+    j = (common["common"] / (na + nb - common["common"])).round(6)
+    out = common.assign(jaccard=j)
+    return out[out["jaccard"] >= 0.6][["doc_a", "doc_b", "jaccard"]]
+
+
 FAMILIES = {
     "winsorized": (replicate_events, spark_winsorized, pandas_winsorized,
                    "events"),
@@ -292,6 +414,16 @@ FAMILIES = {
     # registered query and its 0.20x shootout cell
     "triangles": (replicate_lineitem, spark_triangles, pandas_triangles,
                   "lineitem"),
+    # BPE/recollection family: corpus tokens AND vocabulary both ×N —
+    # pandas pays a single-threaded python token loop to build the
+    # word-frequency table plus 80 eager merge passes over the vocab;
+    # Spark aggregates the word table distributed and certifies merge
+    # batches per round
+    "bpe80": (replicate_documents, spark_bpe80, pandas_bpe80, "documents"),
+    # candidate-join dedup family: the lossless prefix-filter join vs
+    # the pandas inverted-index exact join on the same salted corpus
+    "setsim_prefix": (replicate_documents, spark_setsim_prefix,
+                      pandas_setsim_prefix, "documents"),
 }
 
 
