@@ -1030,34 +1030,39 @@ def q_embedding_balanced_sample_persisted(spark: SparkSession, sf_dir: str) -> D
 
 def q_embedding_ivf_multiprobe_searched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL production ANN stack, amortized (r10): residual IVF-PQ
-    multiprobe search reading BOTH persisted trained artifacts — the
-    manifest-committed IVF centroids (`ann_index.ivf_centroids_for`)
-    and the manifest-committed residual codebook
-    (`ann_index.pq_residual_codebook_for`) — instead of re-running
-    5 Lloyd rounds + 8 subspace k-means per query like the full-cycle
-    `embedding_ivf_pq_residual` sibling (8.6-11 s at sf0.1). First
-    invocation trains and commits both artifacts; every later one pays
-    two corpus-fingerprint aggregates + two tiny parquet reads
-    (reference analog: DIRAdapter.py:20-76 loads its trained model
-    once). probes=4 — the multiprobe recall lever over the persisted
-    cells. The oracle REPLAYS both trainings in SQL (kmeans chain →
-    residual CTE → pq-kmeans chain → multiprobe ADC), which also
-    proves the two cache paths bit-match a fresh train."""
+    multiprobe search reading all THREE persisted artifacts — the
+    manifest-committed IVF centroids (`ann_index.ivf_centroids_for`),
+    the residual codebook (`pq_residual_codebook_for`), and the
+    ENCODED CORPUS itself (`pq_codes_for` — the 16-64× compressed
+    index layout of Jégou 2011, built once) — instead of re-running
+    5 Lloyd rounds + 8 subspace k-means + a full corpus encode per
+    query like the full-cycle `embedding_ivf_pq_residual` sibling
+    (~21 s at sf0.1). Warm search touches the m-byte-per-vector codes
+    table and never loads the raw corpus vectors except for ONE shared
+    fingerprint-validation aggregate (reference analog:
+    DIRAdapter.py:20-76 loads its trained model once). probes=4 — the
+    multiprobe recall lever over the persisted cells. The oracle
+    REPLAYS both trainings + the encode in SQL (kmeans chain →
+    residual CTE → pq-kmeans chain → encode → multiprobe ADC), which
+    also proves all three cache paths bit-match a fresh build."""
     from social_media_data_pipeline_spark.functions import ann_index, pq
 
     emb = _t(spark, sf_dir, "embeddings")
     tag = _os.path.abspath(sf_dir) + ":embeddings"
-    # ONE validation scan shared by both artifacts (r10): the
-    # fingerprint is a pure function of the corpus, so computing it
-    # once and passing it down halves the warm path's corpus scans
+    # ONE validation scan shared by all three artifacts (r10): the
+    # fingerprint is a pure function of the corpus
     fp = ann_index.corpus_fingerprint(emb)
     centroids = ann_index.ivf_centroids_for(emb, tag, iters=5, fingerprint=fp)
     codebook = ann_index.pq_residual_codebook_for(
         emb, tag, ivf_iters=5, m=8, ksub=16, iters=3, fingerprint=fp
     )
+    codes = ann_index.pq_codes_for(
+        emb, tag, ivf_iters=5, m=8, ksub=16, iters=3, fingerprint=fp
+    )
     queries = emb.filter(F.col("vec_id") < 5)
     return pq.ivf_pq_residual_topk(
-        queries, emb, centroids, k=5, probes=4, codebook=codebook
+        queries, emb, centroids, k=5, probes=4,
+        codebook=codebook, codes=codes,
     ).orderBy("query_id", "rank")
 
 

@@ -366,3 +366,85 @@ def pq_residual_codebook_for(
         emb, centroids, path, m, ksub, iters, id_col, vec_col,
         fingerprint=fp, params=params,
     )
+
+
+# --------------------------------------------------------------------------
+# persisted encoded corpus (r10): the third artifact — the INDEX itself
+# --------------------------------------------------------------------------
+# Centroids + codebook alone still make every search re-scan the raw
+# corpus (assign → residual → encode). The production IVF-PQ layout
+# persists the ENCODED corpus — m small codes + a cell id per vector,
+# the 16-64× compressed index Jégou 2011 builds once — so a search
+# touches only the codes table and the raw vectors never load. At
+# 100 TB of fp32 vectors the codes table is ~2% of the corpus and is
+# the only thing the search fleet reads; here it commits through the
+# same meta-stamp + manifest-CAS path (multi-file in production — the
+# commit mechanics are file-count-agnostic, the test artifact stays
+# one file).
+
+
+def pq_codes_path(corpus_tag: str, params: dict) -> str:
+    """Deterministic codes-artifact directory for (corpus, params)."""
+    import hashlib
+
+    key = hashlib.md5(
+        json.dumps({"corpus": corpus_tag, **params}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifacts_root(), "ann_codes", key)
+
+
+def pq_codes_for(
+    emb: DataFrame,
+    corpus_tag: str,
+    ivf_k: int | None = None,
+    ivf_iters: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_cache: bool = False,
+    fingerprint: dict | None = None,
+) -> DataFrame:
+    """Get-or-encode the residual-PQ codes table (`id_col`, cluster,
+    codes array<int>) for (corpus, params). Trains/loads the centroid
+    and codebook artifacts it depends on (all three share the corpus
+    tag and ONE fingerprint scan when `fingerprint` is passed), then
+    encodes the corpus once and commits. Invalidation mirrors the
+    other artifacts: params mismatch or fingerprint drift re-encodes."""
+    from social_media_data_pipeline_spark import scale
+    from social_media_data_pipeline_spark.functions import pq
+
+    params = {
+        "ivf_k": ivf_k, "ivf_iters": ivf_iters,
+        "m": m, "ksub": ksub, "iters": iters,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    path = pq_codes_path(corpus_tag, params)
+    meta = _load_meta(path)
+    if meta is not None and meta.get("params") == params and (
+        scale.read_table_manifest(path) or None
+    ):
+        if trust_cache:
+            return scale.manifest_read(emb.sparkSession, path)
+        fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
+        if meta.get("fingerprint") == fp:
+            return scale.manifest_read(emb.sparkSession, path)
+        fingerprint = fp
+    fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
+    centroids = ivf_centroids_for(
+        emb, corpus_tag, k=ivf_k, iters=ivf_iters,
+        id_col=id_col, vec_col=vec_col, fingerprint=fp,
+    )
+    codebook = pq_residual_codebook_for(
+        emb, corpus_tag, ivf_k=ivf_k, ivf_iters=ivf_iters,
+        m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, fingerprint=fp,
+    )
+    c_res = pq.residual_table(emb, centroids, id_col, vec_col)
+    codes = pq.pq_encode(
+        c_res, codebook, id_col, "__resid", keep_cols=["cluster"]
+    )
+    meta_doc = {"params": params, "fingerprint": fp}
+    _commit_artifact(codes, path, "codes", meta_doc)
+    return scale.manifest_read(emb.sparkSession, path)

@@ -485,6 +485,7 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """FULL residual IVF-PQ (Jégou et al. 2011 §IV-A): the codebook
     quantizes RESIDUALS (vector − its cell centroid), not raw vectors —
@@ -507,6 +508,13 @@ def ivf_pq_residual_topk(
     `ann_index.pq_residual_codebook_for` artifact) skips the per-call
     Lloyd training — the train-once/search-many path; `m` and `ksub`
     are then taken from its shape and `iters` is ignored.
+
+    `codes` (r10): a pre-ENCODED corpus table (`id_col`, cluster,
+    codes) — e.g. `ann_index.pq_codes_for`'s persisted artifact —
+    skips the corpus assign/residual/encode scan entirely: search then
+    touches only the m-byte-per-vector codes table, which IS the
+    production IVF-PQ index layout (the compressed corpus). Must have
+    been encoded with the SAME centroids and codebook.
     """
     from pyspark.sql.window import Window
 
@@ -530,9 +538,14 @@ def ivf_pq_residual_topk(
         )
     else:
         m = len(codebook)
-    codes = pq_encode(c_res, codebook, id_col, "__resid", keep_cols=["cluster"]).select(
-        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
-    )
+    if codes is None:
+        codes = pq_encode(
+            c_res, codebook, id_col, "__resid", keep_cols=["cluster"]
+        ).select(F.col(id_col).alias("neighbor_id"), "cluster", "codes")
+    else:
+        codes = codes.select(
+            F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+        )
     q_cells = (
         ivf_assign_multiprobe(queries, centroids, id_col, vec_col, probes=probes)
         if probes > 1

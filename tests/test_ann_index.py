@@ -272,3 +272,54 @@ class TestPqCodebookLifecycle:
             for r in df.collect()
         )
         assert key(searched) == key(full)
+
+
+class TestPqCodesLifecycle:
+    """r10: the persisted encoded corpus — the third artifact (the
+    IVF-PQ index layout itself)."""
+
+    def test_codes_cache_and_identity_with_inline_encode(self, spark, emb):
+        from social_media_data_pipeline_spark.functions import pq
+
+        tag = "unit:emb"
+        kw = dict(ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2)
+        codes1 = ann_index.pq_codes_for(emb, tag, **kw)
+        params = {**kw, "id_col": "vec_id", "vec_col": "embedding"}
+        path = ann_index.pq_codes_path(tag, params)
+        meta = os.path.join(path, ann_index._META)
+        t0 = os.path.getmtime(meta)
+        codes2 = ann_index.pq_codes_for(emb, tag, **kw)
+        assert os.path.getmtime(meta) == t0, "second call must cache-hit"
+        # identical to an inline encode with the same artifacts
+        cents = ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        cb = ann_index.pq_residual_codebook_for(emb, tag, **kw)
+        inline = pq.pq_encode(
+            pq.residual_table(emb, cents), cb, "vec_id", "__resid",
+            keep_cols=["cluster"],
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in df.collect()
+        )
+        assert key(codes1) == key(inline) == key(codes2)
+
+    def test_search_over_codes_equals_inline_search(self, spark, emb):
+        from social_media_data_pipeline_spark.functions import pq
+
+        tag = "unit:emb"
+        kw = dict(ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2)
+        cents = ann_index.ivf_centroids_for(emb, tag, k=4, iters=2)
+        cb = ann_index.pq_residual_codebook_for(emb, tag, **kw)
+        codes = ann_index.pq_codes_for(emb, tag, **kw)
+        q = emb.filter("vec_id < 3")
+        got = pq.ivf_pq_residual_topk(
+            q, emb, cents, k=3, probes=2, codebook=cb, codes=codes
+        )
+        want = pq.ivf_pq_residual_topk(
+            q, emb, cents, m=2, ksub=4, iters=2, k=3, probes=2
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+            for r in df.collect()
+        )
+        assert key(got) == key(want)
