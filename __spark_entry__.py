@@ -1718,6 +1718,21 @@ def q_docs_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_resolution_clusters(docs).orderBy("doc_id")
 
 
+def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (`operators/splits.py:split_leakage`):
+    near-dup pairs (lossless prefix-filter Jaccard >= 0.6) that
+    STRADDLE the train/holdout boundary of the deterministic split —
+    the paraphrase-level eval contamination exact n-gram
+    decontamination misses (Lee et al. 2022 §6.2). Oracle = the exact
+    all-pairs Jaccard SQL x the split CASE replay, so a missed
+    candidate, a wrong split bucket, or a mis-oriented pair
+    hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents")
+    return splits.split_leakage(docs, "doc_id", "text").orderBy(
+        "train_id", "holdout_id"
+    )
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2756,6 +2771,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 registrations (never driver-checked): rotate into r11 FIRST
     "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
     "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
+    "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
 }
 
 

@@ -164,6 +164,9 @@ HEADLINE = [
     # round 10: the ER flagship — dual-channel candidates -> verify ->
     # incremental CC (edge set + per-batch labels pin at construction)
     "docs_entity_resolution",
+    # round 10: split-leakage audit (lossless prefix candidates x the
+    # deterministic split — the paraphrase-level eval contamination)
+    "docs_split_leakage",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -3030,6 +3030,48 @@ ORDER BY id_a, id_b
 """
 
 
+# docs_split_leakage (r10): exact all-pairs Jaccard >= 0.6 x the
+# deterministic split CASE — pairs with exactly one train side,
+# oriented train-first. A candidate the prefix filter loses, a wrong
+# bucket, or a swapped orientation all hash-mismatch.
+ORACLES["docs_split_leakage"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+), pairs AS (
+    SELECT id_a, id_b,
+           ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+), s AS (
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT % 100 AS b
+        FROM documents
+    )
+)
+SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+       CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END AS holdout_id,
+       CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS holdout_split,
+       p.jaccard
+FROM pairs p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+WHERE (sa.split = 'train') <> (sb.split = 'train')
+ORDER BY train_id, holdout_id
+"""
+
 # docs_entity_resolution (r10 ER flagship): the full reachability
 # recursion over the COMPLETE verified edge set — jp = exact-Jaccard
 # pairs >= 0.6 (the prefix channel's lossless target), sp = sorted-

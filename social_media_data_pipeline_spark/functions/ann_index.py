@@ -448,3 +448,107 @@ def pq_codes_for(
     meta_doc = {"params": params, "fingerprint": fp}
     _commit_artifact(codes, path, "codes", meta_doc)
     return scale.manifest_read(emb.sparkSession, path)
+
+
+def pq_codes_append(
+    new_vecs: DataFrame,
+    corpus_tag: str,
+    ivf_k: int | None = None,
+    ivf_iters: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance (r10): encode a batch of NEW
+    vectors with the FROZEN centroids + codebook and APPEND the codes
+    to the persisted index — the standard IVF-PQ ingest path (Jégou
+    2011 deployments absorb inserts without retraining until recall
+    drift triggers a rebuild; retraining per batch would also
+    invalidate every previously stored code). The ANN mirror of the
+    band-store/incremental-CC economics: per-batch cost ∝ the batch.
+
+    The stored fingerprint merges INCREMENTALLY: (n, h) is a
+    (count, bit_xor(xxhash64)) pair — a commutative monoid — so
+    fp(corpus ∪ batch) = (n_old + n_batch, h_old XOR h_batch) with ONE
+    scan of the BATCH, and a later `pq_codes_for` validating read
+    against the grown corpus still cache-hits. The trainer artifacts
+    keep their original stamp on purpose — they really were trained on
+    the pre-append corpus; loading them here uses `trust_cache=True`
+    (frozen-model contract), and when to retrain/re-encode is rebuild
+    policy, not this function's job.
+
+    Commit: batch codes land in new uniquely-named files; the manifest
+    flips to old live set + new files via CAS (a concurrent writer
+    loses loudly and un-stages). Returns the full post-append codes
+    table. Raises if no base index exists — append needs a base
+    (`pq_codes_for` builds it).
+    """
+    import shutil
+
+    from social_media_data_pipeline_spark import scale
+    from social_media_data_pipeline_spark.functions import pq
+
+    params = {
+        "ivf_k": ivf_k, "ivf_iters": ivf_iters,
+        "m": m, "ksub": ksub, "iters": iters,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    path = pq_codes_path(corpus_tag, params)
+    meta = _load_meta(path)
+    live = scale.read_table_manifest(path)
+    if meta is None or meta.get("params") != params or not live:
+        raise ValueError(
+            f"pq_codes_append: no committed codes artifact for "
+            f"{corpus_tag!r} with these params under {path} — build the "
+            "base index with pq_codes_for first"
+        )
+    spark = new_vecs.sparkSession
+    centroids = ivf_centroids_for(
+        new_vecs, corpus_tag, k=ivf_k, iters=ivf_iters,
+        id_col=id_col, vec_col=vec_col, trust_cache=True,
+    )
+    codebook = pq_residual_codebook_for(
+        new_vecs, corpus_tag, ivf_k=ivf_k, ivf_iters=ivf_iters,
+        m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, trust_cache=True,
+    )
+    batch_codes = pq.pq_encode(
+        pq.residual_table(new_vecs, centroids, id_col, vec_col),
+        codebook, id_col, "__resid", keep_cols=["cluster"],
+    )
+    batch_fp = corpus_fingerprint(new_vecs, id_col, vec_col)
+    old_fp = meta["fingerprint"]
+    merged_fp = {
+        "n": old_fp["n"] + batch_fp["n"],
+        "h": old_fp["h"] ^ batch_fp["h"],
+    }
+    prev_doc = scale._read_manifest_doc(path)
+    cur_gen = prev_doc["generation"] if prev_doc else None
+    next_gen = 0 if cur_gen is None else cur_gen + 1
+    gen_tag = f"g{next_gen}-{uuid.uuid4().hex[:8]}"
+    staged = os.path.join(path, f"_staged-{gen_tag}")
+    batch_codes.coalesce(1).write.mode("overwrite").parquet(staged)
+    new_files = []
+    for i, f in enumerate(sorted(glob.glob(os.path.join(staged, "*.parquet")))):
+        dst = os.path.join(path, f"codes-{gen_tag}-{i}.parquet")
+        os.replace(f, dst)
+        new_files.append(dst)
+    shutil.rmtree(staged)
+    tmp = os.path.join(path, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"params": params, "fingerprint": merged_fp}, fh)
+    os.replace(tmp, os.path.join(path, _META))
+    try:
+        scale.write_table_manifest(
+            path, list(live) + new_files, expect_generation=cur_gen
+        )
+    except scale.ConcurrentCommitError:
+        for f in new_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+    return scale.manifest_read(spark, path)

@@ -112,3 +112,73 @@ def deterministic_shuffle(
         )
         .drop("_skey", "_bucket")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: str = "split-v1",
+    splits: Sequence[tuple[str, int]] = (
+        ("train", 80), ("val", 10), ("test", 10),
+    ),
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Split-LEAKAGE audit → (train_id, holdout_id, holdout_split,
+    jaccard): near-duplicate pairs that STRADDLE the train/holdout
+    boundary — the eval-contamination mode that exact n-gram
+    decontamination (`decontaminate`, `contamination_frac`) cannot
+    see, because the leaked document is a PARAPHRASE-level near-dup of
+    a held-out one, not a verbatim n-gram carrier (Lee et al. 2022 §6.2
+    measure exactly this: near-dups of validation data inflate eval
+    scores). The reference has no split tooling at all; this completes
+    the engine's split family (assign_split / deterministic_shuffle /
+    docs_split) with its integrity gate.
+
+    Candidates come from the LOSSLESS prefix-filter Jaccard join
+    (`ngram_jaccard_pairs_prefix` — every true pair ≥ threshold, hot
+    shingles included), so a leak cannot hide behind doc-frequency
+    pruning; the split sides are the deterministic `assign_split`
+    buckets, map-side joined onto the candidate-count-sized pair set.
+    Pairs inside one side (train↔train, holdout↔holdout) are dropped —
+    they are dedup work, not leakage.
+
+    Scale shape (100 TB): the pair join is the measured-flat prefix
+    SSJoin; the split predicate is two broadcast-free map-side hash
+    joins against the pair table (candidate-count-sized). Acting on
+    the result is policy: drop the train member, or re-assign it to
+    the holdout side (never the reverse — moving eval docs into train
+    is the leak).
+    """
+    from social_media_data_pipeline_spark.functions import sketches
+
+    pairs = sketches.ngram_jaccard_pairs_prefix(
+        df, id_col, text_col, shingle_k=shingle_k,
+        threshold=jaccard_threshold,
+    )
+    side = assign_split(
+        df.select(id_col), id_col, seed=seed, splits=splits
+    )
+    sa = side.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("__sa")
+    )
+    sb = side.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("__sb")
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b").filter(
+        (F.col("__sa") == "train") != (F.col("__sb") == "train")
+    )
+    train_first = F.col("__sa") == "train"
+    return joined.select(
+        F.when(train_first, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "train_id"
+        ),
+        F.when(train_first, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "holdout_id"
+        ),
+        F.when(train_first, F.col("__sb")).otherwise(F.col("__sa")).alias(
+            "holdout_split"
+        ),
+        "jaccard",
+    )

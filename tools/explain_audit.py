@@ -516,6 +516,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_split_leakage": [
+        # candidates = the prefix SSJoin (hash-equi); split sides join
+        # map-side onto the candidate-count-sized pair table; no global
+        # window, no python, no quadratic join
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+    ],
     "docs_entity_resolution": [
         # r10 ER flagship: the final plan joins the doc spine against
         # the pinned incremental-CC labels; the rank window, edge-set
