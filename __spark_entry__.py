@@ -1733,6 +1733,19 @@ def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band planner (`functions/sketches.py:lsh_band_plan`):
+    P(candidate | J = t) = 1 − (1 − t^r)^b for every factorization of
+    the 16-hash signature × a Jaccard grid, plus each S-curve's implied
+    threshold (1/b)^(1/r) and the `chosen` plan for target 0.8 — the
+    table a deployment reads before committing to a banding (the
+    registered 4×4 default comes out chosen). A parameter-table query
+    (no corpus input): the probability arithmetic runs JVM-side through
+    the same binary-exponentiation expression the oracle evaluates —
+    bit-equal with no POW()."""
+    return sketches.lsh_band_plan(spark).orderBy("bands", "t")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2772,6 +2785,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
     "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
     "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
+    "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
 }
 
 

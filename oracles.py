@@ -3030,6 +3030,15 @@ ORDER BY id_a, id_b
 """
 
 
+# minhash_band_plan (r10): the planner's twin SQL — identical VALUES
+# grid, identical binary-exponentiation probability expression (no
+# POW(): implementations differ in the last ulp across engines).
+from social_media_data_pipeline_spark.functions.sketches import (
+    build_lsh_band_plan_sql as _band_plan_sql,
+)
+
+ORACLES["minhash_band_plan"] = _band_plan_sql()
+
 # docs_split_leakage (r10): exact all-pairs Jaccard >= 0.6 x the
 # deterministic split CASE — pairs with exactly one train side,
 # oriented train-first. A candidate the prefix filter loses, a wrong

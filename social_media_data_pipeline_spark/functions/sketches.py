@@ -1195,3 +1195,138 @@ def join_size_estimate(
             * F.lit(inv_rate)
         ).alias("est_pairs"),
     )
+
+
+def _int_pow_expr(base: str, e: int) -> str:
+    """x^e as an explicit binary-exponentiation product EXPRESSION —
+    the same text evaluates in Spark SQL and DuckDB with the identical
+    operation tree, so the doubles are bit-equal across engines (the
+    literal-table discipline for transcendental-free cross-engine
+    math; POW() implementations may differ in the last ulp)."""
+    if e < 1:
+        raise ValueError(f"exponent must be >= 1, got {e}")
+    if e == 1:
+        return base
+    half = _int_pow_expr(base, e // 2)
+    sq = f"({half} * {half})"
+    return f"({sq} * {base})" if e % 2 else sq
+
+
+def lsh_band_plan_rows(
+    num_hashes: int = 16,
+    target_threshold: float = 0.8,
+    grid_steps: int = 20,
+) -> list[tuple]:
+    """The planner's parameter grid, shared verbatim by the Spark query
+    and the SQL oracle: every (bands, rows_per_band) factorization of
+    `num_hashes` × a Jaccard grid t = i/grid_steps, plus per-
+    factorization literals — the implied S-curve threshold
+    (1/b)^(1/r) (Leskovec-Rajaraman-Ullman §3.4.3, the point of
+    maximum slope) computed driver-side (fractional powers are
+    transcendental; both engines get the same literal), and `chosen`
+    marking the factorization whose implied threshold is nearest the
+    target (ties to more bands: recall over precision)."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if not (0.0 < target_threshold < 1.0):
+        raise ValueError(
+            f"target_threshold must be in (0, 1), got {target_threshold}"
+        )
+    facts = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    implied = {b: (1.0 / b) ** (1.0 / r) for b, r in facts}
+    chosen_b = min(
+        facts, key=lambda br: (abs(implied[br[0]] - target_threshold), -br[0])
+    )[0]
+    rows = []
+    for b, r in facts:
+        for i in range(1, grid_steps):
+            rows.append((b, r, i, implied[b], b == chosen_b))
+    return rows
+
+
+def build_lsh_band_plan_sql(
+    num_hashes: int = 16,
+    target_threshold: float = 0.8,
+    grid_steps: int = 20,
+) -> str:
+    """DuckDB twin of `lsh_band_plan`: the identical VALUES grid + the
+    identical binary-exponentiation detection-probability expression,
+    so the oracle verifies the Spark side's arithmetic bit-for-bit."""
+    rows = lsh_band_plan_rows(num_hashes, target_threshold, grid_steps)
+    values = ",\n    ".join(
+        f"({b}, {r}, {i}, {repr(float(imp))}, {str(bool(ch)).upper()})"
+        for b, r, i, imp, ch in rows
+    )
+    body = []
+    for b, r in sorted({(b, r) for b, r, _, _, _ in rows}):
+        tr = _int_pow_expr("t_raw", r)
+        miss = _int_pow_expr(f"(1.0 - {tr})", b)
+        body.append(f"WHEN bands = {b} THEN ROUND(1.0 - {miss}, 6)")
+    case = "CASE " + " ".join(body) + " END"
+    return f"""
+WITH grid(bands, rows_per_band, i, implied_threshold, chosen) AS (
+    VALUES
+    {values}
+), g AS (
+    SELECT bands, rows_per_band,
+           ROUND(i / {float(grid_steps)}, 6) AS t,
+           i / {float(grid_steps)} AS t_raw,
+           ROUND(implied_threshold, 6) AS implied_threshold, chosen
+    FROM grid
+)
+SELECT bands, rows_per_band, t,
+       {case} AS p_detect,
+       implied_threshold, chosen
+FROM g
+ORDER BY bands, t
+"""
+
+
+def lsh_band_plan(
+    spark,
+    num_hashes: int = 16,
+    target_threshold: float = 0.8,
+    grid_steps: int = 20,
+):
+    """MinHash-LSH band planner → (bands, rows_per_band, t, p_detect,
+    implied_threshold, chosen): for every factorization
+    num_hashes = bands × rows_per_band, the detection probability
+    P(candidate | J = t) = 1 − (1 − t^r)^b over a Jaccard grid — the
+    S-curves a deployment reads to pick its banding (the repo default
+    banding 16 = 4 bands × 4 rows comes out `chosen` for target 0.8 —
+    implied threshold 0.707, the nearest S-curve; the r6
+    planted-boilerplate sweep measured its candidate volumes). The probability
+    arithmetic runs JVM-side through the same binary-exponentiation
+    expression the DuckDB oracle evaluates — bit-equal by construction,
+    no POW()."""
+    rows = lsh_band_plan_rows(num_hashes, target_threshold, grid_steps)
+    df = spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, i int, implied_threshold double, "
+        "chosen boolean",
+    )
+    by_b = {}
+    for b, r in sorted({(b, r) for b, r, _, _, _ in rows}):
+        tr = _int_pow_expr("t_raw", r)
+        by_b[b] = f"ROUND(1.0 - {_int_pow_expr(f'(1.0 - {tr})', b)}, 6)"
+    case = "CASE " + " ".join(
+        f"WHEN bands = {b} THEN {expr}" for b, expr in by_b.items()
+    ) + " END"
+    return (
+        df.selectExpr(
+            "bands", "rows_per_band",
+            f"CAST(i AS DOUBLE) / {float(grid_steps)} AS t_raw",
+            "implied_threshold", "chosen",
+        )
+        .selectExpr(
+            "bands", "rows_per_band",
+            "ROUND(t_raw, 6) AS t",
+            f"{case} AS p_detect",
+            "ROUND(implied_threshold, 6) AS implied_threshold",
+            "chosen",
+        )
+    )
