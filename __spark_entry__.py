@@ -1746,6 +1746,26 @@ def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.lsh_band_plan(spark).orderBy("bands", "t")
 
 
+def q_events_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution-drift monitor
+    (`operators/aggregates.py:histogram_drift`): L1 distance between
+    each (event_type, day)'s fixed-width value histogram and the
+    cumulative histogram of all PRIOR days — the ingest-observability
+    gate that catches an upstream encoder/unit/scraper change before
+    it contaminates training data. Integer cross-multiplied L1 (one
+    float division per day), cumulative baselines via windows
+    partitioned by (type, bin) and (type) — never event-grain."""
+    ev = _t(spark, sf_dir, "events")
+    out = aggregates.histogram_drift(
+        ev, "ts", "value", bin_width=10.0, group_cols=("event_type",)
+    )
+    # day as TIMESTAMP: the gate's value-hash convention for calendar
+    # buckets (events_daily et al.)
+    return out.withColumn("day", F.col("day").cast("timestamp")).orderBy(
+        "event_type", "day"
+    )
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2786,6 +2806,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
     "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
     "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
+    "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
 }
 
 

@@ -167,6 +167,12 @@ HEADLINE = [
     # round 10: split-leakage audit (lossless prefix candidates x the
     # deterministic split — the paraphrase-level eval contamination)
     "docs_split_leakage",
+    # round 10: the band-planner parameter table (no corpus input;
+    # LocalTableScan + codegen projection)
+    "minhash_band_plan",
+    # round 10: per-day L1 histogram-drift monitor (cumulative
+    # baselines via (type,bin)-partitioned windows)
+    "events_drift_scores",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

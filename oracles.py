@@ -3030,6 +3030,42 @@ ORDER BY id_a, id_b
 """
 
 
+# events_drift_scores (r10): per-(type, day) L1 histogram drift vs the
+# cumulative prior-days baseline — integer cross-multiplied numerator,
+# one float division per day, bins present only in the baseline folded
+# in via the running totals (no dense bin grid).
+ORACLES["events_drift_scores"] = """
+WITH counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(FLOOR(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS c
+    FROM events GROUP BY 1, 2, 3
+), wb AS (
+    SELECT *, COALESCE(SUM(c) OVER (
+        PARTITION BY event_type, bin ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+    FROM counts
+), dt AS (
+    SELECT event_type, day, SUM(c) AS n_day FROM counts GROUP BY 1, 2
+), dt2 AS (
+    SELECT *, COALESCE(SUM(n_day) OVER (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_base
+    FROM dt
+), per AS (
+    SELECT wb.event_type, wb.day, dt2.n_day, dt2.n_base,
+           SUM(ABS(wb.c * dt2.n_base - wb.b * dt2.n_day)) AS present,
+           SUM(wb.b) AS b_present
+    FROM wb JOIN dt2 ON wb.event_type = dt2.event_type AND wb.day = dt2.day
+    GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, day::TIMESTAMP AS day, n_day, n_base,
+       ROUND((present + (n_base - b_present) * n_day)
+             / (n_day * n_base), 6) AS l1_drift
+FROM per
+WHERE n_base > 0
+ORDER BY event_type, day
+"""
+
 # minhash_band_plan (r10): the planner's twin SQL — identical VALUES
 # grid, identical binary-exponentiation probability expression (no
 # POW(): implementations differ in the last ulp across engines).

@@ -1222,3 +1222,57 @@ class TestEntityResolution:
             for r in entity_resolution_clusters(df, batches=3).collect()
         }
         assert one == three
+
+
+class TestHistogramDrift:
+    """r10 ingest-drift monitor: exact integer cross-multiplied L1
+    against the cumulative prior-days baseline."""
+
+    def _ev(self, spark, rows):
+        import datetime as _dt
+
+        data = [
+            ("t", _dt.datetime(2024, 1, d, 12, 0), float(v))
+            for d, v in rows
+        ]
+        return spark.createDataFrame(
+            data, "event_type string, ts timestamp, value double"
+        )
+
+    def test_hand_computed_l1(self, spark):
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            histogram_drift,
+        )
+
+        # day1: 4 values in bin0; day2: 2 in bin0 + 2 in bin1 -> L1 =
+        # |.5-1| + |.5-0| = 1.0; day3 matches the cumulative baseline
+        # (6 bin0 + 2 bin1 -> .75/.25): 3 bin0 + 1 bin1 -> drift 0
+        rows = (
+            [(1, 1)] * 4
+            + [(2, 1)] * 2 + [(2, 11)] * 2
+            + [(3, 1)] * 3 + [(3, 11)] * 1
+        )
+        got = {
+            r["day"].day: (r["n_day"], r["n_base"], r["l1_drift"])
+            for r in histogram_drift(
+                self._ev(spark, rows), "ts", "value", 10.0,
+                group_cols=("event_type",),
+            ).collect()
+        }
+        assert 1 not in got, "first day has no baseline"
+        assert got[2] == (4, 4, 1.0)
+        assert got[3] == (4, 8, 0.0)
+
+    def test_disjoint_bins_max_drift(self, spark):
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            histogram_drift,
+        )
+
+        # day2's mass lands entirely in bins the baseline never saw ->
+        # L1 hits its maximum 2.0 (the baseline-only-bin residual term)
+        rows = [(1, 1)] * 3 + [(2, 25)] * 5
+        got = histogram_drift(
+            self._ev(spark, rows), "ts", "value", 10.0,
+            group_cols=("event_type",),
+        ).collect()
+        assert len(got) == 1 and got[0]["l1_drift"] == 2.0

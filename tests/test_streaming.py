@@ -768,3 +768,89 @@ class TestStreamingCurationLabels:
             assert snap == full
         # final components: {1,10,20} -> 1 and {2,11} -> 2
         assert snaps[-1] == {1: 1, 10: 1, 20: 1, 2: 2, 11: 2}
+
+
+class TestStreamingAnnIngest:
+    """r10: the ANN index as a continuously-maintained store — new
+    embedding micro-batches encode with the FROZEN artifacts and append
+    to the manifest-committed codes table (`ann_index.pq_codes_append`
+    as a foreachBatch body), the vector-search mirror of the band-store
+    and label-store maintenance paths."""
+
+    def test_batches_append_and_match_frozen_full_encode(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import glob
+        import os
+        import time as _time
+
+        from social_media_data_pipeline_spark import scale
+        from social_media_data_pipeline_spark.functions import ann_index, pq
+
+        monkeypatch.setenv(
+            "SPARK_GRAFT_ARTIFACTS_DIR", str(tmp_path / "arts")
+        )
+        rows = [
+            (i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+            for i in range(64)
+        ]
+        schema = "vec_id int, embedding array<float>"
+        base = spark.createDataFrame(rows[:32], schema)
+        tag = "stream:emb"
+        kw = dict(ivf_k=4, ivf_iters=2, m=2, ksub=4, iters=2)
+        ann_index.pq_codes_for(base, tag, **kw)
+
+        src = str(tmp_path / "vecs")
+        for name, chunk in (("b1", rows[32:48]), ("b2", rows[48:64])):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                src + f"/{name}"
+            )
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 40 + i * 20, now - 40 + i * 20))
+
+        sizes = []
+
+        def step(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            out = ann_index.pq_codes_append(batch_df, tag, **kw)
+            sizes.append(out.count())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert sizes == [48, 64]
+        # final store == frozen full re-encode of all 64 vectors
+        full = spark.createDataFrame(rows, schema)
+        cents = ann_index.ivf_centroids_for(
+            full, tag, k=4, iters=2, trust_cache=True
+        )
+        cb = ann_index.pq_residual_codebook_for(
+            full, tag, trust_cache=True, **kw
+        )
+        want = pq.pq_encode(
+            pq.residual_table(full, cents), cb, "vec_id", "__resid",
+            keep_cols=["cluster"],
+        )
+        params = {**kw, "id_col": "vec_id", "vec_col": "embedding"}
+        got = scale.manifest_read(
+            spark, ann_index.pq_codes_path(tag, params)
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r["vec_id"], r["cluster"], tuple(r["codes"]))
+            for r in df.collect()
+        )
+        assert key(got) == key(want)
+        # and the merged fingerprint validates the grown corpus
+        meta = ann_index._load_meta(ann_index.pq_codes_path(tag, params))
+        assert meta["fingerprint"] == ann_index.corpus_fingerprint(full)

@@ -516,6 +516,24 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "events_drift_scores": [
+        # bounded-state windows only: cumulative baselines partition by
+        # (type, bin) and (type) — day-grain rows, never event-grain;
+        # value column pruned after the bin projection
+        ("no unpartitioned window", r"\A(?!.*Window \[[^\n]*AS \S+\], \[[^\]\n]*(?:ASC|DESC))"),
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
+    "minhash_band_plan": [
+        # parameter table: a local relation + one codegen'd projection;
+        # the only allowed exchange is the presentation sort's range
+        # partitioning — no hash shuffle, no join, no aggregate
+        ("local table only", r"LocalTableScan|Scan ExistingRDD"),
+        ("no hash shuffle", r"\A(?!.*Exchange hashpartitioning)"),
+        ("no join or aggregate", r"\A(?!.*(?:Join|HashAggregate))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_split_leakage": [
         # candidates = the prefix SSJoin (hash-equi); split sides join
         # map-side onto the candidate-count-sized pair table; no global
