@@ -1766,6 +1766,40 @@ def q_events_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY — BPE tokens per word under the
+    trained 20-merge vocabulary (Rust et al. 2021: fertility is the
+    metric that prices multilingual training cost; a 2x-fertility
+    language burns 2x sequence budget per word, which is what mixture
+    weights must correct for). Composition: certified batched BPE
+    training -> map-side encode replay (`bpe.bpe_encode_corpus`) ->
+    language-grain sums with one rounded division per language. The
+    oracle replays training, encode AND the aggregate in one generated
+    chain."""
+    docs = _t(spark, sf_dir, "documents")
+    trained = bpe.bpe_train_batched(docs, num_merges=20)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in trained.orderBy("merge_rank").collect()
+    ]
+    enc = bpe.bpe_encode_corpus(docs, merges)
+    per = enc.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+    )
+    return (
+        per.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_words"), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2807,6 +2841,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
     "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
     "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
+    "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
 }
 
 

@@ -173,6 +173,9 @@ HEADLINE = [
     # round 10: per-day L1 histogram-drift monitor (cumulative
     # baselines via (type,bin)-partitioned windows)
     "events_drift_scores",
+    # round 10: per-language tokenizer fertility (BPE train + encode
+    # replay + language-grain sums — ITERATIVE: training at construct)
+    "docs_token_fertility",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -230,6 +233,7 @@ ITERATIVE = {
     # the flagship pins its surviving corpus at construction
     "docs_bpe_merges",
     "docs_bpe_merges_80",
+    "docs_token_fertility",
     "docs_llm_pipeline",
     # trained-centroid multiprobe runs its 5 Lloyd rounds at
     # construction — full train+search cycle is the honest number

@@ -1906,6 +1906,14 @@ from social_media_data_pipeline_spark.functions.bpe import (
 
 ORACLES["docs_bpe_tokens"] = _bpe_encode_oracle(20)
 
+# docs_token_fertility (r10): training chain + encode lookups +
+# language-grain sums — fertility = BPE tokens per word per language.
+from social_media_data_pipeline_spark.functions.bpe import (
+    build_fertility_oracle_sql as _bpe_fertility_oracle,
+)
+
+ORACLES["docs_token_fertility"] = _bpe_fertility_oracle(20)
+
 from social_media_data_pipeline_spark.functions.classifier import (
     build_logreg_oracle_sql as _logreg_oracle,
 )

@@ -558,3 +558,39 @@ FROM doc_words d JOIN w{num_merges} v USING (w)
 GROUP BY doc_id
 ORDER BY doc_id"""
     )
+
+
+def build_fertility_oracle_sql(num_merges: int) -> str:
+    """Generated DuckDB oracle for per-language tokenizer FERTILITY
+    (BPE tokens per word — the metric that prices multilingual
+    training cost: a language with fertility 2× consumes 2× the
+    sequence budget per word, Rust et al. 2021 "How Good is Your
+    Tokenizer?"): the training CTE chain, per-doc encode lookups, then
+    language-grain sums with ONE rounded division per language."""
+    chain = build_oracle_sql(num_merges)
+    cut = chain.rfind("\nSELECT * FROM (")
+    return (
+        chain[:cut]
+        + f"""
+, doc_words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+')) AS w
+    FROM documents
+), per_doc AS (
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_words,
+           SUM(len(v.syms))::BIGINT AS n_bpe
+    FROM doc_words d JOIN w{num_merges} v USING (w)
+    GROUP BY doc_id
+)
+SELECT l.lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(p.n_words)::BIGINT AS n_words,
+       SUM(p.n_bpe)::BIGINT AS n_bpe_tokens,
+       ROUND(SUM(p.n_bpe)::DOUBLE / SUM(p.n_words), 6) AS fertility
+FROM per_doc p
+JOIN documents l USING (doc_id)
+GROUP BY l.lang
+ORDER BY l.lang"""
+    )

@@ -516,6 +516,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_token_fertility": [
+        # encode joins the folded vocab via broadcast (the bpe_tokens
+        # contract); the language aggregate is one partial-agg shuffle
+        ("vocab broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "events_drift_scores": [
         # bounded-state windows only: cumulative baselines partition by
         # (type, bin) and (type) — day-grain rows, never event-grain;
