@@ -1169,6 +1169,223 @@ def pandas_docs_decontaminate_spans(sf_dir: str) -> pd.DataFrame:
     )
 
 
+
+
+def pandas_minhash_band_plan(sf_dir: str) -> pd.DataFrame:
+    from social_media_data_pipeline_spark.functions.sketches import (
+        lsh_band_plan_rows,
+    )
+
+    rows = lsh_band_plan_rows()
+    out = []
+    for b, r, i, imp, ch in rows:
+        t = i / 20.0
+        p = round(1.0 - (1.0 - t ** r) ** b, 6)
+        out.append((b, r, round(t, 6), p, round(imp, 6), ch))
+    return pd.DataFrame(
+        out,
+        columns=["bands", "rows_per_band", "t", "p_detect",
+                 "implied_threshold", "chosen"],
+    ).sort_values(["bands", "t"]).reset_index(drop=True)
+
+
+def pandas_events_drift_scores(sf_dir: str) -> pd.DataFrame:
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["bin"] = (ev["value"] // 10.0).astype("int64")
+    counts = (
+        ev.groupby(["event_type", "day", "bin"]).size().rename("c")
+        .reset_index()
+    )
+    out = []
+    for et, g in counts.groupby("event_type"):
+        base: dict = {}
+        n_base = 0
+        for day, gd in g.groupby("day"):
+            n_day = int(gd["c"].sum())
+            if n_base > 0:
+                present = sum(
+                    abs(int(c) * n_base - base.get(b, 0) * n_day)
+                    for b, c in zip(gd["bin"], gd["c"])
+                )
+                b_present = sum(base.get(b, 0) for b in gd["bin"])
+                num = present + (n_base - b_present) * n_day
+                out.append((et, day, n_day, n_base,
+                            round(num / (n_day * n_base), 6)))
+            for b, c in zip(gd["bin"], gd["c"]):
+                base[b] = base.get(b, 0) + int(c)
+            n_base += n_day
+    return pd.DataFrame(
+        out, columns=["event_type", "day", "n_day", "n_base", "l1_drift"]
+    )
+
+
+def _pandas_shingle_sets(docs: pd.DataFrame, k: int = 3) -> dict:
+    import re as _re
+
+    out = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = [w for w in _re.sub(r"\s+", " ",
+                str(t or "").lower().strip()).split(" ") if w]
+        if len(toks) >= k:
+            out[doc_id] = {
+                " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+            }
+        else:
+            out[doc_id] = {" ".join(toks)}
+    return out
+
+
+def _pandas_jaccard_pairs(sets: dict, threshold: float) -> list:
+    inv: dict = {}
+    for d, sh in sets.items():
+        for s in sh:
+            inv.setdefault(s, []).append(d)
+    from collections import Counter
+
+    common: Counter = Counter()
+    for docs_list in inv.values():
+        docs_list.sort()
+        for i in range(len(docs_list)):
+            for j in range(i + 1, len(docs_list)):
+                common[(docs_list[i], docs_list[j])] += 1
+    pairs = []
+    for (a, b), c in common.items():
+        j = round(c / (len(sets[a]) + len(sets[b]) - c), 6)
+        if j >= threshold:
+            pairs.append((a, b, j))
+    return pairs
+
+
+def pandas_docs_split_leakage(sf_dir: str) -> pd.DataFrame:
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = _pandas_jaccard_pairs(_pandas_shingle_sets(docs), 0.6)
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(f"split-v1:{doc_id}".encode()).hexdigest()[:8],
+                16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    out = []
+    for a, b, j in pairs:
+        sa, sb = split_of(a), split_of(b)
+        if (sa == "train") != (sb == "train"):
+            if sa == "train":
+                out.append((a, b, sb, j))
+            else:
+                out.append((b, a, sa, j))
+    return pd.DataFrame(
+        out, columns=["train_id", "holdout_id", "holdout_split", "jaccard"]
+    ).sort_values(["train_id", "holdout_id"]).reset_index(drop=True)
+
+
+def pandas_docs_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    import re as _re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    jp = {(a, b) for a, b, _ in
+          _pandas_jaccard_pairs(_pandas_shingle_sets(docs), 0.6)}
+
+    def norm_key(t):
+        return _re.sub(r"\s+", " ", str(t or "").lower().strip())[:32]
+
+    keyed = sorted(
+        ((norm_key(t), d) for d, t in zip(docs["doc_id"], docs["text"]))
+    )
+
+    def lev(a, b):
+        if a == b:
+            return 0
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    sp = set()
+    for i in range(len(keyed)):
+        for j in range(i + 1, min(i + 5, len(keyed))):
+            if lev(keyed[i][0], keyed[j][0]) <= 4:
+                a, b = keyed[i][1], keyed[j][1]
+                sp.add((min(a, b), max(a, b)))
+    parent = {d: d for d in docs["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in jp | sp:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(d, find(d), d == find(d)) for d in docs["doc_id"]]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "component", "is_canonical"]
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def pandas_docs_token_fertility(sf_dir: str) -> pd.DataFrame:
+    # sequential trainer (the shared bpe baseline) + eager encode
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    wf: Counter = Counter()
+    doc_words = {}
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in str(t or "").lower().strip().split() if w]
+        doc_words[doc_id] = ws
+        for w in ws:
+            wf[w] += 1
+    words = {w: list(w) for w in wf}
+    for rank in range(20):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), _ = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            words[w] = out
+    lang_of = dict(zip(docs["doc_id"], docs["lang"]))
+    agg: dict = {}
+    for doc_id, ws in doc_words.items():
+        if not ws:
+            continue
+        lang = lang_of[doc_id]
+        d = agg.setdefault(lang, [0, 0, 0])
+        d[0] += 1
+        d[1] += len(ws)
+        d[2] += sum(len(words[w]) for w in ws)
+    rows = [
+        (lang, d[0], d[1], d[2], round(d[2] / d[1], 6))
+        for lang, d in sorted(agg.items())
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["lang", "n_docs", "n_words", "n_bpe_tokens", "fertility"],
+    )
+
+
 PANDAS_IMPLS = {
     "pricing_summary": pandas_pricing_summary,
     "region_revenue": pandas_region_revenue,
@@ -1213,11 +1430,16 @@ PANDAS_IMPLS = {
     "events_robust_anomalies": pandas_events_robust_anomalies,
     "events_decayed_engagement": pandas_events_decayed_engagement,
     "graph_pagerank_weighted": pandas_graph_pagerank_weighted,
+    "minhash_band_plan": pandas_minhash_band_plan,
+    "events_drift_scores": pandas_events_drift_scores,
+    "docs_split_leakage": pandas_docs_split_leakage,
+    "docs_entity_resolution": pandas_docs_entity_resolution,
+    "docs_token_fertility": pandas_docs_token_fertility,
 }
 
 #: queries whose Spark side runs jobs during plan construction — the
 #: honest Spark number is a full construct+write cycle
-ITERATIVE_IMPLS = {"graph_kcore", "graph_lpa", "graph_pagerank_weighted", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
+ITERATIVE_IMPLS = {"docs_entity_resolution", "docs_token_fertility", "graph_kcore", "graph_lpa", "graph_pagerank_weighted", "docs_bpe_merges", "docs_bpe_merges_80", "embedding_pq_topk", "graph_pagerank", "graph_pagerank_dangling", "docs_temperature_mixture", "docs_incremental_dedup", "graph_triangles", "docs_ccnet_buckets"}
 
 
 def main() -> None:
