@@ -1276,3 +1276,124 @@ class TestHistogramDrift:
             group_cols=("event_type",),
         ).collect()
         assert len(got) == 1 and got[0]["l1_drift"] == 2.0
+
+
+class TestR10Fuzz:
+    """Seeded randomized checks for the r10 operators — the 'fuzz
+    provably-identical claims' discipline (the r7 BPE lesson: narrow
+    random loops catch what planted cases miss)."""
+
+    def test_histogram_drift_matches_python_reference(self, spark):
+        import datetime as _dt
+        import random
+
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            histogram_drift,
+        )
+
+        rng = random.Random(11)
+        for trial in range(4):
+            rows = []
+            for _ in range(rng.randrange(40, 120)):
+                rows.append((
+                    rng.choice("ab"),
+                    _dt.datetime(2024, 1, rng.randrange(1, 9), 12, 0),
+                    float(rng.randrange(-30, 60)),
+                ))
+            df = spark.createDataFrame(
+                rows, "event_type string, ts timestamp, value double"
+            )
+            got = {
+                (r["event_type"], r["day"].isoformat()):
+                    (r["n_day"], r["n_base"], r["l1_drift"])
+                for r in histogram_drift(
+                    df, "ts", "value", 10.0, group_cols=("event_type",)
+                ).collect()
+            }
+            # brute reference: dense per-day histograms, direct L1
+            from collections import Counter, defaultdict
+
+            per = defaultdict(Counter)
+            for et, ts, v in rows:
+                per[(et, ts.date())][int(v // 10)] += 1
+            want = {}
+            for et in "ab":
+                days = sorted(d for (e, d) in per if e == et)
+                base: Counter = Counter()
+                for d in days:
+                    cur = per[(et, d)]
+                    n_d, n_b = sum(cur.values()), sum(base.values())
+                    if n_b > 0:
+                        bins = set(cur) | set(base)
+                        l1 = sum(
+                            abs(cur[b] / n_d - base[b] / n_b) for b in bins
+                        )
+                        want[(et, d.isoformat())] = (
+                            n_d, n_b, round(l1, 6)
+                        )
+                    base.update(cur)
+            for k, (nd, nb, l1) in want.items():
+                gnd, gnb, gl1 = got[k]
+                assert (gnd, gnb) == (nd, nb), (trial, k)
+                assert abs(gl1 - l1) < 2e-6, (trial, k, gl1, l1)
+            assert set(got) == set(want)
+
+    def test_snm_auto_equals_fixed_on_random_skew(self, spark):
+        import random
+
+        from social_media_data_pipeline_spark.operators.dedup import snm_pairs
+
+        rng = random.Random(23)
+        for trial in range(3):
+            hot = rng.choice(["aa", "zz", "mm"])
+            rows = []
+            rid = 0
+            for _ in range(rng.randrange(30, 80)):
+                if rng.random() < 0.7:
+                    key = hot + "".join(rng.choices("abcd", k=4))
+                else:
+                    key = "".join(rng.choices("abcdefgh", k=6))
+                rows.append((rid, key))
+                rid += 1
+            df = spark.createDataFrame(rows, "rid long, key string")
+            w = rng.choice([2, 3, 4])
+            auto = {
+                (r.id_a, r.id_b, r.dist)
+                for r in snm_pairs(df, "rid", "key", window=w).collect()
+            }
+            fixed = {
+                (r.id_a, r.id_b, r.dist)
+                for r in snm_pairs(
+                    df, "rid", "key", window=w, hot_share=None,
+                    bucket_prefix_len=6,
+                ).collect()
+            }
+            assert auto == fixed, trial
+
+    def test_entity_resolution_batching_invariance_random(self, spark):
+        import random
+
+        from social_media_data_pipeline_spark.operators.dedup import (
+            entity_resolution_clusters,
+        )
+
+        rng = random.Random(37)
+        words = ["alpha", "beta", "gamma", "delta", "omega"]
+        rows = []
+        for i in range(40):
+            base = " ".join(rng.choices(words, k=10))
+            rows.append((3 * i, base))
+            if rng.random() < 0.4:
+                rows.append((3 * i + 1, base + " extra"))
+            if rng.random() < 0.2:
+                rows.append((3 * i + 2, base.replace("alpha", "alpka", 1)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        outs = []
+        for batches in (1, 2, 4):
+            outs.append({
+                (r.doc_id, r.component)
+                for r in entity_resolution_clusters(
+                    df, batches=batches
+                ).collect()
+            })
+        assert outs[0] == outs[1] == outs[2]
