@@ -854,3 +854,79 @@ class TestStreamingAnnIngest:
         # and the merged fingerprint validates the grown corpus
         meta = ann_index._load_meta(ann_index.pq_codes_path(tag, params))
         assert meta["fingerprint"] == ann_index.corpus_fingerprint(full)
+
+
+class TestStreamingDrift:
+    """r10: incremental drift monitoring — per-batch L1 vs the
+    manifest-committed baseline histogram must equal the BATCH
+    operator's per-day rows when batches are days."""
+
+    def test_three_batches_equal_batch_operator(self, spark, tmp_path):
+        import datetime as _dt
+        import glob
+        import os
+        import time as _time
+
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            histogram_drift,
+        )
+        from social_media_data_pipeline_spark.streaming import drift
+
+        store = str(tmp_path / "baseline")
+        src = str(tmp_path / "ev")
+        days = {
+            "b1": [("a", 1, v) for v in (1, 2, 3, 11)],
+            "b2": [("a", 2, v) for v in (1, 1, 25, 25)],
+            "b3": [("a", 3, v) for v in (1, 11, 25, 40)],
+        }
+        schema = "event_type string, ts timestamp, value double"
+        for name, rows in days.items():
+            data = [
+                (et, _dt.datetime(2024, 1, d, 9, 0), float(v))
+                for et, d, v in rows
+            ]
+            spark.createDataFrame(data, schema).coalesce(1).write.parquet(
+                src + f"/{name}"
+            )
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2", "b3")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 60 + i * 20, now - 60 + i * 20))
+
+        got: list[tuple] = []
+
+        def step(batch_df, batch_id):
+            res = drift.drift_batch(
+                spark, batch_df, store, "value", 10.0,
+                group_cols=("event_type",),
+            )
+            got.extend(
+                (r["event_type"], r["n_day"], r["n_base"], r["l1_drift"])
+                for r in res.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        all_rows = [
+            (et, _dt.datetime(2024, 1, d, 9, 0), float(v))
+            for rows in days.values()
+            for et, d, v in rows
+        ]
+        want = [
+            (r["event_type"], r["n_day"], r["n_base"], r["l1_drift"])
+            for r in histogram_drift(
+                spark.createDataFrame(all_rows, schema),
+                "ts", "value", 10.0, group_cols=("event_type",),
+            ).orderBy("day").collect()
+        ]
+        assert got == want and len(got) == 2
