@@ -1800,6 +1800,27 @@ def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release audit
+    (`operators/aggregates.py:k_anonymity_profile`): k-anonymity +
+    l-diversity over the customer table — quasi-identifiers
+    (nation, market segment), sensitive attribute = account-balance
+    sign bucket. Every quasi group under k=5 rows is re-identifiable
+    by linkage; every group with < 2 distinct sensitive values leaks
+    the attribute by membership alone (the homogeneity attack). The
+    gate before releasing user-derived training tables; one map-side-
+    combinable hash aggregate."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise(
+            F.when(F.col("c_acctbal") < 5000, "low").otherwise("high")
+        ),
+    )
+    return aggregates.k_anonymity_profile(
+        cust, ("c_nationkey", "c_mktsegment"), "bal_bucket", k=5, l=2
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2842,6 +2863,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
     "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
     "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
+    "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
 }
 
 

@@ -176,6 +176,8 @@ HEADLINE = [
     # round 10: per-language tokenizer fertility (BPE train + encode
     # replay + language-grain sums — ITERATIVE: training at construct)
     "docs_token_fertility",
+    # round 10: privacy release audit (one hash aggregate + flags)
+    "customer_k_anonymity",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -3083,6 +3083,26 @@ from social_media_data_pipeline_spark.functions.sketches import (
 
 ORACLES["minhash_band_plan"] = _band_plan_sql()
 
+# customer_k_anonymity (r10): one grouped count + count-distinct with
+# threshold flags — the release-audit gate.
+ORACLES["customer_k_anonymity"] = """
+WITH b AS (
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_bucket
+    FROM customer
+)
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT bal_bucket) AS n_sensitive_distinct,
+       COUNT(*) >= 5 AS k_anonymous,
+       COUNT(DISTINCT bal_bucket) >= 2 AS l_diverse
+FROM b
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
 # docs_split_leakage (r10): exact all-pairs Jaccard >= 0.6 x the
 # deterministic split CASE — pairs with exactly one train side,
 # oriented train-first. A candidate the prefix filter loses, a wrong

@@ -457,3 +457,45 @@ def histogram_drift(
             "l1_drift"
         ),
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy release-audit → one row per quasi-identifier group:
+    (quasi…, n_rows, n_sensitive_distinct, k_anonymous, l_diverse).
+    k-anonymity (Sweeney 2002): every quasi-identifier combination
+    must be shared by ≥ k rows, or those rows are re-identifiable by
+    linking on the quasi columns; l-diversity (Machanavalkar et al.
+    2007): a group additionally needs ≥ l distinct sensitive values,
+    or membership alone leaks the sensitive attribute (the homogeneity
+    attack k-anonymity misses). The gate a training-data pipeline runs
+    BEFORE releasing user-derived tables — the complement of
+    `pii_redact`, which scrubs free text while this audits structured
+    columns.
+
+    One hash aggregate: count + count_distinct per group, map-side
+    combinable; flags are projections. Suppression/generalization of
+    failing groups is release policy — join the failing rows back and
+    drop or coarsen (the `filter_not_in` anti-join shape).
+    """
+    if k < 1 or l < 1:
+        raise ValueError(f"k and l must be >= 1, got k={k}, l={l}")
+    out = (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col).alias("n_sensitive_distinct"),
+        )
+    )
+    return out.select(
+        *quasi_cols,
+        "n_rows",
+        "n_sensitive_distinct",
+        (F.col("n_rows") >= k).alias("k_anonymous"),
+        (F.col("n_sensitive_distinct") >= l).alias("l_diverse"),
+    )

@@ -1397,3 +1397,41 @@ class TestR10Fuzz:
                 ).collect()
             })
         assert outs[0] == outs[1] == outs[2]
+
+
+class TestKAnonymity:
+    def test_flags_cross_independently(self, spark):
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            k_anonymity_profile,
+        )
+
+        rows = (
+            # group A: 5 rows, 2 sensitive values -> both pass
+            [("A", "s1")] * 3 + [("A", "s2")] * 2
+            # group B: 5 rows, 1 value -> k ok, l fails (homogeneity)
+            + [("B", "s1")] * 5
+            # group C: 2 rows, 2 values -> k fails, l ok
+            + [("C", "s1"), ("C", "s2")]
+        )
+        df = spark.createDataFrame(rows, "q string, s string")
+        got = {
+            r["q"]: (r["n_rows"], r["n_sensitive_distinct"],
+                     r["k_anonymous"], r["l_diverse"])
+            for r in k_anonymity_profile(df, ("q",), "s", k=5, l=2).collect()
+        }
+        assert got == {
+            "A": (5, 2, True, True),
+            "B": (5, 1, True, False),
+            "C": (2, 2, False, True),
+        }
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.operators.aggregates import (
+            k_anonymity_profile,
+        )
+
+        df = spark.createDataFrame([("A", "s")], "q string, s string")
+        with _pytest.raises(ValueError, match="k and l"):
+            k_anonymity_profile(df, ("q",), "s", k=0)

@@ -516,6 +516,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "customer_k_anonymity": [
+        # one map-side-combinable hash aggregate, flags are
+        # projections; only needed columns read
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("no join or window", r"\A(?!.*(?:Join|Window))"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("name column not read", r"\A(?!.*ReadSchema: [^\n]*c_name)"),
+    ],
     "docs_token_fertility": [
         # encode joins the folded vocab via broadcast (the bpe_tokens
         # contract); the language aggregate is one partial-agg shuffle
