@@ -403,6 +403,78 @@ def pandas_setsim_prefix(path: str) -> pd.DataFrame:
     return out[out["jaccard"] >= 0.6][["doc_a", "doc_b", "jaccard"]]
 
 
+
+
+def spark_entity_resolution(spark, path: str) -> None:
+    from social_media_data_pipeline_spark.operators.dedup import (
+        entity_resolution_clusters,
+    )
+
+    docs = spark.read.parquet(path)
+    entity_resolution_clusters(docs).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+
+def pandas_entity_resolution(path: str) -> pd.DataFrame:
+    # the cell-validated reference_shootout baseline, reading the
+    # replicated scratch parquet
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "rs", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "reference_shootout.py")
+    )
+    rs = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+    docs = pd.read_parquet(path)
+    jp = {(a, b) for a, b, _ in
+          rs._pandas_jaccard_pairs(rs._pandas_shingle_sets(docs), 0.6)}
+    import re as _re
+
+    def norm_key(t):
+        return _re.sub(r"\s+", " ", str(t or "").lower().strip())[:32]
+
+    keyed = sorted(
+        ((norm_key(t), d) for d, t in zip(docs["doc_id"], docs["text"]))
+    )
+
+    def lev(a, b):
+        if a == b:
+            return 0
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    sp = set()
+    for i in range(len(keyed)):
+        for j in range(i + 1, min(i + 5, len(keyed))):
+            if lev(keyed[i][0], keyed[j][0]) <= 4:
+                a, b = keyed[i][1], keyed[j][1]
+                sp.add((min(a, b), max(a, b)))
+    parent = {d: d for d in docs["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in jp | sp:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(d, find(d), d == find(d)) for d in docs["doc_id"]]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "component", "is_canonical"]
+    )
+
+
 FAMILIES = {
     "winsorized": (replicate_events, spark_winsorized, pandas_winsorized,
                    "events"),
@@ -424,6 +496,10 @@ FAMILIES = {
     # the pandas inverted-index exact join on the same salted corpus
     "setsim_prefix": (replicate_documents, spark_setsim_prefix,
                       pandas_setsim_prefix, "documents"),
+    # the r10 ER flagship: dual-channel candidates + verify +
+    # incremental CC vs the cell-validated single-node union-find
+    "entity_resolution": (replicate_documents, spark_entity_resolution,
+                          pandas_entity_resolution, "documents"),
 }
 
 
