@@ -1821,6 +1821,24 @@ def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey", "c_mktsegment")
 
 
+def q_docs_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation
+    (`operators/dedup.py:blocking_quality`, Christen 2012 §7.5): pair
+    completeness + reduction ratio of the MinHash-LSH and
+    sorted-neighborhood candidate generators against the EXACT
+    Jaccard >= 0.6 truth set on this corpus — the empirical complement
+    of `minhash_band_plan`'s analytic S-curves, and the measurement
+    that picks a generator per the similarity-join decision table.
+    Oracle replays truth (exact all-pairs), the banding chain and the
+    rank-distance join, then the same counts and rounded ratios."""
+    from social_media_data_pipeline_spark.operators.dedup import (
+        blocking_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocking_quality(docs, "doc_id", "text").orderBy("method")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -2864,6 +2882,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
     "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
     "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
+    "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
 }
 
 

@@ -178,6 +178,10 @@ HEADLINE = [
     "docs_token_fertility",
     # round 10: privacy release audit (one hash aggregate + flags)
     "customer_k_anonymity",
+    # round 10: blocking-quality evaluation (truth + 2 generators +
+    # semi-join counts — ITERATIVE: pinned candidate sets + counts at
+    # construction)
+    "docs_blocking_quality",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -220,6 +224,9 @@ ITERATIVE = {
     # bucket-count collect + pinned rank table at construction
     "docs_snm_pairs",
     "docs_negative_pairs",
+    # blocking evaluation pins truth + both candidate sets and collects
+    # its counts at construction
+    "docs_blocking_quality",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -3083,6 +3083,69 @@ from social_media_data_pipeline_spark.functions.sketches import (
 
 ORACLES["minhash_band_plan"] = _band_plan_sql()
 
+# docs_blocking_quality (r10): truth = exact all-pairs Jaccard >= 0.6;
+# LSH candidates = the banding replay (the dedup_clusters chain); SNM
+# candidates = the global ROW_NUMBER rank-distance join; then counts
+# + the same rounded ratios.
+ORACLES["docs_blocking_quality"] = f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+    SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), common AS (
+    SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+), truth AS (
+    SELECT id_a, id_b
+    FROM common
+    JOIN sizes sa ON sa.doc = id_a
+    JOIN sizes sb ON sb.doc = id_b
+    WHERE ROUND(common / (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+), sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), lsh AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+), p AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr({_NORM}, 1, 32), doc_id) AS pos
+    FROM documents
+), snm AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos <= 4
+), nn AS (
+    SELECT COUNT(*)::BIGINT AS n FROM documents
+), stats AS (
+    SELECT 'minhash_lsh' AS method,
+           (SELECT COUNT(*) FROM lsh)::BIGINT AS n_candidates,
+           (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+           (SELECT COUNT(*) FROM truth t
+            JOIN lsh c ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_caught
+    UNION ALL
+    SELECT 'sorted_neighborhood',
+           (SELECT COUNT(*) FROM snm)::BIGINT,
+           (SELECT COUNT(*) FROM truth)::BIGINT,
+           (SELECT COUNT(*) FROM truth t
+            JOIN snm c ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT
+)
+SELECT method, n_candidates, n_true, n_caught,
+       CASE WHEN n_true > 0
+            THEN ROUND(n_caught / n_true::DOUBLE, 6)
+            ELSE 1.0 END AS pair_completeness,
+       ROUND(1.0 - n_candidates / (nn.n * (nn.n - 1) / 2.0), 6)
+           AS reduction_ratio
+FROM stats, nn
+ORDER BY method
+"""
+
 # customer_k_anonymity (r10): one grouped count + count-distinct with
 # threshold flags — the release-audit gate.
 ORACLES["customer_k_anonymity"] = """

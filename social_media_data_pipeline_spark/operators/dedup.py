@@ -1242,3 +1242,87 @@ def entity_resolution_clusters(
     return out.withColumn(
         "is_canonical", F.col("component") == F.col(id_col)
     )
+
+
+def blocking_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+    key_len: int = 32,
+    window: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate-generator evaluation → one row per blocking method:
+    (method, n_candidates, n_true, n_caught, pair_completeness,
+    reduction_ratio) — the two textbook ER blocking metrics
+    (Christen 2012 §7.5: pair completeness = recall of true matches
+    among candidates; reduction ratio = 1 − candidates / all pairs).
+    Ground truth is the EXACT Jaccard ≥ threshold pair set (computed
+    via the lossless prefix filter, so the truth itself can't silently
+    lose pairs); methods evaluated: MinHash-LSH banding and
+    sorted-neighborhood blocking — the probabilistic and the
+    sort-order generator from the similarity-join decision table,
+    measured on THIS corpus rather than argued from S-curves (the
+    empirical complement of `lsh_band_plan`'s analytic ones).
+
+    All counts are exact integers off candidate-count-sized semi
+    joins; the two ratios are one rounded division each. The
+    truth-set cost is the prefix join — acceptable for an evaluation
+    query run on a sample; at 100 TB run it on a stratified sample and
+    read completeness with binomial error bars.
+    """
+    from social_media_data_pipeline_spark.functions import sketches
+    from social_media_data_pipeline_spark.functions.text import normalize_text
+
+    spark = df.sparkSession
+    n = df.count()
+    all_pairs = n * (n - 1) // 2
+    truth = (
+        sketches.ngram_jaccard_pairs_prefix(
+            df, id_col, text_col, shingle_k=shingle_k,
+            threshold=jaccard_threshold,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.count()
+    key = F.substring(normalize_text(text_col), 1, key_len)
+    methods = {
+        "minhash_lsh": sketches.minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k,
+        ).select("id_a", "id_b"),
+        "sorted_neighborhood": snm_pairs(
+            df, id_col, key, window=window
+        ).select("id_a", "id_b"),
+    }
+    rows = []
+    for name, cand in methods.items():
+        cand = cand.localCheckpoint(eager=True)
+        n_cand = cand.count()
+        n_caught = truth.join(cand, ["id_a", "id_b"], "leftsemi").count()
+        rows.append((name, n_cand, n_true, n_caught))
+    counts = spark.createDataFrame(
+        rows,
+        "method string, n_candidates bigint, n_true bigint, "
+        "n_caught bigint",
+    )
+    # ratios as SPARK expressions, not python round(): Spark ROUND is
+    # HALF_UP like the SQL oracle's; python's banker's rounding can
+    # flip a 6dp half boundary
+    return counts.select(
+        "method",
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_caught") / F.col("n_true"), 6),
+        ).otherwise(F.lit(1.0)).alias("pair_completeness"),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / F.lit(float(all_pairs)), 6
+        ).alias("reduction_ratio"),
+    )

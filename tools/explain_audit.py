@@ -516,6 +516,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_blocking_quality": [
+        # the final plan is the tiny counts table + ratio projections;
+        # truth/candidate joins ran at construction (pinned)
+        ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "customer_k_anonymity": [
         # one map-side-combinable hash aggregate, flags are
         # projections; only needed columns read
