@@ -1435,3 +1435,50 @@ class TestKAnonymity:
         df = spark.createDataFrame([("A", "s")], "q string, s string")
         with _pytest.raises(ValueError, match="k and l"):
             k_anonymity_profile(df, ("q",), "s", k=0)
+
+
+class TestBlockingQuality:
+    def test_metrics_on_planted_corpus(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality,
+        )
+
+        base = "the gray fox runs across the frozen river every single morning"
+        rows = [
+            (1, base),
+            # near-dup of 1 with a DIFFERENT leading word: sorts far
+            # from 1, so the w=2 sorted neighborhood misses the pair
+            # while shingle methods catch it
+            (2, "a " + base),
+            (3, "completely different text about gardens and tomatoes here"),
+            (4, "another unrelated document listing prices of seasonal fruit"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["method"]: (
+                r["n_true"], r["n_caught"], r["pair_completeness"],
+            )
+            for r in blocking_quality(
+                df, "doc_id", "text", jaccard_threshold=0.6, window=2
+            ).collect()
+        }
+        assert set(got) == {"minhash_lsh", "sorted_neighborhood"}
+        # exactly one true pair (1, 2)
+        assert got["minhash_lsh"][0] == 1
+        assert got["minhash_lsh"][1:] == (1, 1.0), "LSH catches the dup"
+        assert got["sorted_neighborhood"][1:] == (0, 0.0), (
+            "the leading-word edit defeats sort adjacency at w=2 — the "
+            "blind spot the decision table documents"
+        )
+
+    def test_reduction_ratio_bounds(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality,
+        )
+
+        rows = [(i, f"totally unique text number {i} with filler words")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in blocking_quality(df, "doc_id", "text").collect():
+            assert 0.0 <= r["reduction_ratio"] <= 1.0
+            assert r["pair_completeness"] == 1.0  # n_true == 0 -> 1.0
