@@ -1333,6 +1333,29 @@ def q_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_score(docs, ["spark", "window", "hash"]).orderBy("rank")
 
 
+def q_docs_bm25_searched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / search-many lexical retrieval (the text mirror of
+    `embedding_ivf_search_persisted`): identical output contract to
+    `docs_bm25`, but the query reads a PERSISTED inverted index
+    (`functions/lexical_index.py` — postings/dfreq/lengths committed
+    under ONE root manifest, stats + corpus fingerprint in a
+    per-generation meta) instead of re-tokenizing the corpus. First
+    invocation builds and commits; every later one pays one
+    fingerprint-validation aggregate plus a pushed-down `t IN (...)`
+    read of the query terms' postings row groups. The oracle REPLAYS
+    the full tokenize→aggregate→score chain in SQL, which also proves
+    the warm cache path matches a fresh build (reference analog:
+    DIRAdapter.py:20-76 — train once, reuse every run)."""
+    from social_media_data_pipeline_spark.functions import lexical_index
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _os.path.abspath(sf_dir) + ":documents"
+    path = lexical_index.bm25_index_for(docs, tag)
+    return lexical_index.bm25_search_indexed(
+        spark, path, ["spark", "window", "hash"]
+    ).orderBy("rank")
+
+
 def q_docs_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation report — the operational dashboard a corpus
     owner reads after every ingest: document count, exact-duplicate
@@ -2883,6 +2906,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
     "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
     "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
+    "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
 }
 
 

@@ -1307,6 +1307,12 @@ ORDER BY bm25 DESC, doc_id
 LIMIT 20
 """
 
+# docs_bm25_searched (r10): the persisted-inverted-index search path
+# must return EXACTLY what a full-cycle scan computes — the oracle is
+# the full replay, so a stale/corrupt artifact (or a cache hit that
+# didn't bit-match a fresh build) hash-mismatches
+ORACLES["docs_bm25_searched"] = ORACLES["docs_bm25"]
+
 # docs_hybrid_rrf: BM25 top-20 (same chain as docs_bm25) + exact
 # cosine top-20 for embedding 7, fused by integer-exact RRF
 # (1e9 // (60 + rank)), full-outer on doc id, top-10

@@ -29,6 +29,63 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def bm25_term_score_expr(k1: float = BM25_K1, b: float = BM25_B):
+    """The per-(doc, term) Okapi BM25 contribution over columns
+    `tf`, `dl`, `df`, `n`, `dl_sum` — factored out so the full-cycle
+    scorer (`bm25_score`) and the persisted-index search
+    (`lexical_index.bm25_search_indexed`) build the IDENTICAL
+    expression tree: same operand order, same literals, so their
+    floating-point sums agree far inside the 6-dp rounding the rank
+    is assigned on."""
+    return (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.col("dl")
+                / (F.col("dl_sum").cast("double") / F.col("n"))
+            )
+        )
+    )
+
+
+def ranked_desc_topn(
+    scored: DataFrame, score_col: str, id_col: str, topn: int
+) -> DataFrame:
+    """Window-free top-n + dense 1..n rank over (score desc, id asc):
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    global sort) bounds the survivors to `topn`, then ONE bounded
+    collect_list + array_sort + posexplode assigns ranks — the single
+    partition the 1-row agg runs on holds <= topn rows by
+    construction. Shared by `bm25_score` and the persisted-index
+    search path."""
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(topn)
+    one = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col)).alias("ns"),
+                    F.col(id_col).alias("id"),
+                    F.col(score_col).alias("s"),
+                )
+            )
+        ).alias("xs")
+    )
+    return one.select(F.posexplode("xs").alias("pos", "x")).select(
+        F.col("x.id").alias(id_col),
+        F.col("x.s").alias(score_col),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def _term_freqs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, t, tf): one explode pass + one map-side-combinable shuffle."""
     toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("t"))
@@ -151,49 +208,12 @@ def bm25_score(
         qtf.join(doclen, id_col)
         .join(F.broadcast(dfreq), "t")
         .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b)
-                        * F.col("dl")
-                        / (F.col("dl_sum").cast("double") / F.col("n"))
-                    )
-                )
-            ).alias("s"),
-        )
+        .select(F.col(id_col), bm25_term_score_expr(k1, b).alias("s"))
     )
     scored = per_term.groupBy(id_col).agg(F.round(F.sum("s"), 6).alias("bm25"))
-    top = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(topn)
-    # rank WITHOUT a window: the <= topn survivors collapse to one
-    # bounded array, sort (desc bm25 via negation, asc id), posexplode.
-    # Keeps the plan Window-free — TakeOrderedAndProject + a 1-row agg.
-    one = top.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    (-F.col("bm25")).alias("nb"),
-                    F.col(id_col).alias("id"),
-                    F.col("bm25").alias("bm25"),
-                )
-            )
-        ).alias("xs")
-    )
-    return one.select(F.posexplode("xs").alias("pos", "x")).select(
-        F.col("x.id").alias(id_col),
-        F.col("x.bm25").alias("bm25"),
-        (F.col("pos") + 1).cast("int").alias("rank"),
-    )
+    # rank WITHOUT a window: TakeOrderedAndProject bounds survivors to
+    # <= topn, then one bounded array sort assigns ranks (shared tail).
+    return ranked_desc_topn(scored, "bm25", id_col, topn)
 
 
 def hybrid_rrf_topk(

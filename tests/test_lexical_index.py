@@ -1,0 +1,145 @@
+"""Build-once / search-many BM25 inverted-index lifecycle (r10):
+persisted postings/dfreq/lengths under one root manifest, search
+identity with the full-cycle scorer, fingerprint invalidation, and
+batch-proportional append with merged df/stats."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark import scale
+from social_media_data_pipeline_spark.functions import lexical_index as lx
+from social_media_data_pipeline_spark.functions import retrieval
+
+TERMS = ["red", "blue", "green"]
+
+_WORDS = ["red", "blue", "green", "dog", "cat", "tree", "sky", "rock"]
+
+
+def _docs(spark, n=40, start=0):
+    rows = [
+        (
+            i,
+            " ".join(_WORDS[(i * 5 + j) % len(_WORDS)] for j in range(3 + i % 5)),
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(autouse=True)
+def artifacts_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS_DIR", str(tmp_path / "arts"))
+    yield str(tmp_path / "arts")
+
+
+class TestBm25IndexLifecycle:
+    def test_search_matches_full_cycle_and_caches(self, spark):
+        docs = _docs(spark)
+        full = retrieval.bm25_score(docs, TERMS, topn=10).collect()
+        path = lx.bm25_index_for(docs, "unit:docs")
+        got = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        assert got == full
+        # warm call: no rebuild — manifest generation stays put
+        g0 = scale._read_manifest_doc(path)["generation"]
+        path2 = lx.bm25_index_for(docs, "unit:docs")
+        assert path2 == path
+        assert scale._read_manifest_doc(path)["generation"] == g0
+        assert (
+            lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+            == full
+        )
+
+    def test_corpus_change_forces_rebuild(self, spark):
+        docs = _docs(spark)
+        path = lx.bm25_index_for(docs, "unit:docs")
+        g0 = scale._read_manifest_doc(path)["generation"]
+        changed = _docs(spark, n=35)  # regenerated table, same tag
+        path2 = lx.bm25_index_for(changed, "unit:docs")
+        assert path2 == path
+        assert scale._read_manifest_doc(path)["generation"] == g0 + 1
+        assert lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect() == (
+            retrieval.bm25_score(changed, TERMS, topn=10).collect()
+        )
+
+    def test_trust_cache_skips_fingerprint(self, spark):
+        docs = _docs(spark)
+        path = lx.bm25_index_for(docs, "unit:docs")
+        g0 = scale._read_manifest_doc(path)["generation"]
+        # corpus moved, but trust_cache skips the validating scan
+        changed = _docs(spark, n=35)
+        path2 = lx.bm25_index_for(changed, "unit:docs", trust_cache=True)
+        assert path2 == path
+        assert scale._read_manifest_doc(path)["generation"] == g0
+
+    def test_search_without_index_refused(self, spark):
+        with pytest.raises(ValueError, match="no committed index"):
+            lx.bm25_search_indexed(
+                spark, lx.lex_index_path("unit:none", {}), TERMS
+            )
+
+    def test_meta_travels_with_generation(self, spark):
+        """The live generation's meta file must exist and carry exact
+        integer stats equal to a fresh corpus aggregate."""
+        docs = _docs(spark)
+        path = lx.bm25_index_for(docs, "unit:docs")
+        meta = lx.load_index_meta(path)
+        from social_media_data_pipeline_spark.functions.text import tokenize
+
+        dl = docs.select(F.explode(tokenize("text")).alias("t")).count()
+        assert meta["stats"] == {"n": 40, "dl_sum": dl}
+
+
+class TestBm25IndexAppend:
+    def test_append_equals_full_rebuild(self, spark):
+        base, batch = _docs(spark, n=25), _docs(spark, n=15, start=25)
+        both = base.unionByName(batch)
+        path = lx.bm25_index_for(base, "unit:split")
+        lx.bm25_index_append(batch, "unit:split")
+        got = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        assert got == retrieval.bm25_score(both, TERMS, topn=10).collect()
+
+    def test_merged_fingerprint_validates_grown_corpus(self, spark):
+        base, batch = _docs(spark, n=25), _docs(spark, n=15, start=25)
+        both = base.unionByName(batch)
+        path = lx.bm25_index_for(base, "unit:split")
+        lx.bm25_index_append(batch, "unit:split")
+        # a validated get-or-build against the grown corpus cache-hits
+        g0 = scale._read_manifest_doc(path)["generation"]
+        assert lx.bm25_index_for(both, "unit:split") == path
+        assert scale._read_manifest_doc(path)["generation"] == g0
+
+    def test_append_duplicate_doc_refused_before_commit(self, spark):
+        base = _docs(spark, n=25)
+        path = lx.bm25_index_for(base, "unit:split")
+        g0 = scale._read_manifest_doc(path)["generation"]
+        dup = _docs(spark, n=5, start=20)  # overlaps ids 20..24
+        with pytest.raises(ValueError, match="already indexed"):
+            lx.bm25_index_append(dup, "unit:split")
+        # nothing flipped, nothing staged into the live set
+        assert scale._read_manifest_doc(path)["generation"] == g0
+
+    def test_append_without_base_refused(self, spark):
+        with pytest.raises(ValueError, match="no committed index"):
+            lx.bm25_index_append(_docs(spark, n=5), "unit:nobase")
+
+    def test_old_doc_scores_move_with_avgdl(self, spark):
+        """BM25 append semantics: df/avgdl resolve at search time, so
+        an append changes OLD documents' scores too (unlike the
+        frozen-model ANN append) — assert the search over the appended
+        index does NOT equal the base-only scores."""
+        base, batch = _docs(spark, n=25), _docs(spark, n=15, start=25)
+        before = retrieval.bm25_score(base, TERMS, topn=10).collect()
+        lx.bm25_index_for(base, "unit:split")
+        lx.bm25_index_append(batch, "unit:split")
+        after = lx.bm25_search_indexed(
+            spark, lx.lex_index_path(
+                "unit:split", {"id_col": "doc_id", "text_col": "text"}
+            ),
+            TERMS,
+            topn=10,
+        ).collect()
+        assert after != before

@@ -375,6 +375,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window at all", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_bm25_searched": [
+        # persisted-index search: the query terms' IN filter reaches
+        # the postings parquet scan (term-sorted row groups skip the
+        # rest of the vocab); dfreq slice and stats row broadcast; the
+        # top-k/rank tail is the shared Window-free shape
+        ("terms IN pushed to postings scan", r"PushedFilters: \[In\(t"),
+        ("dfreq broadcast", r"BroadcastHashJoin"),
+        ("top-k not full sort", r"TakeOrderedAndProject"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
