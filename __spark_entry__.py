@@ -1756,6 +1756,26 @@ def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split CONSTRUCTOR (`operators/splits.py:group_split`)
+    — the fix for what `docs_split_leakage` audits: documents are
+    assigned train/val/test by the salted fingerprint of their
+    near-dup cluster REPRESENTATIVE (connected components over the
+    MinHash-LSH candidate graph — the same 16-hash/4-band generator
+    and reachability semantics as `dedup_clusters`), so a near-dup
+    clique lands whole in one split by construction. Oracle = the
+    recursive reachability chain × the md5 bucket CASE replay — a
+    wrong component, a dropped singleton, or a wrong bucket boundary
+    hash-mismatches."""
+    from social_media_data_pipeline_spark.functions import graph  # noqa: F401
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sketches.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4
+    )
+    return splits.group_split(docs, "doc_id", pairs).orderBy("doc_id")
+
+
 def q_minhash_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band planner (`functions/sketches.py:lsh_band_plan`):
     P(candidate | J = t) = 1 − (1 − t^r)^b for every factorization of
@@ -2907,6 +2927,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
     "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
     "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
+    "docs_group_split": q_docs_group_split,  # [r11-in-new]
 }
 
 

@@ -186,6 +186,10 @@ HEADLINE = [
     # index (get-or-build + fingerprint validation at construct —
     # ITERATIVE; warm search reads only the query terms' row groups)
     "docs_bm25_searched",
+    # round 10: leakage-free group split (CC over the LSH candidate
+    # graph → split by cluster-rep fingerprint — ITERATIVE: CC pins
+    # pair/label tables at construction)
+    "docs_group_split",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -212,6 +216,9 @@ ITERATIVE = {
     # get-or-build index load (fingerprint aggregate; builds on a cold
     # artifact) runs at construction
     "docs_bm25_searched",
+    # group split runs CC (pinned pair list + per-round jobs) at
+    # construction
+    "docs_group_split",
     # ER flagship: snm rank table, edge-set pin and per-chunk CC labels
     # all materialize at construction
     "docs_entity_resolution",

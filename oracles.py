@@ -465,6 +465,47 @@ GROUP BY node
 ORDER BY doc_id
 """
 
+# docs_group_split (r10): the leakage-free split constructor — same
+# reachability chain as dedup_clusters (MinHash-LSH 16/4 candidates),
+# then every doc buckets by md5 of its cluster representative (the
+# docs_split CASE, keyed on rep instead of doc_id); singletons are
+# their own rep via the identity seed row of the recursive CTE
+ORACLES["docs_group_split"] = f"""
+WITH RECURSIVE sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), pairs AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.a AS node, reach.r AS r FROM sym s JOIN reach ON s.b = reach.node
+), comp AS (
+    SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node
+)
+SELECT doc_id, rep,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, rep,
+           ('0x' || substr(md5('split-v1:' || rep), 1, 8))::BIGINT % 100 AS b
+    FROM comp
+)
+ORDER BY doc_id
+"""
+
 ORACLES["ngram_jaccard"] = f"""
 WITH sh AS (
     SELECT DISTINCT doc_id AS doc, unnest({_SHINGLES}) AS shingle FROM documents

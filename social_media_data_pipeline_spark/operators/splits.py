@@ -114,6 +114,56 @@ def deterministic_shuffle(
     )
 
 
+def group_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    seed: str = "split-v1",
+    splits: Sequence[tuple[str, int]] = (
+        ("train", 80), ("val", 10), ("test", 10),
+    ),
+) -> DataFrame:
+    """Leakage-FREE split constructor → (id, rep, split): every
+    document is assigned by the salted fingerprint of its near-dup
+    CLUSTER REPRESENTATIVE (min reachable id over the candidate `pairs`
+    graph, via `connected_components`), so an entire near-dup clique
+    lands in ONE split and the straddling pairs `split_leakage` audits
+    for cannot exist by construction — the constructor/auditor pair
+    (sklearn calls the idea GroupShuffleSplit; Lee et al. 2022 §6.2 is
+    why it matters for training corpora: near-dups of held-out docs
+    inflate eval scores unless the clique splits together).
+
+    `pairs` is any (id_a, id_b) candidate frame — the caller picks the
+    generator and its recall/cost point (lossless prefix filter, LSH
+    bands, SNM, …; the blocking_quality query prices that choice).
+    Documents untouched by any pair are their own representative (a
+    left join + coalesce — singleton nodes never enter the CC).
+
+    Append stability inherits from both ingredients: re-running on a
+    grown corpus keeps every existing clique's min-id representative
+    unless a NEW pair merges two cliques — in which case the merged
+    clique genuinely must land in one split (re-keyed by the smaller
+    rep), which is the correct churn, and exactly the churn
+    `incremental_components` computes incrementally.
+
+    Scale shape (100 TB): CC runs over the candidate-pair graph
+    (pair-count-sized, never corpus-sized); the label join back is one
+    hash join keyed on the doc id; the split itself stays the pure
+    map-side md5 of `assign_split`."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    comp = graph.connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("rep"),
+        )
+    )
+    return assign_split(labeled, "rep", seed=seed, splits=splits)
+
+
 def split_leakage(
     df: DataFrame,
     id_col: str,

@@ -296,3 +296,83 @@ class TestMixtureSolver:
         # to s0: s0's budget becomes 15k tokens → ~150 rows at 100 tok/row
         assert kept.get("s1", 0) == 500
         assert 110 < kept.get("s0", 0) < 190
+
+
+class TestGroupSplit:
+    """Leakage-free constructor (`splits.group_split`): cliques land
+    whole in one split; singletons are their own representative; the
+    straddling pairs `split_leakage` audits for cannot exist."""
+
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges]
+        )
+
+    def test_clique_lands_in_one_split(self, spark):
+        df = _docs(spark, n=100)
+        # three cliques spanning ids whose per-doc hash splits differ
+        edges = [(0, 1), (1, 2), (10, 11), (50, 51), (51, 52), (52, 53)]
+        out = splits.group_split(df, "doc_id", self._pairs(spark, edges))
+        by_id = {r.doc_id: (r.rep, r.split) for r in out.collect()}
+        assert len(by_id) == 100  # every doc assigned exactly once
+        for clique in ([0, 1, 2], [10, 11], [50, 51, 52, 53]):
+            reps = {by_id[i][0] for i in clique}
+            sides = {by_id[i][1] for i in clique}
+            assert reps == {min(clique)}
+            assert len(sides) == 1
+
+    def test_singletons_are_own_rep_and_match_assign_split(self, spark):
+        df = _docs(spark, n=60)
+        out = splits.group_split(
+            df, "doc_id", self._pairs(spark, [(1, 2)])
+        ).collect()
+        plain = {
+            r.doc_id: r.split
+            for r in splits.assign_split(df, "doc_id").collect()
+        }
+        for r in out:
+            if r.doc_id not in (1, 2):
+                assert r.rep == r.doc_id
+                assert r.split == plain[r.doc_id]  # singleton == hash split
+
+    def test_zero_leakage_by_construction(self, spark):
+        """Every candidate pair's two members share a split — the
+        property `split_leakage` would flag violations of."""
+        df = _docs(spark, n=200)
+        edges = [(i, i + 100) for i in range(0, 60)]  # 60 two-cliques
+        pairs = self._pairs(spark, edges)
+        out = splits.group_split(df, "doc_id", pairs)
+        sa = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+        sb = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+        straddling = (
+            pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+        assert straddling == 0
+        # and the plain per-doc split DOES straddle some of these pairs
+        # (otherwise the test proves nothing)
+        plain = splits.assign_split(df, "doc_id")
+        pa = plain.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+        pb = plain.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+        assert (
+            pairs.join(pa, "id_a").join(pb, "id_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+            > 0
+        )
+
+    def test_append_stability_unless_cliques_merge(self, spark):
+        df1 = _docs(spark, n=80)
+        df2 = _docs(spark, n=120)  # superset corpus
+        edges = [(3, 4), (40, 41)]
+        p1 = self._pairs(spark, edges)
+        a = {r.doc_id: r.split for r in splits.group_split(df1, "doc_id", p1).collect()}
+        b = {r.doc_id: r.split for r in splits.group_split(df2, "doc_id", p1).collect()}
+        assert all(b[i] == a[i] for i in a)  # grown corpus moves nobody
+        # a NEW pair merging two cliques re-keys by the smaller rep —
+        # the merged clique shares one split
+        p2 = self._pairs(spark, edges + [(4, 40)])
+        c = {r.doc_id: (r.rep, r.split) for r in splits.group_split(df2, "doc_id", p2).collect()}
+        assert {c[i][0] for i in (3, 4, 40, 41)} == {3}
+        assert len({c[i][1] for i in (3, 4, 40, 41)}) == 1

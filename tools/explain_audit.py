@@ -386,6 +386,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window at all", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_group_split": [
+        # cluster labels join back on the doc id; the split itself is a
+        # pure projection (md5 bucket CASE) — no window, no python, no
+        # cartesian anywhere in the CC + label-join + split chain
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
