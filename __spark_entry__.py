@@ -1809,6 +1809,31 @@ def q_events_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup
+    (`operators/rollup.py`): the events stream replays as 3 ordered
+    chunks (event_id mod 3), each folding its partial (day, type)
+    aggregate state into a manifest-committed store via
+    `selective_upsert` — per-refresh cost ∝ the batch + touched state
+    rows, never history (algebraic IVM, Gray et al. 1996; the
+    reference's `plotting.py:50-67` recomputes from the full frame
+    every run). State carries exact integer micro-units, so the merge
+    is order-independent and the chunked replay is hash-identical to
+    the oracle's ONE-SHOT aggregate over all events — the
+    incremental ≡ recompute identity is what the gate checks."""
+    import tempfile
+
+    from social_media_data_pipeline_spark.operators import rollup
+
+    ev = _t(spark, sf_dir, "events")
+    store = _os.path.join(tempfile.mkdtemp(prefix="rollup-"), "state")
+    for c in range(3):
+        rollup.incremental_rollup_batch(
+            ev.filter(F.col("event_id") % 3 == c), store
+        )
+    return rollup.read_rollup(spark, store).orderBy("day", "event_type")
+
+
 def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer FERTILITY — BPE tokens per word under the
     trained 20-merge vocabulary (Rust et al. 2021: fertility is the
@@ -2928,6 +2953,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
     "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
     "docs_group_split": q_docs_group_split,  # [r11-in-new]
+    "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
 }
 
 

@@ -190,6 +190,10 @@ HEADLINE = [
     # graph → split by cluster-rep fingerprint — ITERATIVE: CC pins
     # pair/label tables at construction)
     "docs_group_split",
+    # round 10: incrementally-maintained materialized rollup (3 chunked
+    # selective upserts at construct — ITERATIVE; the read is a
+    # state-table scan + finalize projection)
+    "events_rollup_incremental",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -219,6 +223,8 @@ ITERATIVE = {
     # group split runs CC (pinned pair list + per-round jobs) at
     # construction
     "docs_group_split",
+    # the rollup's 3 maintenance upserts run at construction
+    "events_rollup_incremental",
     # ER flagship: snm rank table, edge-set pin and per-chunk CC labels
     # all materialize at construction
     "docs_entity_resolution",

@@ -80,6 +80,27 @@ GROUP BY 1
 ORDER BY day
 """
 
+# events_rollup_incremental (r10): the Spark side maintains the state
+# table incrementally (3 chunked upserts of integer micro-unit
+# partials); the oracle is the ONE-SHOT aggregate — hash equality IS
+# the incremental ≡ recompute identity (micro-units make the merge
+# order-independent, so the replay cannot drift)
+ORACLES["events_rollup_incremental"] = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(m) / 1000000 AS sum_value,
+       MIN(m) / 1000000 AS min_value,
+       MAX(m) / 1000000 AS max_value,
+       ROUND(SUM(m) / COUNT(*) / 1000000, 6) AS avg_value
+FROM (
+    SELECT ts, event_type, CAST(round(value * 1000000) AS BIGINT) AS m
+    FROM events WHERE value IS NOT NULL
+)
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
 ORACLES["events_weekly_by_type"] = """
 SELECT date_trunc('week', ts)::TIMESTAMP AS week,
        event_type,

@@ -593,10 +593,22 @@ def upsert_rewrite_set(
     width = max(1, (ghi - glo) // buckets + 1)
     if integral:
         # integer div, not float division + cast: (x − glo) / width as a
-        # double loses exactness above 2^53 and misbuckets large keys
-        b_lo = F.expr(f"(CAST(lo AS BIGINT) - {glo}) div {width}")
-        b_hi = F.expr(f"(CAST(hi AS BIGINT) - {glo}) div {width}")
-        b_k = F.expr(f"(CAST(__k AS BIGINT) - {glo}) div {width}")
+        # double loses exactness above 2^53 and misbuckets large keys.
+        # The subtraction runs in DECIMAL(38,0): full-range 64-bit keys
+        # (hash surrogates like rollup_key = xxhash64(...)) make
+        # (x − glo) overflow BIGINT when glo is deeply negative —
+        # ANSI mode then kills the job (and non-ANSI would wrap to a
+        # WRONG bucket, a silently skipped rewrite). A 38-digit decimal
+        # holds any int64 difference exactly.
+        b_lo = F.expr(
+            f"CAST((CAST(lo AS DECIMAL(38,0)) - {glo}) div {width} AS BIGINT)"
+        )
+        b_hi = F.expr(
+            f"CAST((CAST(hi AS DECIMAL(38,0)) - {glo}) div {width} AS BIGINT)"
+        )
+        b_k = F.expr(
+            f"CAST((CAST(__k AS DECIMAL(38,0)) - {glo}) div {width} AS BIGINT)"
+        )
     else:
         # fractional/decimal keys: a BIGINT cast TRUNCATES (update key
         # 5.7 would miss a file spanning [5.5, 6.0] — a silently

@@ -1,0 +1,176 @@
+"""Incrementally-maintained materialized rollup (`operators/rollup.py`):
+the incremental ≡ one-shot identity under any batch order, selective
+rewrite pruning, empty-batch no-op, and the streaming composition."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark import scale
+from social_media_data_pipeline_spark.operators import rollup
+
+SCHEMA = "event_id bigint, ts timestamp, event_type string, value double"
+
+
+def _events(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, d, h), et, v)
+        for i, (d, h, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, SCHEMA)
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        (d, h, et, float(v))
+        for d in (1, 2, 3)
+        for h, et, v in [
+            (9, "view", 1.25), (10, "view", 2.5), (11, "click", 0.75),
+            (12, "click", 10.0), (13, "buy", 99.99),
+        ]
+    ]
+    rows.append((1, 14, "view", None))  # NULL value: excluded everywhere
+    return _events(spark, rows)
+
+
+class TestRollupIdentity:
+    def test_chunked_equals_oneshot_any_order(self, spark, ev, tmp_path):
+        want = rollup.rollup_finalize(rollup.rollup_partial(ev)).orderBy(
+            "day", "event_type"
+        ).collect()
+        for order in ([0, 1, 2], [2, 0, 1]):
+            store = str(tmp_path / f"s{order[0]}{order[1]}")
+            for c in order:
+                rollup.incremental_rollup_batch(
+                    ev.filter(F.col("event_id") % 3 == c), store
+                )
+            got = rollup.read_rollup(spark, store).orderBy(
+                "day", "event_type"
+            ).collect()
+            assert got == want  # merge is a commutative monoid
+
+    def test_null_values_excluded(self, spark, ev):
+        out = rollup.rollup_finalize(rollup.rollup_partial(ev)).collect()
+        jan1_view = next(
+            r for r in out
+            if r["day"] == dt.datetime(2024, 1, 1) and r["event_type"] == "view"
+        )
+        assert jan1_view["n_events"] == 2  # the NULL row never counts
+
+    def test_exact_micro_units(self, spark, ev):
+        out = {
+            (r["day"].day, r["event_type"]): r
+            for r in rollup.rollup_finalize(rollup.rollup_partial(ev)).collect()
+        }
+        r = out[(1, "click")]
+        assert r["sum_value"] == 10.75 and r["min_value"] == 0.75
+        assert r["max_value"] == 10.0 and r["avg_value"] == 5.375
+
+
+class TestRollupStore:
+    def test_empty_batch_is_noop(self, spark, ev, tmp_path):
+        store = str(tmp_path / "s")
+        rollup.incremental_rollup_batch(ev, store)
+        doc0 = scale._read_manifest_doc(store)
+        stats = rollup.incremental_rollup_batch(
+            ev.filter("event_id < 0"), store
+        )
+        assert stats == {"rows_batch": 0, "keys_touched": 0}
+        assert scale._read_manifest_doc(store) == doc0
+
+    def test_selective_rewrite_prunes_untouched_days(self, spark, tmp_path):
+        """A batch touching ONE day must not rewrite every state file —
+        the IVM economics claim, checked via the upsert's own stats."""
+        store = str(tmp_path / "s")
+        # bootstrap: 6 days, one state file per day (append per day —
+        # AQE would coalesce a single repartitioned write to one file)
+        for d in range(1, 7):
+            day = _events(spark, [(d, 9, "view", float(d))])
+            rollup.rollup_partial(day).coalesce(1).write.mode(
+                "append"
+            ).parquet(store)
+        files0 = len(scale.live_files(store))
+        assert files0 == 6
+        batch = _events(spark, [(3, 10, "view", 7.5)])
+        stats = rollup.incremental_rollup_batch(batch, store)
+        assert stats["files_total"] == files0
+        assert 0 < stats["files_rewritten"] < files0
+        # and the merged day-3 row is exact
+        got = {
+            r["day"].day: r
+            for r in rollup.read_rollup(spark, store).collect()
+        }
+        assert got[3]["n_events"] == 2 and got[3]["sum_value"] == 10.5
+        assert got[1]["n_events"] == 1  # untouched day intact
+
+
+class TestRollupStreaming:
+    def test_foreachbatch_equals_batch_operator(self, spark, tmp_path):
+        import glob
+        import os
+        import time as _time
+
+        store = str(tmp_path / "state")
+        src = str(tmp_path / "ev")
+        days = {
+            "b1": [(1, 9, "view", 1.0), (1, 10, "click", 2.0)],
+            "b2": [(1, 11, "view", 3.0), (2, 9, "view", 4.0)],
+            "b3": [(2, 10, "click", 5.0)],
+        }
+        for name, rows in days.items():
+            _events(spark, rows).coalesce(1).write.parquet(src + f"/{name}")
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2", "b3")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 60 + i * 20, now - 60 + i * 20))
+
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(rollup.rollup_stream_batch(store))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        all_ev = _events(spark, [r for rows in days.values() for r in rows])
+        want = rollup.rollup_finalize(rollup.rollup_partial(all_ev)).orderBy(
+            "day", "event_type"
+        ).collect()
+        got = rollup.read_rollup(spark, store).orderBy(
+            "day", "event_type"
+        ).collect()
+        assert got == want and len(got) == 4
+
+
+class TestUpsertRewriteSetFullRangeKeys:
+    def test_hash_surrogate_keys_do_not_overflow(self, spark, tmp_path):
+        """Regression (r10): full-range xxhash64 surrogate keys made
+        (key − glo) overflow BIGINT inside upsert_rewrite_set's bucket
+        arithmetic — ANSI mode killed the job; non-ANSI would have
+        wrapped to a WRONG bucket (a silently skipped rewrite). The
+        subtraction now runs in DECIMAL(38,0)."""
+        path = str(tmp_path / "t")
+        rows = [
+            (-9126631558570011878, "a"),
+            (-12345, "b"),
+            (9100000000000000000, "c"),
+        ]
+        df = spark.createDataFrame(rows, "k bigint, v string")
+        df.repartition(3, "k").write.parquet(path)
+        updates = spark.createDataFrame(
+            [(9100000000000000000, "c2")], "k bigint, v string"
+        )
+        scale.selective_upsert(spark, path, updates, "k")
+        got = {
+            r["k"]: r["v"] for r in scale.manifest_read(spark, path).collect()
+        }
+        assert got[9100000000000000000] == "c2"
+        assert got[-9126631558570011878] == "a" and got[-12345] == "b"

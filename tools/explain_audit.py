@@ -394,6 +394,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("no window at all", r"\A(?!.*Window)"),
     ],
+    "events_rollup_incremental": [
+        # the returned frame reads the committed state table and
+        # derives avg at projection time — no re-aggregation of events,
+        # no window, no python; the maintenance path's upserts ran at
+        # construction (audited by their own selective_upsert tests)
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
