@@ -1834,6 +1834,38 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.read_rollup(spark, store).orderBy("day", "event_type")
 
 
+def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint verification
+    (`operators/checks.py`, Deequ-style — Schelter et al. 2018): the
+    ingest gate a curation pipeline runs before anything downstream
+    reads a table. Eight constraints over orders — null budget, key
+    uniqueness, range, value domain, regex shape, row-count floor, FK
+    containment into customer — ALL single-table checks fold into ONE
+    aggregate over ONE scan (conditional sums → stack unpivot); the
+    referential check is one broadcast anti-join count. The suite
+    mixes passing and genuinely FAILING rows (tight price ceiling,
+    two-valued status domain, million-row floor), so the differential
+    checks real violation counts, not a column of zeros. Exact integer
+    report — no float thresholds in the gate."""
+    from social_media_data_pipeline_spark.operators import checks as ck
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return ck.constraint_report(
+        orders,
+        [
+            ck.not_null("o_orderkey"),
+            ck.unique("o_orderkey"),
+            ck.in_range("o_totalprice", lo=0.0, hi=300000.0),
+            ck.accepted_values("o_orderstatus", ["F", "O"]),
+            ck.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+            ck.row_count(min_rows=1000000),
+            ck.referential("o_custkey", cust, "c_custkey"),
+            ck.not_null("o_orderdate"),
+        ],
+    ).orderBy("ord")
+
+
 def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer FERTILITY — BPE tokens per word under the
     trained 20-merge vocabulary (Rust et al. 2021: fertility is the
@@ -2954,6 +2986,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
     "docs_group_split": q_docs_group_split,  # [r11-in-new]
     "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
+    "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
 }
 
 

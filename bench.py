@@ -194,6 +194,9 @@ HEADLINE = [
     # selective upserts at construct — ITERATIVE; the read is a
     # state-table scan + finalize projection)
     "events_rollup_incremental",
+    # round 10: Deequ-style constraint suite (one aggregate pass + one
+    # broadcast FK anti-join)
+    "orders_constraint_audit",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -101,6 +101,64 @@ GROUP BY 1, 2
 ORDER BY day, event_type
 """
 
+# orders_constraint_audit (r10): the Deequ-style suite replays as one
+# aggregate CTE + one NOT EXISTS orphan count; labels match
+# checks._label exactly, violations are exact integers
+ORACLES["orders_constraint_audit"] = """
+WITH agg AS (
+    SELECT count(*) AS n,
+           count(o_orderkey) AS nn_key,
+           count(DISTINCT o_orderkey) AS d_key,
+           count(o_totalprice) AS nn_price,
+           sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 300000.0
+                    THEN 1 ELSE 0 END) AS v_range,
+           count(o_orderstatus) AS nn_status,
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O')
+                    THEN 1 ELSE 0 END) AS v_status,
+           count(o_orderpriority) AS nn_prio,
+           sum(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                    THEN 1 ELSE 0 END) AS v_prio,
+           count(o_orderdate) AS nn_date
+    FROM orders
+), orph AS (
+    SELECT count(*) AS v FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+), nn_ck AS (
+    SELECT count(o_custkey) AS t FROM orders
+)
+SELECT * FROM (
+    SELECT 'not_null' AS "constraint", 'o_orderkey' AS "column",
+           n - nn_key AS violations, n AS total,
+           (n - nn_key) <= 0 AS passed, 0 AS ord FROM agg
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', nn_key - d_key, nn_key,
+           (nn_key - d_key) <= 0, 1 FROM agg
+    UNION ALL
+    SELECT 'in_range[0.0,300000.0]', 'o_totalprice', v_range, nn_price,
+           v_range <= 0, 2 FROM agg
+    UNION ALL
+    SELECT 'accepted_values[F,O]', 'o_orderstatus', v_status, nn_status,
+           v_status <= 0, 3 FROM agg
+    UNION ALL
+    SELECT 'matches[^[1-5]-[A-Z ]+$]', 'o_orderpriority', v_prio, nn_prio,
+           v_prio <= 0, 4 FROM agg
+    UNION ALL
+    SELECT 'row_count[1000000,None]', '*', greatest(1000000 - n, 0), n,
+           greatest(1000000 - n, 0) <= 0, 5 FROM agg
+    UNION ALL
+    SELECT 'referential[c_custkey]', 'o_custkey', orph.v, nn_ck.t,
+           orph.v <= 0, 6 FROM orph, nn_ck
+    UNION ALL
+    SELECT 'not_null', 'o_orderdate', n - nn_date, n,
+           (n - nn_date) <= 0, 7 FROM agg
+)
+ORDER BY ord
+"""
+
 ORACLES["events_weekly_by_type"] = """
 SELECT date_trunc('week', ts)::TIMESTAMP AS week,
        event_type,

@@ -403,6 +403,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("no window at all", r"\A(?!.*Window)"),
     ],
+    "orders_constraint_audit": [
+        # all single-table constraints fold into ONE aggregate (the
+        # stack unpivot runs over a 1-row frame); the FK check is a
+        # broadcast anti-join — no window, no python, no cartesian
+        ("fk anti-join broadcast", r"BroadcastHashJoin LeftAnti"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
