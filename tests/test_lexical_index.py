@@ -143,3 +143,52 @@ class TestBm25IndexAppend:
             topn=10,
         ).collect()
         assert after != before
+
+
+class TestStreamingBm25Ingest:
+    """The inverted index as a continuously-maintained store: new
+    document micro-batches append through `bm25_index_append` in a
+    foreachBatch body — the lexical mirror of the streaming ANN ingest
+    (and unlike it, OLD docs' scores correctly move as df/avgdl grow)."""
+
+    def test_batches_append_and_match_full_rebuild(self, spark, tmp_path):
+        import glob
+        import os
+        import time as _time
+
+        base = _docs(spark, n=20)
+        tag = "stream:docs"
+        path = lx.bm25_index_for(base, tag)
+
+        src = str(tmp_path / "docs")
+        chunks = [("b1", _docs(spark, n=10, start=20)),
+                  ("b2", _docs(spark, n=10, start=30))]
+        for name, chunk in chunks:
+            chunk.coalesce(1).write.parquet(src + f"/{name}")
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 40 + i * 20, now - 40 + i * 20))
+
+        def step(batch_df, _batch_id):
+            if batch_df.isEmpty():
+                return
+            lx.bm25_index_append(batch_df, tag)
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = stream.writeStream.foreachBatch(step).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(300)
+
+        got = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        full = retrieval.bm25_score(_docs(spark, n=40), TERMS, topn=10).collect()
+        assert got == full
+        # and the merged fingerprint validates the grown corpus
+        g0 = scale._read_manifest_doc(path)["generation"]
+        assert lx.bm25_index_for(_docs(spark, n=40), tag) == path
+        assert scale._read_manifest_doc(path)["generation"] == g0
