@@ -23,12 +23,14 @@ per-document lengths flip atomically:
                                         the source of truth for stats
 
 Corpus-level stats (N docs, total token count) and the corpus
-fingerprint live in a PER-GENERATION meta file `_lex_meta-g<G>.json`
-written BEFORE the manifest flips to generation G — a reader resolves
-the live generation from the manifest and loads exactly that
-generation's meta, so files+stats+fingerprint are one atomic unit
-(a crash between meta write and manifest flip leaves an orphan meta
-file and the previous generation fully live).
+fingerprint live in a per-commit meta file `_lex_meta-<gen_tag>.json`
+(tag = generation + a per-writer uuid) written BEFORE the manifest
+flip AND referenced IN the manifest's file list — a reader resolves
+the meta through the manifest, so files+stats+fingerprint are one
+atomic unit: racing writers write disjoint meta files and the CAS
+decides whose meta+files become live together (a crash between meta
+write and manifest flip leaves an orphan meta file and the previous
+generation fully live).
 
 Search (`bm25_search_indexed`) filters postings and dfreq to the query
 terms — a pushed-down `t IN (...)` against a term-sorted parquet file,
@@ -117,38 +119,56 @@ def _commit(
     live: list[str],
     meta: dict,
     expect_generation: int | None,
-) -> None:
-    """Meta-then-manifest commit: write `_lex_meta-g<next>.json`, then
-    CAS-flip the root manifest to generation <next>. A loser un-stages
-    nothing here — callers pass the files they staged and clean up on
-    `ConcurrentCommitError`."""
+    gen_tag: str,
+) -> str:
+    """Meta-then-manifest commit. The meta file is named with the
+    WRITER'S unique tag (`_lex_meta-<gen_tag>.json`, tag = generation +
+    uuid — the `ann_index._commit_artifact` naming discipline) and is
+    REFERENCED IN the manifest's file list, so the CAS flip binds data
+    files and meta atomically: two racing writers write disjoint meta
+    files, the manifest points at exactly its own writer's meta, and a
+    loser's meta can never shadow the winner's stats (a
+    generation-NUMBERED meta name would collide — both writers claim
+    the same next generation). Returns the meta path so callers can
+    un-stage it on a lost CAS. Readers never confuse the .json entry
+    with a table: every table read filters by its `prefix-` basename."""
     from social_media_data_pipeline_spark import scale
 
-    prev = scale._read_manifest_doc(path)
-    cur_gen = prev["generation"] if prev else None
-    if expect_generation is not None and cur_gen != expect_generation:
-        raise scale.ConcurrentCommitError(
-            f"lexical_index: {path} moved to generation {cur_gen}, "
-            f"writer expected {expect_generation}"
-        )
-    next_gen = 0 if cur_gen is None else cur_gen + 1
-    tmp = os.path.join(path, f"{_META_PREFIX}{next_gen}.json.tmp")
+    meta_path = os.path.join(path, f"{_META_PREFIX.rstrip('g')}{gen_tag}.json")
+    tmp = meta_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, f"{_META_PREFIX}{next_gen}.json"))
-    scale.write_table_manifest(path, live, expect_generation=expect_generation)
+    os.replace(tmp, meta_path)
+    try:
+        scale.write_table_manifest(
+            path, live + [meta_path], expect_generation=expect_generation
+        )
+    except Exception:
+        try:
+            os.remove(meta_path)  # the loser's meta is never referenced
+        except OSError:
+            pass
+        raise
+    return meta_path
+
+
+def _live_meta_path(path: str) -> str | None:
+    from social_media_data_pipeline_spark import scale
+
+    live = scale.read_table_manifest(path) or []
+    metas = [
+        f for f in live
+        if os.path.basename(f).startswith(_META_PREFIX.rstrip("g"))
+    ]
+    return metas[0] if metas else None
 
 
 def load_index_meta(path: str) -> dict | None:
-    """The live generation's meta (params, fingerprint, stats), or None
-    when no committed index exists at `path`."""
-    from social_media_data_pipeline_spark import scale
-
-    doc = scale._read_manifest_doc(path)
-    if doc is None:
-        return None
-    mp = os.path.join(path, f"{_META_PREFIX}{doc['generation']}.json")
-    if not os.path.exists(mp):
+    """The live generation's meta (params, fingerprint, stats) resolved
+    THROUGH the manifest — the commit point covers it — or None when no
+    committed index exists at `path`."""
+    mp = _live_meta_path(path)
+    if mp is None or not os.path.exists(mp):
         return None
     with open(mp) as fh:
         return json.load(fh)
@@ -227,7 +247,7 @@ def build_bm25_index(
         "stats": stats,
     }
     try:
-        _commit(path, live, meta, expect_generation=cur_gen)
+        _commit(path, live, meta, expect_generation=cur_gen, gen_tag=gen_tag)
     except Exception:
         for f in live:
             try:
@@ -394,7 +414,10 @@ def bm25_index_append(
         },
     }
     try:
-        _commit(path, keep + staged, new_meta, expect_generation=cur_gen)
+        _commit(
+            path, keep + staged, new_meta,
+            expect_generation=cur_gen, gen_tag=gen_tag,
+        )
     except Exception:
         for f in staged:
             try:

@@ -69,7 +69,10 @@ def accepted_values(col: str, values: Sequence, allowed: int = 0) -> tuple:
 
 
 def matches(col: str, pattern: str, allowed: int = 0) -> tuple:
-    """Violations = non-null rows not fully matching regex `pattern`."""
+    """Violations = non-null rows whose value does not match regex
+    `pattern` (rlike semantics — a PARTIAL match anywhere counts, the
+    same contract DuckDB's regexp_matches replays; anchor with ^…$
+    when the whole value must match, as the registered audit does)."""
     return ("matches", col, pattern, allowed)
 
 

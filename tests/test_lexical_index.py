@@ -192,3 +192,68 @@ class TestStreamingBm25Ingest:
         g0 = scale._read_manifest_doc(path)["generation"]
         assert lx.bm25_index_for(_docs(spark, n=40), tag) == path
         assert scale._read_manifest_doc(path)["generation"] == g0
+
+
+class TestCommitSafety:
+    """The ann_index commit-safety contract, inherited by the lexical
+    index's meta-then-manifest commit: a concurrent winner makes the
+    loser raise loudly and un-stage, and vacuum drops the append's
+    orphaned dfreq generations without touching the live set."""
+
+    def test_concurrent_appender_loses_loudly_and_unstages(self, spark):
+        base = _docs(spark, n=25)
+        path = lx.bm25_index_for(base, "unit:cas")
+        live0 = sorted(scale.read_table_manifest(path))
+        doc0 = scale._read_manifest_doc(path)
+        batch = _docs(spark, n=10, start=25)
+
+        real_write = scale.write_table_manifest
+
+        def stolen_write(p, files, expect_generation=None):
+            # a concurrent winner lands in the tightest window — between
+            # the loser's generation read and its manifest flip
+            if p == path and not getattr(stolen_write, "_done", False):
+                stolen_write._done = True
+                cur = scale._read_manifest_doc(p)["generation"]
+                real_write(p, scale.read_table_manifest(p),
+                           expect_generation=cur)
+            return real_write(p, files, expect_generation=expect_generation)
+
+        scale.write_table_manifest = stolen_write
+        try:
+            with pytest.raises(scale.ConcurrentCommitError):
+                lx.bm25_index_append(batch, "unit:cas")
+        finally:
+            scale.write_table_manifest = real_write
+        # loser un-staged: live set unchanged (modulo the winner's
+        # no-op re-commit), every live file still on disk, no loser
+        # parquet referenced
+        assert sorted(scale.read_table_manifest(path)) == live0
+        for f in live0:
+            assert os.path.exists(f)
+        # the loser's meta file for the claimed generation must not
+        # shadow a later legitimate commit: a retry append succeeds
+        # and lands the batch exactly once
+        lx.bm25_index_append(batch, "unit:cas")
+        got = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        want = retrieval.bm25_score(
+            _docs(spark, n=35), TERMS, topn=10
+        ).collect()
+        assert got == want
+        assert doc0["generation"] < scale._read_manifest_doc(path)["generation"]
+
+    def test_vacuum_drops_append_orphans_keeps_live(self, spark):
+        base = _docs(spark, n=25)
+        path = lx.bm25_index_for(base, "unit:vac")
+        lx.bm25_index_append(_docs(spark, n=10, start=25), "unit:vac")
+        before = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        import glob as _glob
+
+        n_parquet_before = len(_glob.glob(os.path.join(path, "*.parquet")))
+        stats = scale.vacuum_table(path, grace_seconds=0)
+        n_parquet_after = len(_glob.glob(os.path.join(path, "*.parquet")))
+        # the superseded generation-0 dfreq file is an orphan → deleted
+        assert n_parquet_after < n_parquet_before
+        assert stats["dropped_files"] >= 1
+        after = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        assert after == before
