@@ -1866,6 +1866,38 @@ def q_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ord")
 
 
+def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification
+    (`operators/aggregates.py:densify_calendar`) — the distributed
+    `resample().asfreq()`/`fillna` the reference applies after every
+    time-series aggregation (`plotting.py:150` fillna(0) over the
+    combined index): a SPARSE daily series (high-value events only, so
+    real gaps exist at every scale) densifies to one row per
+    (event_type, day) across the global range, with the count
+    zero-filled (absence becomes an explicit 0 a dashboard can alarm
+    on) and the last seen daily average forward-filled per type.
+    Spine = one sequence() per calendar bucket × the distinct groups —
+    broadcast-sized; ONE left join on the natural key; the ffill
+    window partitions per type, never globally."""
+    ev = _t(spark, sf_dir, "events")
+    day = aggregates.time_bucket("ts", "D")
+    agg = (
+        ev.filter(F.col("value") > 240)
+        .groupBy(day.alias("day"), F.col("event_type"))
+        .agg(
+            F.count("value").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_seen"),
+        )
+    )
+    dense = aggregates.densify_calendar(
+        agg, "day", "D", ("event_type",),
+        zero_fill=("n_events",), ffill=("avg_seen",),
+    )
+    return dense.select("event_type", "day", "n_events", "avg_seen").orderBy(
+        "event_type", "day"
+    )
+
+
 def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer FERTILITY — BPE tokens per word under the
     trained 20-merge vocabulary (Rust et al. 2021: fertility is the
@@ -2987,6 +3019,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_group_split": q_docs_group_split,  # [r11-in-new]
     "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
     "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
+    "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
 }
 
 

@@ -197,6 +197,9 @@ HEADLINE = [
     # round 10: Deequ-style constraint suite (one aggregate pass + one
     # broadcast FK anti-join)
     "orders_constraint_audit",
+    # round 10: calendar densification (sparse daily series -> dense
+    # spine with explicit zeros + per-type forward fill)
+    "events_daily_dense",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

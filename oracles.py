@@ -159,6 +159,32 @@ SELECT * FROM (
 ORDER BY ord
 """
 
+# events_daily_dense (r10): sparse daily series -> dense calendar with
+# zero-filled counts and per-type forward-filled averages; the spine is
+# generate_series over the global [min, max] day range
+ORACLES["events_daily_dense"] = """
+WITH agg AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           COUNT(value) AS n_events, ROUND(AVG(value), 6) AS avg_seen
+    FROM events WHERE value > 240 GROUP BY 1, 2
+), bounds AS (
+    SELECT min(day) AS lo, max(day) AS hi FROM agg
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+), grp AS (
+    SELECT DISTINCT event_type FROM agg
+)
+SELECT g.event_type, s.day,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.avg_seen IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS avg_seen
+FROM spine s CROSS JOIN grp g
+LEFT JOIN agg a ON a.day = s.day AND a.event_type = g.event_type
+ORDER BY g.event_type, s.day
+"""
+
 ORACLES["events_weekly_by_type"] = """
 SELECT date_trunc('week', ts)::TIMESTAMP AS week,
        event_type,

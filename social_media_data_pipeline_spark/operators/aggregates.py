@@ -499,3 +499,82 @@ def k_anonymity_profile(
         (F.col("n_rows") >= k).alias("k_anonymous"),
         (F.col("n_sensitive_distinct") >= l).alias("l_diverse"),
     )
+
+
+_FREQ_TO_STEP = {"D": "interval 1 day", "W": "interval 7 days",
+                 "M": "interval 1 month"}
+
+
+def densify_calendar(
+    df: DataFrame,
+    bucket_col: str,
+    freq: str = "D",
+    group_cols: Sequence[str] = (),
+    zero_fill: Sequence[str] = (),
+    ffill: Sequence[str] = (),
+) -> DataFrame:
+    """Calendar densification — the distributed `resample().asfreq()` /
+    `fillna` the reference applies after every time-series aggregation
+    (`plotting.py:150,307,396` fillna(0) over the combined index): emit
+    ONE row per (group, calendar bucket) for EVERY bucket between the
+    table's global min and max, zero-filling `zero_fill` measures and
+    forward-filling `ffill` measures (last non-null earlier value per
+    group; leading buckets before a group's first observation stay
+    NULL — there is nothing to carry).
+
+    A dashboard reading sparse aggregates silently interpolates gaps
+    away; densifying makes missing days EXPLICIT zeros — the
+    completeness complement of `histogram_drift` (which catches
+    distribution change but not absence).
+
+    `bucket_col` must already be bucket-aligned (the `time_bucket`
+    output — e.g. `group_by_time`'s key). The spine uses the GLOBAL
+    range across all groups — the reference's combined-index semantics —
+    so every group gets the same calendar axis.
+
+    Scale shape (100 TB): the spine is bucket-count-sized (one
+    `sequence()` row per calendar bucket — thousands, not billions) and
+    the group list is group-count-sized; their cross join is a
+    broadcast of spine × groups, the data attaches with ONE left join
+    on the natural (group, bucket) key, and the forward-fill window
+    partitions per group — never a global window. The input should be
+    the AGGREGATED series (group × bucket grain), not raw events."""
+    if freq not in _FREQ_TO_STEP:
+        raise ValueError(
+            f"densify_calendar supports freq in {sorted(_FREQ_TO_STEP)}, "
+            f"got {freq!r}"
+        )
+    overlap = set(zero_fill) & set(ffill)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} are in both zero_fill and ffill — "
+            "pick one fill semantics per column"
+        )
+    spine = (
+        df.agg(
+            F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(_FREQ_TO_STEP[freq])
+                )
+            ).alias(bucket_col)
+        )
+    )
+    if group_cols:
+        groups = df.select(*group_cols).distinct()
+        spine = groups.crossJoin(F.broadcast(spine))
+    keys = [*group_cols, bucket_col]
+    out = spine.join(df, keys, "left")
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if ffill:
+        w = (
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in ffill:
+            out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -1482,3 +1482,69 @@ class TestBlockingQuality:
         for r in blocking_quality(df, "doc_id", "text").collect():
             assert 0.0 <= r["reduction_ratio"] <= 1.0
             assert r["pair_completeness"] == 1.0  # n_true == 0 -> 1.0
+
+
+class TestDensifyCalendar:
+    """Calendar densification (`aggregates.densify_calendar`): dense
+    spine over the GLOBAL range, explicit zeros, per-group forward
+    fill with NULL leaders, and the loud refusals."""
+
+    def _series(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1), 2, 10.0),
+            ("a", dt.datetime(2024, 1, 4), 1, 40.0),
+            ("b", dt.datetime(2024, 1, 3), 5, 30.0),
+        ]
+        return spark.createDataFrame(
+            rows, "g string, day timestamp, n bigint, avg double"
+        )
+
+    def test_zero_fill_and_global_spine(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates
+
+        out = aggregates.densify_calendar(
+            self._series(spark), "day", "D", ("g",), zero_fill=("n",)
+        )
+        rows = {(r["g"], r["day"].day): r for r in out.collect()}
+        # 4-day global spine (Jan 1..4) x 2 groups = 8 rows
+        assert len(rows) == 8
+        assert rows[("a", 2)]["n"] == 0 and rows[("a", 3)]["n"] == 0
+        assert rows[("b", 1)]["n"] == 0  # b gets a's range too (global)
+        assert rows[("a", 1)]["n"] == 2 and rows[("b", 3)]["n"] == 5
+
+    def test_ffill_carries_last_and_leads_null(self, spark):
+        from social_media_data_pipeline_spark.operators import aggregates
+
+        out = aggregates.densify_calendar(
+            self._series(spark), "day", "D", ("g",), ffill=("avg",)
+        )
+        rows = {(r["g"], r["day"].day): r["avg"] for r in out.collect()}
+        assert rows[("a", 2)] == 10.0 and rows[("a", 3)] == 10.0
+        assert rows[("a", 4)] == 40.0
+        assert rows[("b", 1)] is None and rows[("b", 2)] is None  # leaders
+        assert rows[("b", 4)] == 30.0
+
+    def test_weekly_step_and_refusals(self, spark):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import aggregates
+
+        weekly = spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1), 1),
+                ("a", dt.datetime(2024, 1, 15), 2),
+            ],
+            "g string, day timestamp, n bigint",
+        )
+        out = aggregates.densify_calendar(
+            weekly, "day", "W", ("g",), zero_fill=("n",)
+        ).collect()
+        assert sorted(r["day"].day for r in out) == [1, 8, 15]
+        with pytest.raises(ValueError, match="supports freq"):
+            aggregates.densify_calendar(weekly, "day", "H")
+        with pytest.raises(ValueError, match="both zero_fill and ffill"):
+            aggregates.densify_calendar(
+                weekly, "day", "D", ("g",), zero_fill=("n",), ffill=("n",)
+            )

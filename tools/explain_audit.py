@@ -412,6 +412,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("no window at all", r"\A(?!.*Window)"),
     ],
+    "events_daily_dense": [
+        # the spine x groups cross join is two broadcast-sized frames
+        # (BroadcastNestedLoopJoin is the legitimate shape there); the
+        # data attaches with one equi left join; the ffill window is
+        # partitioned per event_type
+        ("partitioned ffill window", r"Window"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
