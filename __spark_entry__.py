@@ -1932,6 +1932,36 @@ def q_docs_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_fertility_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-CORRECTED temperature mixing (the composition Rust et
+    al. 2021 motivates): `docs_temperature_mixture` balances DOC
+    counts, but a 2×-fertility language consumes 2× sequence budget
+    per doc — so the α=0.5 thresholds here are driven by per-language
+    BPE TOKEN masses from the certified trained tokenizer
+    (`docs_token_fertility`'s chain), balancing the budget that
+    actually prices training. Exact end to end: integer token masses →
+    the same Python-bigint threshold arithmetic
+    (`temperature_mixture_sample(weights=...)`) → md5 draw; the oracle
+    replays training + encode + HUGEINT thresholds + the draw."""
+    docs = _t(spark, sf_dir, "documents")
+    trained = bpe.bpe_train_batched(docs, num_merges=20)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in trained.orderBy("merge_rank").collect()
+    ]
+    enc = bpe.bpe_encode_corpus(docs, merges)
+    masses = {
+        r["lang"]: int(r["t"])
+        for r in enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum(F.size("bpe_tokens")).cast("long").alias("t"))
+        .collect()
+    }
+    kept = sampling.temperature_mixture_sample(
+        docs, "lang", "doc_id", target_frac=0.5, weights=masses
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release audit
     (`operators/aggregates.py:k_anonymity_profile`): k-anonymity +
@@ -3020,6 +3050,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
     "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
     "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
+    "docs_fertility_mixture": q_docs_fertility_mixture,  # [r11-in-new]
 }
 
 

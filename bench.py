@@ -200,6 +200,9 @@ HEADLINE = [
     # round 10: calendar densification (sparse daily series -> dense
     # spine with explicit zeros + per-type forward fill)
     "events_daily_dense",
+    # round 10: fertility-corrected mixture (BPE train + encode + token
+    # masses at construct — ITERATIVE; the kept-set plan is map-side)
+    "docs_fertility_mixture",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -269,6 +272,7 @@ ITERATIVE = {
     "docs_bpe_merges",
     "docs_bpe_merges_80",
     "docs_token_fertility",
+    "docs_fertility_mixture",
     "docs_llm_pipeline",
     # trained-centroid multiprobe runs its 5 Lloyd rounds at
     # construction — full train+search cycle is the honest number

@@ -2066,6 +2066,15 @@ from social_media_data_pipeline_spark.functions.bpe import (
 
 ORACLES["docs_token_fertility"] = _bpe_fertility_oracle(20)
 
+# docs_fertility_mixture (r10): the fertility chain's per-language
+# token masses drive the α=0.5 HUGEINT thresholds + md5 draw —
+# token-budget-balanced sampling, the correction fertility motivates
+from social_media_data_pipeline_spark.functions.bpe import (
+    build_fertility_mixture_oracle_sql as _bpe_fert_mix_oracle,
+)
+
+ORACLES["docs_fertility_mixture"] = _bpe_fert_mix_oracle(20)
+
 from social_media_data_pipeline_spark.functions.classifier import (
     build_logreg_oracle_sql as _logreg_oracle,
 )

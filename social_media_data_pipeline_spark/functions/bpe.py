@@ -594,3 +594,51 @@ JOIN documents l USING (doc_id)
 GROUP BY l.lang
 ORDER BY l.lang"""
     )
+
+
+def build_fertility_mixture_oracle_sql(
+    num_merges: int, target_micro: int = 500_000, seed: str = "temp-mix-v1"
+) -> str:
+    """Generated DuckDB oracle for FERTILITY-CORRECTED temperature
+    mixing: the fertility chain's per-language BPE token masses feed
+    the α=0.5 threshold arithmetic of `temperature_mixture_sample`
+    (sampling ∝ token-mass^½, not doc-count^½ — the correction Rust et
+    al. 2021 motivates: a 2×-fertility language eats 2× sequence
+    budget per doc, so balancing doc counts over-samples it in token
+    space). Same HUGEINT exact-threshold replay as the
+    docs_temperature_mixture oracle, keyed on lang with token masses."""
+    chain = build_oracle_sql(num_merges)
+    cut = chain.rfind("\nSELECT * FROM (")
+    return (
+        chain[:cut]
+        + f"""
+, doc_words AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+')) AS w
+    FROM documents
+), per_doc AS (
+    SELECT doc_id, SUM(len(v.syms))::BIGINT AS n_bpe
+    FROM doc_words d JOIN w{num_merges} v USING (w)
+    GROUP BY doc_id
+), lhist AS (
+    SELECT l.lang, SUM(p.n_bpe)::BIGINT AS t
+    FROM per_doc p JOIN documents l USING (doc_id)
+    GROUP BY l.lang
+), sv AS (
+    SELECT lang, t, FLOOR(SQRT(t) * 1000000 + 0.5)::BIGINT AS s FROM lhist
+), tot AS (
+    SELECT SUM(t)::HUGEINT AS big_t, SUM(s)::HUGEINT AS big_s FROM sv
+), th AS (
+    SELECT lang,
+           LEAST(1000000,
+                 (({target_micro}::HUGEINT * tot.big_t * sv.s)
+                  // (tot.big_s * sv.t))::BIGINT) AS thr
+    FROM sv, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE ('0x' || substr(md5('{seed}:' || d.doc_id), 1, 8))::BIGINT
+      % 1000000 < th.thr
+ORDER BY d.doc_id"""
+    )

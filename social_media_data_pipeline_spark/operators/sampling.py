@@ -153,6 +153,7 @@ def temperature_mixture_sample(
     id_col: str,
     target_frac: float = 0.5,
     seed: str = "temp-mix-v1",
+    weights: dict | None = None,
 ) -> DataFrame:
     """α=0.5 temperature source balancing — the standard multilingual /
     multi-source data-mixing rule (sampling distribution ∝ p_source^α,
@@ -188,10 +189,24 @@ def temperature_mixture_sample(
     from social_media_data_pipeline_spark.operators.splits import fingerprint32
 
     tm = int(round(target_frac * 1_000_000))
-    hist = {
-        r[group_col]: int(r["__n"])
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
-    }
+    if weights is not None:
+        # caller-supplied exact integer masses per group (e.g. BPE
+        # TOKEN counts — `docs_fertility_mixture` balances the token
+        # budget, not the doc count: fertility-corrected mixing, Rust
+        # et al. 2021). The draw stays per-ROW, so the kept TOKEN mass
+        # per group is calibrated in expectation at the group grain.
+        bad = {g: w for g, w in weights.items() if not isinstance(w, int) or w <= 0}
+        if bad:
+            raise ValueError(
+                f"temperature_mixture_sample: weights must be positive "
+                f"integers, got {bad}"
+            )
+        hist = dict(weights)
+    else:
+        hist = {
+            r[group_col]: int(r["__n"])
+            for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+        }
     if not hist:
         return df
     _reject_null_groups(hist, "temperature_mixture_sample", group_col)

@@ -376,3 +376,67 @@ class TestGroupSplit:
         c = {r.doc_id: (r.rep, r.split) for r in splits.group_split(df2, "doc_id", p2).collect()}
         assert {c[i][0] for i in (3, 4, 40, 41)} == {3}
         assert len({c[i][1] for i in (3, 4, 40, 41)}) == 1
+
+
+class TestTemperatureMixtureWeights:
+    """Caller-supplied integer masses (fertility-corrected mixing):
+    the α=0.5 thresholds follow the weights, not the doc counts."""
+
+    def _df(self, spark):
+        rows = [(i, "hi" if i < 180 else "lo") for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    def test_weights_shift_rates_vs_doc_counts(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        df = self._df(spark)
+        by_docs = temperature_mixture_sample(df, "lang", "doc_id", 0.5)
+        # token masses INVERTED vs doc counts: 'lo' docs are 45x longer
+        by_mass = temperature_mixture_sample(
+            df, "lang", "doc_id", 0.5, weights={"hi": 180, "lo": 8100}
+        )
+        d = {r["lang"]: 0 for r in by_docs.collect()}
+        for r in by_docs.collect():
+            d[r["lang"]] += 1
+        m = {"hi": 0, "lo": 0}
+        for r in by_mass.collect():
+            m[r["lang"]] += 1
+        # doc-count mixing keeps all of tiny 'lo'; mass mixing throttles
+        # it (its token mass dominates) and keeps more of 'hi'
+        assert d["lo"] == 20 and m["lo"] < 20
+        assert m["hi"] > d["hi"]
+
+    def test_same_weights_equal_counts_path(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        df = self._df(spark)
+        a = sorted(
+            r["doc_id"]
+            for r in temperature_mixture_sample(df, "lang", "doc_id", 0.5).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_mixture_sample(
+                df, "lang", "doc_id", 0.5, weights={"hi": 180, "lo": 20}
+            ).collect()
+        )
+        assert a == b  # weights == counts → identical draw
+
+    def test_bad_weights_refused(self, spark):
+        from social_media_data_pipeline_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="positive integers"):
+            temperature_mixture_sample(
+                df, "lang", "doc_id", 0.5, weights={"hi": 0, "lo": 20}
+            )
+        with pytest.raises(ValueError, match="positive integers"):
+            temperature_mixture_sample(
+                df, "lang", "doc_id", 0.5, weights={"hi": 1.5, "lo": 20}
+            )

@@ -420,6 +420,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("partitioned ffill window", r"Window"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_fertility_mixture": [
+        # thresholds are driver-side bigints by the time the plan
+        # exists: the kept-set plan is one literal CASE filter over the
+        # corpus scan — no join, no window, no python
+        ("map-side threshold filter", r"\A(?!.*(?:SortMergeJoin|ShuffledHashJoin))"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
