@@ -2416,6 +2416,26 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return egraph.triangle_counts(edges).orderBy("node")
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the support-2 part co-purchase graph
+    (`functions/graph.py:ktruss`, Cohen 2008) — the EDGE-grain
+    cohesion sibling of `graph_kcore`: every surviving edge sits in
+    ≥ 1 triangle INSIDE the surviving subgraph, with the fixpoint
+    support as witness. Strictly stronger than a degree threshold
+    (a celebrity hub inflates degrees but not mutual triangles) — the
+    spam-ring/co-purchase-clique extractor. Bounded-round peel with
+    one degree-ordered triangle-support pass per round (all joins
+    hash-equi, wedge fan-out O(√m) per node); measured fixpoint is 2
+    rounds at every scale, `rounds=6` is the replay bound and the
+    oracle (`build_ktruss_sql`) unrolls all 6 — extra rounds identity
+    on both sides, same contract as `graph_kcore`."""
+    from social_media_data_pipeline_spark.functions import graph as egraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2)
+    return egraph.ktruss(edges, k=3, rounds=6).orderBy("a", "b")
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the support-2 part co-purchase graph
     (`functions/graph.py:kcore`): bounded-round peeling — each round
@@ -3051,6 +3071,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
     "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
     "docs_fertility_mixture": q_docs_fertility_mixture,  # [r11-in-new]
+    "graph_ktruss": q_graph_ktruss,  # [r11-in-new]
 }
 
 

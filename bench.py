@@ -203,6 +203,9 @@ HEADLINE = [
     # round 10: fertility-corrected mixture (BPE train + encode + token
     # masses at construct — ITERATIVE; the kept-set plan is map-side)
     "docs_fertility_mixture",
+    # round 10: 3-truss of the co-purchase graph (peel rounds at
+    # construct — ITERATIVE; fixpoint measured at 2 rounds)
+    "graph_ktruss",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -242,6 +245,8 @@ ITERATIVE = {
     "graph_triangles",
     # k-core peels with an unconditional per-round lineage cut
     "graph_kcore",
+    # k-truss peels + pinned fixpoint support pass at construction
+    "graph_ktruss",
     # balanced sample trains its k-means cells at construction
     "embedding_balanced_sample",
     # LPA's per-round label checkpoints materialize at construction

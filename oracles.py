@@ -2819,6 +2819,26 @@ from social_media_data_pipeline_spark.functions.graph import (  # noqa: E402
     build_kcore_sql as _kcore_sql,
 )
 
+# graph_ktruss (r10): 6 unrolled triangle-support peel rounds over the
+# same co-purchase edge CTE (fixpoint measured at 2 rounds everywhere;
+# extras are identity) + the fixpoint support witness
+from social_media_data_pipeline_spark.functions.graph import (
+    build_ktruss_sql as _ktruss_sql,
+)
+
+ORACLES["graph_ktruss"] = _ktruss_sql(
+    """
+    SELECT pa AS src, pb AS dst FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb, COUNT(*) AS sup
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+    ) WHERE sup >= 2
+    """,
+    k=3,
+    rounds=6,
+)
+
 ORACLES["graph_kcore"] = _kcore_sql(
     """
     SELECT pa AS src, pb AS dst FROM (

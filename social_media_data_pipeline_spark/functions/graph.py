@@ -1008,3 +1008,184 @@ def incremental_components(
     return untouched.unionByName(sub.select("node", "component")).unionByName(
         leftover
     )
+
+
+def _edge_supports(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a PINNED undirected (a < b)
+    distinct edge set → (a, b, support). The degree-ordered
+    Schank–Wagner enumeration of `triangle_counts` (cited there —
+    wedge fan-out bounded O(√m) per node, every join hash-equi), with
+    each triangle charged back to its THREE undirected edges instead
+    of its three nodes."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+    )
+    return (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("u"), F.col("v1")),
+                    pair(F.col("u"), F.col("v2")),
+                    pair(F.col("v1"), F.col("v2")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+) -> DataFrame:
+    """k-truss of an undirected graph by bounded-round peeling →
+    (a, b, support): the maximal subgraph in which every EDGE sits in
+    ≥ k−2 triangles, with `support` the edge's triangle count INSIDE
+    that subgraph (Cohen 2008 "Trusses: cohesive subgraphs for social
+    network analysis"). The edge-grain sibling of `kcore` — strictly
+    stronger cohesion (every k-truss edge is in the (k−1)-core), the
+    spam-ring/boilerplate-clique extractor that survives hub noise a
+    degree threshold cannot: a celebrity node inflates degrees but not
+    mutual triangles.
+
+    Same replay contract as `kcore`: peeling is monotone and
+    idempotent, so `rounds` is a REPLAY bound, not an approximation —
+    Spark early-stops at the fixpoint (edge-count observe metric) and
+    the generated DuckDB oracle (`build_ktruss_sql`) unrolls the full
+    `rounds`, with the extra rounds identity on both sides. The final
+    support witness is recomputed ON the surviving subgraph, so both
+    engines report fixpoint supports.
+
+    Scale shape (100 TB): per round one degree-ordered triangle
+    enumeration (wedge fan-out O(√m) per node — the Suri–
+    Vassilvitskii bound; all joins hash-equi) + one support aggregate
+    + one IN-semi peel; the edge set shrinks monotonically and the
+    per-round lineage cut is unconditional (the kcore lesson — an
+    uncut chain references the previous round ~6× per round)."""
+    if k < 3:
+        raise ValueError(
+            f"k must be >= 3 for a k-truss (k=2 is the whole graph), got {k}"
+        )
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    a0, b0 = F.col(src), F.col(dst)
+    live = (
+        edges.select(F.least(a0, b0).alias("a"), F.greatest(a0, b0).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_m: int | None = None
+    for i in range(rounds):
+        sup = _edge_supports(live)
+        nxt = live.join(
+            sup.filter(F.col("support") >= k - 2), ["a", "b"], "leftsemi"
+        )
+        obs = Observation(f"ktruss_round_{i}")
+        live = nxt.observe(obs, F.count(F.lit(1)).alias("m")).localCheckpoint(
+            eager=True
+        )
+        m = int(obs.get["m"] or 0)
+        if m == prev_m:
+            break  # fixpoint: the oracle's remaining rounds are no-ops
+        prev_m = m
+    final_sup = _edge_supports(live)
+    return live.join(final_sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+def build_ktruss_sql(edges_cte: str, k: int, rounds: int = 10) -> str:
+    """DuckDB WITH-chain replaying `ktruss` round-for-round:
+    `edges_cte` must yield a directed/duplicated (src, dst) list; the
+    chain dedups to undirected (a < b) and unrolls `rounds` peel
+    rounds, each one triangle-support pass (the `graph_triangles`
+    oracle chain per round) + the ≥ k−2 edge filter, then recomputes
+    the support witness on the final edge set. Every CTE is
+    MATERIALIZED (the `build_kcore_sql` lesson: unhinted chains expand
+    ~5^rounds in the planner). Returns a COMPLETE query ending in
+    ``SELECT a, b, support ... ORDER BY a, b``."""
+
+    def support_block(tag: str, src_cte: str) -> str:
+        return f""", deg{tag} AS MATERIALIZED (
+    SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM {src_cte} UNION ALL SELECT b FROM {src_cte}
+    ) GROUP BY node
+), ore{tag} AS MATERIALIZED (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.a ELSE u.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.b ELSE u.a END AS v,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN db.d ELSE da.d END AS dv
+    FROM {src_cte} u
+    JOIN deg{tag} da ON da.node = u.a
+    JOIN deg{tag} db ON db.node = u.b
+), tri{tag} AS MATERIALIZED (
+    SELECT w.u, w.v1, w.v2 FROM (
+        SELECT e1.u, e1.v AS v1, e2.v AS v2
+        FROM ore{tag} e1 JOIN ore{tag} e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+    ) w JOIN ore{tag} c ON c.u = w.v1 AND c.v = w.v2
+), sup{tag} AS MATERIALIZED (
+    SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, COUNT(*)::BIGINT AS c
+    FROM (
+        SELECT u AS x, v1 AS y FROM tri{tag}
+        UNION ALL SELECT u, v2 FROM tri{tag}
+        UNION ALL SELECT v1, v2 FROM tri{tag}
+    ) GROUP BY 1, 2
+)"""
+
+    parts = [
+        f"WITH raw AS ({edges_cte}),",
+        "e0 AS MATERIALIZED (",
+        "    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b",
+        "    FROM raw WHERE src <> dst",
+        ")",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(support_block(str(i), f"e{p}"))
+        parts.append(f""", e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{p} e
+    JOIN sup{i} s ON s.a = e.a AND s.b = e.b AND s.c >= {k - 2}
+)""")
+    parts.append(support_block("f", f"e{rounds}"))
+    parts.append(f"""
+SELECT e.a, e.b, COALESCE(s.c, 0)::BIGINT AS support
+FROM e{rounds} e LEFT JOIN supf s USING (a, b)
+ORDER BY a, b""")
+    return "\n".join(parts)

@@ -842,3 +842,76 @@ class TestIncrementalComponents:
             for r in graph.incremental_components(empty, b).collect()
         }
         assert got == {(5, 5), (6, 5), (7, 5)}
+
+
+class TestKTruss:
+    """k-truss peeling (`graph.ktruss`): clique survival, pendant
+    pruning, fixpoint support witness, oracle replay identity, loud
+    refusals."""
+
+    def _edges(self, spark):
+        # 4-clique (1..4) + pendant triangle (4,5,6) + tail edge (6,7)
+        rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                (4, 5), (4, 6), (5, 6), (6, 7)]
+        return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+    def test_clique_survives_pendants_peel(self, spark):
+        from social_media_data_pipeline_spark.functions import graph
+
+        out4 = {
+            (r["a"], r["b"]): r["support"]
+            for r in graph.ktruss(self._edges(spark), k=4).collect()
+        }
+        # 4-truss = the 4-clique alone; every clique edge sits in
+        # exactly 2 triangles INSIDE the surviving subgraph
+        assert set(out4) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+        assert set(out4.values()) == {2}
+        out3 = {
+            (r["a"], r["b"]): r["support"]
+            for r in graph.ktruss(self._edges(spark), k=3).collect()
+        }
+        # 3-truss adds the pendant triangle (support 1) but never the
+        # tail edge (in no triangle)
+        assert set(out3) == set(out4) | {(4, 5), (4, 6), (5, 6)}
+        assert out3[(4, 5)] == 1 and (6, 7) not in out3
+
+    def test_oracle_replays_bit_for_bit(self, spark):
+        import duckdb
+
+        from social_media_data_pipeline_spark.functions import graph
+
+        values = ("SELECT * FROM (VALUES (1,2),(1,3),(1,4),(2,3),(2,4),"
+                  "(3,4),(4,5),(4,6),(5,6),(6,7)) AS t(src, dst)")
+        for k in (3, 4):
+            want = sorted(
+                (r["a"], r["b"], r["support"])
+                for r in graph.ktruss(self._edges(spark), k=k).collect()
+            )
+            got = duckdb.connect().execute(
+                graph.build_ktruss_sql(values, k=k, rounds=6)
+            ).fetchall()
+            assert sorted(tuple(r) for r in got) == want
+
+    def test_duplicated_directed_input_normalized(self, spark):
+        from social_media_data_pipeline_spark.functions import graph
+
+        dup = self._edges(spark).unionByName(
+            self._edges(spark).selectExpr("dst as src", "src as dst")
+        )
+        a = sorted(
+            (r["a"], r["b"], r["support"])
+            for r in graph.ktruss(self._edges(spark), k=3).collect()
+        )
+        b = sorted(
+            (r["a"], r["b"], r["support"])
+            for r in graph.ktruss(dup, k=3).collect()
+        )
+        assert a == b
+
+    def test_refusals(self, spark):
+        from social_media_data_pipeline_spark.functions import graph
+
+        with pytest.raises(ValueError, match="k must be >= 3"):
+            graph.ktruss(self._edges(spark), k=2)
+        with pytest.raises(ValueError, match="rounds must be >= 1"):
+            graph.ktruss(self._edges(spark), k=3, rounds=0)

@@ -428,6 +428,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no window at all", r"\A(?!.*Window)"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "graph_ktruss": [
+        # the returned plan (post-peel) is the final support pass over
+        # the pinned fixpoint edge set: hash-equi joins only, no
+        # cartesian, no window, no python
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "kmeans_train": [
         # the model is a driver-side literal by the time the query's
         # DataFrame exists — nothing to audit beyond "it is tiny";
