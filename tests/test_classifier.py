@@ -38,7 +38,17 @@ class TestLogregTrain:
     def test_deterministic(self, corpus):
         a = classifier.logreg_train(corpus, F.col("label") == 1, n_buckets=32, iters=5)
         b = classifier.logreg_train(corpus, F.col("label") == 1, n_buckets=32, iters=5)
-        assert a == b
+        # per-weight closeness, not bit equality: the gradient is a
+        # raw double sum, and under executor memory pressure a hash
+        # aggregate falls back to sort-based merge, flipping the
+        # partial-sum order by an ulp (observed once in a full-suite
+        # run concurrent with a second Spark JVM). The library contract
+        # is the 6-dp-rounded SCORE — which a 1e-9 weight wobble cannot
+        # move — so bit equality here was an overstrong claim, not the
+        # promised behavior.
+        assert [x[0] for x in a] == [x[0] for x in b]
+        for (_, wa), (_, wb) in zip(a, b):
+            assert abs(wa - wb) < 1e-9
 
     def test_bias_only_matches_base_rate(self, spark):
         # one-word identical docs: model can only learn the base rate
