@@ -452,3 +452,143 @@ class TestPagerankDanglingProperties:
         n = len(rows)
         total = sum(r["rank_micro"] for r in rows)
         assert abs(n * 1_000_000 - total) <= (len(set(edges)) + 2 * n) / 0.15
+
+
+class TestRollupMonoidProperties:
+    """`operators/rollup.py` merge is a commutative monoid on exact
+    integer micro-unit state: ANY partition of the event set into
+    batches, merged in ANY order, equals the one-shot aggregate."""
+
+    events_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # day
+            st.integers(min_value=0, max_value=2),    # type
+            st.integers(min_value=-8000, max_value=8000),  # value*100
+            st.integers(min_value=0, max_value=2),    # batch assignment
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @given(rows=events_strategy)
+    @settings(**SETTINGS)
+    def test_any_partition_any_order_equals_oneshot(self, spark, rows):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import rollup
+
+        data = [
+            (i, dt.datetime(2024, 1, d, 9), f"t{t}", v / 100.0, b)
+            for i, (d, t, v, b) in enumerate(rows)
+        ]
+        ev = spark.createDataFrame(
+            data, "event_id bigint, ts timestamp, event_type string, "
+                  "value double, batch int"
+        )
+        oneshot = rollup.rollup_partial(ev.drop("batch"))
+        batches = [
+            rollup.rollup_partial(ev.filter(F.col("batch") == b).drop("batch"))
+            for b in (0, 1, 2)
+        ]
+        # merge in reversed order — commutativity + associativity
+        merged = batches[2]
+        for b in (batches[1], batches[0]):
+            merged = rollup.rollup_merge(merged, b)
+        key = lambda r: (r["rollup_key"], r["day"], r["event_type"])  # noqa: E731
+        want = sorted(
+            (key(r), r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+            for r in oneshot.collect()
+        )
+        got = sorted(
+            (key(r), r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+            for r in merged.collect()
+        )
+        assert got == want
+
+
+class TestConstraintCountProperties:
+    """`operators/checks.py` violation counts equal their brute-force
+    Python recomputation on random frames."""
+
+    frame_strategy = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),  # k
+            st.integers(min_value=-10, max_value=10),  # v
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows=frame_strategy)
+    @settings(**SETTINGS)
+    def test_counts_match_python(self, spark, rows):
+        from social_media_data_pipeline_spark.operators import checks as ck
+
+        df = spark.createDataFrame(
+            [(k, float(v)) for k, v in rows], "k bigint, v double"
+        )
+        rep = {
+            r["constraint"]: (r["violations"], r["total"])
+            for r in ck.constraint_report(
+                df,
+                [
+                    ck.not_null("k"),
+                    ck.unique("k"),
+                    ck.in_range("v", lo=-5.0, hi=5.0),
+                ],
+            ).collect()
+        }
+        ks = [k for k, _ in rows]
+        nn = [k for k in ks if k is not None]
+        vs = [v for _, v in rows]
+        assert rep["not_null"] == (len(ks) - len(nn), len(ks))
+        assert rep["unique"] == (len(nn) - len(set(nn)), len(nn))
+        assert rep["in_range[-5.0,5.0]"] == (
+            sum(1 for v in vs if v < -5 or v > 5),
+            len(vs),
+        )
+
+
+class TestDensifyProperties:
+    """`densify_calendar` emits exactly (global span) × (groups) rows,
+    preserves every observed value, and zero-fills the rest."""
+
+    series_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10),  # day
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=1, max_value=99),  # n
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+
+    @given(rows=series_strategy)
+    @settings(**SETTINGS)
+    def test_row_count_and_value_preservation(self, spark, rows):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import aggregates
+
+        df = spark.createDataFrame(
+            [
+                (f"g{g}", dt.datetime(2024, 1, d), n)
+                for d, g, n in rows
+            ],
+            "g string, day timestamp, n bigint",
+        )
+        out = aggregates.densify_calendar(
+            df, "day", "D", ("g",), zero_fill=("n",)
+        ).collect()
+        days = [d for d, _, _ in rows]
+        span = max(days) - min(days) + 1
+        groups = {g for _, g, _ in rows}
+        assert len(out) == span * len(groups)
+        got = {(r["g"], r["day"].day): r["n"] for r in out}
+        want = {(f"g{g}", d): n for d, g, n in rows}
+        for key, n in want.items():
+            assert got[key] == n
+        assert all(
+            v == 0 for key, v in got.items() if key not in want
+        )
