@@ -2890,9 +2890,12 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9 never-driver-checked r9 registrations ([r10-in-new]), then the 35
 # r7-checked tail rows (2 rounds stale after r9, [r10-in-stale]), then the
 # first 6 r8-green rows in registry order ([r10-in-return]) — exactly 50.
-# After r10 every registered query's driver row is <=2 rounds old. The 44
-# remaining r8-green rows rotate back FIRST in r11, followed by the 50
-# r9-green rows.
+# r11 executes the ROADMAP "r11 window plan (authoritative)": rotate IN the
+# 15 never-driver-checked r10 + r10-extension registrations ([r11-in-new]),
+# then the first 35 r8-green rows in registry order ([r11-in-stale]) —
+# exactly 50. The 9 remaining r8-green rows are then the stalest (3 rounds)
+# and rotate back FIRST in r12, followed by the 50 r9-green rows (2 rounds
+# stale after r11); the 50 r10-green rows are 1 round old.
 # Variant notes (tail entries whose operator has a fresher driver row via
 # a named sibling): numeric_describe → describe family via column_profile
 # (r6); cube_agg → rollup_revenue variant; embedding_ann_lsh → ANN family
@@ -2905,97 +2908,61 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs_fingerprint → text.fingerprint also tested; date_format_labels →
 # date_format also covered by derive_columns.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r10 driver window (50) ----
-    # never driver-checked (9; registered r9)
-    "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # [r10-in-new]
-    "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # [r10-in-new]
-    "graph_ppr": q_graph_ppr,  # [r10-in-new]
-    "graph_link_predict": q_graph_link_predict,  # [r10-in-new]
-    "docs_setsim_prefix": q_docs_setsim_prefix,  # [r10-in-new]
-    "docs_snm_pairs": q_docs_snm_pairs,  # [r10-in-new]
-    "docs_negative_pairs": q_docs_negative_pairs,  # [r10-in-new]
-    "embedding_hard_negatives": q_embedding_hard_negatives,  # [r10-in-new]
-    "docs_incremental_clusters": q_docs_incremental_clusters,  # [r10-in-new]
-    # r7-checked tail rows (35): last driver-checked r7, 2 rounds stale
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # [r10-in-stale] r7
-    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,  # [r10-in-stale] r7
-    "docs_segment_dedup": q_docs_segment_dedup,  # [r10-in-stale] r7
-    "derive_columns": q_derive_columns,  # [r10-in-stale] r7
-    "json_props_extract": q_json_props_extract,  # [r10-in-stale] r7
-    "array_ops": q_array_ops,  # [r10-in-stale] r7
-    "conditional_buckets": q_conditional_buckets,  # [r10-in-stale] r7
-    "rollup_revenue": q_rollup_revenue,  # [r10-in-stale] r7
-    "except_rows": q_except_rows,  # [r10-in-stale] r7
-    "docs_pipeline_chain": q_docs_pipeline_chain,  # [r10-in-stale] r7
-    "dedup_clusters": q_dedup_clusters,  # [r10-in-stale] r7
-    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,  # [r10-in-stale] r7
-    "embedding_ivf_topk": q_embedding_ivf_topk,  # [r10-in-stale] r7
-    "events_asof_purchase": q_events_asof_purchase,  # [r10-in-stale] r7
-    "docs_decontaminate": q_docs_decontaminate,  # [r10-in-stale] r7
-    "docs_trim_spans": q_docs_trim_spans,  # [r10-in-stale] r7
-    "docs_duplicate_spans": q_docs_duplicate_spans,  # [r10-in-stale] r7
-    "events_retention": q_events_retention,  # [r10-in-stale] r7
-    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # [r10-in-stale] r7
-    "docs_zipf_slope": q_docs_zipf_slope,  # [r10-in-stale] r7
-    "events_funnel": q_events_funnel,  # [r10-in-stale] r7
-    "docs_split": q_docs_split,  # [r10-in-stale] r7
-    "docs_shuffle": q_docs_shuffle,  # [r10-in-stale] r7
-    "docs_mixture_sample": q_docs_mixture_sample,  # [r10-in-stale] r7
-    "docs_unigram_logprob": q_docs_unigram_logprob,  # [r10-in-stale] r7
-    "docs_tfidf_topk": q_docs_tfidf_topk,  # [r10-in-stale] r7
-    "docs_bm25": q_docs_bm25,  # [r10-in-stale] r7
-    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # [r10-in-stale] r7
-    "dedup_survivors": q_dedup_survivors,  # [r10-in-stale] r7
-    "events_in_windows": q_events_in_windows,  # [r10-in-stale] r7
-    "docs_pack_sequences": q_docs_pack_sequences,  # [r10-in-stale] r7
-    "docs_repetition": q_docs_repetition,  # [r10-in-stale] r7
-    "docs_pii_redact": q_docs_pii_redact,  # [r10-in-stale] r7
-    "embedding_quantize": q_embedding_quantize,  # [r10-in-stale] r7
-    "docs_weighted_sample": q_docs_weighted_sample,  # [r10-in-stale] r7
-    # window fill: r8-green returns, first 6 in registry order
-    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # [r10-in-return] r8
-    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # [r10-in-return] r8
-    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # [r10-in-return] r8
-    "docs_temperature_mixture": q_docs_temperature_mixture,  # [r10-in-return] r8
-    "docs_incremental_dedup": q_docs_incremental_dedup,  # [r10-in-return] r8
-    "docs_gopher_rules": q_docs_gopher_rules,  # [r10-in-return] r8
+    # ---- r11 driver window (50) ----
+    # never driver-checked (15; registered r10 + r10-extension)
+    "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
+    "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
+    "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
+    "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
+    "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
+    "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
+    "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
+    "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
+    "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
+    "docs_group_split": q_docs_group_split,  # [r11-in-new]
+    "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
+    "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
+    "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
+    "docs_fertility_mixture": q_docs_fertility_mixture,  # [r11-in-new]
+    "graph_ktruss": q_graph_ktruss,  # [r11-in-new]
+    # r8-green stale rows (35): last driver-checked r8, 2 rounds stale
+    "docs_curation_report": q_docs_curation_report,  # [r11-in-stale] r8
+    "docs_mixture_solver": q_docs_mixture_solver,  # [r11-in-stale] r8
+    "numeric_describe": q_numeric_describe,  # [r11-in-stale] r8
+    "cube_agg": q_cube_agg,  # [r11-in-stale] r8
+    "embedding_ann_lsh": q_embedding_ann_lsh,  # [r11-in-stale] r8
+    "quantiles": q_quantiles,  # [r11-in-stale] r8
+    "simhash": q_simhash,  # [r11-in-stale] r8
+    "embedding_topk": q_embedding_topk,  # [r11-in-stale] r8
+    "minhash_jaccard_est": q_minhash_jaccard_est,  # [r11-in-stale] r8
+    "sessionize": q_sessionize,  # [r11-in-stale] r8
+    "docs_dsir_weights": q_docs_dsir_weights,  # [r11-in-stale] r8
+    "docs_dsir_sample": q_docs_dsir_sample,  # [r11-in-stale] r8
+    "docs_bigram_logprob": q_docs_bigram_logprob,  # [r11-in-stale] r8
+    "docs_chunks": q_docs_chunks,  # [r11-in-stale] r8
+    "docs_bpe_merges": q_docs_bpe_merges,  # [r11-in-stale] r8
+    "docs_bpe_tokens": q_docs_bpe_tokens,  # [r11-in-stale] r8
+    "docs_quality_classifier": q_docs_quality_classifier,  # [r11-in-stale] r8
+    "token_cms_estimates": q_token_cms_estimates,  # [r11-in-stale] r8
+    "sessionize_bounded": q_sessionize_bounded,  # [r11-in-stale] r8
+    "docs_token_pmi": q_docs_token_pmi,  # [r11-in-stale] r8
+    "docs_containment": q_docs_containment,  # [r11-in-stale] r8
+    "events_anomaly_days": q_events_anomaly_days,  # [r11-in-stale] r8
+    "events_trailing_avg": q_events_trailing_avg,  # [r11-in-stale] r8
+    "customer_quartiles": q_customer_quartiles,  # [r11-in-stale] r8
+    "docs_fingerprint": q_docs_fingerprint,  # [r11-in-stale] r8
+    "embedding_semdedup": q_embedding_semdedup,  # [r11-in-stale] r8
+    "events_kmv_distinct": q_events_kmv_distinct,  # [r11-in-stale] r8
+    "embedding_pq_topk": q_embedding_pq_topk,  # [r11-in-stale] r8
+    "events_quantile_sketch": q_events_quantile_sketch,  # [r11-in-stale] r8
+    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # [r11-in-stale] r8
+    "customers_with_open_orders": q_customers_with_open_orders,  # [r11-in-stale] r8
+    "series_align": q_series_align,  # [r11-in-stale] r8
+    "union_overlap": q_union_overlap,  # [r11-in-stale] r8
+    "top_revenue_orders": q_top_revenue_orders,  # [r11-in-stale] r8
+    "top_parts_per_brand": q_top_parts_per_brand,  # [r11-in-stale] r8
     # ---- tail (verified every session by tools/check_correctness.py) ----
-    # r8-checked remainder (44): green in CORRECTNESS_r08, rotate back r11
-    "docs_curation_report": q_docs_curation_report,  # r8-green
-    "docs_mixture_solver": q_docs_mixture_solver,  # r8-green
-    "numeric_describe": q_numeric_describe,  # r8-green
-    "cube_agg": q_cube_agg,  # r8-green
-    "embedding_ann_lsh": q_embedding_ann_lsh,  # r8-green
-    "quantiles": q_quantiles,  # r8-green
-    "simhash": q_simhash,  # r8-green
-    "embedding_topk": q_embedding_topk,  # r8-green
-    "minhash_jaccard_est": q_minhash_jaccard_est,  # r8-green
-    "sessionize": q_sessionize,  # r8-green
-    "docs_dsir_weights": q_docs_dsir_weights,  # r8-green
-    "docs_dsir_sample": q_docs_dsir_sample,  # r8-green
-    "docs_bigram_logprob": q_docs_bigram_logprob,  # r8-green
-    "docs_chunks": q_docs_chunks,  # r8-green
-    "docs_bpe_merges": q_docs_bpe_merges,  # r8-green
-    "docs_bpe_tokens": q_docs_bpe_tokens,  # r8-green
-    "docs_quality_classifier": q_docs_quality_classifier,  # r8-green
-    "token_cms_estimates": q_token_cms_estimates,  # r8-green
-    "sessionize_bounded": q_sessionize_bounded,  # r8-green
-    "docs_token_pmi": q_docs_token_pmi,  # r8-green
-    "docs_containment": q_docs_containment,  # r8-green
-    "events_anomaly_days": q_events_anomaly_days,  # r8-green
-    "events_trailing_avg": q_events_trailing_avg,  # r8-green
-    "customer_quartiles": q_customer_quartiles,  # r8-green
-    "docs_fingerprint": q_docs_fingerprint,  # r8-green
-    "embedding_semdedup": q_embedding_semdedup,  # r8-green
-    "events_kmv_distinct": q_events_kmv_distinct,  # r8-green
-    "embedding_pq_topk": q_embedding_pq_topk,  # r8-green
-    "events_quantile_sketch": q_events_quantile_sketch,  # r8-green
-    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # r8-green
-    "customers_with_open_orders": q_customers_with_open_orders,  # r8-green
-    "series_align": q_series_align,  # r8-green
-    "union_overlap": q_union_overlap,  # r8-green
-    "top_revenue_orders": q_top_revenue_orders,  # r8-green
-    "top_parts_per_brand": q_top_parts_per_brand,  # r8-green
+    # r8-checked remainder (9): stalest after r11, rotate back FIRST in r12
     "running_revenue": q_running_revenue,  # r8-green
     "count_pushdown": q_count_pushdown,  # r8-green
     "distinct_sorted": q_distinct_sorted,  # r8-green
@@ -3005,7 +2972,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily": q_events_daily,  # r8-green
     "simhash_near_pairs": q_simhash_near_pairs,  # r8-green
     "docs_llm_pipeline": q_docs_llm_pipeline,  # r8-green
-    # r9 driver window (50): green in CORRECTNESS_r09, 1 round old
+    # r9 driver window (50): green in CORRECTNESS_r09, 2 rounds old after r11
     "docs_bpe_merges_80": q_docs_bpe_merges_80,  # r9-green
     "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # r9-green
     "docs_dup_window_frac": q_docs_dup_window_frac,  # r9-green
@@ -3056,22 +3023,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,  # r9-green
     "docs_quality": q_docs_quality,  # r9-green
     "docs_language": q_docs_language,  # r9-green
-    # r10 registrations (never driver-checked): rotate into r11 FIRST
-    "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
-    "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
-    "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
-    "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
-    "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
-    "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
-    "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
-    "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
-    "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
-    "docs_group_split": q_docs_group_split,  # [r11-in-new]
-    "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
-    "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
-    "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
-    "docs_fertility_mixture": q_docs_fertility_mixture,  # [r11-in-new]
-    "graph_ktruss": q_graph_ktruss,  # [r11-in-new]
+    # r10 driver window (50): green in CORRECTNESS_r10, 1 round old
+    "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # r10-green
+    "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # r10-green
+    "graph_ppr": q_graph_ppr,  # r10-green
+    "graph_link_predict": q_graph_link_predict,  # r10-green
+    "docs_setsim_prefix": q_docs_setsim_prefix,  # r10-green
+    "docs_snm_pairs": q_docs_snm_pairs,  # r10-green
+    "docs_negative_pairs": q_docs_negative_pairs,  # r10-green
+    "embedding_hard_negatives": q_embedding_hard_negatives,  # r10-green
+    "docs_incremental_clusters": q_docs_incremental_clusters,  # r10-green
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # r10-green
+    "ngram_jaccard_pruned": q_ngram_jaccard_pruned,  # r10-green
+    "docs_segment_dedup": q_docs_segment_dedup,  # r10-green
+    "derive_columns": q_derive_columns,  # r10-green
+    "json_props_extract": q_json_props_extract,  # r10-green
+    "array_ops": q_array_ops,  # r10-green
+    "conditional_buckets": q_conditional_buckets,  # r10-green
+    "rollup_revenue": q_rollup_revenue,  # r10-green
+    "except_rows": q_except_rows,  # r10-green
+    "docs_pipeline_chain": q_docs_pipeline_chain,  # r10-green
+    "dedup_clusters": q_dedup_clusters,  # r10-green
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,  # r10-green
+    "embedding_ivf_topk": q_embedding_ivf_topk,  # r10-green
+    "events_asof_purchase": q_events_asof_purchase,  # r10-green
+    "docs_decontaminate": q_docs_decontaminate,  # r10-green
+    "docs_trim_spans": q_docs_trim_spans,  # r10-green
+    "docs_duplicate_spans": q_docs_duplicate_spans,  # r10-green
+    "events_retention": q_events_retention,  # r10-green
+    "docs_bloom_decontaminate": q_docs_bloom_decontaminate,  # r10-green
+    "docs_zipf_slope": q_docs_zipf_slope,  # r10-green
+    "events_funnel": q_events_funnel,  # r10-green
+    "docs_split": q_docs_split,  # r10-green
+    "docs_shuffle": q_docs_shuffle,  # r10-green
+    "docs_mixture_sample": q_docs_mixture_sample,  # r10-green
+    "docs_unigram_logprob": q_docs_unigram_logprob,  # r10-green
+    "docs_tfidf_topk": q_docs_tfidf_topk,  # r10-green
+    "docs_bm25": q_docs_bm25,  # r10-green
+    "docs_boilerplate_ngrams": q_docs_boilerplate_ngrams,  # r10-green
+    "dedup_survivors": q_dedup_survivors,  # r10-green
+    "events_in_windows": q_events_in_windows,  # r10-green
+    "docs_pack_sequences": q_docs_pack_sequences,  # r10-green
+    "docs_repetition": q_docs_repetition,  # r10-green
+    "docs_pii_redact": q_docs_pii_redact,  # r10-green
+    "embedding_quantize": q_embedding_quantize,  # r10-green
+    "docs_weighted_sample": q_docs_weighted_sample,  # r10-green
+    "graph_pagerank_dangling": q_graph_pagerank_dangling,  # r10-green
+    "embedding_ivf_topk_multiprobe": q_embedding_ivf_topk_multiprobe,  # r10-green
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,  # r10-green
+    "docs_temperature_mixture": q_docs_temperature_mixture,  # r10-green
+    "docs_incremental_dedup": q_docs_incremental_dedup,  # r10-green
+    "docs_gopher_rules": q_docs_gopher_rules,  # r10-green
 }
 
 
