@@ -82,11 +82,20 @@ def row_count(min_rows: int = 1, max_rows: int | None = None) -> tuple:
     return ("row_count", None, min_rows, max_rows)
 
 
-def referential(col: str, ref: DataFrame, ref_col: str, allowed: int = 0) -> tuple:
+def referential(
+    col: str,
+    ref: DataFrame,
+    ref_col: str,
+    allowed: int = 0,
+    broadcast: bool = True,
+) -> tuple:
     """Violations = non-null rows whose `col` value has no match in
-    `ref[ref_col]` (FK containment; orphans). One anti-join count —
-    broadcast when `ref` is dim-sized."""
-    return ("referential", col, ref, ref_col, allowed)
+    `ref[ref_col]` (FK containment; orphans). One anti-join count.
+    `broadcast=True` (default) hints the distinct referenced-key side
+    for the dim-table case; pass `broadcast=False` for fact-to-fact FK
+    checks so the anti-join degrades to a shuffle instead of
+    collecting a fact-sized key set onto every executor."""
+    return ("referential", col, ref, ref_col, allowed, bool(broadcast))
 
 
 def _violation_expr(c: tuple):
@@ -104,13 +113,15 @@ def _violation_expr(c: tuple):
             cond = cond | (F.col(col) < F.lit(lo))
         if hi is not None:
             cond = cond | (F.col(col) > F.lit(hi))
-        return (F.sum(F.when(cond, 1).otherwise(0)), nn)
+        # coalesce: F.sum over ZERO rows is NULL, not 0 — an empty table
+        # must report 0 violations / passed=true, not NULL
+        return (F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)), nn)
     if kind == "accepted_values":
         bad = ~F.col(col).isin(list(c[2])) & F.col(col).isNotNull()
-        return (F.sum(F.when(bad, 1).otherwise(0)), nn)
+        return (F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)), nn)
     if kind == "matches":
         bad = F.col(col).isNotNull() & ~F.col(col).rlike(c[2])
-        return (F.sum(F.when(bad, 1).otherwise(0)), nn)
+        return (F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)), nn)
     if kind == "row_count":
         lo, hi = c[2], c[3]
         n = F.count(F.lit(1))
@@ -158,35 +169,43 @@ def constraint_report(df: DataFrame, constraints: Sequence[tuple]) -> DataFrame:
     parts = []
     if single:
         aggs = []
-        stack_args = []
+        row_structs = []
         for i, (ordinal, c) in enumerate(single):
             v, t = _violation_expr(c)
             aggs.append(v.cast("bigint").alias(f"__v{i}"))
             aggs.append(t.cast("bigint").alias(f"__t{i}"))
             label, col, allowed = _label(c)
-            stack_args.append(
-                f"'{label}', '{col}', __v{i}, __t{i}, "
-                f"{int(allowed)}L, {ordinal}"
+            # Column-API unpivot (explode of an array of structs), NOT a
+            # selectExpr stack() string: labels carry user data (regex
+            # patterns, accepted values) and must never be re-parsed as
+            # SQL — a quote in a pattern would break the query and a
+            # backslash would silently corrupt the label.
+            row_structs.append(
+                F.struct(
+                    F.lit(label).alias("constraint"),
+                    F.lit(col).alias("column"),
+                    F.col(f"__v{i}").alias("violations"),
+                    F.col(f"__t{i}").alias("total"),
+                    F.lit(int(allowed)).cast("bigint").alias("allowed"),
+                    F.lit(int(ordinal)).alias("ord"),
+                )
             )
         one = df.agg(*aggs)
-        n = len(single)
         parts.append(
-            one.selectExpr(
-                f"stack({n}, {', '.join(stack_args)}) as "
-                "(constraint, column, violations, total, allowed, ord)"
-            )
+            one.select(F.explode(F.array(*row_structs)).alias("__r"))
+            .select("__r.*")
         )
     for ordinal, c in refs:
-        _, col, ref, ref_col, allowed = c
+        _, col, ref, ref_col, allowed = c[:5]
+        do_broadcast = c[5] if len(c) > 5 else True
         label, _, _ = _label(c)
+        ref_keys = ref.select(F.col(ref_col).alias(col)).distinct()
+        if do_broadcast:
+            ref_keys = F.broadcast(ref_keys)
         orphans = (
             df.select(F.col(col))
             .filter(F.col(col).isNotNull())
-            .join(
-                F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
-                col,
-                "left_anti",
-            )
+            .join(ref_keys, col, "left_anti")
             .agg(F.count(F.lit(1)).alias("violations"))
         )
         total = df.agg(F.count(F.col(col)).alias("total"))

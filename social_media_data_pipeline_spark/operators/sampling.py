@@ -201,6 +201,24 @@ def temperature_mixture_sample(
                 f"temperature_mixture_sample: weights must be positive "
                 f"integers, got {bad}"
             )
+        # a group present in df but absent from weights has no CASE
+        # branch (default threshold 0) / no join match — its rows would
+        # be SILENTLY dropped, unlike the histogram path which covers
+        # every live group by construction. Refuse loudly; the distinct
+        # scan is group-count-bounded (same class as the histogram job).
+        live = {
+            r[group_col] for r in df.select(group_col).distinct().collect()
+        }
+        uncovered = sorted(g for g in live if g is not None and g not in weights)
+        if uncovered:
+            raise ValueError(
+                f"temperature_mixture_sample: weights missing groups "
+                f"present in df: {uncovered[:10]}{'…' if len(uncovered) > 10 else ''} "
+                "— every live group needs a weight (rows in uncovered "
+                "groups would be silently dropped)"
+            )
+        if None in live:
+            _reject_null_groups({None: 1}, "temperature_mixture_sample", group_col)
         hist = dict(weights)
     else:
         hist = {

@@ -80,6 +80,60 @@ class TestConstraintKinds:
         assert [g[0] for g in got] == ["not_null", "referential[rk]", "unique"]
 
 
+class TestEdgeHardening:
+    """r10-ADVICE regressions: empty tables, hostile labels, and the
+    fact-to-fact referential path."""
+
+    def test_empty_table_reports_zero_violations(self, spark, df):
+        empty = df.limit(0)
+        got = _report(
+            spark,
+            empty,
+            [
+                ck.not_null("k"),
+                ck.unique("k"),
+                ck.in_range("v", lo=0.0, hi=100.0),
+                ck.accepted_values("cat", ["a"]),
+                ck.matches("s", r"^ok$"),
+            ],
+        )
+        # every constraint: 0 violations (never NULL), passed is a real
+        # boolean True — a gate consumer must see a bool, not NULL
+        for name, _col, violations, _total, passed in got:
+            assert violations == 0, name
+            assert passed is True, name
+
+    def test_quote_and_backslash_labels_survive(self, spark, df):
+        # a quote in an accepted value / a backslash in a regex must
+        # neither break the query nor corrupt the report label
+        pat = r"^ok-\d'\"$"
+        got = _report(
+            spark,
+            df,
+            [
+                ck.accepted_values("cat", ["a'; drop--", "b"]),
+                ck.matches("s", pat),
+            ],
+        )
+        assert got[0][0] == "accepted_values[a'; drop--,b]"
+        assert got[0][2] == 3  # only cat='b' row passes
+        assert got[1][0] == f"matches[{pat}]"  # byte-faithful label
+        assert got[1][2] == 3  # no value matches the quoted pattern
+
+    def test_referential_no_broadcast_degrades_to_shuffle(self, spark, df):
+        ref = spark.createDataFrame([(1,), (2,)], "rk bigint")
+        got = _report(
+            spark, df, [ck.referential("k", ref, "rk", broadcast=False)]
+        )
+        assert got == [("referential[rk]", "k", 0, 3, True)]
+        # and the plan genuinely drops the broadcast hint
+        rep = ck.constraint_report(
+            df, [ck.referential("k", ref, "rk", broadcast=False)]
+        )
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+
+
 class TestRefusals:
     def test_empty_suite_refused(self, spark, df):
         with pytest.raises(ValueError, match="empty constraint list"):

@@ -361,6 +361,43 @@ class TestR7EdgeCases:
                 df, "source", "doc_id", {"a": 1.0}, 10
             )
 
+    def test_mixture_weights_must_cover_live_groups(self, spark):
+        """r10 (ADVICE): with caller-supplied weights, a group present
+        in df but missing from the dict used to be SILENTLY dropped
+        (default CASE threshold 0 / no join match) — refuse loudly."""
+        import pytest
+
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="missing groups.*'c'"):
+            sampling.temperature_mixture_sample(
+                df, "source", "doc_id", weights={"a": 10, "b": 20}
+            )
+        # extra weight keys beyond the live groups are harmless
+        out = sampling.temperature_mixture_sample(
+            df, "source", "doc_id", target_frac=1.0,
+            weights={"a": 10, "b": 20, "c": 5, "zz": 99},
+        )
+        assert out.count() == 3
+
+    def test_mixture_weights_null_group_refused(self, spark):
+        """NULL groups in df must refuse on the weights path too (the
+        old check only looked at the weights-dict keys)."""
+        import pytest
+
+        from social_media_data_pipeline_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "doc_id long, source string"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            sampling.temperature_mixture_sample(
+                df, "source", "doc_id", weights={"a": 10}
+            )
+
 
 class TestBandStoreLifecycle:
     """r8: the persisted history band store behind incremental_dedup —
