@@ -51,12 +51,14 @@ scores too (df and avgdl move) — that is correct Okapi semantics, and
 it falls out for free because df/avgdl are resolved at search time,
 never baked into the postings.
 
-At 100 TB: postings are the corpus-sized piece — production would
-bucket them by term across many files (the commit mechanics here are
-file-count-agnostic; the test artifact keeps one sorted file whose
-row-group stats already give term skipping). dfreq is vocab-sized,
-lengths doc-count-sized, both tiny next to the corpus; a search reads
-|Q| terms' row groups, never the corpus.
+At 100 TB: postings are the corpus-sized piece — the build
+range-buckets them by term across `postings_buckets` files written IN
+PARALLEL (one writer task per bucket, each file term-sorted, so the
+pushed `t IN (…)` skips row groups inside every file and file-level
+min/max stats skip whole buckets; the commit mechanics are
+file-count-agnostic). dfreq is vocab-sized, lengths doc-count-sized,
+both tiny next to the corpus and single-file; a search reads |Q|
+terms' row groups, never the corpus.
 """
 
 from __future__ import annotations
@@ -97,14 +99,38 @@ def _doc_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> dict:
     return corpus_fingerprint(docs, id_col=id_col, vec_col=text_col)
 
 
-def _stage_files(df: DataFrame, path: str, prefix: str, gen_tag: str) -> list[str]:
+def _stage_files(
+    df: DataFrame,
+    path: str,
+    prefix: str,
+    gen_tag: str,
+    n_buckets: int = 1,
+    sort_cols: Sequence[str] | None = None,
+) -> list[str]:
     """Write `df` into uniquely-named `{prefix}-{gen_tag}-*.parquet`
     files under `path` (same naming discipline as
     `ann_index._commit_artifact`: the tag carries a per-writer uuid, so
     concurrent writers stage into disjoint names and os.replace can
-    never clobber a committed file)."""
+    never clobber a committed file).
+
+    `n_buckets` > 1 range-partitions on `sort_cols` and writes ONE
+    file per bucket IN PARALLEL — the corpus-sized postings table must
+    not funnel through a single writer task (a `coalesce(1)` there
+    serializes the one corpus-sized job of the index lifecycle onto one
+    core). Each bucket covers a disjoint range of the leading sort
+    column and is sorted within, so every file keeps the term-clustered
+    row groups that let a pushed `t IN (…)` skip non-matching row
+    groups — file-level min/max stats additionally skip whole buckets.
+    `n_buckets=1` with `sort_cols` degenerates to one globally-sorted
+    file (vocab-/doc-count-sized tables stay single-file)."""
     staged = os.path.join(path, f"_staged-{prefix}-{gen_tag}")
-    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    if sort_cols:
+        out_df = df.repartitionByRange(
+            max(1, int(n_buckets)), *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        out_df = df.coalesce(1)
+    out_df.write.mode("overwrite").parquet(staged)
     out = []
     for i, f in enumerate(sorted(glob.glob(os.path.join(staged, "*.parquet")))):
         dst = os.path.join(path, f"{prefix}-{gen_tag}-{i}.parquet")
@@ -204,11 +230,10 @@ def _corpus_tables(
     )
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     lengths = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    postings = (
-        tf.join(lengths, "doc_id")
-        .select("t", "doc_id", "tf", "dl")
-        .orderBy("t", "doc_id")  # term-clustered row groups → IN skips
-    )
+    postings = tf.join(lengths, "doc_id").select("t", "doc_id", "tf", "dl")
+    # term-clustering (range partition + sort) happens at STAGE time
+    # (`_stage_files` sort_cols) so the one range exchange both
+    # parallelizes the write and produces IN-skippable row groups
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     srow = lengths.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
@@ -223,11 +248,18 @@ def build_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprint: dict | None = None,
+    postings_buckets: int = 8,
 ) -> None:
     """Tokenize the corpus once and COMMIT the three-table index at
     `path`. The per-generation meta lands before the manifest flip —
     the flip is the commit point; a crash earlier leaves the previous
-    generation fully live (files + meta resolve together)."""
+    generation fully live (files + meta resolve together).
+
+    `postings_buckets` parallelizes the one corpus-sized write of the
+    lifecycle: postings land as that many term-range-bucketed,
+    term-sorted files written concurrently (at 100 TB size this to the
+    cluster's write parallelism / target file size; dfreq and lengths
+    are vocab-/doc-count-sized and stay single-file)."""
     from social_media_data_pipeline_spark import scale
 
     os.makedirs(path, exist_ok=True)
@@ -237,7 +269,10 @@ def build_bm25_index(
     cur_gen = prev["generation"] if prev else None
     gen_tag = f"g{(0 if cur_gen is None else cur_gen + 1)}-{uuid.uuid4().hex[:8]}"
     live = (
-        _stage_files(postings, path, "postings", gen_tag)
+        _stage_files(
+            postings, path, "postings", gen_tag,
+            n_buckets=postings_buckets, sort_cols=("t", "doc_id"),
+        )
         + _stage_files(dfreq, path, "dfreq", gen_tag)
         + _stage_files(lengths, path, "lengths", gen_tag)
     )
@@ -334,6 +369,7 @@ def bm25_index_append(
     corpus_tag: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    postings_buckets: int = 4,
 ) -> None:
     """Absorb a batch of NEW documents at batch-proportional cost:
     batch postings and lengths APPEND as new files; the vocab-sized
@@ -397,7 +433,10 @@ def bm25_index_append(
     cur_gen = prev["generation"] if prev else None
     gen_tag = f"g{(0 if cur_gen is None else cur_gen + 1)}-{uuid.uuid4().hex[:8]}"
     staged = (
-        _stage_files(b_postings, path, "postings", gen_tag)
+        _stage_files(
+            b_postings, path, "postings", gen_tag,
+            n_buckets=postings_buckets, sort_cols=("t", "doc_id"),
+        )
         + _stage_files(b_lengths, path, "lengths", gen_tag)
         + _stage_files(merged_dfreq, path, "dfreq", gen_tag)
     )

@@ -53,6 +53,38 @@ class TestBm25IndexLifecycle:
             == full
         )
 
+    def test_postings_build_is_bucketed_not_single_file(self, spark):
+        """r10-verdict #1: the corpus-sized postings write must NOT
+        funnel through one task. The default build lands multiple
+        term-range-bucketed postings files, each internally term-sorted
+        with disjoint term ranges across files — the layout that keeps
+        `t IN (…)` row-group/file skipping — and search still matches
+        the full-cycle scorer exactly."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        docs = _docs(spark, n=120)
+        path = lx.bm25_index_for(docs, "unit:bucketed")
+        pfiles = sorted(
+            f
+            for f in _glob.glob(os.path.join(path, "postings-*.parquet"))
+            if f in set(scale.read_table_manifest(path))
+        )
+        assert len(pfiles) > 1  # parallel writers, not coalesce(1)
+        ranges = []
+        for f in pfiles:
+            tcol = pq.read_table(f, columns=["t"]).column("t").to_pylist()
+            if not tcol:
+                continue
+            assert tcol == sorted(tcol), f  # term-sorted within file
+            ranges.append((tcol[0], tcol[-1]))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo  # disjoint (boundary term may touch)
+        got = lx.bm25_search_indexed(spark, path, TERMS, topn=10).collect()
+        assert got == retrieval.bm25_score(docs, TERMS, topn=10).collect()
+
     def test_corpus_change_forces_rebuild(self, spark):
         docs = _docs(spark)
         path = lx.bm25_index_for(docs, "unit:docs")
