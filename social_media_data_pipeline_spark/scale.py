@@ -193,6 +193,20 @@ class ConcurrentCommitError(RuntimeError):
     live set."""
 
 
+class _ExpectAbsent:
+    """Sentinel for `write_table_manifest(expect_generation=…)`: the
+    writer read NO manifest and expects to CREATE generation 0 — the
+    O_EXCL claim on `_manifest-0.json` arbitrates two writers racing to
+    initialize the same store (plain `None` would be last-writer-wins
+    even on the very first commit)."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "EXPECT_ABSENT"
+
+
+EXPECT_ABSENT = _ExpectAbsent()
+
+
 def write_table_manifest(
     path: str, files: Sequence[str], expect_generation: int | None = None
 ) -> int:
@@ -210,7 +224,10 @@ def write_table_manifest(
     generation N can never both commit N+1 (one loses loudly; retry by
     re-reading the table and redoing the rewrite against the new live
     set). All the in-package mutators (`selective_upsert`,
-    `selective_delete`, `compact_table`) pass it. Without
+    `selective_delete`, `compact_table`) pass it. Pass the
+    `EXPECT_ABSENT` sentinel when the writer read NO manifest and
+    expects to CREATE generation 0 — the O_EXCL claim then arbitrates
+    two writers racing to initialize the same store. Without
     `expect_generation` the commit keeps the legacy last-writer-wins
     semantics — single-writer-per-table is then the caller's contract.
 
@@ -225,16 +242,21 @@ def write_table_manifest(
     names = sorted(_os.path.basename(f) for f in files)
     prev = _read_manifest_doc(path)
     cur_gen = prev["generation"] if prev else None
-    if expect_generation is not None and cur_gen != expect_generation:
+    expected = (
+        None if isinstance(expect_generation, _ExpectAbsent)
+        else expect_generation
+    )
+    cas = expect_generation is not None  # EXPECT_ABSENT is a CAS too
+    if cas and cur_gen != expected:
         raise ConcurrentCommitError(
             f"write_table_manifest: {path} is at generation {cur_gen}, "
-            f"writer expected {expect_generation} — another commit "
+            f"writer expected {expected} — another commit "
             "landed since this writer read the table; re-read and retry"
         )
     gen = (cur_gen + 1) if prev else 0
     doc = {"files": names, "generation": gen}
     hist = _os.path.join(path, f"_manifest-{gen}.json")
-    if expect_generation is not None:
+    if cas:
         # O_EXCL claim: the atomic arbiter between two writers that
         # both passed the pointer check above
         try:

@@ -55,14 +55,7 @@ def drift_batch(
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    have_store = os.path.exists(baseline_path) and scale.live_files(
-        baseline_path
-    )
-    if have_store:
-        base = scale.manifest_read(spark, baseline_path)
-    else:
-        base = counts.limit(0).withColumnRenamed("c", "b")
-    base = base.withColumnRenamed("c", "b") if "c" in base.columns else base
+    base, base_gen = _read_baseline(spark, baseline_path, counts)
     joined = counts.join(base, [*g, "bin"], "full_outer").fillna(
         0, subset=["c", "b"]
     )
@@ -89,22 +82,75 @@ def drift_batch(
     result = spark.createDataFrame(result.collect(), result.schema)
     # merge batch counts into the baseline store (counts are a
     # commutative monoid — the same mergeability the ANN fingerprint
-    # and KMV/HLL sketches lean on)
-    merged = (
-        base.select(*g, "bin", F.col("b").alias("c"))
-        .unionByName(counts)
-        .groupBy(*g, "bin")
-        .agg(F.sum("c").alias("c"))
-    )
-    _commit_counts(spark, baseline_path, merged)
+    # and KMV/HLL sketches lean on). CAS + retry: two monitors sharing
+    # one store both read generation N and both merge; without the
+    # expect_generation guard the second manifest flip would silently
+    # DROP the first batch's counts from the baseline forever. On a
+    # lost CAS the loser un-stages, re-reads the NEW live baseline and
+    # re-merges its (localCheckpoint-pinned) batch counts — counts are
+    # commutative, so retried merges land every batch exactly once.
+    for attempt in range(_MAX_COMMIT_RETRIES):
+        merged = (
+            base.select(*g, "bin", F.col("b").alias("c"))
+            .unionByName(counts)
+            .groupBy(*g, "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+        try:
+            _commit_counts(spark, baseline_path, merged, base_gen)
+            return result
+        except scale.ConcurrentCommitError:
+            if attempt == _MAX_COMMIT_RETRIES - 1:
+                raise
+            base, base_gen = _read_baseline(spark, baseline_path, counts)
     return result
 
 
-def _commit_counts(spark: SparkSession, path: str, merged: DataFrame) -> None:
+_MAX_COMMIT_RETRIES = 5
+
+
+def _read_baseline(
+    spark: SparkSession, baseline_path: str, counts: DataFrame
+):
+    """(baseline counts as column `b`, live generation) — generation is
+    the `EXPECT_ABSENT` sentinel when no manifest exists yet, so even
+    the FIRST commit is a CAS (two monitors racing to initialize the
+    store arbitrate on the generation-0 O_EXCL claim).
+
+    The store is read STRICTLY through the manifest — never
+    `live_files`' plain-directory fallback: before generation 0 lands,
+    a concurrent writer's just-renamed (uncommitted) count files sit in
+    the directory, and the glob fallback would count them as baseline —
+    the double-merge hazard the init-race test plants."""
+    from social_media_data_pipeline_spark import scale
+
+    files = (
+        scale.read_table_manifest(baseline_path)
+        if os.path.exists(baseline_path)
+        else None
+    )
+    if files:
+        base = spark.read.parquet(*files)
+        gen = scale._read_manifest_doc(baseline_path)["generation"]
+    else:
+        base = counts.limit(0).withColumnRenamed("c", "b")
+        gen = scale.EXPECT_ABSENT
+    base = base.withColumnRenamed("c", "b") if "c" in base.columns else base
+    return base, gen
+
+
+def _commit_counts(
+    spark: SparkSession,
+    path: str,
+    merged: DataFrame,
+    expect_generation: int | None,
+) -> None:
     """The baseline store keys on (group…, bin) — rewrite the whole
     (tiny, bins×groups-sized) table atomically: stage new files, flip
-    the manifest. Simpler than a composite-key upsert, and the table is
-    state-sized by construction."""
+    the manifest with a CAS against the generation the merge was
+    computed from (`lexical_index._commit` discipline). A lost CAS
+    un-stages this writer's files and raises `ConcurrentCommitError`
+    so the caller can re-merge against the new live set."""
     import glob as _glob
     import uuid as _uuid
 
@@ -121,4 +167,14 @@ def _commit_counts(spark: SparkSession, path: str, merged: DataFrame) -> None:
     import shutil
 
     shutil.rmtree(staged)
-    scale.write_table_manifest(path, live)
+    try:
+        scale.write_table_manifest(
+            path, live, expect_generation=expect_generation
+        )
+    except scale.ConcurrentCommitError:
+        for f in live:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
