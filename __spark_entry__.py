@@ -2001,6 +2001,29 @@ def q_docs_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(docs, "doc_id", "text").orderBy("method")
 
 
+def q_docs_blocking_quality_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB shape of `docs_blocking_quality`
+    (`operators/dedup.py:blocking_quality_sampled`): the exact truth
+    set is quadratic in the corpus, so the evaluation runs on a
+    deterministic md5 sample (fingerprint % 2 == 0 — half the corpus,
+    quartering the truth-set cost) and reports pair completeness WITH
+    binomial error bars (normal-approx 95% CI, clamped). The exact
+    query stays registered as the calibration benchmark — the same
+    full-cycle-vs-production pairing as the persisted ANN/BM25 rows.
+    Oracle replays the md5 sample CTE, the same truth/banding/SNM
+    chains over it, and the identical CI expression."""
+    from social_media_data_pipeline_spark.operators.dedup import (
+        blocking_quality_sampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocking_quality_sampled(
+        docs, "doc_id", "text", inv_rate=2
+    ).orderBy("method")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -3074,6 +3097,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_temperature_mixture": q_docs_temperature_mixture,  # r10-green
     "docs_incremental_dedup": q_docs_incremental_dedup,  # r10-green
     "docs_gopher_rules": q_docs_gopher_rules,  # r10-green
+    # r11 registrations (never driver-checked): rotate into r12 FIRST
+    "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
 }
 
 

@@ -206,6 +206,9 @@ HEADLINE = [
     # round 10: 3-truss of the co-purchase graph (peel rounds at
     # construct — ITERATIVE; fixpoint measured at 2 rounds)
     "graph_ktruss",
+    # round 11: the 100 TB shape of blocking evaluation — md5
+    # half-sample + Wilson error bars (ITERATIVE: same pinned sets)
+    "docs_blocking_quality_sampled",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -261,6 +264,7 @@ ITERATIVE = {
     # blocking evaluation pins truth + both candidate sets and collects
     # its counts at construction
     "docs_blocking_quality",
+    "docs_blocking_quality_sampled",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -3327,6 +3327,52 @@ FROM stats, nn
 ORDER BY method
 """
 
+# docs_blocking_quality_sampled (r11): the 100 TB shape — the same
+# truth/banding/SNM chains over a DETERMINISTIC md5 half-sample, plus
+# normal-approximation binomial error bars on pair completeness. The
+# CI is computed from the ROUNDED completeness (the value the report
+# shows), with the identical expression tree on both engines (sqrt is
+# correctly rounded IEEE; no POW anywhere).
+_BQ_R = "ROUND(n_caught / n_true::DOUBLE, 6)"
+# Wilson interval pieces — z2 is an explicit double*double (a bare
+# DuckDB decimal literal product would be decimal-exact and can differ
+# from Spark's double fold in the last ulp)
+_BQ_Z = "CAST(1.959964 AS DOUBLE)"
+_BQ_Z2 = f"({_BQ_Z} * {_BQ_Z})"
+_BQ_DENOM = f"(1.0 + {_BQ_Z2} / n_true)"
+_BQ_CENTER = f"(({_BQ_R} + {_BQ_Z2} / (2.0 * n_true)) / {_BQ_DENOM})"
+_BQ_HALF = (
+    f"({_BQ_Z} * sqrt({_BQ_R} * (1.0 - {_BQ_R}) / n_true"
+    f" + {_BQ_Z2} / (4.0 * n_true * n_true)) / {_BQ_DENOM})"
+)
+ORACLES["docs_blocking_quality_sampled"] = (
+    ORACLES["docs_blocking_quality"]
+    .replace("FROM documents", "FROM __bq_samp")
+    .replace(
+        "WITH sh AS",
+        "WITH __bq_samp AS (\n"
+        "    SELECT * FROM documents\n"
+        "    WHERE ('0x' || substr(md5('bq-sample-v1:' || doc_id), 1, 8))"
+        "::BIGINT % 2 = 0\n"
+        "), sh AS",
+        1,
+    )
+    .replace(
+        "SELECT method, n_candidates, n_true, n_caught,",
+        "SELECT method, nn.n AS n_sample, n_candidates, n_true, n_caught,",
+    )
+    .replace(
+        "            ELSE 1.0 END AS pair_completeness,",
+        f"""            ELSE 1.0 END AS pair_completeness,
+       CASE WHEN n_true > 0
+            THEN ROUND(GREATEST(0.0, {_BQ_CENTER} - {_BQ_HALF}), 6)
+            ELSE 0.0 END AS pc_lo,
+       CASE WHEN n_true > 0
+            THEN ROUND(LEAST(1.0, {_BQ_CENTER} + {_BQ_HALF}), 6)
+            ELSE 1.0 END AS pc_hi,""",
+    )
+)
+
 # customer_k_anonymity (r10): one grouped count + count-distinct with
 # threshold flags — the release-audit gate.
 ORACLES["customer_k_anonymity"] = """

@@ -1326,3 +1326,74 @@ def blocking_quality(
             F.lit(1.0) - F.col("n_candidates") / F.lit(float(all_pairs)), 6
         ).alias("reduction_ratio"),
     )
+
+
+def blocking_quality_sampled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    inv_rate: int = 4,
+    seed: str = "bq-sample-v1",
+    z: float = 1.959964,
+    **kwargs,
+) -> DataFrame:
+    """`blocking_quality` at 100 TB: the exact truth set is quadratic
+    in corpus size, so the evaluation runs on a DETERMINISTIC md5
+    sample (keep iff fingerprint32(id) % inv_rate == 0 — re-run-stable,
+    append-stable, replayable in SQL) and reports pair completeness
+    with a binomial confidence interval instead of pretending the
+    sample is the corpus. Output adds (n_sample, pc_lo, pc_hi) to the
+    `blocking_quality` row: the WILSON score interval (z defaults to
+    the two-sided 95% quantile) — NOT the naive normal approximation,
+    which degenerates to the zero-width [p̂, p̂] at the boundaries (a
+    generator that caught all 67 sampled true pairs would claim
+    CERTAIN perfect recall; Wilson honestly reports ≈[0.946, 1]).
+    n_true = 0 yields the uninformative [0, 1] — no true pairs in the
+    sample means the sample says nothing about completeness, not that
+    completeness is perfect.
+
+    Cost is sample-sized (the quadratic truth set shrinks by
+    inv_rate²); CI width shrinks as 1/√n_true, so doubling the sample
+    rate quarters the truth-set cost ratio while tightening the bars —
+    the measured trade lives in SCALING.md. The exact
+    `blocking_quality` stays registered as the calibration benchmark
+    (the persisted-vs-full-cycle pattern: one honest expensive row, one
+    production-shaped row)."""
+    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+
+    if inv_rate < 1:
+        raise ValueError(f"inv_rate must be >= 1, got {inv_rate}")
+    sample = df.filter(fingerprint32(id_col, seed) % inv_rate == 0)
+    n_sample = sample.count()
+    base = blocking_quality(sample, id_col, text_col, **kwargs)
+    # Wilson score interval, the expression tree mirrored OPERATION FOR
+    # OPERATION by the SQL oracle (doubles end to end, z² formed by an
+    # explicit double×double so neither engine takes a decimal-exact
+    # shortcut; sqrt is correctly rounded IEEE in both)
+    p = F.col("pair_completeness")
+    n = F.col("n_true")
+    z2 = F.lit(z) * F.lit(z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    lo = F.when(
+        n > 0, F.round(F.greatest(F.lit(0.0), center - half), 6)
+    ).otherwise(F.lit(0.0))
+    hi = F.when(
+        n > 0, F.round(F.least(F.lit(1.0), center + half), 6)
+    ).otherwise(F.lit(1.0))
+    return base.select(
+        "method",
+        F.lit(n_sample).cast("bigint").alias("n_sample"),
+        "n_candidates",
+        "n_true",
+        "n_caught",
+        "pair_completeness",
+        lo.alias("pc_lo"),
+        hi.alias("pc_hi"),
+        "reduction_ratio",
+    )

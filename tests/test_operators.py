@@ -1520,6 +1520,62 @@ class TestBlockingQuality:
             assert 0.0 <= r["reduction_ratio"] <= 1.0
             assert r["pair_completeness"] == 1.0  # n_true == 0 -> 1.0
 
+    def test_sampled_variant_wilson_interval(self, spark):
+        """r11: inv_rate=1 keeps every doc — counts equal the exact
+        variant's; the Wilson interval is non-degenerate at p̂ = 1
+        (the naive normal CI would collapse to [1, 1]) and always
+        brackets the point estimate."""
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality,
+            blocking_quality_sampled,
+        )
+
+        base = "the gray fox runs across the frozen river every single morning"
+        rows = [(1, base), (2, base + " today"),
+                (3, "unrelated text about gardens and tomatoes and soil"),
+                (4, "another document on seasonal fruit market prices")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {r["method"]: r for r in blocking_quality(df, "doc_id", "text").collect()}
+        got = {
+            r["method"]: r
+            for r in blocking_quality_sampled(
+                df, "doc_id", "text", inv_rate=1
+            ).collect()
+        }
+        for m, r in got.items():
+            assert r["n_sample"] == 4
+            for c in ("n_candidates", "n_true", "n_caught",
+                      "pair_completeness", "reduction_ratio"):
+                assert r[c] == exact[m][c], (m, c)
+            if r["n_true"] > 0:
+                assert 0.0 <= r["pc_lo"] <= r["pair_completeness"]
+                assert r["pair_completeness"] <= r["pc_hi"] <= 1.0
+                if r["pair_completeness"] == 1.0:
+                    assert r["pc_lo"] < 1.0  # Wilson, not degenerate
+
+    def test_sampled_no_true_pairs_uninformative_interval(self, spark):
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality_sampled,
+        )
+
+        rows = [(i, f"totally unique text number {i} with filler words")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in blocking_quality_sampled(df, "doc_id", "text", inv_rate=2).collect():
+            if r["n_true"] == 0:
+                assert (r["pc_lo"], r["pc_hi"]) == (0.0, 1.0)
+
+    def test_sampled_refuses_bad_rate(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality_sampled,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="inv_rate"):
+            blocking_quality_sampled(df, "doc_id", "text", inv_rate=0)
+
 
 class TestDensifyCalendar:
     """Calendar densification (`aggregates.densify_calendar`): dense
