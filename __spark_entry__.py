@@ -1406,23 +1406,46 @@ def q_docs_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher document-quality gate
-    (`functions/text.py:gopher_quality_flags`, Rae et al. 2021 App. A):
+    """FULL Gopher quality gate (Rae et al. 2021 App. A): the
+    document-level rules (`functions/text.py:gopher_quality_flags` —
     word-count / mean-word-length / symbol-ratio / alpha-fraction /
-    stop-word rules as pure JVM expressions, measurements + flags per
-    document — the named heuristic filter every big text pipeline runs
-    before model-based scoring."""
+    stop-words) PLUS the line-level rules (`gopher_line_flags` —
+    bullet-line and ellipsis-line fractions, r11). The corpus ships
+    single-line, so the query first RE-LINES it deterministically
+    (doc_id % 11 == 0 → every word a bullet line, % 11 == 1 → every
+    line ellipsis-terminated, else newline before each ' the ') —
+    planted list-docs and teaser-docs that flip the line flags, all
+    replayable in SQL. `passes` is the conjunction of all seven rules
+    over the SAME re-lined text."""
     docs = _t(spark, sf_dir, "documents")
+    text_ml = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.regexp_replace(F.col("text"), " ", "\n- "),
+        )
+        .when(
+            F.col("doc_id") % 11 == 1,
+            F.regexp_replace(F.col("text"), " ", "...\n"),
+        )
+        .otherwise(F.regexp_replace(F.col("text"), " the ", "\n- "))
+    )
+    relined = docs.select("doc_id", text_ml.alias("text"))
     g = etext.gopher_quality_flags("text")
+    ln = etext.gopher_line_flags("text")
     return (
-        docs.select("doc_id", g.alias("g"))
+        relined.select("doc_id", g.alias("g"), ln.alias("ln"))
         .select(
             "doc_id",
             F.col("g.word_count").alias("word_count"),
             F.col("g.mean_word_len").alias("mean_word_len"),
             F.col("g.alpha_frac").alias("alpha_frac"),
             F.col("g.n_stop_words").alias("n_stop_words"),
-            F.col("g.passes").alias("passes"),
+            F.col("ln.n_lines").alias("n_lines"),
+            F.col("ln.bullet_line_frac").alias("bullet_line_frac"),
+            F.col("ln.ellipsis_line_frac").alias("ellipsis_line_frac"),
+            F.col("ln.ok_bullet_lines").alias("ok_bullet_lines"),
+            F.col("ln.ok_ellipsis_lines").alias("ok_ellipsis_lines"),
+            (F.col("g.passes") & F.col("ln.passes_lines")).alias("passes"),
         )
         .orderBy("doc_id")
     )

@@ -2508,8 +2508,19 @@ ORDER BY query_id, rank"""
 # docs_gopher_rules: the Rae et al. 2021 Appendix-A document rules as
 # the same rounded expressions over one token split
 ORACLES["docs_gopher_rules"] = f"""
-WITH t AS (
-    SELECT doc_id, text, {_TOKS} AS toks FROM documents
+WITH ml AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN regexp_replace(text, ' ', chr(10) || '- ', 'g')
+                WHEN doc_id % 11 = 1
+                THEN regexp_replace(text, ' ', '...' || chr(10), 'g')
+                ELSE regexp_replace(text, ' the ', chr(10) || '- ', 'g')
+           END AS text
+    FROM documents
+), t AS (
+    SELECT doc_id, text, {_TOKS} AS toks,
+           string_split(coalesce(text, ''), chr(10)) AS lines
+    FROM ml
 ), m AS (
     SELECT doc_id,
            len(toks) AS word_count,
@@ -2523,15 +2534,27 @@ WITH t AS (
                 THEN ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks), 6)
                 ELSE 0.0 END AS alpha_frac,
            len(list_intersect(list_distinct(toks),
-               ['the','be','to','of','and','that','have','with']))::INT AS n_stop_words
+               ['the','be','to','of','and','that','have','with']))::INT AS n_stop_words,
+           len(lines)::INT AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN ROUND(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE / len(lines), 6)
+                ELSE 0.0 END AS bullet_line_frac,
+           CASE WHEN len(lines) > 0
+                THEN ROUND(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$')))::DOUBLE / len(lines), 6)
+                ELSE 0.0 END AS ellipsis_line_frac
     FROM t
 )
 SELECT doc_id, word_count, mean_word_len, alpha_frac, n_stop_words,
+       n_lines, bullet_line_frac, ellipsis_line_frac,
+       (bullet_line_frac <= 0.9) AS ok_bullet_lines,
+       (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
        (word_count BETWEEN 50 AND 100000)
        AND (mean_word_len BETWEEN 3.0 AND 10.0)
        AND (symbol_ratio <= 0.1)
        AND (alpha_frac >= 0.8)
-       AND (n_stop_words >= 2) AS passes
+       AND (n_stop_words >= 2)
+       AND (bullet_line_frac <= 0.9)
+       AND (ellipsis_line_frac <= 0.3) AS passes
 FROM m
 ORDER BY doc_id
 """

@@ -459,9 +459,10 @@ def gopher_quality_flags(text_col: str | Column) -> Column:
     - ≥ 80% of words contain an alphabetic character
     - ≥ 2 distinct Gopher stop words present
 
-    (The paper's LINE-based rules — bullet/ellipsis line ratios — need
-    line structure this corpus's single-line documents don't carry;
-    they are the documented boundary of this gate.)
+    (The paper's LINE-based rules — bullet/ellipsis line fractions —
+    live in the sibling `gopher_line_flags`, composable with this gate
+    whenever the text carries line structure; `docs_gopher_rules`
+    exercises both over a deterministically re-lined corpus.)
 
     Pure JVM expressions over one tokenize pass — no UDF, no shuffle;
     ratios rounded to 6 dp so the gate replays bit-for-bit in SQL.
@@ -501,6 +502,47 @@ def gopher_quality_flags(text_col: str | Column) -> Column:
         ok_alpha.alias("ok_alpha_frac"),
         ok_stop.alias("ok_stop_words"),
         (ok_wc & ok_mean & ok_sym & ok_alpha & ok_stop).alias("passes"),
+    )
+
+
+def gopher_line_flags(text_col: str | Column) -> Column:
+    """Gopher LINE-level quality rules (Rae et al. 2021, Appendix A —
+    the two line-fraction filters the document-level gate can't see):
+
+    - bullet_line_frac: fraction of lines starting with a bullet
+      ('-', '*', '•' after optional whitespace); flag fails when
+      > 90% of lines are bullets (the doc is a list, not prose)
+    - ellipsis_line_frac: fraction of lines ending with an ellipsis
+      ('...' or '…'); flag fails when > 30% (truncated/teaser text)
+
+    One split on newline + two vectorized array filters — pure JVM
+    expressions, no UDF, no shuffle; fractions rounded to 6 dp so the
+    gate replays bit-for-bit in SQL. Compose with
+    `gopher_quality_flags` for the full Appendix-A gate; a single-line
+    document trivially passes both (1 line, bullet frac 0 or 1 — the
+    0.9 threshold only bites multi-line structure)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(F.coalesce(c, F.lit("")), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    bullet_frac = F.when(
+        n_lines > 0, F.round(n_bullet / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0, F.round(n_ellipsis / n_lines, 6)
+    ).otherwise(F.lit(0.0))
+    ok_bullet = bullet_frac <= 0.9
+    ok_ellipsis = ellipsis_frac <= 0.3
+    return F.struct(
+        n_lines.cast("int").alias("n_lines"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        (ok_bullet & ok_ellipsis).alias("passes_lines"),
     )
 
 

@@ -937,6 +937,53 @@ class TestGopherRules:
         g = df.select(etext.gopher_quality_flags("text").alias("g")).collect()[0]["g"]
         assert abs(g["symbol_ratio"] - round(3 / g["word_count"], 6)) < 1e-9
 
+    def test_line_rules_boundaries(self, spark):
+        """r11: the two line-fraction rules (Rae App. A) — planted
+        list-docs and teaser-docs flip exactly their own flag; prose
+        and single-line docs pass."""
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        bullets = "\n".join(["- item number %d here" % i for i in range(20)])
+        mixed = "intro line\n" + "\n".join(["- item %d" % i for i in range(9)])
+        teaser = "\n".join(["this story continues..." for _ in range(10)])
+        few_ell = "a\nb\nc…\nd\ne\nf\ng\nh\ni\nj"  # 1/10 ellipsis
+        rows = [
+            (1, bullets),             # 20/20 bullet lines > 0.9 → fail
+            (2, mixed),               # 9/10 = 0.9 → boundary passes
+            (3, teaser),              # 10/10 ellipsis > 0.3 → fail
+            (4, few_ell),             # 0.1 ≤ 0.3 → passes
+            (5, "plain single line of ordinary prose"),
+            (6, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["ln"]
+            for r in df.select(
+                "doc_id", etext.gopher_line_flags("text").alias("ln")
+            ).collect()
+        }
+        assert out[1]["bullet_line_frac"] == 1.0
+        assert out[1]["ok_bullet_lines"] is False
+        assert out[2]["bullet_line_frac"] == 0.9
+        assert out[2]["ok_bullet_lines"] is True  # ≤ 0.9 boundary
+        assert out[3]["ellipsis_line_frac"] == 1.0
+        assert out[3]["ok_ellipsis_lines"] is False
+        assert out[4]["ellipsis_line_frac"] == 0.1
+        assert out[4]["passes_lines"] is True
+        assert out[5]["n_lines"] == 1 and out[5]["passes_lines"] is True
+        assert out[6]["passes_lines"] is True  # NULL → empty, passes
+
+    def test_unicode_ellipsis_and_indented_bullets(self, spark):
+        from social_media_data_pipeline_spark.functions import text as etext
+
+        df = spark.createDataFrame(
+            [(1, "  • indented bullet\nnormal line\nends with…")],
+            "doc_id long, text string",
+        )
+        ln = df.select(etext.gopher_line_flags("text").alias("ln")).collect()[0]["ln"]
+        assert abs(ln["bullet_line_frac"] - round(1 / 3, 6)) < 1e-9
+        assert abs(ln["ellipsis_line_frac"] - round(1 / 3, 6)) < 1e-9
+
 
 class TestCcnetBuckets:
     def _docs(self, spark, rows):
