@@ -2047,6 +2047,29 @@ def q_docs_blocking_quality_sampled(
     ).orderBy("method")
 
 
+def q_docs_blocking_quality_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-sampled blocking evaluation
+    (`dedup.blocking_quality_sampled(block_len=16)`): the keep
+    decision hashes the first 16 chars of the NORMALIZED text, so
+    duplicate cliques (which share prefixes) survive WHOLE — the
+    honest sampling shape for window/density-sensitive generators,
+    where per-doc thinning biases completeness up (Christen 2012 §7.5
+    block-level sampling; the measured bias is in SCALING.md r11).
+    Oracle replays the md5 prefix-block sample CTE + the same chains
+    and Wilson interval."""
+    from social_media_data_pipeline_spark.operators.dedup import (
+        blocking_quality_sampled,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocking_quality_sampled(
+        docs, "doc_id", "text", inv_rate=2, seed="bq-block-v1",
+        block_len=16,
+    ).orderBy("method")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -3122,6 +3145,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_gopher_rules": q_docs_gopher_rules,  # r10-green
     # r11 registrations (never driver-checked): rotate into r12 FIRST
     "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
+    "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
 }
 
 

@@ -209,6 +209,9 @@ HEADLINE = [
     # round 11: the 100 TB shape of blocking evaluation — md5
     # half-sample + Wilson error bars (ITERATIVE: same pinned sets)
     "docs_blocking_quality_sampled",
+    # round 11: block-sampled sibling (prefix-hash keep decision —
+    # cliques survive whole; honest CI for window generators)
+    "docs_blocking_quality_blocks",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -265,6 +268,7 @@ ITERATIVE = {
     # its counts at construction
     "docs_blocking_quality",
     "docs_blocking_quality_sampled",
+    "docs_blocking_quality_blocks",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

@@ -3396,6 +3396,40 @@ ORACLES["docs_blocking_quality_sampled"] = (
     )
 )
 
+# docs_blocking_quality_blocks (r11): per-BLOCK sampling — the keep
+# decision hashes the normalized-text PREFIX so duplicate cliques
+# survive whole (the honest shape for window-sensitive generators;
+# per-doc thinning biases their completeness up). Same chains + Wilson
+# interval over the block sample.
+ORACLES["docs_blocking_quality_blocks"] = (
+    ORACLES["docs_blocking_quality"]
+    .replace("FROM documents", "FROM __bq_samp")
+    .replace(
+        "WITH sh AS",
+        "WITH __bq_samp AS (\n"
+        "    SELECT * FROM documents\n"
+        "    WHERE ('0x' || substr(md5('bq-block-v1:' || substr("
+        "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+        ", 1, 16)), 1, 8))::BIGINT % 2 = 0\n"
+        "), sh AS",
+        1,
+    )
+    .replace(
+        "SELECT method, n_candidates, n_true, n_caught,",
+        "SELECT method, nn.n AS n_sample, n_candidates, n_true, n_caught,",
+    )
+    .replace(
+        "            ELSE 1.0 END AS pair_completeness,",
+        f"""            ELSE 1.0 END AS pair_completeness,
+       CASE WHEN n_true > 0
+            THEN ROUND(GREATEST(0.0, {_BQ_CENTER} - {_BQ_HALF}), 6)
+            ELSE 0.0 END AS pc_lo,
+       CASE WHEN n_true > 0
+            THEN ROUND(LEAST(1.0, {_BQ_CENTER} + {_BQ_HALF}), 6)
+            ELSE 1.0 END AS pc_hi,""",
+    )
+)
+
 # customer_k_anonymity (r10): one grouped count + count-distinct with
 # threshold flags — the release-audit gate.
 ORACLES["customer_k_anonymity"] = """

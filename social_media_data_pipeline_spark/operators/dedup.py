@@ -1335,6 +1335,7 @@ def blocking_quality_sampled(
     inv_rate: int = 4,
     seed: str = "bq-sample-v1",
     z: float = 1.959964,
+    block_len: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """`blocking_quality` at 100 TB: the exact truth set is quadratic
@@ -1358,12 +1359,37 @@ def blocking_quality_sampled(
     the measured trade lives in SCALING.md. The exact
     `blocking_quality` stays registered as the calibration benchmark
     (the persisted-vs-full-cycle pattern: one honest expensive row, one
-    production-shaped row)."""
-    from social_media_data_pipeline_spark.operators.splits import fingerprint32
+    production-shaped row).
 
+    `block_len` switches from per-DOC to per-BLOCK sampling (Christen
+    2012 §7.5's block-level evaluation sampling): the keep decision
+    hashes the first `block_len` chars of the NORMALIZED text instead
+    of the id, so documents that sort together (and duplicate cliques,
+    which share prefixes) are kept or dropped WHOLE. Per-doc thinning
+    shrinks cliques relative to window-based generators' fixed window
+    and biases their completeness UP (measured in SCALING.md r11 —
+    the per-doc CI excludes the exact value for SNM at 4×); block
+    sampling preserves local density, so the CI is honest for
+    window/density-sensitive generators too. Trade-off: block keep
+    decisions are correlated, so the effective n_true for the CI is
+    the number of SAMPLED true pairs, which concentrates in fewer,
+    denser regions — wider but truthful bars."""
     if inv_rate < 1:
         raise ValueError(f"inv_rate must be >= 1, got {inv_rate}")
-    sample = df.filter(fingerprint32(id_col, seed) % inv_rate == 0)
+    if block_len is not None:
+        if block_len < 1:
+            raise ValueError(f"block_len must be >= 1, got {block_len}")
+        from social_media_data_pipeline_spark.functions.text import (
+            normalize_text,
+        )
+
+        key = F.substring(normalize_text(text_col), 1, int(block_len))
+    else:
+        key = F.col(id_col).cast("string")
+    draw = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), key)), 1, 8), 16, 10
+    ).cast("bigint")
+    sample = df.filter(draw % inv_rate == 0)
     n_sample = sample.count()
     base = blocking_quality(sample, id_col, text_col, **kwargs)
     # Wilson score interval, the expression tree mirrored OPERATION FOR

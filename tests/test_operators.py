@@ -1575,6 +1575,52 @@ class TestBlockingQuality:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="inv_rate"):
             blocking_quality_sampled(df, "doc_id", "text", inv_rate=0)
+        with _pytest.raises(ValueError, match="block_len"):
+            blocking_quality_sampled(df, "doc_id", "text", block_len=0)
+
+    def test_block_sampling_keeps_cliques_whole(self, spark):
+        """r11: per-BLOCK sampling (block_len) hashes the normalized
+        text prefix, so a duplicate clique (shared prefix) is kept or
+        dropped WHOLE — per-doc sampling thins cliques and biases
+        window-generator completeness up (the SCALING r11 bias row)."""
+        from social_media_data_pipeline_spark.operators.dedup import (
+            blocking_quality_sampled,
+        )
+        from social_media_data_pipeline_spark.operators.splits import (
+            fingerprint32,
+        )
+        from pyspark.sql import functions as F
+
+        base = "identical clique text shared by every member of this group"
+        # 6 cliques of 4 near-identical docs each, distinct prefixes
+        rows = []
+        for c in range(6):
+            for m in range(4):
+                rows.append((c * 10 + m, f"prefix{c:02d} {base} member {m}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = blocking_quality_sampled(
+            df, "doc_id", "text", inv_rate=2, seed="bq-block-v1",
+            block_len=16,
+        ).collect()
+        n_sample = out[0]["n_sample"]
+        # whole cliques only: the sample size must be a multiple of 4,
+        # strictly between 0 and 24 at inv_rate 2 on 6 blocks
+        assert n_sample % 4 == 0 and 0 < n_sample < 24
+        # and the kept set is exactly the docs whose prefix-block hashes
+        # to bucket 0 — clique membership never splits
+        from social_media_data_pipeline_spark.functions.text import (
+            normalize_text,
+        )
+
+        key = F.substring(normalize_text("text"), 1, 16)
+        draw = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("bq-block-v1"), key)), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        kept = df.filter(draw % 2 == 0).groupBy(
+            (F.col("doc_id") / 10).cast("int").alias("clique")
+        ).count().collect()
+        assert all(r["count"] == 4 for r in kept)
 
 
 class TestDensifyCalendar:

@@ -583,6 +583,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "docs_blocking_quality_blocks": [
+        # block-sampled sibling: same construction-time shape
+        ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "docs_blocking_quality_sampled": [
         # same construction-time shape as the exact variant; the CI
         # columns are pure projections over the tiny counts table
