@@ -49,6 +49,7 @@ from social_media_data_pipeline_spark.operators import (
     joins,
     packing,
     sampling,
+    scd,
     setops,
     sort,
     splits,
@@ -2070,6 +2071,52 @@ def q_docs_blocking_quality_blocks(
     ).orderBy("method")
 
 
+def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance
+    (`operators/scd.py:scd2_apply`, Kimball SCD2): one update batch
+    against the customer dimension — segment changes fork a new
+    version (old row closes at the effective date, non-tracked
+    nation carries forward), value-identical updates are no-ops,
+    unseen keys insert as new open rows. The batch is deterministic:
+    custkey % 14 == 0 → segment 'MOVED' (change), % 14 == 7 → same
+    segment (no-op), % 97 == 0 → a synthetic new key (insert). Point-
+    in-time correctness is what a training pipeline needs for source
+    metadata (license/consent/quality tiers) that drifts after docs
+    were ingested. One full-outer key join + unions — no window; the
+    oracle replays the fork/no-op/insert partition in SQL."""
+    import datetime as _dt
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit(_dt.date(2020, 1, 1)).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    ups = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 14 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("k"),
+        F.lit("NEW").alias("segment"),
+    )
+    out = scd.scd2_apply(
+        dim, ups.unionByName(ins), "k", ["segment"],
+        effective=_dt.date(2024, 6, 1),
+    )
+    # timestamps at the boundary: the driver comparator's proven
+    # temporal type (dates are normalized differently per engine)
+    return out.select(
+        "k", "segment", "nation",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    ).orderBy("k", "valid_from")
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -3146,6 +3193,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11 registrations (never driver-checked): rotate into r12 FIRST
     "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
     "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
+    "customer_scd2": q_customer_scd2,  # [r12-in-new]
 }
 
 

@@ -212,6 +212,9 @@ HEADLINE = [
     # round 11: block-sampled sibling (prefix-hash keep decision —
     # cliques survive whole; honest CI for window generators)
     "docs_blocking_quality_blocks",
+    # round 11: SCD2 dimension maintenance (one key join + unions;
+    # the dup/stale refusal probes run bounded collects at construct)
+    "customer_scd2",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -269,6 +272,9 @@ ITERATIVE = {
     "docs_blocking_quality",
     "docs_blocking_quality_sampled",
     "docs_blocking_quality_blocks",
+    # scd2's refusal probes (dup keys / stale effective) are bounded
+    # collects at construction
+    "customer_scd2",
     # ccnet buckets pin the bigram-LM scored table at construction
     "docs_ccnet_buckets",
     # temperature mixture collects its source histogram at construction;

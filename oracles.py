@@ -3626,3 +3626,45 @@ ORDER BY query_id, rank
 # any drift in the star-edge compression or the untouched pass-through
 # hash-mismatches here.
 ORACLES["docs_incremental_clusters"] = ORACLES["dedup_clusters"]
+
+# customer_scd2 (r11): Kimball type-2 dimension maintenance — the
+# fork/no-op/insert partition replayed as set operations. `changed` =
+# open rows whose tracked value differs (IS DISTINCT FROM = the
+# null-safe equality scd2_apply uses); everything else passes through.
+ORACLES["customer_scd2"] = """
+WITH dim AS (
+    SELECT c_custkey AS k, c_mktsegment AS segment,
+           c_nationkey AS nation,
+           DATE '2020-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM customer
+), ups AS (
+    SELECT c_custkey AS k,
+           CASE WHEN c_custkey % 14 = 0 THEN 'MOVED'
+                ELSE c_mktsegment END AS segment
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW'
+    FROM customer WHERE c_custkey % 97 = 0
+), changed AS (
+    SELECT d.k, d.segment, d.nation, d.valid_from, u.segment AS u_seg
+    FROM dim d JOIN ups u ON d.k = u.k
+    WHERE d.segment IS DISTINCT FROM u.segment
+)
+SELECT k, segment, nation,
+       valid_from::TIMESTAMP AS valid_from,
+       valid_to::TIMESTAMP AS valid_to
+FROM (
+    SELECT k, segment, nation, valid_from, valid_to FROM dim
+    WHERE k NOT IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT k, segment, nation, valid_from, DATE '2024-06-01' FROM changed
+    UNION ALL
+    SELECT k, u_seg, nation, DATE '2024-06-01', CAST(NULL AS DATE) FROM changed
+    UNION ALL
+    SELECT u.k, u.segment, CAST(NULL AS INTEGER), DATE '2024-06-01',
+           CAST(NULL AS DATE)
+    FROM ups u WHERE u.k NOT IN (SELECT k FROM dim)
+)
+ORDER BY k, valid_from
+"""

@@ -44,7 +44,9 @@ def _norm_cell(v) -> str:
     except Exception:
         pass
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ") if hasattr(v, "hour") or " " not in str(v) else str(v)
+        # datetime → "YYYY-MM-DD HH:MM:SS"; bare date/time → plain
+        # isoformat (date.isoformat() takes no sep argument)
+        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
     return str(v)
 
 

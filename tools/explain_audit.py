@@ -583,6 +583,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "customer_scd2": [
+        # one key join between the open slice and the update batch;
+        # history passes through a union — no window, no python, no
+        # cartesian anywhere in the maintenance cycle
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("key join present", r"Join"),
+    ],
     "docs_blocking_quality_blocks": [
         # block-sampled sibling: same construction-time shape
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
