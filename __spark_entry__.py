@@ -2071,6 +2071,23 @@ def q_docs_blocking_quality_blocks(
     ).orderBy("method")
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (`functions/pca.py:covariance_micro`):
+    the input to PCA/OPQ-style rotation and the drift-monitoring
+    spectrum. ONE corpus pass reduces each Arrow batch to an integer
+    micro-unit Gram matrix (numpy matmul) — the shuffle carries
+    partitions × d(d+1)/2 partial rows, never corpus × d². Partial
+    sums are EXACT int64, so the distributed merge is bit-identical
+    to the oracle's per-vector pair join; the final covariance is one
+    fixed-order double expression from the exact sums, rounded 6 dp."""
+    from social_media_data_pipeline_spark.functions.pca import (
+        covariance_micro,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_micro(emb, "embedding", d=64).orderBy("i", "j")
+
+
 def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing-dimension maintenance
     (`operators/scd.py:scd2_apply`, Kimball SCD2): one update batch
@@ -3194,6 +3211,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
     "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
     "customer_scd2": q_customer_scd2,  # [r12-in-new]
+    "embedding_covariance": q_embedding_covariance,  # [r12-in-new]
 }
 
 

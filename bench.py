@@ -215,6 +215,9 @@ HEADLINE = [
     # round 11: SCD2 dimension maintenance (one key join + unions;
     # the dup/stale refusal probes run bounded collects at construct)
     "customer_scd2",
+    # round 11: exact integer-micro covariance (one Gram pass; the
+    # PCA/OPQ input and the embedding-drift spectrum)
+    "embedding_covariance",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

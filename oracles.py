@@ -3668,3 +3668,37 @@ FROM (
 )
 ORDER BY k, valid_from
 """
+
+# embedding_covariance (r11): integer micro-unit covariance — the
+# oracle replays the quantization (ROUND half-away-from-zero of the
+# DOUBLE product, exactly the numpy path) and accumulates the same
+# exact integers through a per-vector pair join; the final double
+# expression is operation-for-operation the Spark projection.
+ORACLES["embedding_covariance"] = """
+WITH m AS (
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+    FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+), s AS (
+    SELECT i, SUM(xm) AS sx FROM m GROUP BY i
+), nn AS (
+    SELECT COUNT(*)::BIGINT AS n FROM embeddings
+), p AS (
+    SELECT a.i AS i, b.i AS j, SUM(a.xm * b.xm) AS sxy
+    FROM m a JOIN m b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+)
+SELECT p.i, p.j,
+       ROUND((p.sxy::DOUBLE / nn.n
+              - (sa.sx::DOUBLE / nn.n) * (sb.sx::DOUBLE / nn.n))
+             / 1e12, 6) AS cov
+FROM p
+CROSS JOIN nn
+JOIN s sa ON sa.i = p.i
+JOIN s sb ON sb.i = p.j
+ORDER BY p.i, p.j
+"""

@@ -1,0 +1,220 @@
+"""PCA for embedding columns: exact covariance accumulation + driver-
+side eigendecomposition + Arrow-batched projection.
+
+Why a 100 TB embedding pipeline wants this: IVF/PQ quality rides on
+energy compaction (PQ subspaces carry equal bit budget, so rotating
+into the principal basis before quantization is the standard lever —
+the public OPQ/ITQ motivation), dimensionality reduction shrinks every
+downstream ANN artifact, and the covariance spectrum is the
+monitoring signal for embedding drift. The reference has no linear-
+algebra surface at all; this is pure extension territory.
+
+Scale shape: the ONLY corpus-sized work is one pass that reduces each
+partition to a d×d integer Gram matrix + a d-vector of sums
+(`mapInPandas` over Arrow batches, numpy matmul per batch); what
+shuffles is partitions × d(d+1)/2 rows, never corpus × d². The d×d
+covariance is driver-collected (the bounded-collect class: 64×64),
+eigendecomposed with numpy, and the k components broadcast back into
+a vectorized projection.
+
+Exactness discipline: inputs quantize to integer micro-units
+(round-half-away-from-zero of x·1e6 — the house integer-micro rule),
+so Gram partial sums are EXACT integers and merge associatively: the
+distributed sum is bit-identical to any serial replay, and the SQL
+oracle reproduces the registered covariance query hash-for-hash with
+a per-vector pair join. int64 headroom: |x|≤~10 ⇒ |x_micro|≤1e7 ⇒
+per-row product ≤1e14 ⇒ ~9·10⁴ rows per PARTITION overflow-free per
+(i,j) cell at worst-case magnitudes (real embeddings are O(1): ~1e9
+rows/partition); the cross-partition merge in Spark aggregates the
+per-partition partials as int64 too — size partitions accordingly, or
+widen the merge to DECIMAL(38,0) at cluster scale (the
+`upsert_rewrite_set` precedent).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MICRO = 1_000_000.0
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero of x·1e6 → int64 (matches Spark and
+    DuckDB ROUND on the double product; numpy's rint is banker's and
+    would disagree on exact halves)."""
+    p = np.asarray(x, dtype=np.float64) * MICRO
+    return np.where(
+        p >= 0, np.floor(p + 0.5), -np.floor(-p + 0.5)
+    ).astype(np.int64)
+
+
+def covariance_micro(
+    df: DataFrame, vec_col: str = "embedding", d: int | None = None
+) -> DataFrame:
+    """Upper-triangle covariance of a fixed-dim vector column →
+    (i, j, cov) with i <= j, 0-based, cov rounded 6 dp. One corpus
+    pass reducing each Arrow batch to an integer Gram matrix; the
+    shuffle carries partitions × d(d+1)/2 partial rows. The final
+    cov = (Σxy)/n − (Σx/n)(Σy/n) is evaluated in doubles FROM the
+    exact integer sums with a fixed operation order, so the SQL
+    oracle replays it bit-for-bit."""
+    if d is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not first:
+            raise ValueError("covariance_micro: empty input")
+        d = int(first[0]["d"])
+    dd = int(d)
+    iu, ju = np.triu_indices(dd)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("sxy", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = np.zeros((dd, dd), dtype=np.int64)
+        s = np.zeros(dd, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _micro(np.stack(pdf[vec_col].to_numpy()))
+            if x.shape[1] != dd:
+                raise ValueError(
+                    f"covariance_micro: vector of dim {x.shape[1]} != {dd}"
+                )
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            yield pd.DataFrame(
+                {"i": [], "j": [], "sxy": [], "n": []}
+            ).astype({"i": "int32", "j": "int32", "sxy": "int64", "n": "int64"})
+            return
+        # upper triangle of the Gram + the sum vector rides as j == -1
+        rows = pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(dd)]).astype("int32"),
+                "j": np.concatenate(
+                    [ju, np.full(dd, -1)]
+                ).astype("int32"),
+                "sxy": np.concatenate([g[iu, ju], s]),
+                "n": np.int64(n),
+            }
+        )
+        yield rows
+
+    partials = df.select(vec_col).mapInPandas(_gram, out_schema)
+    merged = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").alias("n_part")
+    )
+    n_total = merged.filter(
+        (F.col("i") == 0) & (F.col("j") == -1)
+    ).select("n_part")
+    sums = merged.filter(F.col("j") == -1).select(
+        F.col("i").alias("si"), F.col("sxy").alias("sx")
+    )
+    pairs = merged.filter(F.col("j") >= 0).select("i", "j", "sxy")
+    n_lit = F.col("__n").cast("bigint")
+    return (
+        pairs.crossJoin(F.broadcast(n_total.withColumnRenamed("n_part", "__n")))
+        .join(F.broadcast(sums).withColumnRenamed("si", "i"), "i")
+        .withColumnRenamed("sx", "sx_i")
+        .join(
+            F.broadcast(sums)
+            .withColumnRenamed("si", "j")
+            .withColumnRenamed("sx", "sx_j"),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy").cast("double") / n_lit
+                    - (F.col("sx_i").cast("double") / n_lit)
+                    * (F.col("sx_j").cast("double") / n_lit)
+                )
+                / F.lit(1e12),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(mean, components[k, d], explained_variance[k]) — covariance via
+    the exact integer pass above (driver-collected: d×d, the bounded-
+    collect class), eigendecomposed with numpy's symmetric solver,
+    components sign-canonicalized (largest-|loading| coordinate made
+    positive) so runs are reproducible."""
+    cov_rows = covariance_micro(df, vec_col).collect()
+    if not cov_rows:
+        raise ValueError("pca_components: empty input")
+    d = max(r["j"] for r in cov_rows) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"pca_components: k must be in [1, {d}], got {k}")
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    mean_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in mean_rows:
+        mean[r["i"]] = r["m"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    for r_i in range(comps.shape[0]):
+        lead = np.argmax(np.abs(comps[r_i]))
+        if comps[r_i, lead] < 0:
+            comps[r_i] = -comps[r_i]
+    return mean, comps, w[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project `vec_col` onto the broadcast principal basis:
+    out = (x − mean) @ components.T — one vectorized numpy matmul per
+    Arrow batch, map-side only (no shuffle)."""
+    mu = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+    cols = df.columns
+
+    fields = [df.schema[c] for c in cols]
+    out_schema = T.StructType(
+        fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def _proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (x - mu) @ comp.T
+            pdf = pdf.copy()
+            pdf[out_col] = [row.astype(np.float32) for row in y]
+            yield pdf
+
+    return df.mapInPandas(_proj, out_schema)

@@ -1,0 +1,128 @@
+"""PCA surface (`functions/pca.py`): exact integer covariance (the
+distributed Gram pass vs a local numpy replay), eigenbasis
+properties, projection correctness, and refusals."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_data_pipeline_spark.functions import pca
+
+
+def _vec_df(spark, x):
+    rows = [(i, [float(v) for v in row]) for i, row in enumerate(x)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+@pytest.fixture()
+def data():
+    rng = np.random.default_rng(7)
+    d, n = 12, 400
+    # anisotropic: three dominant directions
+    basis = rng.normal(size=(d, d))
+    scales = np.concatenate([[10.0, 6.0, 3.0], np.full(d - 3, 0.3)])
+    x = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    return np.float32(x)
+
+
+class TestCovarianceMicro:
+    def test_matches_local_integer_replay(self, spark, data):
+        df = _vec_df(spark, data).repartition(7)  # force multi-partition merge
+        got = {
+            (r["i"], r["j"]): r["cov"]
+            for r in pca.covariance_micro(df, "embedding").collect()
+        }
+        xm = pca._micro(np.float64(data))
+        n = xm.shape[0]
+        g = xm.T.astype(object) @ xm.astype(object)  # exact big-int gram
+        s = xm.sum(axis=0)
+        for (i, j), c in got.items():
+            want = round(
+                (float(int(g[i, j])) / n - (float(int(s[i])) / n) * (float(int(s[j])) / n))
+                / 1e12,
+                6,
+            )
+            assert abs(c - want) < 1.5e-6, (i, j)
+        d = data.shape[1]
+        assert len(got) == d * (d + 1) // 2  # upper triangle only
+
+    def test_partitioning_invariance_bit_exact(self, spark, data):
+        """Integer partials merge associatively: 1 partition and 13
+        partitions produce IDENTICAL rounded covariances."""
+        a = pca.covariance_micro(
+            _vec_df(spark, data).coalesce(1), "embedding"
+        ).collect()
+        b = pca.covariance_micro(
+            _vec_df(spark, data).repartition(13), "embedding"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_empty_refused(self, spark):
+        empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+        with pytest.raises(ValueError, match="empty"):
+            pca.covariance_micro(empty, "embedding")
+
+
+class TestPcaComponents:
+    def test_orthonormal_and_ordered(self, spark, data):
+        df = _vec_df(spark, data)
+        mean, comps, ev = pca.pca_components(df, "embedding", k=5)
+        assert comps.shape == (5, data.shape[1])
+        np.testing.assert_allclose(comps @ comps.T, np.eye(5), atol=1e-8)
+        assert all(ev[i] >= ev[i + 1] for i in range(4))  # descending
+        # dominant directions carry most variance: top-3 explain > 90%
+        total = np.trace(np.cov(np.float64(data), rowvar=False, bias=True))
+        assert ev[:3].sum() / total > 0.9
+
+    def test_matches_numpy_subspace(self, spark, data):
+        df = _vec_df(spark, data)
+        _, comps, _ = pca.pca_components(df, "embedding", k=3)
+        c = np.cov(np.float64(data), rowvar=False, bias=True)
+        w, v = np.linalg.eigh(c)
+        ref = v[:, np.argsort(w)[::-1][:3]].T
+        # same 3-dim subspace: projection operators agree
+        p1 = comps.T @ comps
+        p2 = ref.T @ ref
+        np.testing.assert_allclose(p1, p2, atol=1e-3)
+
+    def test_k_validation(self, spark, data):
+        df = _vec_df(spark, data)
+        with pytest.raises(ValueError, match="k must be"):
+            pca.pca_components(df, "embedding", k=0)
+        with pytest.raises(ValueError, match="k must be"):
+            pca.pca_components(df, "embedding", k=99)
+
+
+class TestPcaProject:
+    def test_projection_and_reconstruction_error(self, spark, data):
+        df = _vec_df(spark, data)
+        mean, comps, _ = pca.pca_components(df, "embedding", k=3)
+        out = pca.pca_project(df, mean, comps, "embedding", "pca")
+        rows = {r["vec_id"]: np.array(r["pca"]) for r in out.collect()}
+        x = np.float64(data)
+        want = (x - mean) @ comps.T
+        for i in range(len(x)):
+            np.testing.assert_allclose(rows[i], want[i], atol=1e-3)
+        # energy: k=3 captures >90%, and error shrinks as k grows
+        errs = []
+        for k in (1, 3, 6):
+            _, ck, _ = pca.pca_components(df, "embedding", k=k)
+            y = (x - mean) @ ck.T
+            recon = y @ ck + mean
+            errs.append(float(((x - recon) ** 2).sum()))
+        assert errs[0] > errs[1] > errs[2]
+        total = float(((x - x.mean(0)) ** 2).sum())
+        assert errs[1] / total < 0.1
+
+    def test_projection_plan_is_map_side(self, spark, data):
+        df = _vec_df(spark, data)
+        mean, comps, _ = pca.pca_components(df, "embedding", k=2)
+        plan = (
+            pca.pca_project(df, mean, comps)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # no shuffle: broadcast basis, map-only

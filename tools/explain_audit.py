@@ -583,6 +583,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_covariance": [
+        # one mapInPandas Gram pass (Arrow python is THE design here —
+        # the batch matmul), then a partials-sized aggregate; the
+        # n/sums joins are broadcasts; no window
+        ("partials aggregate", r"HashAggregate|ObjectHashAggregate"),
+        ("bounded tables broadcast", r"BroadcastHashJoin"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
     "customer_scd2": [
         # one key join between the open slice and the update batch;
         # history passes through a union — no window, no python, no
