@@ -218,3 +218,50 @@ def pca_project(
             yield pdf
 
     return df.mapInPandas(_proj, out_schema)
+
+
+def eigenvalue_allocation(eigvals: np.ndarray, m: int) -> np.ndarray:
+    """OPQ-style eigenvalue allocation (Ge et al. 2013, the public
+    parametric-free variant): distribute principal directions over `m`
+    product-quantizer subspaces so every subspace carries a BALANCED
+    variance product — greedy: take eigenvalues in descending order,
+    assign each to the unfilled bucket with the smallest running
+    Σ log λ. Returns a permutation of range(d): position p·dsub+s is
+    the index (into the eigen-order) of subspace p's s-th direction.
+
+    Why: plain PCA rotation CONCENTRATES energy in the first
+    subspace, which starves the others' bit budget; balancing the
+    log-variance sums is what makes a rotation help PQ instead of
+    hurting it."""
+    ev = np.asarray(eigvals, dtype=np.float64)
+    d = ev.shape[0]
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    cap = d // m
+    order = np.argsort(ev)[::-1]
+    sums = np.zeros(m)
+    fill: list[list[int]] = [[] for _ in range(m)]
+    for idx in order:
+        open_b = [b for b in range(m) if len(fill[b]) < cap]
+        b = min(open_b, key=lambda b: sums[b])
+        fill[b].append(idx)
+        sums[b] += np.log(max(ev[idx], 1e-12))
+    return np.concatenate(fill)
+
+
+def opq_rotation(
+    df: DataFrame, vec_col: str = "embedding", m: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, R[d, d]): the full-rank PCA basis with its rows permuted
+    by `eigenvalue_allocation`, ready for `pca_project` — project the
+    corpus AND the queries, then train/encode/search PQ on the rotated
+    vectors exactly as before (rotation is orthogonal, so true L2
+    neighbors are UNCHANGED; only the quantization error drops,
+    because subspaces are decorrelated and variance-balanced)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("opq_rotation: empty input")
+    d = int(first[0]["d"])
+    mean, comps, ev = pca_components(df, vec_col, k=d)
+    perm = eigenvalue_allocation(ev, m)
+    return mean, comps[perm]

@@ -126,3 +126,83 @@ class TestPcaProject:
             .toString()
         )
         assert "Exchange" not in plan  # no shuffle: broadcast basis, map-only
+
+
+class TestOpqRotation:
+    """OPQ-style eigenvalue allocation (Ge et al. 2013): a rotation
+    only helps PQ when subspace variance is BALANCED — naive PCA
+    rotation concentrates energy in the first subspace and measurably
+    HURTS recall (the reason eigenvalue_allocation exists)."""
+
+    def _aniso(self, spark, rng_seed=11, d=16, n=600):
+        rng = np.random.default_rng(rng_seed)
+        w = rng.normal(size=(d, d))
+        scales = np.exp(np.linspace(2.0, -2.0, d))
+        x = np.float32((rng.normal(size=(n, d)) * scales) @ w.T)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        ).localCheckpoint()
+        return x, df
+
+    def _recall(self, df_vec, x, m=4, ksub=16):
+        from social_media_data_pipeline_spark.functions import pq
+
+        cb = pq.pq_codebook_kmeans(df_vec, m=m, ksub=ksub, iters=2)
+        codes = pq.pq_encode(df_vec, cb)
+        queries = df_vec.filter(F.col("vec_id") < 20)
+        got = pq.pq_adc_topk(queries, codes, cb, k=10).collect()
+        approx: dict = {}
+        for r in got:
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = tot = 0
+        for q in approx:
+            dist = ((x - x[q]) ** 2).sum(axis=1)
+            dist[q] = np.inf
+            hits += len(set(np.argsort(dist)[:10].tolist()) & approx[q])
+            tot += 10
+        return hits / tot
+
+    def test_allocation_is_balanced_permutation(self):
+        ev = np.exp(np.linspace(4.0, -4.0, 16))
+        perm = pca.eigenvalue_allocation(ev, m=4)
+        assert sorted(perm.tolist()) == list(range(16))
+        # per-bucket log-variance sums are balanced: spread far below
+        # the sorted-split allocation's
+        order = np.argsort(ev)[::-1]
+        buckets = perm.reshape(4, 4)
+        balanced = [np.log(ev[bb]).sum() for bb in buckets]
+        naive = np.log(ev[order].reshape(4, 4)).sum(axis=1)
+        assert max(balanced) - min(balanced) < (max(naive) - min(naive)) / 4
+        with pytest.raises(ValueError, match="not divisible"):
+            pca.eigenvalue_allocation(ev, m=5)
+
+    def test_rotation_orthogonal(self, spark):
+        _, df = self._aniso(spark)
+        mean, r_mat = pca.opq_rotation(df, "embedding", m=4)
+        np.testing.assert_allclose(
+            r_mat @ r_mat.T, np.eye(r_mat.shape[0]), atol=1e-8
+        )
+
+    def test_opq_beats_raw_and_naive_pca_hurts(self, spark):
+        """Measured margins (seed-pinned): raw 0.58, naive PCA 0.34,
+        OPQ-allocated 0.67 — the allocation is the difference between
+        a rotation helping and actively hurting."""
+        x, df = self._aniso(spark)
+        r_raw = self._recall(df, x)
+        mean, r_mat = pca.opq_rotation(df, "embedding", m=4)
+        rot = (
+            pca.pca_project(df, mean, r_mat, "embedding", "rot")
+            .select("vec_id", F.col("rot").alias("embedding"))
+            .localCheckpoint()
+        )
+        r_opq = self._recall(rot, x)
+        mean2, comps, _ = pca.pca_components(df, "embedding", k=x.shape[1])
+        rot2 = (
+            pca.pca_project(df, mean2, comps, "embedding", "rot")
+            .select("vec_id", F.col("rot").alias("embedding"))
+            .localCheckpoint()
+        )
+        r_pca = self._recall(rot2, x)
+        assert r_opq > r_raw + 0.03, (r_raw, r_opq)
+        assert r_pca < r_raw - 0.10, (r_raw, r_pca)  # starvation measured
