@@ -1,0 +1,216 @@
+"""Streaming covariance/spectrum accumulation: the incremental form of
+`functions/pca.covariance_micro`.
+
+The integer Gram partials (i, j, sxy, n) are a commutative monoid —
+exactly the property that made the drift baseline and the ANN
+fingerprint incremental — so a stream can fold each micro-batch's
+partials into a manifest-committed store and the accumulated
+covariance is BIT-IDENTICAL to a batch recompute over everything ever
+seen (no approximation, no order dependence: integer sums). This is
+the embedding-drift monitoring loop at ingest: the spectrum of the
+accumulated covariance is the signal (eigenvalue shifts = the
+embedding model or the corpus moved), and `pca.pca_components`-style
+driver eigh reads it at any time.
+
+Store layout/commit discipline: identical to `streaming/drift.py` —
+counts files under one manifest, CAS flip with `expect_generation`
+(EXPECT_ABSENT for generation 0) and retry-and-remerge on a lost
+race, baseline read STRICTLY through the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MAX_COMMIT_RETRIES = 5
+
+
+def _read_partials(spark: SparkSession, store: str):
+    """(partials df | None, generation-or-EXPECT_ABSENT) — manifest-
+    strict read (the drift lesson: the glob fallback would count a
+    racing writer's uncommitted files)."""
+    from social_media_data_pipeline_spark import scale
+
+    files = (
+        scale.read_table_manifest(store) if os.path.exists(store) else None
+    )
+    if files:
+        doc = scale._read_manifest_doc(store)
+        return spark.read.parquet(*files), doc["generation"]
+    return None, scale.EXPECT_ABSENT
+
+
+def spectrum_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store: str,
+    vec_col: str = "embedding",
+    d: int | None = None,
+) -> None:
+    """Fold one micro-batch's EXACT integer Gram partials into the
+    store. Batch cost: one Gram pass over the batch + a store-sized
+    (d(d+1)/2 + d + 1 rows) merge + CAS commit; a lost race re-reads
+    and re-merges the pinned batch partials (integer sums — retries
+    land every batch exactly once)."""
+    dd = d
+    if dd is None:
+        first = (
+            batch_df.select(F.size(F.col(vec_col)).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            return  # empty batch: nothing to fold
+        dd = int(first[0]["d"])
+    # the covariance_micro mapInPandas pass, pinned so CAS retries
+    # re-merge the SAME batch partials
+    batch_partials = _gram_partials(batch_df, vec_col, dd).localCheckpoint(
+        eager=True
+    )
+    from social_media_data_pipeline_spark import scale
+
+    base, gen = _read_partials(spark, store)
+    for attempt in range(_MAX_COMMIT_RETRIES):
+        merged = (
+            batch_partials
+            if base is None
+            else base.unionByName(batch_partials)
+            .groupBy("i", "j")
+            .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
+        )
+        try:
+            _commit(spark, store, merged, gen)
+            return
+        except scale.ConcurrentCommitError:
+            if attempt == _MAX_COMMIT_RETRIES - 1:
+                raise
+            base, gen = _read_partials(spark, store)
+
+
+def _gram_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """The (i, j, sxy, n) partial table for one frame — the
+    covariance_micro mapInPandas pass re-exposed, pre-aggregated to
+    one row per cell."""
+    from social_media_data_pipeline_spark.functions import pca as _pca
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dd = int(d)
+    iu, ju = np.triu_indices(dd)
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("sxy", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _gram(batches):
+        g = np.zeros((dd, dd), dtype=np.int64)
+        s = np.zeros(dd, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _pca._micro(np.stack(pdf[vec_col].to_numpy()))
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            yield pd.DataFrame({"i": [], "j": [], "sxy": [], "n": []}).astype(
+                {"i": "int32", "j": "int32", "sxy": "int64", "n": "int64"}
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(dd)]).astype("int32"),
+                "j": np.concatenate([ju, np.full(dd, -1)]).astype("int32"),
+                "sxy": np.concatenate([g[iu, ju], s]),
+                "n": np.int64(n),
+            }
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(_gram, out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
+    )
+
+
+def _commit(
+    spark: SparkSession, store: str, merged: DataFrame, expect_generation
+) -> None:
+    import glob as _glob
+    import shutil
+    import uuid as _uuid
+
+    from social_media_data_pipeline_spark import scale
+
+    tag = _uuid.uuid4().hex[:8]
+    staged = os.path.join(store, f"_staged-{tag}")
+    merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    live = []
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(staged, "*.parquet")))):
+        dst = os.path.join(store, f"gram-{tag}-{i}.parquet")
+        os.replace(f, dst)
+        live.append(dst)
+    shutil.rmtree(staged)
+    try:
+        scale.write_table_manifest(
+            store, live, expect_generation=expect_generation
+        )
+    except scale.ConcurrentCommitError:
+        for f in live:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        raise
+
+
+def covariance_from_store(spark: SparkSession, store: str) -> DataFrame:
+    """(i, j, cov) from the accumulated store — the SAME fixed-order
+    double finalize as `covariance_micro`, so the streaming-folded
+    result is bit-identical to a batch recompute over all data."""
+    base, _gen = _read_partials(spark, store)
+    if base is None:
+        raise ValueError(f"spectrum: no committed store at {store}")
+    n_total = base.filter((F.col("i") == 0) & (F.col("j") == -1)).select(
+        F.col("n").alias("__n")
+    )
+    sums = base.filter(F.col("j") == -1).select(
+        F.col("i").alias("si"), F.col("sxy").alias("sx")
+    )
+    pairs = base.filter(F.col("j") >= 0).select("i", "j", "sxy")
+    n_lit = F.col("__n").cast("bigint")
+    return (
+        pairs.crossJoin(F.broadcast(n_total))
+        .join(F.broadcast(sums).withColumnRenamed("si", "i"), "i")
+        .withColumnRenamed("sx", "sx_i")
+        .join(
+            F.broadcast(sums)
+            .withColumnRenamed("si", "j")
+            .withColumnRenamed("sx", "sx_j"),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy").cast("double") / n_lit
+                    - (F.col("sx_i").cast("double") / n_lit)
+                    * (F.col("sx_j").cast("double") / n_lit)
+                )
+                / F.lit(1e12),
+                6,
+            ).alias("cov"),
+        )
+    )

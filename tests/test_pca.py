@@ -206,3 +206,74 @@ class TestOpqRotation:
         r_pca = self._recall(rot2, x)
         assert r_opq > r_raw + 0.03, (r_raw, r_opq)
         assert r_pca < r_raw - 0.10, (r_raw, r_pca)  # starvation measured
+
+
+class TestStreamingSpectrum:
+    """Streaming covariance accumulation (`streaming/spectrum.py`):
+    integer Gram partials are a commutative monoid, so the folded
+    store is BIT-IDENTICAL to a batch recompute — and the store
+    commit inherits the drift CAS discipline."""
+
+    def test_three_batches_equal_one_shot_bit_exact(self, spark, tmp_path, data):
+        from social_media_data_pipeline_spark.streaming import spectrum
+
+        store = str(tmp_path / "gram")
+        df = _vec_df(spark, data)
+        n = data.shape[0]
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for a, b in zip(cuts, cuts[1:]):
+            spectrum.spectrum_batch(
+                spark,
+                df.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b)),
+                store,
+            )
+        folded = sorted(
+            map(tuple, spectrum.covariance_from_store(spark, store).collect())
+        )
+        oneshot = sorted(
+            map(tuple, pca.covariance_micro(df, "embedding").collect())
+        )
+        assert folded == oneshot  # bit-identical, not approximately
+
+    def test_concurrent_fold_race_no_batch_lost(self, spark, tmp_path, data):
+        from social_media_data_pipeline_spark import scale
+        from social_media_data_pipeline_spark.streaming import spectrum
+
+        store = str(tmp_path / "gram")
+        df = _vec_df(spark, data)
+        spectrum.spectrum_batch(spark, df.filter(F.col("vec_id") < 100), store)
+        real_write = scale.write_table_manifest
+        done = [False]
+
+        def stolen(p, files, expect_generation=None):
+            if p == store and not done[0]:
+                done[0] = True
+                spectrum.spectrum_batch(
+                    spark,
+                    df.filter(
+                        (F.col("vec_id") >= 100) & (F.col("vec_id") < 200)
+                    ),
+                    store,
+                )
+            return real_write(p, files, expect_generation=expect_generation)
+
+        scale.write_table_manifest = stolen
+        try:
+            spectrum.spectrum_batch(
+                spark, df.filter(F.col("vec_id") >= 200), store
+            )
+        finally:
+            scale.write_table_manifest = real_write
+        folded = sorted(
+            map(tuple, spectrum.covariance_from_store(spark, store).collect())
+        )
+        oneshot = sorted(
+            map(tuple, pca.covariance_micro(df, "embedding").collect())
+        )
+        assert folded == oneshot  # all three batches survived the race
+
+    def test_empty_store_refused(self, spark, tmp_path):
+        from social_media_data_pipeline_spark.streaming import spectrum
+
+        with pytest.raises(ValueError, match="no committed store"):
+            spectrum.covariance_from_store(spark, str(tmp_path / "nope"))
