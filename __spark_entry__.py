@@ -2071,6 +2071,22 @@ def q_docs_blocking_quality_blocks(
     ).orderBy("method")
 
 
+def q_events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew planner
+    (`operators/aggregates.py:key_skew_report`): the sensor behind the
+    broadcast-vs-shuffle-vs-salt decision (`salted_join` is the
+    actuator; `orders_join_size_est` prices the join, this prices the
+    KEYS). Top-20 heavy event users with share, cumulative share,
+    skew ratio vs the mean key, and the salt factor each key needs at
+    1,000 rows/partition. One partial-agg shuffle + a top-k over the
+    BOUNDED key-count table (the only window runs over 20 rows). The
+    oracle replays counts, ranking and the same rounded ratios."""
+    ev = _t(spark, sf_dir, "events")
+    return aggregates.key_skew_report(
+        ev, "user_id", top_k=20, target_partition_rows=1000
+    ).orderBy("rank")
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (`functions/pca.py:covariance_micro`):
     the input to PCA/OPQ-style rotation and the drift-monitoring
@@ -3215,6 +3231,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
     "customer_scd2": q_customer_scd2,  # [r12-in-new]
     "embedding_covariance": q_embedding_covariance,  # [r12-in-new]
+    "events_user_skew": q_events_user_skew,  # [r12-in-new]
 }
 
 

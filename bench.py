@@ -218,6 +218,8 @@ HEADLINE = [
     # round 11: exact integer-micro covariance (one Gram pass; the
     # PCA/OPQ input and the embedding-drift spectrum)
     "embedding_covariance",
+    # round 11: shuffle-key skew planner (counts + bounded top-k)
+    "events_user_skew",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

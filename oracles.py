@@ -3702,3 +3702,27 @@ JOIN s sa ON sa.i = p.i
 JOIN s sb ON sb.i = p.j
 ORDER BY p.i, p.j
 """
+
+# events_user_skew (r11): the salting planner — counts, top-20 heavy
+# keys, shares, cumulative shares, skew ratio vs the mean key, salt
+# factor at 1000 rows/partition. Every ratio mirrors the Spark
+# expression tree (integer counts, one double division chain, 6 dp).
+ORACLES["events_user_skew"] = """
+WITH c AS (
+    SELECT user_id AS key, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
+), t AS (
+    SELECT SUM(n)::BIGINT AS total, COUNT(*)::BIGINT AS dst FROM c
+), top AS (
+    SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank,
+       key, n,
+       ROUND(n / t.total, 6) AS share,
+       ROUND(SUM(n) OVER (ORDER BY n DESC, key
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / t.total, 6) AS cum_share,
+       ROUND(n / (t.total / t.dst), 6) AS skew_ratio,
+       CAST(CEIL(n / 1000) AS INTEGER) AS salt_factor
+FROM top CROSS JOIN t
+ORDER BY rank
+"""

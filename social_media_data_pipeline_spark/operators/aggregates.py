@@ -578,3 +578,72 @@ def densify_calendar(
         for c in ffill:
             out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    target_partition_rows: int | None = None,
+) -> DataFrame:
+    """Shuffle-key skew planner: the measurement behind every
+    broadcast-vs-shuffle-vs-salt decision (`joins.salted_join` is the
+    actuator; this is the sensor). One map-side-combinable
+    groupBy(key).count(), then the top-`top_k` heavy keys with global
+    context attached:
+
+    (rank, key, n, share, cum_share, skew_ratio, salt_factor)
+
+    - share / cum_share: this key's fraction of all rows, 6 dp
+    - skew_ratio: n ÷ mean-rows-per-key — ">10" is the usual
+      salt-or-isolate trigger
+    - salt_factor: ceil(n / target_partition_rows) when a target is
+      given (how many shuffle partitions this key alone needs — the
+      number `salted_join` should spread it over), else 1 when the
+      key fits one target partition; NULL without a target.
+
+    Plan: one partial-agg shuffle over the keys + a broadcast 1-row
+    totals frame + ONE top-k sort over the (bounded) key-count table —
+    never a sort of the data. At 100 TB: key cardinality is the only
+    driver of the second stage; for billion-key domains cap it with a
+    CMS/heavy-hitter pass first (`sketches.cms_*`), then run this on
+    the survivors."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    top = (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(int(top_k))
+        .crossJoin(F.broadcast(totals))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.desc("n"), F.asc("key")).rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    salt = (
+        F.ceil(F.col("n") / F.lit(int(target_partition_rows))).cast("int")
+        if target_partition_rows
+        else F.lit(None).cast("int")
+    )
+    return top.select(
+        F.row_number()
+        .over(_W.orderBy(F.desc("n"), F.asc("key")))
+        .alias("rank"),
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        F.round(
+            F.sum("n").over(w) / F.col("__total"), 6
+        ).alias("cum_share"),
+        F.round(
+            F.col("n") / (F.col("__total") / F.col("__distinct")), 6
+        ).alias("skew_ratio"),
+        salt.alias("salt_factor"),
+    )

@@ -583,6 +583,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "events_user_skew": [
+        # one partial-agg shuffle over the keys; the ONLY window runs
+        # over the bounded top-k table (after limit); totals broadcast
+        ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
+        ("top-k bounded", r"TakeOrderedAndProject"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+    ],
     "embedding_covariance": [
         # one mapInPandas Gram pass (Arrow python is THE design here —
         # the batch matmul), then a partials-sized aggregate; the
