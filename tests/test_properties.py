@@ -592,3 +592,63 @@ class TestDensifyProperties:
         assert all(
             v == 0 for key, v in got.items() if key not in want
         )
+
+
+class TestScd2Properties:
+    """SCD2 (`operators/scd.py`): after ANY sequence of update
+    batches, every key's versions PARTITION its covered time range
+    (sorted by valid_from: each valid_to equals the next valid_from,
+    the last is NULL), and replaying the batch values locally gives
+    the same open version."""
+
+    batches_strategy = st.lists(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=5),  # key
+            st.sampled_from(["A", "B", "C"]),       # tracked value
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @given(batches=batches_strategy)
+    @settings(**SETTINGS)
+    def test_interval_partition_and_open_values(self, spark, batches):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import scd
+
+        dim = spark.createDataFrame(
+            [(0, "A", dt.date(2020, 1, 1), None)],
+            "k bigint, v string, valid_from date, valid_to date",
+        )
+        expected_open = {0: "A"}
+        for i, batch in enumerate(batches):
+            ups = spark.createDataFrame(
+                list(batch.items()), "k bigint, v string"
+            )
+            eff = dt.date(2021 + i, 1, 1)
+            dim = scd.scd2_apply(dim, ups, "k", ["v"], eff).localCheckpoint()
+            expected_open.update(batch)
+        rows = sorted(
+            (r["k"], r["valid_from"], r["valid_to"], r["v"])
+            for r in dim.collect()
+        )
+        by_key: dict = {}
+        for k, vf, vt, v in rows:
+            by_key.setdefault(k, []).append((vf, vt, v))
+        assert set(by_key) == set(expected_open)
+        for k, versions in by_key.items():
+            versions.sort()
+            # exactly one open version, and it carries the last value
+            opens = [v for v in versions if v[1] is None]
+            assert len(opens) == 1
+            assert opens[0][2] == expected_open[k]
+            # intervals chain: each close date is the next open date
+            for (vf1, vt1, _), (vf2, _vt2, _) in zip(versions, versions[1:]):
+                assert vt1 == vf2
+                assert vf1 < vf2
+            # consecutive versions always differ in the tracked value
+            for (_, _, a), (_, _, b) in zip(versions, versions[1:]):
+                assert a != b
