@@ -49,7 +49,13 @@ def write_bucketed(
 
 
 def key_skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
-    """Top key frequencies + share of total — decide whether to salt."""
+    """Top key frequencies + share of total — decide whether to salt.
+
+    Kept for the original round-1 signature; new code should use
+    `operators.aggregates.key_skew_report` (r11), which folds the
+    totals into a broadcast instead of a separate count() job and adds
+    cum_share / skew_ratio / the per-key salt_factor that
+    `salted_join` consumes."""
     total = df.count()
     return (
         df.groupBy(key)
