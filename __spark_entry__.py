@@ -2071,6 +2071,27 @@ def q_docs_blocking_quality_blocks(
     ).orderBy("method")
 
 
+def q_embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity reranking
+    (`functions/similarity.py:mmr_rerank`, Carbonell & Goldstein
+    1998): per query the greedy λ·relevance − (1−λ)·redundancy top-5
+    over the 20 nearest candidates — the RAG retrieval finisher that
+    keeps near-duplicate passages from wasting context tokens. All
+    similarities are EXACT integer micro² inner products and the MMR
+    combination runs in arbitrary precision (HUGEINT on the oracle
+    side), so the greedy selection is bit-exact cross-engine — the
+    oracle unrolls all five steps as chained CTEs."""
+    from social_media_data_pipeline_spark.functions.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return mmr_rerank(
+        queries, emb, k=5, n_candidates=20, lam_micro=700_000
+    ).orderBy("query_id", "rank")
+
+
 def q_events_user_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew planner
     (`operators/aggregates.py:key_skew_report`): the sensor behind the
@@ -3232,6 +3253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_scd2": q_customer_scd2,  # [r12-in-new]
     "embedding_covariance": q_embedding_covariance,  # [r12-in-new]
     "events_user_skew": q_events_user_skew,  # [r12-in-new]
+    "embedding_mmr_rerank": q_embedding_mmr_rerank,  # [r12-in-new]
 }
 
 

@@ -220,6 +220,8 @@ HEADLINE = [
     "embedding_covariance",
     # round 11: shuffle-key skew planner (counts + bounded top-k)
     "events_user_skew",
+    # round 11: MMR diversity reranking (exact integer-cosine greedy)
+    "embedding_mmr_rerank",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms

@@ -3726,3 +3726,14 @@ SELECT ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank,
 FROM top CROSS JOIN t
 ORDER BY rank
 """
+
+# embedding_mmr_rerank (r11): the greedy MMR selection unrolled as
+# k chained CTEs in exact HUGEINT arithmetic — identical micro
+# quantization, identical (score DESC, id ASC) tie-break per step.
+from social_media_data_pipeline_spark.functions.similarity import (
+    build_mmr_sql as _mmr_sql,
+)
+
+ORACLES["embedding_mmr_rerank"] = _mmr_sql(
+    k=5, n_candidates=20, lam_micro=700_000, query_pred="vec_id < 5"
+)

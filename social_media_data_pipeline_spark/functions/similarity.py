@@ -675,3 +675,227 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam_micro: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity reranking (Carbonell &
+    Goldstein 1998 — the public formulation): per query, greedily pick
+
+        argmax_d  λ·cos(q, d) − (1−λ)·max_{s∈Selected} cos(d, s)
+
+    so the top-k is relevant AND non-redundant — the standard RAG
+    retrieval finisher (near-duplicate passages waste context tokens;
+    plain top-k returns them all).
+
+    Exactness discipline (why the greedy selection is BIT-EXACT
+    cross-engine, unusual for an iterative float algorithm): dots and
+    squared norms are exact int64 products of micro-quantized vectors
+    (the `pca._micro` rule); each cosine is then ONE fixed-order IEEE
+    double chain from those exact integers —
+    round-half-away(dot/(√nq·√nd)·1e6) — identical in numpy and
+    DuckDB (sqrt/division/multiply are correctly-rounded IEEE ops on
+    identical inputs); the MMR combination runs over the resulting
+    INTEGER cosines (score = lam_micro·rel − (1e6−lam_micro)·red,
+    |score| ≤ 1e12 — comfortably int64) with ties to the smallest id.
+    `build_mmr_sql` replays the whole greedy unrolled as k chained
+    CTEs and hash-matches.
+
+    Scale shape: one shuffle groups (query × candidate) rows by query;
+    per-query work is n_candidates² integer ops inside ONE pandas
+    group. This entry generates candidates with a broadcast cross
+    join (bench corpora); at 100 TB feed the `ann_index` search
+    output as `corpus` — MMR cost is independent of corpus size once
+    candidates are bounded.
+
+    Returns (query_id, rank, neighbor_id, cos_micro): rank 1..k in
+    selection order; cos_micro the integer micro-cosine to the query.
+    Zero-norm vectors get cosine 0 (guarded, both engines).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from social_media_data_pipeline_spark.functions.pca import _micro
+
+    if not 1 <= lam_micro <= 1_000_000:
+        raise ValueError(f"lam_micro must be in [1, 1e6], got {lam_micro}")
+    if k < 1 or n_candidates < k:
+        raise ValueError(
+            f"need n_candidates >= k >= 1, got k={k}, "
+            f"n_candidates={n_candidates}"
+        )
+    lam = int(lam_micro)
+    one_m = 1_000_000
+
+    def _cos_micro(dots: np.ndarray, na: np.ndarray, nb) -> np.ndarray:
+        # fixed-order double chain from exact ints; 0 when a norm is 0
+        denom = np.sqrt(na.astype(np.float64)) * np.sqrt(
+            np.float64(nb) if np.isscalar(nb) else nb.astype(np.float64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots.astype(np.float64) / denom * 1_000_000.0
+        c = np.where(denom > 0, c, 0.0)
+        return np.where(
+            c >= 0, np.floor(c + 0.5), -np.floor(-c + 0.5)
+        ).astype(np.int64)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        qv = _micro(np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64))
+        c = _micro(np.stack(pdf["c_vec"].to_numpy()))
+        ids = pdf["cand_id"].to_numpy()
+        nq = int(qv @ qv)
+        nc = (c * c).sum(axis=1)  # exact int64
+        rel = _cos_micro(c @ qv, nc, nq)
+        order = np.lexsort((ids, -rel))[: int(n_candidates)]
+        ids, c, rel, nc = ids[order], c[order], rel[order], nc[order]
+        m = len(ids)
+        sims = np.zeros((m, m), dtype=np.int64)
+        if m:
+            dmat = c @ c.T
+            na = np.repeat(nc[:, None], m, axis=1)
+            sims = _cos_micro(dmat, na, na.T)
+        sel: list[int] = []
+        remaining = list(range(m))
+        while remaining and len(sel) < k:
+            if not sel:
+                best = min(remaining, key=lambda d: (-int(rel[d]), int(ids[d])))
+            else:
+                def score(d: int) -> int:
+                    red = max(int(sims[d][s]) for s in sel)
+                    return lam * int(rel[d]) - (one_m - lam) * red
+
+                best = min(remaining, key=lambda d: (-score(d), int(ids[d])))
+            sel.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(sel) + 1, dtype=np.int32),
+                "neighbor_id": [int(ids[s]) for s in sel],
+                "cos_micro": [int(rel[s]) for s in sel],
+            }
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        _mmr, "query_id bigint, rank int, neighbor_id bigint, cos_micro bigint"
+    )
+
+
+def build_mmr_sql(
+    k: int = 5,
+    n_candidates: int = 20,
+    lam_micro: int = 700_000,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """The DuckDB twin of `mmr_rerank` for the differential oracle:
+    identical micro quantization, exact integer dots/norms, the SAME
+    fixed-order double chain to integer cosines, and the greedy
+    selection UNROLLED as k chained CTEs — each step an integer
+    argmax with the identical (score DESC, id ASC) tie-break."""
+    lam = int(lam_micro)
+    rest = 1_000_000 - lam
+    cosexpr = (
+        "CASE WHEN {na} > 0 AND {nb} > 0 THEN "
+        "CAST(ROUND({dot}::DOUBLE / (sqrt({na}::DOUBLE) * sqrt({nb}::DOUBLE))"
+        " * 1000000.0) AS BIGINT) ELSE 0 END"
+    )
+    head = f"""
+WITH m AS (
+    SELECT vec_id, i,
+           CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xm
+    FROM (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+), norms AS (
+    SELECT vec_id, SUM(xm * xm)::BIGINT AS n2 FROM m GROUP BY 1
+), dots AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           SUM(q.xm * c.xm)::BIGINT AS dot
+    FROM m q JOIN m c ON q.i = c.i AND c.vec_id != q.vec_id
+    WHERE q.{query_pred}
+    GROUP BY 1, 2
+), rels AS (
+    SELECT d.query_id, d.cand_id,
+           {cosexpr.format(dot="d.dot", na="nq.n2", nb="nc.n2")} AS rel
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.cand_id
+), cand AS (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn FROM rels
+    ) WHERE rn <= {int(n_candidates)}
+), csim AS (
+    SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+           {cosexpr.format(dot="SUM(va.xm * vb.xm)::BIGINT",
+                           na="MAX(na.n2)", nb="MAX(nb.n2)")} AS sim
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+    JOIN m va ON va.vec_id = a.cand_id
+    JOIN m vb ON vb.vec_id = b.cand_id AND vb.i = va.i
+    JOIN norms na ON na.vec_id = a.cand_id
+    JOIN norms nb ON nb.vec_id = b.cand_id
+    GROUP BY 1, 2, 3
+), sel1 AS (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rel DESC, cand_id
+        ) AS rn FROM cand
+    ) WHERE rn = 1
+)"""
+    parts = [head]
+    for t in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM sel{p}" for p in range(1, t)
+        )
+        parts.append(f""", picked{t} AS (
+    {prev_union}
+), sel{t} AS (
+    SELECT query_id, cand_id, rel FROM (
+        SELECT c.query_id, c.cand_id, c.rel, ROW_NUMBER() OVER (
+            PARTITION BY c.query_id
+            ORDER BY ({lam} * c.rel - {rest} * red.mx) DESC, c.cand_id
+        ) AS rn
+        FROM cand c
+        JOIN (
+            SELECT s.query_id, s.ia AS cand_id, MAX(s.sim) AS mx
+            FROM csim s JOIN picked{t} p
+              ON p.query_id = s.query_id AND p.cand_id = s.ib
+            GROUP BY 1, 2
+        ) red ON red.query_id = c.query_id AND red.cand_id = c.cand_id
+        WHERE c.cand_id NOT IN (
+            SELECT cand_id FROM picked{t} p2 WHERE p2.query_id = c.query_id
+        )
+    ) WHERE rn = 1
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT query_id, {t} AS rank, cand_id AS neighbor_id, rel AS cos_micro FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(f"""
+SELECT * FROM (
+{steps}
+)
+ORDER BY query_id, rank
+""")
+    return "".join(parts)

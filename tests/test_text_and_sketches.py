@@ -1324,3 +1324,82 @@ class TestHardNegatives:
         emb = self._emb(spark)
         with _pytest.raises(ValueError, match="k must be"):
             hard_negatives(emb, emb, k=0)
+
+
+class TestMmrRerank:
+    """MMR diversity reranking (`similarity.mmr_rerank`): the greedy
+    λ-tradeoff picks the diverse candidate over the redundant twin,
+    λ=1 degenerates to plain top-k, and the selection is exact."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in vec]) for i, vec in rows],
+            "vec_id bigint, embedding array<float>",
+        )
+
+    def test_diversity_beats_redundant_twin(self, spark):
+        from social_media_data_pipeline_spark.functions import similarity
+
+        q = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (0, q),                       # the query
+            (1, [0.95, 0.05, 0.0, 0.0]),  # most relevant
+            (2, [0.94, 0.06, 0.0, 0.0]),  # near-duplicate of 1
+            (3, [0.60, 0.0, 0.6, 0.0]),   # less relevant, diverse
+            (4, [0.05, 0.0, 0.0, 1.0]),   # irrelevant
+        ]
+        df = self._df(spark, rows)
+        out = similarity.mmr_rerank(
+            df.filter("vec_id = 0"), df, k=2, n_candidates=4,
+            lam_micro=500_000,
+        ).orderBy("rank").collect()
+        assert [r["neighbor_id"] for r in out] == [1, 3], (
+            "rank-2 must skip the redundant twin (2) for the diverse "
+            "candidate (3)"
+        )
+        # λ = 1: pure relevance — plain top-k order returns the twin
+        out2 = similarity.mmr_rerank(
+            df.filter("vec_id = 0"), df, k=2, n_candidates=4,
+            lam_micro=1_000_000,
+        ).orderBy("rank").collect()
+        assert [r["neighbor_id"] for r in out2] == [1, 2]
+
+    def test_cos_micro_is_exact_quantized_cosine(self, spark):
+        import math
+
+        import numpy as np
+
+        from social_media_data_pipeline_spark.functions import similarity
+        from social_media_data_pipeline_spark.functions.pca import _micro
+
+        rows = [(0, [0.5, -1.25]), (1, [2.0, 0.125]), (2, [-0.5, 3.0])]
+        df = self._df(spark, rows)
+        out = {
+            r["neighbor_id"]: r["cos_micro"]
+            for r in similarity.mmr_rerank(
+                df.filter("vec_id = 0"), df, k=2, n_candidates=2
+            ).collect()
+        }
+        qv = _micro(np.array(rows[0][1]))
+        nq = int(qv @ qv)
+        for nid, got in out.items():
+            cv = _micro(np.array(rows[nid][1]))
+            raw = float(int(cv @ qv)) / (
+                math.sqrt(float(nq)) * math.sqrt(float(int(cv @ cv)))
+            ) * 1_000_000.0
+            want = int(math.floor(raw + 0.5)) if raw >= 0 else -int(
+                math.floor(-raw + 0.5)
+            )
+            assert got == want
+            assert abs(got) <= 1_000_000
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from social_media_data_pipeline_spark.functions import similarity
+
+        df = self._df(spark, [(0, [1.0, 0.0])])
+        with _pytest.raises(ValueError, match="lam_micro"):
+            similarity.mmr_rerank(df, df, lam_micro=0)
+        with _pytest.raises(ValueError, match="n_candidates >= k"):
+            similarity.mmr_rerank(df, df, k=5, n_candidates=3)

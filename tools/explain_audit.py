@@ -583,6 +583,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
     ],
+    "embedding_mmr_rerank": [
+        # one grouping shuffle to per-query pandas groups (the
+        # applyInPandas python IS the design: n_candidates² integer
+        # ops per group); the query side broadcasts; no cartesian
+        ("per-query grouping", r"FlatMapGroupsInPandas|HashAggregate"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "events_user_skew": [
         # one partial-agg shuffle over the keys; the ONLY window runs
         # over the bounded top-k table (after limit); totals broadcast
