@@ -3066,9 +3066,9 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly 50. The 9 remaining r8-green rows are then the stalest (3 rounds)
 # and rotate back FIRST in r12, followed by the 50 r9-green rows (2 rounds
 # stale after r11); the 50 r10-green rows are 1 round old.
-# r12 plan (ROADMAP "r12 window plan (authoritative)"): the 5 r11
+# r12 plan (ROADMAP "r12 window plan (authoritative)"): the 6 r11
 # registrations ([r12-in-new], tail of this dict) first, then those 9
-# stalest r8-green rows, then the first 36 r9-green rows — exactly 50.
+# stalest r8-green rows, then the first 35 r9-green rows — exactly 50.
 # Variant notes (tail entries whose operator has a fresher driver row via
 # a named sibling): numeric_describe → describe family via column_profile
 # (r6); cube_agg → rollup_revenue variant; embedding_ann_lsh → ANN family
