@@ -12,6 +12,24 @@ Cross-engine determinism policy (pinned by tools/check_correctness.py):
   aggregate, far above both engines' fp noise;
 - anything random is keyed md5 hashing (engine-portable), never rand();
 - every computed column is aliased identically on both sides.
+
+OUTPUT-SURFACE TYPE CONVENTIONS (r12; enforced by the mirror's
+type_police + type-tagged cell hashing — the mirror is deliberately
+STRICTER than the driver's normalizer):
+- no DuckDB HUGEINT may reach an oracle's output: SUM over
+  INTEGER/BIGINT returns HUGEINT, which the driver's pandas/arrow
+  fetch renders as float64 ("145.0") while Spark emits int ("145") —
+  the exact cause of the two r11 driver hash mismatches. Every
+  integer SUM in an oracle's SELECT surface is CAST(... AS BIGINT)
+  (COUNT already returns BIGINT and needs no cast);
+- no DECIMAL on either side's output: cast to DOUBLE (after any
+  ROUND) or to BIGINT before emission;
+- calendar buckets are TIMESTAMPs on both sides (date_trunc →
+  ::TIMESTAMP, or DATE + explicit cast); a bare DATE on one side and
+  a midnight TIMESTAMP on the other fails the mirror;
+- booleans are allowed (both engines collect Python bool; driver-green
+  precedent: docs_gopher_rules r10);
+- FLOAT (f32) outputs are banned — emit DOUBLE.
 """
 
 from __future__ import annotations
@@ -3066,9 +3084,17 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly 50. The 9 remaining r8-green rows are then the stalest (3 rounds)
 # and rotate back FIRST in r12, followed by the 50 r9-green rows (2 rounds
 # stale after r11); the 50 r10-green rows are 1 round old.
-# r12 plan (ROADMAP "r12 window plan (authoritative)"): the 6 r11
-# registrations ([r12-in-new], tail of this dict) first, then those 9
-# stalest r8-green rows, then the first 35 r9-green rows — exactly 50.
+# r12 EXECUTES the ROADMAP "r12 window plan (authoritative)", amended
+# per the r11 verdict Next #1/#2: the 6 never-driver-checked r11
+# registrations ([r12-in-new]) first, then the two r11 driver-RED rows
+# ([r12-in-recheck]: events_drift_scores / orders_constraint_audit,
+# whose oracles carried DuckDB HUGEINT columns — root cause of the r11
+# hash mismatches, fixed by CAST(... AS BIGINT)), then the 9 stalest
+# r8-green rows ([r12-in-stale]), then the first 33 r9-green rows in
+# registry order ([r12-in-return]) — exactly 50. The 17 remaining
+# r9-green rows are then the stalest and rotate back FIRST in r13,
+# followed by the 50 r10-green rows; the 48 r11-green rows are 1 round
+# old.
 # Variant notes (tail entries whose operator has a fresher driver row via
 # a named sibling): numeric_describe → describe family via column_profile
 # (r6); cube_agg → rollup_revenue variant; embedding_ann_lsh → ANN family
@@ -3081,104 +3107,63 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs_fingerprint → text.fingerprint also tested; date_format_labels →
 # date_format also covered by derive_columns.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r11 driver window (50) ----
-    # never driver-checked (15; registered r10 + r10-extension)
-    "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # [r11-in-new]
-    "docs_entity_resolution": q_docs_entity_resolution,  # [r11-in-new]
-    "docs_split_leakage": q_docs_split_leakage,  # [r11-in-new]
-    "minhash_band_plan": q_minhash_band_plan,  # [r11-in-new]
-    "events_drift_scores": q_events_drift_scores,  # [r11-in-new]
-    "docs_token_fertility": q_docs_token_fertility,  # [r11-in-new]
-    "customer_k_anonymity": q_customer_k_anonymity,  # [r11-in-new]
-    "docs_blocking_quality": q_docs_blocking_quality,  # [r11-in-new]
-    "docs_bm25_searched": q_docs_bm25_searched,  # [r11-in-new]
-    "docs_group_split": q_docs_group_split,  # [r11-in-new]
-    "events_rollup_incremental": q_events_rollup_incremental,  # [r11-in-new]
-    "orders_constraint_audit": q_orders_constraint_audit,  # [r11-in-new]
-    "events_daily_dense": q_events_daily_dense,  # [r11-in-new]
-    "docs_fertility_mixture": q_docs_fertility_mixture,  # [r11-in-new]
-    "graph_ktruss": q_graph_ktruss,  # [r11-in-new]
-    # r8-green stale rows (35): last driver-checked r8, 2 rounds stale
-    "docs_curation_report": q_docs_curation_report,  # [r11-in-stale] r8
-    "docs_mixture_solver": q_docs_mixture_solver,  # [r11-in-stale] r8
-    "numeric_describe": q_numeric_describe,  # [r11-in-stale] r8
-    "cube_agg": q_cube_agg,  # [r11-in-stale] r8
-    "embedding_ann_lsh": q_embedding_ann_lsh,  # [r11-in-stale] r8
-    "quantiles": q_quantiles,  # [r11-in-stale] r8
-    "simhash": q_simhash,  # [r11-in-stale] r8
-    "embedding_topk": q_embedding_topk,  # [r11-in-stale] r8
-    "minhash_jaccard_est": q_minhash_jaccard_est,  # [r11-in-stale] r8
-    "sessionize": q_sessionize,  # [r11-in-stale] r8
-    "docs_dsir_weights": q_docs_dsir_weights,  # [r11-in-stale] r8
-    "docs_dsir_sample": q_docs_dsir_sample,  # [r11-in-stale] r8
-    "docs_bigram_logprob": q_docs_bigram_logprob,  # [r11-in-stale] r8
-    "docs_chunks": q_docs_chunks,  # [r11-in-stale] r8
-    "docs_bpe_merges": q_docs_bpe_merges,  # [r11-in-stale] r8
-    "docs_bpe_tokens": q_docs_bpe_tokens,  # [r11-in-stale] r8
-    "docs_quality_classifier": q_docs_quality_classifier,  # [r11-in-stale] r8
-    "token_cms_estimates": q_token_cms_estimates,  # [r11-in-stale] r8
-    "sessionize_bounded": q_sessionize_bounded,  # [r11-in-stale] r8
-    "docs_token_pmi": q_docs_token_pmi,  # [r11-in-stale] r8
-    "docs_containment": q_docs_containment,  # [r11-in-stale] r8
-    "events_anomaly_days": q_events_anomaly_days,  # [r11-in-stale] r8
-    "events_trailing_avg": q_events_trailing_avg,  # [r11-in-stale] r8
-    "customer_quartiles": q_customer_quartiles,  # [r11-in-stale] r8
-    "docs_fingerprint": q_docs_fingerprint,  # [r11-in-stale] r8
-    "embedding_semdedup": q_embedding_semdedup,  # [r11-in-stale] r8
-    "events_kmv_distinct": q_events_kmv_distinct,  # [r11-in-stale] r8
-    "embedding_pq_topk": q_embedding_pq_topk,  # [r11-in-stale] r8
-    "events_quantile_sketch": q_events_quantile_sketch,  # [r11-in-stale] r8
-    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # [r11-in-stale] r8
-    "customers_with_open_orders": q_customers_with_open_orders,  # [r11-in-stale] r8
-    "series_align": q_series_align,  # [r11-in-stale] r8
-    "union_overlap": q_union_overlap,  # [r11-in-stale] r8
-    "top_revenue_orders": q_top_revenue_orders,  # [r11-in-stale] r8
-    "top_parts_per_brand": q_top_parts_per_brand,  # [r11-in-stale] r8
+    # ---- r12 driver window (50) ----
+    # never driver-checked (6; registered r11)
+    "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
+    "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
+    "customer_scd2": q_customer_scd2,  # [r12-in-new]
+    "embedding_covariance": q_embedding_covariance,  # [r12-in-new]
+    "events_user_skew": q_events_user_skew,  # [r12-in-new]
+    "embedding_mmr_rerank": q_embedding_mmr_rerank,  # [r12-in-new]
+    # re-checks of the two r11 driver reds (oracle HUGEINT fix, r12)
+    "events_drift_scores": q_events_drift_scores,  # [r12-in-recheck] red r11
+    "orders_constraint_audit": q_orders_constraint_audit,  # [r12-in-recheck] red r11
+    # r8-green stalest rows (9): last driver-checked r8, 3 rounds stale
+    "running_revenue": q_running_revenue,  # [r12-in-stale] r8
+    "count_pushdown": q_count_pushdown,  # [r12-in-stale] r8
+    "distinct_sorted": q_distinct_sorted,  # [r12-in-stale] r8
+    "kmeans_train": q_kmeans_train,  # [r12-in-stale] r8
+    "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,  # [r12-in-stale] r8
+    "embedding_pq_topk_trained": q_embedding_pq_topk_trained,  # [r12-in-stale] r8
+    "events_daily": q_events_daily,  # [r12-in-stale] r8
+    "simhash_near_pairs": q_simhash_near_pairs,  # [r12-in-stale] r8
+    "docs_llm_pipeline": q_docs_llm_pipeline,  # [r12-in-stale] r8
+    # r9-green rows (first 33 in registry order, 2 rounds stale)
+    "docs_bpe_merges_80": q_docs_bpe_merges_80,  # [r12-in-return] r9
+    "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # [r12-in-return] r9
+    "docs_dup_window_frac": q_docs_dup_window_frac,  # [r12-in-return] r9
+    "graph_triangles": q_graph_triangles,  # [r12-in-return] r9
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,  # [r12-in-return] r9
+    "docs_contamination_frac": q_docs_contamination_frac,  # [r12-in-return] r9
+    "docs_oov_rate": q_docs_oov_rate,  # [r12-in-return] r9
+    "docs_decontaminate_spans": q_docs_decontaminate_spans,  # [r12-in-return] r9
+    "graph_kcore": q_graph_kcore,  # [r12-in-return] r9
+    "docs_pack_bfd": q_docs_pack_bfd,  # [r12-in-return] r9
+    "events_salted_join": q_events_salted_join,  # [r12-in-return] r9
+    "orders_join_size_est": q_orders_join_size_est,  # [r12-in-return] r9
+    "embedding_balanced_sample": q_embedding_balanced_sample,  # [r12-in-return] r9
+    "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # [r12-in-return] r9
+    "graph_lpa": q_graph_lpa,  # [r12-in-return] r9
+    "events_winsorized": q_events_winsorized,  # [r12-in-return] r9
+    "events_robust_anomalies": q_events_robust_anomalies,  # [r12-in-return] r9
+    "events_decayed_engagement": q_events_decayed_engagement,  # [r12-in-return] r9
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # [r12-in-return] r9
+    "ngram_jaccard": q_ngram_jaccard,  # [r12-in-return] r9
+    "embedding_near_dup": q_embedding_near_dup,  # [r12-in-return] r9
+    "row_wise_total": q_row_wise_total,  # [r12-in-return] r9
+    "date_format_labels": q_date_format_labels,  # [r12-in-return] r9
+    "filter_in_contains": q_filter_in_contains,  # [r12-in-return] r9
+    "state_undone": q_state_undone,  # [r12-in-return] r9
+    "sample_per_year": q_sample_per_year,  # [r12-in-return] r9
+    "events_weekly_by_type": q_events_weekly_by_type,  # [r12-in-return] r9
+    "token_frequency": q_token_frequency,  # [r12-in-return] r9
+    "price_histogram": q_price_histogram,  # [r12-in-return] r9
+    "column_profile": q_column_profile,  # [r12-in-return] r9
+    "correlation": q_correlation,  # [r12-in-return] r9
+    "events_pivot": q_events_pivot,  # [r12-in-return] r9
+    "nation_share": q_nation_share,  # [r12-in-return] r9
     # ---- tail (verified every session by tools/check_correctness.py) ----
-    # r8-checked remainder (9): stalest after r11, rotate back FIRST in r12
-    "running_revenue": q_running_revenue,  # r8-green
-    "count_pushdown": q_count_pushdown,  # r8-green
-    "distinct_sorted": q_distinct_sorted,  # r8-green
-    "kmeans_train": q_kmeans_train,  # r8-green
-    "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,  # r8-green
-    "embedding_pq_topk_trained": q_embedding_pq_topk_trained,  # r8-green
-    "events_daily": q_events_daily,  # r8-green
-    "simhash_near_pairs": q_simhash_near_pairs,  # r8-green
-    "docs_llm_pipeline": q_docs_llm_pipeline,  # r8-green
-    # r9 driver window (50): green in CORRECTNESS_r09, 2 rounds old after r11
-    "docs_bpe_merges_80": q_docs_bpe_merges_80,  # r9-green
-    "embedding_ivf_multiprobe_trained": q_embedding_ivf_multiprobe_trained,  # r9-green
-    "docs_dup_window_frac": q_docs_dup_window_frac,  # r9-green
-    "graph_triangles": q_graph_triangles,  # r9-green
-    "docs_ccnet_buckets": q_docs_ccnet_buckets,  # r9-green
-    "docs_contamination_frac": q_docs_contamination_frac,  # r9-green
-    "docs_oov_rate": q_docs_oov_rate,  # r9-green
-    "docs_decontaminate_spans": q_docs_decontaminate_spans,  # r9-green
-    "graph_kcore": q_graph_kcore,  # r9-green
-    "docs_pack_bfd": q_docs_pack_bfd,  # r9-green
-    "events_salted_join": q_events_salted_join,  # r9-green
-    "orders_join_size_est": q_orders_join_size_est,  # r9-green
-    "embedding_balanced_sample": q_embedding_balanced_sample,  # r9-green
-    "docs_pack_bfd_stats": q_docs_pack_bfd_stats,  # r9-green
-    "graph_lpa": q_graph_lpa,  # r9-green
-    "events_winsorized": q_events_winsorized,  # r9-green
-    "events_robust_anomalies": q_events_robust_anomalies,  # r9-green
-    "events_decayed_engagement": q_events_decayed_engagement,  # r9-green
-    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # r9-green
-    "ngram_jaccard": q_ngram_jaccard,  # r9-green
-    "embedding_near_dup": q_embedding_near_dup,  # r9-green
-    "row_wise_total": q_row_wise_total,  # r9-green
-    "date_format_labels": q_date_format_labels,  # r9-green
-    "filter_in_contains": q_filter_in_contains,  # r9-green
-    "state_undone": q_state_undone,  # r9-green
-    "sample_per_year": q_sample_per_year,  # r9-green
-    "events_weekly_by_type": q_events_weekly_by_type,  # r9-green
-    "token_frequency": q_token_frequency,  # r9-green
-    "price_histogram": q_price_histogram,  # r9-green
-    "column_profile": q_column_profile,  # r9-green
-    "correlation": q_correlation,  # r9-green
-    "events_pivot": q_events_pivot,  # r9-green
-    "nation_share": q_nation_share,  # r9-green
+    # r9-green remainder (17): stalest after r12, rotate back FIRST in r13
     "order_status_counts": q_order_status_counts,  # r9-green
     "customers_no_orders": q_customers_no_orders,  # r9-green
     "graph_pagerank": q_graph_pagerank,  # r9-green
@@ -3196,7 +3181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_stats": q_docs_token_stats,  # r9-green
     "docs_quality": q_docs_quality,  # r9-green
     "docs_language": q_docs_language,  # r9-green
-    # r10 driver window (50): green in CORRECTNESS_r10, 1 round old
+    # r10 driver window (50): green in CORRECTNESS_r10, 2 rounds old after r12
     "embedding_ivf_search_persisted": q_embedding_ivf_search_persisted,  # r10-green
     "embedding_balanced_sample_persisted": q_embedding_balanced_sample_persisted,  # r10-green
     "graph_ppr": q_graph_ppr,  # r10-green
@@ -3247,13 +3232,55 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_temperature_mixture": q_docs_temperature_mixture,  # r10-green
     "docs_incremental_dedup": q_docs_incremental_dedup,  # r10-green
     "docs_gopher_rules": q_docs_gopher_rules,  # r10-green
-    # r11 registrations (never driver-checked): rotate into r12 FIRST
-    "docs_blocking_quality_sampled": q_docs_blocking_quality_sampled,  # [r12-in-new]
-    "docs_blocking_quality_blocks": q_docs_blocking_quality_blocks,  # [r12-in-new]
-    "customer_scd2": q_customer_scd2,  # [r12-in-new]
-    "embedding_covariance": q_embedding_covariance,  # [r12-in-new]
-    "events_user_skew": q_events_user_skew,  # [r12-in-new]
-    "embedding_mmr_rerank": q_embedding_mmr_rerank,  # [r12-in-new]
+    # r11 driver window greens (48): 1 round old after r12
+    "embedding_ivf_multiprobe_searched": q_embedding_ivf_multiprobe_searched,  # r11-green
+    "docs_entity_resolution": q_docs_entity_resolution,  # r11-green
+    "docs_split_leakage": q_docs_split_leakage,  # r11-green
+    "minhash_band_plan": q_minhash_band_plan,  # r11-green
+    "docs_token_fertility": q_docs_token_fertility,  # r11-green
+    "customer_k_anonymity": q_customer_k_anonymity,  # r11-green
+    "docs_blocking_quality": q_docs_blocking_quality,  # r11-green
+    "docs_bm25_searched": q_docs_bm25_searched,  # r11-green
+    "docs_group_split": q_docs_group_split,  # r11-green
+    "events_rollup_incremental": q_events_rollup_incremental,  # r11-green
+    "events_daily_dense": q_events_daily_dense,  # r11-green
+    "docs_fertility_mixture": q_docs_fertility_mixture,  # r11-green
+    "graph_ktruss": q_graph_ktruss,  # r11-green
+    "docs_curation_report": q_docs_curation_report,  # r11-green
+    "docs_mixture_solver": q_docs_mixture_solver,  # r11-green
+    "numeric_describe": q_numeric_describe,  # r11-green
+    "cube_agg": q_cube_agg,  # r11-green
+    "embedding_ann_lsh": q_embedding_ann_lsh,  # r11-green
+    "quantiles": q_quantiles,  # r11-green
+    "simhash": q_simhash,  # r11-green
+    "embedding_topk": q_embedding_topk,  # r11-green
+    "minhash_jaccard_est": q_minhash_jaccard_est,  # r11-green
+    "sessionize": q_sessionize,  # r11-green
+    "docs_dsir_weights": q_docs_dsir_weights,  # r11-green
+    "docs_dsir_sample": q_docs_dsir_sample,  # r11-green
+    "docs_bigram_logprob": q_docs_bigram_logprob,  # r11-green
+    "docs_chunks": q_docs_chunks,  # r11-green
+    "docs_bpe_merges": q_docs_bpe_merges,  # r11-green
+    "docs_bpe_tokens": q_docs_bpe_tokens,  # r11-green
+    "docs_quality_classifier": q_docs_quality_classifier,  # r11-green
+    "token_cms_estimates": q_token_cms_estimates,  # r11-green
+    "sessionize_bounded": q_sessionize_bounded,  # r11-green
+    "docs_token_pmi": q_docs_token_pmi,  # r11-green
+    "docs_containment": q_docs_containment,  # r11-green
+    "events_anomaly_days": q_events_anomaly_days,  # r11-green
+    "events_trailing_avg": q_events_trailing_avg,  # r11-green
+    "customer_quartiles": q_customer_quartiles,  # r11-green
+    "docs_fingerprint": q_docs_fingerprint,  # r11-green
+    "embedding_semdedup": q_embedding_semdedup,  # r11-green
+    "events_kmv_distinct": q_events_kmv_distinct,  # r11-green
+    "embedding_pq_topk": q_embedding_pq_topk,  # r11-green
+    "events_quantile_sketch": q_events_quantile_sketch,  # r11-green
+    "embedding_ivf_pq_topk": q_embedding_ivf_pq_topk,  # r11-green
+    "customers_with_open_orders": q_customers_with_open_orders,  # r11-green
+    "series_align": q_series_align,  # r11-green
+    "union_overlap": q_union_overlap,  # r11-green
+    "top_revenue_orders": q_top_revenue_orders,  # r11-green
+    "top_parts_per_brand": q_top_parts_per_brand,  # r11-green
 }
 
 

@@ -110,16 +110,16 @@ WITH agg AS (
            count(o_orderkey) AS nn_key,
            count(DISTINCT o_orderkey) AS d_key,
            count(o_totalprice) AS nn_price,
-           sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 300000.0
-                    THEN 1 ELSE 0 END) AS v_range,
+           CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 300000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
            count(o_orderstatus) AS nn_status,
-           sum(CASE WHEN o_orderstatus IS NOT NULL
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
                      AND o_orderstatus NOT IN ('F', 'O')
-                    THEN 1 ELSE 0 END) AS v_status,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
            count(o_orderpriority) AS nn_prio,
-           sum(CASE WHEN o_orderpriority IS NOT NULL
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
-                    THEN 1 ELSE 0 END) AS v_prio,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
            count(o_orderdate) AS nn_date
     FROM orders
 ), orph AS (
@@ -3257,11 +3257,13 @@ WITH counts AS (
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
     FROM counts
 ), dt AS (
-    SELECT event_type, day, SUM(c) AS n_day FROM counts GROUP BY 1, 2
+    SELECT event_type, day, CAST(SUM(c) AS BIGINT) AS n_day
+    FROM counts GROUP BY 1, 2
 ), dt2 AS (
-    SELECT *, COALESCE(SUM(n_day) OVER (
+    SELECT *, CAST(COALESCE(SUM(n_day) OVER (
         PARTITION BY event_type ORDER BY day
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_base
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS n_base
     FROM dt
 ), per AS (
     SELECT wb.event_type, wb.day, dt2.n_day, dt2.n_base,
@@ -3695,7 +3697,7 @@ WITH m AS (
 SELECT p.i, p.j,
        ROUND((p.sxy::DOUBLE / nn.n
               - (sa.sx::DOUBLE / nn.n) * (sb.sx::DOUBLE / nn.n))
-             / 1e12, 6) AS cov
+             / 1e12, 6) + 0.0 AS cov
 FROM p
 CROSS JOIN nn
 JOIN s sa ON sa.i = p.i

@@ -139,14 +139,22 @@ def covariance_micro(
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    F.col("sxy").cast("double") / n_lit
-                    - (F.col("sx_i").cast("double") / n_lit)
-                    * (F.col("sx_j").cast("double") / n_lit)
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0: Spark's BigDecimal
+            # round drops the sign of a tiny negative while DuckDB's
+            # double round keeps it — without this the engines emit
+            # 0.0 vs -0.0 for exactly-cancelled cells (caught by the
+            # r12 type-tagged mirror)
+            (
+                F.round(
+                    (
+                        F.col("sxy").cast("double") / n_lit
+                        - (F.col("sx_i").cast("double") / n_lit)
+                        * (F.col("sx_j").cast("double") / n_lit)
+                    )
+                    / F.lit(1e12),
+                    6,
                 )
-                / F.lit(1e12),
-                6,
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -1275,7 +1275,8 @@ WITH grid(bands, rows_per_band, i, implied_threshold, chosen) AS (
     SELECT bands, rows_per_band,
            ROUND(i / {float(grid_steps)}, 6) AS t,
            i / {float(grid_steps)} AS t_raw,
-           ROUND(implied_threshold, 6) AS implied_threshold, chosen
+           CAST(ROUND(implied_threshold, 6) AS DOUBLE)
+               AS implied_threshold, chosen
     FROM grid
 )
 SELECT bands, rows_per_band, t,

@@ -203,14 +203,19 @@ def covariance_from_store(spark: SparkSession, store: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
-                (
-                    F.col("sxy").cast("double") / n_lit
-                    - (F.col("sx_i").cast("double") / n_lit)
-                    * (F.col("sx_j").cast("double") / n_lit)
+            # + 0.0 canonicalizes IEEE -0.0 (same emission convention
+            # as covariance_micro — see its comment)
+            (
+                F.round(
+                    (
+                        F.col("sxy").cast("double") / n_lit
+                        - (F.col("sx_i").cast("double") / n_lit)
+                        * (F.col("sx_j").cast("double") / n_lit)
+                    )
+                    / F.lit(1e12),
+                    6,
                 )
-                / F.lit(1e12),
-                6,
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

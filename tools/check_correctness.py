@@ -23,31 +23,117 @@ SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _norm_cell(v) -> str:
+    """TYPE-TAGGED rendering (r12 hardening, VERDICT r11 Next #3).
+
+    The r11 driver red (events_drift_scores / orders_constraint_audit)
+    was a cell-TYPE divergence the old normalizer coerced away: DuckDB
+    SUM(BIGINT/INTEGER) returns HUGEINT, which the driver's fetch path
+    renders as float64 ("145.0") while Spark emits int ("145") — the
+    old float branch collapsed int-valued floats to "1" so the mirror
+    passed what the driver failed. The mirror must be STRICTER than
+    any plausible driver normalizer: every cell carries its Python
+    type as a prefix, so bool-vs-int, Decimal-vs-float,
+    date-vs-midnight-timestamp, and -0.0-vs-0.0 all FAIL locally
+    unless both engines emit the identical type and value. The house
+    emission conventions that survive this gate are documented in
+    __spark_entry__'s module docstring.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "b:1" if v else "b:0"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:nan"
+        return "f:" + repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            f = float(v)
-            return _norm_cell(f)
-    except Exception:
-        pass
+    if isinstance(v, decimal.Decimal):
+        # never coerced: a Decimal output fails against any non-Decimal
+        # sibling, forcing the house convention (cast to double/bigint
+        # before emission) — the driver fetch renders DECIMAL as
+        # float64 on the DuckDB side but Decimal objects on the Spark
+        # side, so Decimals must not reach the output surface at all
+        return "dec:" + str(v)
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
     if hasattr(v, "isoformat"):
-        # datetime → "YYYY-MM-DD HH:MM:SS"; bare date/time → plain
-        # isoformat (date.isoformat() takes no sep argument)
-        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
-    return str(v)
+        if hasattr(v, "hour"):  # datetime (tz offset included if aware)
+            return "ts:" + v.isoformat(sep=" ")
+        return "d:" + v.isoformat()  # bare date
+    return "s:" + str(v)
+
+
+# Spark simpleString / DuckDB type → canonical class for the output-
+# surface police. Classes must MATCH exactly; anything mapping to a
+# "never" class fails outright (the driver's pandas/arrow fetch renders
+# it differently from fetchall, so no query may emit it).
+_SPARK_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "double": "f64", "float": "f32", "boolean": "bool",
+    "string": "str", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "binary": "bytes", "void": "null",
+}
+_DUCK_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "UBIGINT": "int", "UINTEGER": "int",
+    "USMALLINT": "int", "UTINYINT": "int",
+    "DOUBLE": "f64", "FLOAT": "f32", "BOOLEAN": "bool",
+    "VARCHAR": "str", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP WITH TIME ZONE": "tstz", "BLOB": "bytes",
+    "HUGEINT": "NEVER:hugeint", "UHUGEINT": "NEVER:uhugeint",
+    "TIME": "NEVER:time", '"NULL"': "null", "NULL": "null",
+}
+
+
+def _canon_spark(dt: str) -> str:
+    dt = dt.strip()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return "list<" + _canon_spark(dt[6:-1]) + ">"
+    if dt.startswith("decimal"):
+        return "NEVER:" + dt
+    return _SPARK_CANON.get(dt, "UNKNOWN:" + dt)
+
+
+def _canon_duck(dt: str) -> str:
+    dt = dt.strip()
+    if dt.endswith("[]"):
+        return "list<" + _canon_duck(dt[:-2]) + ">"
+    if dt.startswith("DECIMAL"):
+        return "NEVER:" + dt.lower()
+    return _DUCK_CANON.get(dt, "UNKNOWN:" + dt)
+
+
+def type_police(
+    scols: list[str], sdtypes: list[str], dcols: list[str], dtypes: list[str]
+) -> list[str]:
+    """Column-type gate: Spark and DuckDB output dtypes must canonize
+    identically, and neither side may emit a type the driver's fetch
+    path renders differently from fetchall (HUGEINT, DECIMAL, TIME).
+    Returns a list of problems (empty = clean)."""
+    smap = {c.lower(): _canon_spark(t) for c, t in zip(scols, sdtypes)}
+    dmap = {c.lower(): _canon_duck(str(t)) for c, t in zip(dcols, dtypes)}
+    problems = []
+    for col in sorted(set(smap) & set(dmap)):
+        sc, dc = smap[col], dmap[col]
+        for side, c in (("spark", sc), ("duckdb", dc)):
+            if c.startswith("NEVER:"):
+                problems.append(
+                    f"{col}: {side} emits {c[6:]} (driver-unsafe type)"
+                )
+            elif c.startswith("UNKNOWN:"):
+                problems.append(f"{col}: {side} type {c[8:]} not in canon map")
+        if sc != dc and not (
+            sc.startswith(("NEVER:", "UNKNOWN:"))
+            or dc.startswith(("NEVER:", "UNKNOWN:"))
+        ):
+            problems.append(f"{col}: dtype spark={sc} vs duckdb={dc}")
+    return problems
 
 
 def value_hash(columns: list[str], rows: list[tuple]) -> str:
@@ -100,6 +186,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -120,6 +207,10 @@ def main() -> int:
         problems = []
         if sorted(scols_l) != sorted(dcols):
             problems.append(f"columns {scols_l} vs {dcols}")
+        else:
+            problems.extend(
+                type_police(scols, sdtypes, rel.columns, rel.types)
+            )
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
