@@ -2051,7 +2051,9 @@ def q_docs_blocking_quality_sampled(
     set is quadratic in the corpus, so the evaluation runs on a
     deterministic md5 sample (fingerprint % 2 == 0 — half the corpus,
     quartering the truth-set cost) and reports pair completeness WITH
-    binomial error bars (normal-approx 95% CI, clamped). The exact
+    binomial error bars (Wilson score 95% interval, clamped — NOT the
+    normal approximation, which collapses at p̂ = 1; see
+    `blocking_quality_sampled`'s docstring). The exact
     query stays registered as the calibration benchmark — the same
     full-cycle-vs-production pairing as the persisted ANN/BM25 rows.
     Oracle replays the md5 sample CTE, the same truth/banding/SNM

@@ -54,20 +54,21 @@ def _micro(x: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
-def covariance_micro(
+def gram_partials(
     df: DataFrame, vec_col: str = "embedding", d: int | None = None
 ) -> DataFrame:
-    """Upper-triangle covariance of a fixed-dim vector column →
-    (i, j, cov) with i <= j, 0-based, cov rounded 6 dp. One corpus
-    pass reducing each Arrow batch to an integer Gram matrix; the
-    shuffle carries partitions × d(d+1)/2 partial rows. The final
-    cov = (Σxy)/n − (Σx/n)(Σy/n) is evaluated in doubles FROM the
-    exact integer sums with a fixed operation order, so the SQL
-    oracle replays it bit-for-bit."""
+    """Merged EXACT integer Gram partials of a fixed-dim vector column
+    → one row per upper-triangle cell (i, j >= i, sxy, n) plus the
+    per-dimension micro-sum vector riding as j == -1 rows. ONE corpus
+    pass reducing each Arrow batch to a d×d int64 Gram + sum vector;
+    the shuffle carries partitions × d(d+1)/2 rows, never corpus ×
+    d². This is the shared monoid under `covariance_micro`,
+    `pca_components`, and the streaming spectrum store
+    (`streaming/spectrum.py`)."""
     if d is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
         if not first:
-            raise ValueError("covariance_micro: empty input")
+            raise ValueError("gram_partials: empty input")
         d = int(first[0]["d"])
     dd = int(d)
     iu, ju = np.triu_indices(dd)
@@ -91,7 +92,7 @@ def covariance_micro(
             x = _micro(np.stack(pdf[vec_col].to_numpy()))
             if x.shape[1] != dd:
                 raise ValueError(
-                    f"covariance_micro: vector of dim {x.shape[1]} != {dd}"
+                    f"gram_partials: vector of dim {x.shape[1]} != {dd}"
                 )
             g += x.T @ x
             s += x.sum(axis=0)
@@ -115,9 +116,20 @@ def covariance_micro(
         yield rows
 
     partials = df.select(vec_col).mapInPandas(_gram, out_schema)
-    merged = partials.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"), F.sum("n").alias("n_part")
+    return partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").alias("n")
     )
+
+
+def covariance_micro(
+    df: DataFrame, vec_col: str = "embedding", d: int | None = None
+) -> DataFrame:
+    """Upper-triangle covariance of a fixed-dim vector column →
+    (i, j, cov) with i <= j, 0-based, cov rounded 6 dp. One corpus
+    pass (`gram_partials`); the final cov = (Σxy)/n − (Σx/n)(Σy/n)
+    is evaluated in doubles FROM the exact integer sums with a fixed
+    operation order, so the SQL oracle replays it bit-for-bit."""
+    merged = gram_partials(df, vec_col, d).withColumnRenamed("n", "n_part")
     n_total = merged.filter(
         (F.col("i") == 0) & (F.col("j") == -1)
     ).select("n_part")
@@ -163,29 +175,35 @@ def covariance_micro(
 def pca_components(
     df: DataFrame, vec_col: str = "embedding", k: int = 8
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(mean, components[k, d], explained_variance[k]) — covariance via
-    the exact integer pass above (driver-collected: d×d, the bounded-
-    collect class), eigendecomposed with numpy's symmetric solver,
-    components sign-canonicalized (largest-|loading| coordinate made
-    positive) so runs are reproducible."""
-    cov_rows = covariance_micro(df, vec_col).collect()
-    if not cov_rows:
+    """(mean, components[k, d], explained_variance[k]) — ONE exact
+    integer Gram pass (`gram_partials`, driver-collected:
+    d(d+1)/2 + d + 1 rows, the bounded-collect class), then mean and
+    covariance derived driver-side FROM the exact sums in a fixed
+    operation order (mean = (Σx / n) / 1e6; cov = (Σxy)/n −
+    (Σx/n)(Σy/n), unrounded — the registered oracle query rounds, the
+    eigensolver should not), eigendecomposed with numpy's symmetric
+    solver, components sign-canonicalized (largest-|loading|
+    coordinate made positive) so runs are reproducible. Because every
+    input to the float fold is an exact int64, the result is
+    bit-invariant under any partitioning — the r11 F.avg mean was the
+    one partition-order-dependent fold in this module."""
+    rows = gram_partials(df, vec_col).collect()
+    if not rows:
         raise ValueError("pca_components: empty input")
-    d = max(r["j"] for r in cov_rows) + 1
+    d = max(r["j"] for r in rows) + 1
     if not 1 <= k <= d:
         raise ValueError(f"pca_components: k must be in [1, {d}], got {k}")
+    n = next(r["n"] for r in rows if r["i"] == 0 and r["j"] == -1)
+    sx = np.zeros(d)
+    for r in rows:
+        if r["j"] == -1:
+            sx[r["i"]] = float(r["sxy"]) / n
+    mean = sx / MICRO
     cov = np.zeros((d, d))
-    for r in cov_rows:
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
-    mean_rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg("x").alias("m"))
-        .collect()
-    )
-    mean = np.zeros(d)
-    for r in mean_rows:
-        mean[r["i"]] = r["m"]
+    for r in rows:
+        if r["j"] >= 0:
+            c = (float(r["sxy"]) / n - sx[r["i"]] * sx[r["j"]]) / 1e12
+            cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:k]
     comps = v[:, order].T  # (k, d)

@@ -610,6 +610,14 @@ def key_skew_report(
     the survivors."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # `is not None`, not truthiness: 0 is an invalid target, not
+    # "no target" — and a negative target would emit nonsense salt
+    # factors silently
+    if target_partition_rows is not None and target_partition_rows < 1:
+        raise ValueError(
+            "target_partition_rows must be >= 1 (or None for no "
+            f"target), got {target_partition_rows}"
+        )
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -629,7 +637,7 @@ def key_skew_report(
     )
     salt = (
         F.ceil(F.col("n") / F.lit(int(target_partition_rows))).cast("int")
-        if target_partition_rows
+        if target_partition_rows is not None
         else F.lit(None).cast("int")
     )
     return top.select(

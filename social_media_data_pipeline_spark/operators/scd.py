@@ -78,6 +78,21 @@ def scd2_apply(
             f"{dup[0][key_col]!r} — one update per key (two updates for "
             "one key would fork two open versions)"
         )
+    # the dimension's open slice gets the same validation as updates:
+    # a NULL-key open row matches no branch after the full-outer join
+    # (not passthrough, not change, not insert) and would silently
+    # vanish from the returned history (bounded limit(1) probe)
+    null_open = (
+        dim.filter(F.col(to_col).isNull() & F.col(key_col).isNull())
+        .limit(1)
+        .collect()
+    )
+    if null_open:
+        raise ValueError(
+            f"scd2_apply: dimension has an OPEN row with NULL {key_col} "
+            "— it can never match an update and would be dropped from "
+            "the returned history; repair the dimension key first"
+        )
 
     open_rows = dim.filter(F.col(to_col).isNull())
     hist_rows = dim.filter(F.col(to_col).isNotNull())

@@ -16,13 +16,22 @@ Store layout/commit discipline: identical to `streaming/drift.py` —
 counts files under one manifest, CAS flip with `expect_generation`
 (EXPECT_ABSENT for generation 0) and retry-and-remerge on a lost
 race, baseline read STRICTLY through the manifest.
+
+Overflow discipline: a single BATCH's Gram pass stays int64 (the
+covariance_micro per-partition headroom bound applies to each
+micro-batch), but the STORE accumulates sxy forever — with micro-
+quantized unit-scale embeddings each row adds ~1e12 per cell, so an
+int64 store would silently wrap around 1e7 rows (Spark's non-ANSI
+sum wraps, no error). The store therefore carries sxy as
+DECIMAL(38,0) — exact integer sums with ~1e26-row headroom — and
+every merge folds the batch's int64 partials into the decimal
+column. `n` stays BIGINT (it counts rows, not products).
 """
 
 from __future__ import annotations
 
 import os
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -73,12 +82,18 @@ def spectrum_batch(
     )
     from social_media_data_pipeline_spark import scale
 
+    # widen the batch's int64 partials to the store's DECIMAL(38,0)
+    # BEFORE any fold: the store's lifetime sums outgrow int64 (see
+    # module docstring), and sum(decimal(38,0)) stays decimal(38,0)
+    batch_dec = batch_partials.withColumn(
+        "sxy", F.col("sxy").cast("decimal(38,0)")
+    )
     base, gen = _read_partials(spark, store)
     for attempt in range(_MAX_COMMIT_RETRIES):
         merged = (
-            batch_partials
+            batch_dec
             if base is None
-            else base.unionByName(batch_partials)
+            else base.unionByName(batch_dec)
             .groupBy("i", "j")
             .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
         )
@@ -92,56 +107,11 @@ def spectrum_batch(
 
 
 def _gram_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
-    """The (i, j, sxy, n) partial table for one frame — the
-    covariance_micro mapInPandas pass re-exposed, pre-aggregated to
-    one row per cell."""
+    """The (i, j, sxy, n) partial table for one frame — the shared
+    exact-integer Gram monoid (`functions/pca.gram_partials`)."""
     from social_media_data_pipeline_spark.functions import pca as _pca
 
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    dd = int(d)
-    iu, ju = np.triu_indices(dd)
-    out_schema = T.StructType(
-        [
-            T.StructField("i", T.IntegerType()),
-            T.StructField("j", T.IntegerType()),
-            T.StructField("sxy", T.LongType()),
-            T.StructField("n", T.LongType()),
-        ]
-    )
-
-    def _gram(batches):
-        g = np.zeros((dd, dd), dtype=np.int64)
-        s = np.zeros(dd, dtype=np.int64)
-        n = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = _pca._micro(np.stack(pdf[vec_col].to_numpy()))
-            g += x.T @ x
-            s += x.sum(axis=0)
-            n += x.shape[0]
-        if n == 0:
-            yield pd.DataFrame({"i": [], "j": [], "sxy": [], "n": []}).astype(
-                {"i": "int32", "j": "int32", "sxy": "int64", "n": "int64"}
-            )
-            return
-        yield pd.DataFrame(
-            {
-                "i": np.concatenate([iu, np.arange(dd)]).astype("int32"),
-                "j": np.concatenate([ju, np.full(dd, -1)]).astype("int32"),
-                "sxy": np.concatenate([g[iu, ju], s]),
-                "n": np.int64(n),
-            }
-        )
-
-    return (
-        df.select(vec_col)
-        .mapInPandas(_gram, out_schema)
-        .groupBy("i", "j")
-        .agg(F.sum("sxy").alias("sxy"), F.sum("n").alias("n"))
-    )
+    return _pca.gram_partials(df, vec_col, d)
 
 
 def _commit(

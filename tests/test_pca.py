@@ -59,6 +59,22 @@ class TestCovarianceMicro:
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_components_mean_partitioning_invariant_bit_exact(
+        self, spark, data
+    ):
+        """pca_components' mean/components/variances all derive from
+        the exact integer sums (no F.avg float fold), so 1 vs 13
+        partitions are IDENTICAL bits end-to-end."""
+        m1, c1, v1 = pca.pca_components(
+            _vec_df(spark, data).coalesce(1), "embedding", k=4
+        )
+        m13, c13, v13 = pca.pca_components(
+            _vec_df(spark, data).repartition(13), "embedding", k=4
+        )
+        assert m1.tobytes() == m13.tobytes()
+        assert c1.tobytes() == c13.tobytes()
+        assert v1.tobytes() == v13.tobytes()
+
     def test_empty_refused(self, spark):
         empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
         with pytest.raises(ValueError, match="empty"):
@@ -277,3 +293,47 @@ class TestStreamingSpectrum:
 
         with pytest.raises(ValueError, match="no committed store"):
             spectrum.covariance_from_store(spark, str(tmp_path / "nope"))
+
+    def test_store_sums_exact_beyond_int64(self, spark, tmp_path, data):
+        """The store's lifetime sxy accumulation is DECIMAL(38,0):
+        folding onto a base already at int64-max magnitude stays
+        EXACT (an int64 store would wrap silently — Spark's non-ANSI
+        sum raises no error)."""
+        import decimal
+
+        from social_media_data_pipeline_spark.streaming import spectrum
+
+        store = str(tmp_path / "gram")
+        df = _vec_df(spark, data)
+        spectrum.spectrum_batch(spark, df, store)
+        base, _ = spectrum._read_partials(spark, store)
+        assert dict(base.dtypes)["sxy"] == "decimal(38,0)"
+        first = {
+            (r["i"], r["j"]): int(r["sxy"]) for r in base.collect()
+        }
+        # fold the same batch 3 more times onto a base inflated to
+        # int64-max scale: rewrite the store with sxy * 2^20 (past
+        # wrap territory for any further int64 accumulation)
+        big = base.withColumn(
+            "sxy",
+            (F.col("sxy") * F.lit(2**20).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            ),
+        ).localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(store)
+        spectrum._commit(
+            spark,
+            store,
+            big,
+            __import__(
+                "social_media_data_pipeline_spark.scale", fromlist=["scale"]
+            ).EXPECT_ABSENT,
+        )
+        spectrum.spectrum_batch(spark, df, store)
+        merged, _ = spectrum._read_partials(spark, store)
+        got = {(r["i"], r["j"]): r["sxy"] for r in merged.collect()}
+        for key, v in first.items():
+            want = v * 2**20 + v  # exact Python int arithmetic
+            assert got[key] == decimal.Decimal(want), (key, got[key], want)

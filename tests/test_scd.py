@@ -122,6 +122,33 @@ class TestScd2Apply:
         with pytest.raises(ValueError, match="missing columns"):
             scd.scd2_apply(dim, missing, "k", ["segment"], D(2024, 1, 1))
 
+    def test_null_key_open_dim_row_refused(self, spark, dim):
+        # an open row with a NULL key matches no branch after the
+        # full-outer join and would silently vanish from the history
+        dirty = dim.unionByName(
+            spark.createDataFrame(
+                [(None, "Z", "emea", D(2023, 1, 1), None)], dim.schema
+            )
+        )
+        upd = spark.createDataFrame([(1, "X")], "k bigint, segment string")
+        with pytest.raises(ValueError, match="OPEN row with NULL"):
+            scd.scd2_apply(dirty, upd, "k", ["segment"], D(2024, 1, 1))
+        # a NULL key in CLOSED history is fine: history passes through
+        closed_ok = dim.unionByName(
+            spark.createDataFrame(
+                [(None, "Z", "emea", D(2023, 1, 1), D(2023, 6, 1))],
+                dim.schema,
+            )
+        )
+        out = scd.scd2_apply(
+            closed_ok, upd, "k", ["segment"], D(2024, 1, 1)
+        )
+        got = {
+            (r["k"], r["segment"], r["region"], r["valid_from"], r["valid_to"])
+            for r in out.collect()
+        }
+        assert (None, "Z", "emea", D(2023, 1, 1), D(2023, 6, 1)) in got
+
     def test_plan_is_one_key_join_no_window(self, spark, dim):
         ups = spark.createDataFrame([(1, "Z")], "k bigint, segment string")
         out = scd.scd2_apply(dim, ups, "k", ["segment"], D(2024, 6, 1))
