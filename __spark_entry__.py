@@ -2191,6 +2191,61 @@ def q_customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k", "valid_from")
 
 
+def q_orders_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 as-of FACT join (`operators/scd.py:scd2_asof_join`): every
+    order joins the customer-dimension VERSION valid at its own
+    o_orderdate — the production shape of point-in-time metadata
+    correctness (the reference analog: posts joined to the metadata
+    version valid at scrape time, which `Preprocessor.py` re-run
+    clobbering destroys). The dimension is a deterministic two-version
+    history per customer: segment until a per-key split date
+    (1994-01-01 + custkey % 730 days), 'MOVED-'+segment open
+    afterwards — so orders before/after the split select DIFFERENT
+    versions and a wrong interval bound flips thousands of rows. Plan:
+    ONE broadcast hash equi-join on custkey with the [from, to)
+    containment as a residual predicate — no window over the fact
+    table, no nested-loop join; the fact side never shuffles. Output
+    aggregates to (as-of segment, order year) with the decimal-exact
+    money convention."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    split = F.date_add(
+        F.to_date(F.lit("1994-01-01")),
+        (F.col("c_custkey") % 730).cast("int"),
+    )
+    v1 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        split.alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("MOVED-"), F.col("c_mktsegment")).alias("segment"),
+        split.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    joined = scd.scd2_asof_join(
+        orders,
+        v1.unionByName(v2),
+        key_col="o_custkey",
+        at_col="o_orderdate",
+        dim_key_col="custkey",
+    )
+    return (
+        joined.groupBy(
+            "segment", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("segment", "order_year")
+    )
+
+
 def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-corpus build: the whole preprocessing chain as ONE
     declarative plan — exact dedup (first-wins on md5 of normalized
@@ -3283,6 +3338,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_overlap": q_union_overlap,  # r11-green
     "top_revenue_orders": q_top_revenue_orders,  # r11-green
     "top_parts_per_brand": q_top_parts_per_brand,  # r11-green
+    # r12 registrations (never driver-checked): rotate into r13 FIRST
+    "orders_scd2_asof_join": q_orders_scd2_asof_join,  # [r13-in-new]
 }
 
 

@@ -3671,6 +3671,33 @@ FROM (
 ORDER BY k, valid_from
 """
 
+# orders_scd2_asof_join (r12): the as-of fact join — every order picks
+# the dimension version valid at its own o_orderdate. The oracle is the
+# plain inequality join DuckDB optimizes natively; the Spark side is a
+# broadcast hash equi-join on custkey with the interval containment as
+# a residual predicate. DATE + INTEGER adds days in both engines.
+ORACLES["orders_scd2_asof_join"] = """
+WITH dim AS (
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           DATE '1992-01-01' AS valid_from,
+           DATE '1994-01-01' + CAST(c_custkey % 730 AS INTEGER) AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MOVED-' || c_mktsegment,
+           DATE '1994-01-01' + CAST(c_custkey % 730 AS INTEGER), NULL
+    FROM customer
+)
+SELECT d.segment, year(o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+FROM orders o
+JOIN dim d ON d.custkey = o.o_custkey
+          AND d.valid_from <= o.o_orderdate
+          AND (d.valid_to IS NULL OR d.valid_to > o.o_orderdate)
+GROUP BY 1, 2
+ORDER BY segment, order_year
+"""
+
 # embedding_covariance (r11): integer micro-unit covariance — the
 # oracle replays the quantization (ROUND half-away-from-zero of the
 # DOUBLE product, exactly the numpy path) and accumulates the same

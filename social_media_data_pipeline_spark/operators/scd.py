@@ -166,3 +166,54 @@ def scd2_asof(
         (F.col(from_col) <= a)
         & (F.col(to_col).isNull() | (F.col(to_col) > a))
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    at_col: str,
+    dim_key_col: str | None = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at the fact's
+    own `at_col` — the production shape of `scd2_asof` (which slices
+    at one fixed instant): facts ⋈ dim ON key equality AND
+    [from, to) containment, `to_col` NULL meaning open. The reference
+    analog is joining posts to the metadata version valid at scrape
+    time (`Preprocessor.py` re-runs clobber that history; SCD2 keeps
+    it joinable).
+
+    Plan shape: a HASH EQUI-JOIN on the natural key with the interval
+    containment as a residual predicate — never a window over the
+    fact table, never a cross/nested-loop join (the no-equi-key trap
+    `interval_join_bucketed` exists for does not apply here: SCD2
+    lookups always carry the key). At 100 TB the dimension is
+    sublinear in the facts: broadcast it when it fits
+    (`broadcast_dim=True`, the default — zero fact shuffle); set
+    False for a giant dimension and the join shuffles both sides on
+    the key. A fact matches at most ONE version when the dimension
+    satisfies the scd2_apply interval-partition invariant; facts
+    dated before their key's first version (or with no dim key) keep
+    flowing with NULL dim columns under how='left'.
+    """
+    dkey = dim_key_col or key_col
+    d = dim.alias("__dim")
+    f = facts.alias("__f")
+    cond = (
+        (F.col(f"__f.{key_col}") == F.col(f"__dim.{dkey}"))
+        & (F.col(f"__dim.{from_col}") <= F.col(f"__f.{at_col}"))
+        & (
+            F.col(f"__dim.{to_col}").isNull()
+            | (F.col(f"__dim.{to_col}") > F.col(f"__f.{at_col}"))
+        )
+    )
+    right = F.broadcast(d) if broadcast_dim else d
+    dim_out = [c for c in dim.columns if c != dkey]
+    return f.join(right, cond, how).select(
+        *[F.col(f"__f.{c}") for c in facts.columns],
+        *[F.col(f"__dim.{c}") for c in dim_out],
+    )

@@ -155,3 +155,51 @@ class TestScd2Apply:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestScd2AsofJoin:
+    """Per-fact as-of version selection (`scd.scd2_asof_join`)."""
+
+    @pytest.fixture()
+    def facts(self, spark):
+        rows = [
+            (100, 1, D(2021, 6, 1)),   # inside key 1's history row
+            (101, 1, D(2022, 6, 1)),   # inside key 1's open row
+            (102, 1, D(2022, 1, 1)),   # exactly at the boundary: [from, to)
+            (103, 2, D(2019, 6, 1)),   # before key 2's first version
+            (104, 9, D(2022, 6, 1)),   # key not in the dimension
+        ]
+        return spark.createDataFrame(
+            rows, "fact_id bigint, k bigint, at date"
+        )
+
+    def test_version_selection_and_left_nulls(self, spark, dim, facts):
+        out = scd.scd2_asof_join(
+            facts, dim, key_col="k", at_col="at"
+        )
+        got = {
+            r["fact_id"]: (r["segment"], r["valid_from"])
+            for r in out.collect()
+        }
+        assert len(got) == 5  # left join: every fact exactly once
+        assert got[100] == ("A", D(2020, 1, 1))   # history version
+        assert got[101] == ("B", D(2022, 1, 1))   # open version
+        # [from, to): the boundary instant belongs to the NEW version
+        assert got[102] == ("B", D(2022, 1, 1))
+        assert got[103] == (None, None)           # pre-history fact
+        assert got[104] == (None, None)           # unknown key
+
+    def test_fact_columns_and_dim_key_dropped(self, spark, dim, facts):
+        out = scd.scd2_asof_join(facts, dim, key_col="k", at_col="at")
+        assert out.columns == [
+            "fact_id", "k", "at", "segment", "region",
+            "valid_from", "valid_to",
+        ]
+
+    def test_plan_broadcast_equi_join_no_window(self, spark, dim, facts):
+        out = scd.scd2_asof_join(facts, dim, key_col="k", at_col="at")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

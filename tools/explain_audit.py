@@ -617,6 +617,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian product", r"\A(?!.*CartesianProduct)"),
         ("key join present", r"Join"),
     ],
+    "orders_scd2_asof_join": [
+        # facts ⋈ as-of dimension: hash EQUI-join on custkey with the
+        # [from, to) containment as a residual predicate — never a
+        # window over the fact table, never a nested-loop join
+        ("broadcast hash equi-join", r"BroadcastHashJoin.*custkey"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("no nested loop join", r"\A(?!.*BroadcastNestedLoopJoin)"),
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+    ],
     "docs_blocking_quality_blocks": [
         # block-sampled sibling: same construction-time shape
         ("local counts table", r"LocalTableScan|Scan ExistingRDD"),
