@@ -3113,6 +3113,42 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation composed into residual IVF-PQ (`pca.
+    opq_rotation_from_cov` + `pq.ivf_pq_residual_topk`, Ge 2013 +
+    Jégou 2011): the bench embeddings are isotropic (rotation gains
+    nothing, measured r11), so the query manufactures anisotropy —
+    a 16-dim slice is skewed by a deterministic md5-derived
+    S = Q·diag(8→0.4) and rotated by the OPQ rotation R trained
+    offline on a distribution-matched deterministic sample
+    (`pca.opq_demo_fixture`; the recall WIN of this rotation at equal
+    cand_frac is measured in tools/ann_recall.py). Both matmuls
+    compose into ONE literal matrix T = R·S applied as fixed
+    left-to-right double chains — map-side only — then the full
+    residual IVF-PQ chain (trained cells → residual codebook → ADC)
+    runs over the rotated vectors. The oracle embeds the SAME T
+    literals and replays the entire downstream chain; the rotation
+    TRAINING (eigendecomposition) is not SQL-expressible and is
+    covered by pytest + the persisted rotation artifact tests."""
+    from social_media_data_pipeline_spark.functions import kmeans, pca, pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t_mat = pca.opq_demo_fixture(d=16, m=4)[2]
+    e = F.col("embedding")
+    outs = []
+    for i in range(16):
+        expr = F.lit(float(t_mat[i][0])) * e[0].cast("double")
+        for j in range(1, 16):
+            expr = expr + F.lit(float(t_mat[i][j])) * e[j].cast("double")
+        outs.append(expr)
+    rot = emb.select("vec_id", F.array(*outs).alias("embedding"))
+    cents = kmeans.kmeans_centroids(rot, iters=3)
+    queries = rot.filter(F.col("vec_id") < 5)
+    return pq.ivf_pq_residual_topk(
+        queries, rot, cents, m=4, ksub=16, iters=2, k=5
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3340,6 +3376,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": q_top_parts_per_brand,  # r11-green
     # r12 registrations (never driver-checked): rotate into r13 FIRST
     "orders_scd2_asof_join": q_orders_scd2_asof_join,  # [r13-in-new]
+    "embedding_ivf_pq_opq": q_embedding_ivf_pq_opq,  # [r13-in-new]
 }
 
 

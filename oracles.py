@@ -2428,6 +2428,113 @@ QUALIFY rank <= 5
 ORDER BY query_id, rank"""
 )
 
+# embedding_ivf_pq_opq (r12): OPQ rotation composed into the full
+# residual IVF-PQ chain over an ANISOTROPIC fixture. The bench
+# embeddings are isotropic (measured r11: rotation gains nothing), so
+# the query skews a 16-dim slice with a deterministic md5-derived
+# S = Q·diag(scales), then applies the OPQ rotation R trained OFFLINE
+# on a deterministic distribution-matched sample (Ge 2013 eigenvalue
+# allocation; eigendecomposition is not SQL-expressible, so the
+# rotation ships as literals — the SAME T = R·S matrix on both sides,
+# the production pattern of a rotation artifact trained on a held-out
+# sample). The differential verifies the composed matmul → kmeans →
+# residual CTE → PQ codeword chain → integer-micro ADC end to end:
+# a wrong matrix entry, a transposed index, or a broken chain over
+# TRANSFORMED (non-float32-grid) doubles hash-mismatches.
+
+
+def _opq_rot_table(t_mat, dim: int) -> str:
+    """(SELECT vec_id, [T·x chains] AS embedding FROM embeddings) —
+    the skew+rotate matmul as fixed left-to-right literal chains
+    (both engines parse a + b + c left-associatively and repr(float)
+    round-trips to identical doubles)."""
+    outs = []
+    for i in range(dim):
+        terms = " + ".join(
+            f"{float(t_mat[i][j])!r} * embedding[{j + 1}]::DOUBLE"
+            for j in range(dim)
+        )
+        outs.append(f"({terms})")
+    arr = ",\n      ".join(outs)
+    return (
+        "(SELECT vec_id, [\n      " + arr + "] AS embedding\n"
+        " FROM embeddings) rot_t"
+    )
+
+
+def _ivf_pq_residual_sql(
+    table: str, dim: int, m: int, ksub: int,
+    km_iters: int, pq_iters: int, nq: int, k: int,
+) -> str:
+    """The full residual IVF-PQ replay parameterized by source table
+    and geometry — the embedding_ivf_pq_residual oracle generalized."""
+    dsub = dim // m
+    return (
+        _kmeans_cent_cte(iters=km_iters, dim=dim, table=table)
+        + f""", vv AS (
+    SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table}
+), assigned AS MATERIALIZED (
+    SELECT vec_id, vec, centroid_id AS cluster
+    FROM vv, cent
+    QUALIFY row_number() OVER (
+        PARTITION BY vec_id ORDER BY {_cos('vec', 'c_vec')} DESC, centroid_id ASC
+    ) = 1
+), resid_t AS MATERIALIZED (
+    SELECT a.vec_id, a.cluster,
+           list_transform(generate_series(1, {dim}), i -> a.vec[i] - c.c_vec[i]) AS embedding
+    FROM assigned a JOIN cent c ON c.centroid_id = a.cluster
+)"""
+        + _pq_kmeans_chain(
+            m=m, ksub=ksub, iters=pq_iters, dim=dim,
+            table="resid_t", continue_chain=True,
+        )
+        + f"""
+, rsubs AS MATERIALIZED (
+    SELECT vec_id, cluster, j, list_slice(embedding, j * {dsub} + 1, j * {dsub} + {dsub}) AS sub
+    FROM resid_t, (SELECT unnest(generate_series(0, {m - 1})) AS j) js2
+), rdists AS (
+    SELECT rsubs.vec_id, rsubs.cluster, rsubs.j, cw.c,
+           ROUND(list_dot_product(sub, sub)
+                 - 2 * list_dot_product(sub, csub)
+                 + list_dot_product(csub, csub), 6) AS d
+    FROM rsubs JOIN cw ON rsubs.j = cw.j
+), rcodes AS MATERIALIZED (
+    SELECT vec_id, cluster, j, c AS code
+    FROM rdists
+    QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+), adc_terms AS (
+    SELECT qs.vec_id AS query_id, rcodes.vec_id AS neighbor_id, rcodes.j,
+           CAST(ROUND((list_dot_product(qs.sub, qs.sub)
+                 - 2 * list_dot_product(qs.sub, cw.csub)
+                 + list_dot_product(cw.csub, cw.csub)) * 1000000, 0) AS BIGINT) AS term
+    FROM rcodes
+    JOIN cw ON cw.j = rcodes.j AND cw.c = rcodes.code
+    JOIN rsubs qs ON qs.j = rcodes.j AND qs.cluster = rcodes.cluster
+    WHERE qs.vec_id < {nq} AND qs.vec_id <> rcodes.vec_id
+), adc AS (
+    SELECT query_id, neighbor_id, SUM(term) / 1000000.0 AS adc_dist
+    FROM adc_terms GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+       ) AS rank
+FROM adc
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+    )
+
+
+from social_media_data_pipeline_spark.functions.pca import (
+    opq_demo_fixture as _opq_fixture,
+)
+
+_OPQ_T = _opq_fixture(d=16, m=4)[2]
+ORACLES["embedding_ivf_pq_opq"] = _ivf_pq_residual_sql(
+    table=_opq_rot_table(_OPQ_T, 16),
+    dim=16, m=4, ksub=16, km_iters=3, pq_iters=2, nq=5, k=5,
+)
+
 # embedding_ivf_multiprobe_searched (r10): the Spark side reads BOTH
 # persisted artifacts (manifest-committed centroids + residual
 # codebook); this oracle replays BOTH trainings — kmeans centroid

@@ -552,3 +552,109 @@ def pq_codes_append(
                 pass
         raise
     return scale.manifest_read(spark, path)
+
+
+# --------------------------------------------------------------------------
+# persisted OPQ rotation (r12): the third trained artifact
+# --------------------------------------------------------------------------
+# The OPQ rotation (Ge 2013 eigenvalue allocation over the corpus
+# eigenbasis) is trained from ONE exact integer Gram pass
+# (`pca.gram_partials`) + a driver-side eigh — d×d doubles, a few KiB —
+# and every encode/search applies it as a broadcast matmul. Like the
+# centroid and codebook artifacts it is trained once per (corpus,
+# params) and invalidated by the corpus fingerprint: re-ingesting the
+# embedding table retrains the rotation, which in turn invalidates the
+# PQ artifacts trained downstream of it (their corpus_tag should
+# embed the rotation artifact's path or generation).
+
+
+def opq_index_path(corpus_tag: str, params: dict) -> str:
+    """Deterministic rotation artifact directory for (corpus, params)."""
+    import hashlib
+
+    key = hashlib.md5(
+        json.dumps({"corpus": corpus_tag, **params}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifacts_root(), "ann_opq", key)
+
+
+def train_opq_rotation(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fingerprint: dict | None = None,
+):
+    """Train the OPQ rotation on the corpus and COMMIT it at `path`
+    (same stage → unique-name → meta-stamp → manifest-CAS discipline
+    as the centroid artifact). Rows: (i, j, v) — R[i][j] for j >= 0,
+    the per-dimension mean riding as j == -1. Returns (mean, R)."""
+    from social_media_data_pipeline_spark.functions import pca
+
+    mean, r_mat = pca.opq_rotation(emb, vec_col=vec_col, m=m)
+    d = int(r_mat.shape[0])
+    rows = [
+        (i, j, float(r_mat[i, j])) for i in range(d) for j in range(d)
+    ] + [(i, -1, float(mean[i])) for i in range(d)]
+    df = emb.sparkSession.createDataFrame(rows, "i int, j int, v double")
+    fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
+    meta = {
+        "params": {"m": m, "id_col": id_col, "vec_col": vec_col},
+        "fingerprint": fp,
+    }
+    _commit_artifact(df, path, "rotation", meta)
+    return mean, r_mat
+
+
+def load_opq_rotation(spark: SparkSession, path: str):
+    """(mean, R) from the committed rotation table — a bounded
+    d² + d collect (64×64 = 4 KiB of doubles)."""
+    import numpy as np
+
+    from social_media_data_pipeline_spark import scale
+
+    rows = scale.manifest_read(spark, path).collect()
+    d = max(r["i"] for r in rows) + 1
+    mean = np.zeros(d)
+    r_mat = np.zeros((d, d))
+    for r in rows:
+        if r["j"] == -1:
+            mean[r["i"]] = r["v"]
+        else:
+            r_mat[r["i"], r["j"]] = r["v"]
+    return mean, r_mat
+
+
+def opq_rotation_for(
+    emb: DataFrame,
+    corpus_tag: str,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trust_cache: bool = False,
+    fingerprint: dict | None = None,
+):
+    """Get-or-train: the persisted (mean, R) for (corpus, params) —
+    trains and commits on first call, reloads on fingerprint match,
+    retrains when the corpus content changed (same invalidation
+    contract as `ivf_centroids_for`)."""
+    params = {"m": m, "id_col": id_col, "vec_col": vec_col}
+    path = opq_index_path(corpus_tag, params)
+    meta = _load_meta(path)
+    from social_media_data_pipeline_spark import scale
+
+    if meta is not None and meta.get("params") == params and (
+        scale.read_table_manifest(path) or None
+    ):
+        if trust_cache:
+            return load_opq_rotation(emb.sparkSession, path)
+        fp = fingerprint or corpus_fingerprint(emb, id_col, vec_col)
+        if meta.get("fingerprint") == fp:
+            return load_opq_rotation(emb.sparkSession, path)
+        return train_opq_rotation(
+            emb, path, m, id_col, vec_col, fingerprint=fp
+        )
+    return train_opq_rotation(
+        emb, path, m, id_col, vec_col, fingerprint=fingerprint
+    )

@@ -291,3 +291,89 @@ def opq_rotation(
     mean, comps, ev = pca_components(df, vec_col, k=d)
     perm = eigenvalue_allocation(ev, m)
     return mean, comps[perm]
+
+
+def opq_rotation_from_cov(
+    cov: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(R[d, d], eigvals desc) from an explicit covariance matrix —
+    the numpy core `opq_rotation` wraps: symmetric eigendecomposition,
+    descending eigen-order, sign canonicalization (largest-|loading|
+    coordinate positive), rows permuted by `eigenvalue_allocation` so
+    PQ subspaces carry balanced Σ log λ. Exposed separately so the
+    rotation can be trained on ANY covariance source: the corpus Gram
+    pass (`gram_partials`), the streaming spectrum store, or a
+    deterministic distribution-matched sample (the registered
+    `embedding_ivf_pq_opq` fixture)."""
+    c = np.asarray(cov, dtype=np.float64)
+    d = c.shape[0]
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1]
+    comps = v[:, order].T
+    for r_i in range(comps.shape[0]):
+        lead = np.argmax(np.abs(comps[r_i]))
+        if comps[r_i, lead] < 0:
+            comps[r_i] = -comps[r_i]
+    perm = eigenvalue_allocation(w[order], m)
+    return comps[perm], w[order]
+
+
+def _md5_uniform(tag: str, n: int) -> np.ndarray:
+    """n engine-portable uniforms in [-0.5, 0.5) — pure md5 of
+    (tag, index), the same derivation rule as the SRP-LSH planes."""
+    import hashlib
+
+    return np.array(
+        [
+            int(hashlib.md5(f"{tag}|{i}".encode()).hexdigest()[:8], 16)
+            / 2**32
+            - 0.5
+            for i in range(n)
+        ]
+    )
+
+
+_FIXTURE_CACHE: dict = {}
+
+
+def opq_demo_fixture(
+    d: int = 16, m: int = 4, n: int = 2048, seed: str = "opq-fixture-r12"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(S, R, T=R@S): the deterministic anisotropic fixture behind the
+    registered `embedding_ivf_pq_opq` query. The bench embeddings are
+    ISOTROPIC (measured r11: rotation moves recall 0.195 → 0.195), so
+    the query manufactures anisotropy with a fixed skew S = Q·diag(
+    scales) (Q an md5-derived orthonormal basis, scales spanning
+    8 → 0.4) and trains the OPQ rotation OFFLINE on a deterministic
+    distribution-matched sample X = G·Sᵀ (G md5-derived iid,
+    CLT-normalized) — the production pattern of training the rotation
+    on a held-out sample and shipping it as a literal artifact. Both
+    the Spark query and the DuckDB oracle embed the SAME T literals,
+    so the differential verifies the composed matmul → kmeans →
+    residual-PQ → ADC chain end to end; the rotation TRAINING itself
+    is covered by `opq_rotation`'s pytest recall measurements and the
+    persisted-artifact tests (eigendecomposition is not
+    SQL-expressible)."""
+    key = (d, m, n, seed)
+    if key in _FIXTURE_CACHE:
+        return _FIXTURE_CACHE[key]
+    q_raw = _md5_uniform(f"{seed}|Q", d * d).reshape(d, d)
+    q, _ = np.linalg.qr(q_raw)
+    # log-linear spectrum spanning e² → e⁻² (ratio ~55) — the regime
+    # where the r11 measurement showed the allocation's recall win
+    # (TestOpqRotation's fixture); a flatter spectrum (first draft:
+    # geomspace 8 → 0.4) measurably gains nothing
+    scales = np.exp(np.linspace(2.0, -2.0, d))
+    s_mat = q @ np.diag(scales)
+    # iid approx-normal via CLT over 4 md5 uniforms (engine-portable,
+    # deterministic; normality only shapes the sample, exactness is
+    # irrelevant here — the rotation ships as literals)
+    g = sum(
+        _md5_uniform(f"{seed}|G{t}", n * d) for t in range(4)
+    ).reshape(n, d) * np.sqrt(3.0)
+    x = g @ s_mat.T
+    cov = (x - x.mean(axis=0)).T @ (x - x.mean(axis=0)) / n
+    r_mat, _ = opq_rotation_from_cov(cov, m)
+    out = (s_mat, r_mat, r_mat @ s_mat)
+    _FIXTURE_CACHE[key] = out
+    return out

@@ -397,3 +397,55 @@ class TestPqCodesAppend:
         with pytest.raises(ValueError, match="base index"):
             ann_index.pq_codes_append(batch, "unit:emb", ivf_k=4,
                                       ivf_iters=2, m=2, ksub=4, iters=2)
+
+
+class TestOpqRotationLifecycle:
+    """Persisted OPQ rotation artifact (r12): train-once, reload
+    bit-exact, retrain on corpus change."""
+
+    def test_get_or_train_caches_and_matches_fresh_train(self, spark, emb):
+        import numpy as np
+
+        from social_media_data_pipeline_spark.functions import pca
+
+        tag = "unit:emb"
+        m1, r1 = ann_index.opq_rotation_for(emb, tag, m=4)
+        path = ann_index.opq_index_path(
+            tag, {"m": 4, "id_col": "vec_id", "vec_col": "embedding"}
+        )
+        assert os.path.exists(os.path.join(path, "_manifest.json"))
+        meta = os.path.join(path, ann_index._META)
+        t0 = os.path.getmtime(meta)
+        m2, r2 = ann_index.opq_rotation_for(emb, tag, m=4)
+        assert os.path.getmtime(meta) == t0  # cache hit, no retrain
+        fresh_mean, fresh_r = pca.opq_rotation(emb, m=4)
+        # persisted doubles round-trip parquet bit-exactly
+        assert np.array_equal(m1, fresh_mean) and np.array_equal(m2, fresh_mean)
+        assert np.array_equal(r1, fresh_r) and np.array_equal(r2, fresh_r)
+        # the rotation is orthonormal (allocation permutes rows only)
+        assert float(np.abs(r1 @ r1.T - np.eye(8)).max()) < 1e-9
+
+    def test_corpus_change_forces_retrain(self, spark, emb):
+        tag = "unit:emb"
+        _, r1 = ann_index.opq_rotation_for(emb, tag, m=4)
+        changed = emb.withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x * F.lit(3.0)),
+        )
+        import numpy as np
+
+        path = ann_index.opq_index_path(
+            tag, {"m": 4, "id_col": "vec_id", "vec_col": "embedding"}
+        )
+        meta = os.path.join(path, ann_index._META)
+        t0 = os.path.getmtime(meta)
+        _, r2 = ann_index.opq_rotation_for(changed, tag, m=4)
+        assert os.path.getmtime(meta) != t0  # fingerprint miss retrained
+        # scaling is isotropic so the basis may persist, but the meta
+        # must now carry the NEW fingerprint
+        import json as _json
+
+        with open(meta) as fh:
+            fp = _json.load(fh)["fingerprint"]
+        assert fp == ann_index.corpus_fingerprint(changed)
+        assert r2.shape == r1.shape

@@ -131,6 +131,98 @@ def main() -> int:
     for name, make, frac in variants:
         rec = recall_at_k(truth, make().collect(), k)
         print(f"{name:30s} {rec:>9.3f} {frac:>10.3f}")
+
+    # ---- OPQ rotation on the ANISOTROPIC fixtures (r12) ----
+    # The rotation's value is measured on TWO skewed 16-dim corpora at
+    # EQUAL cand_frac, with the DATA-TRAINED persisted rotation
+    # (ann_index.opq_rotation_for — the real eigh path):
+    #  * "gauss×S": the deterministic md5 CLT-gaussian sample under the
+    #    same skew S the registered embedding_ivf_pq_opq query embeds —
+    #    the distribution the covariance-only OPQ model assumes; the
+    #    allocation should WIN here (it does: measured ~+0.13 recall).
+    #  * "bench×S": the bench embeddings' 16-dim slice under S. These
+    #    vectors are UNIT-NORM (a sphere), and a covariance-only
+    #    rotation cannot see the norm constraint that coordinate PQ
+    #    happens to exploit — the rotation measurably LOSES here. Both
+    #    numbers are reported; the honest negative is the documented
+    #    boundary of second-moment OPQ (same spirit as the r11
+    #    PCA-rotation-hurts measurement).
+    # Truth for this section is L2 (PQ ADC approximates squared
+    # distance and the fixtures are unnormalized); rotation is
+    # orthogonal so truth on each skewed corpus carries over to its
+    # rotated variant's neighbor ids.
+    import numpy as np
+
+    from social_media_data_pipeline_spark.functions import ann_index
+    from social_media_data_pipeline_spark.functions import pca as epca
+
+    s_mat = epca.opq_demo_fixture(d=16, m=4)[0]
+
+    def matmul_col(mat, d):
+        e = F.col("embedding")
+        outs = []
+        for i in range(d):
+            expr = F.lit(float(mat[i][0])) * e[0].cast("double")
+            for j in range(1, d):
+                expr = expr + F.lit(float(mat[i][j])) * e[j].cast("double")
+            outs.append(expr)
+        return F.array(*outs)
+
+    bench_skew = emb.select(
+        "vec_id", matmul_col(s_mat, 16).alias("embedding")
+    ).localCheckpoint()
+    g = sum(
+        epca._md5_uniform(f"recall-corpus|G{t}", 512 * 16) for t in range(4)
+    ).reshape(512, 16) * np.sqrt(3.0)
+    y_gauss = g @ s_mat.T
+    gauss_skew = spark.createDataFrame(
+        [(i, [float(v) for v in y_gauss[i]]) for i in range(512)],
+        "vec_id bigint, embedding array<double>",
+    ).localCheckpoint()
+
+    print(f"\nOPQ rotation at equal cand_frac (trained persisted "
+          f"rotation, L2 truth, m=4 ksub=16):")
+    for label, corpus in (("gauss×S", gauss_skew), ("bench×S", bench_skew)):
+        mean, r_mat = ann_index.opq_rotation_for(
+            corpus, f"{SF_DIR}:recall:{label}", m=4
+        )
+        rotated = (
+            epca.pca_project(corpus, mean, r_mat, "embedding", "rot")
+            .select("vec_id", F.col("rot").alias("embedding"))
+            .localCheckpoint()
+        )
+        rows = sorted(corpus.collect(), key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        xs = np.array([r["embedding"] for r in rows])
+        truth_s: dict[int, set] = {}
+        for qi in range(len(ids)):
+            if ids[qi] >= n_queries:
+                continue
+            dist = ((xs - xs[qi]) ** 2).sum(axis=1)
+            dist[qi] = np.inf
+            truth_s[int(ids[qi])] = set(
+                int(v) for v in ids[np.argsort(dist)[:k]]
+            )
+        q_s = corpus.filter(F.col("vec_id") < n_queries)
+        q_r = rotated.filter(F.col("vec_id") < n_queries)
+        cb_s = epq.pq_codebook_kmeans(corpus, m=4, ksub=16, iters=3)
+        cb_r = epq.pq_codebook_kmeans(rotated, m=4, ksub=16, iters=3)
+        rec_no = recall_at_k(
+            truth_s,
+            epq.pq_adc_topk(
+                q_s, epq.pq_encode(corpus, cb_s), cb_s, k=k
+            ).collect(),
+            k,
+        )
+        rec_opq = recall_at_k(
+            truth_s,
+            epq.pq_adc_topk(
+                q_r, epq.pq_encode(rotated, cb_r), cb_r, k=k
+            ).collect(),
+            k,
+        )
+        print(f"{label + ' pq adc, no rotation':30s} {rec_no:>9.3f} {1.0:>10.3f}")
+        print(f"{label + ' pq adc + OPQ rotation':30s} {rec_opq:>9.3f} {1.0:>10.3f}")
     return 0
 
 

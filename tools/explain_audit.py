@@ -489,6 +489,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
     ],
+    "embedding_ivf_pq_opq": [
+        # the skew+rotation matmul is ONE literal map-side projection
+        # (composed T = R·S, no shuffle added); downstream is the same
+        # residual IVF-PQ shape as the sibling
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+    ],
     "events_kmv_overlap": [
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
