@@ -172,6 +172,30 @@ def covariance_micro(
     )
 
 
+def cov_from_gram_rows(rows) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean[d], cov[d, d]) from collected `gram_partials` rows —
+    the fixed-operation-order driver-side finalize (mean = (Σx/n)/1e6;
+    cov = (Σxy)/n − (Σx/n)(Σy/n), unrounded). Every input is an exact
+    integer, so the result is bit-invariant under any partitioning.
+    Accepts Row objects or any mapping with i/j/sxy/n; `sxy` may be a
+    Decimal (the streaming spectrum store's widened column)."""
+    if not rows:
+        raise ValueError("cov_from_gram_rows: no partial rows")
+    d = max(r["j"] for r in rows) + 1
+    n = next(int(r["n"]) for r in rows if r["i"] == 0 and r["j"] == -1)
+    sx = np.zeros(d)
+    for r in rows:
+        if r["j"] == -1:
+            sx[r["i"]] = float(r["sxy"]) / n
+    mean = sx / MICRO
+    cov = np.zeros((d, d))
+    for r in rows:
+        if r["j"] >= 0:
+            c = (float(r["sxy"]) / n - sx[r["i"]] * sx[r["j"]]) / 1e12
+            cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
+    return n, mean, cov
+
+
 def pca_components(
     df: DataFrame, vec_col: str = "embedding", k: int = 8
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -190,20 +214,10 @@ def pca_components(
     rows = gram_partials(df, vec_col).collect()
     if not rows:
         raise ValueError("pca_components: empty input")
-    d = max(r["j"] for r in rows) + 1
+    n, mean, cov = cov_from_gram_rows(rows)
+    d = cov.shape[0]
     if not 1 <= k <= d:
         raise ValueError(f"pca_components: k must be in [1, {d}], got {k}")
-    n = next(r["n"] for r in rows if r["i"] == 0 and r["j"] == -1)
-    sx = np.zeros(d)
-    for r in rows:
-        if r["j"] == -1:
-            sx[r["i"]] = float(r["sxy"]) / n
-    mean = sx / MICRO
-    cov = np.zeros((d, d))
-    for r in rows:
-        if r["j"] >= 0:
-            c = (float(r["sxy"]) / n - sx[r["i"]] * sx[r["j"]]) / 1e12
-            cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = c
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:k]
     comps = v[:, order].T  # (k, d)

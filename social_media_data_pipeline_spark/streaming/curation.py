@@ -66,6 +66,9 @@ def curate_batch(
     shingle_k: int = 3,
     quality_predicate: Column | None = None,
     labels_path: str | None = None,
+    spectrum_path: str | None = None,
+    embedding_col: str = "embedding",
+    spectrum_tol: float = 0.25,
 ) -> dict:
     """One curation cycle over a micro-batch; returns per-stage counts
     (`{"batch", "quality_pass", "dup_flagged", "committed"}`) for the
@@ -78,7 +81,18 @@ def curate_batch(
              .foreachBatch(lambda df, _id: curate_batch(
                  spark, df, table, store))
              .start())
-    """
+
+    Embedding-spectrum monitoring (r12): pass `spectrum_path` (and
+    carry `embedding_col` on the batch) and each batch's COMMITTED
+    survivors fold their exact integer Gram partials into the
+    manifest-committed spectrum store (`streaming/spectrum.py`), with
+    the batch-vs-history eigenvalue drift surfaced as
+    `spectrum_drift` / `spectrum_alarm` in the returned counts — the
+    documented REBUILD TRIGGER for ANN artifacts appended over this
+    curated table (an alarm means the embedding model or corpus
+    distribution moved and `pq_codes_append`-maintained indexes are
+    stale in DISTRIBUTION, which fingerprint staleness alone cannot
+    see)."""
     from social_media_data_pipeline_spark import scale
     from social_media_data_pipeline_spark.functions import text as etext
     from social_media_data_pipeline_spark.operators import dedup as ddp
@@ -89,6 +103,9 @@ def curate_batch(
         base.update(kw)
         if labels_path is not None:
             base.setdefault("labels_changed", 0)
+        if spectrum_path is not None:
+            base.setdefault("spectrum_drift", None)
+            base.setdefault("spectrum_alarm", False)
         return base
 
     if batch_df.isEmpty():
@@ -162,6 +179,25 @@ def curate_batch(
                 # first upsert adopts it (live_files globs manifest-less
                 # directories)
                 changed.write.mode("overwrite").parquet(labels_path)
+    spectrum_info: dict = {}
+    if (
+        spectrum_path is not None
+        and embedding_col in survivors.columns
+        and n_out > 0
+    ):
+        from social_media_data_pipeline_spark.streaming import spectrum
+
+        alarm = spectrum.spectrum_drift_alarm(
+            spark,
+            survivors.select(embedding_col),
+            spectrum_path,
+            vec_col=embedding_col,
+            tol=spectrum_tol,
+        )
+        spectrum_info = {
+            "spectrum_drift": alarm["drift"],
+            "spectrum_alarm": alarm["alarm"],
+        }
     return _counts(
         batch=n_batch,
         quality_pass=n_gated,
@@ -169,4 +205,5 @@ def curate_batch(
         committed=n_out,
         **({"labels_changed": n_labels_changed}
            if labels_path is not None else {}),
+        **spectrum_info,
     )

@@ -80,6 +80,17 @@ def spectrum_batch(
     batch_partials = _gram_partials(batch_df, vec_col, dd).localCheckpoint(
         eager=True
     )
+    fold_partials(spark, batch_partials, store)
+
+
+def fold_partials(
+    spark: SparkSession, batch_partials: DataFrame, store: str
+) -> None:
+    """Fold one PINNED partial table (i, j, sxy, n) into the store
+    under the CAS retry discipline — the commit half of
+    `spectrum_batch`, exposed so callers that already computed (and
+    inspected) the batch's partials fold the SAME frame they measured
+    (`spectrum_drift_alarm`)."""
     from social_media_data_pipeline_spark import scale
 
     # widen the batch's int64 partials to the store's DECIMAL(38,0)
@@ -189,3 +200,77 @@ def covariance_from_store(spark: SparkSession, store: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def spectrum_drift_alarm(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store: str,
+    vec_col: str = "embedding",
+    top_k: int = 8,
+    tol: float = 0.25,
+    fold: bool = True,
+) -> dict:
+    """Compare THIS batch's covariance spectrum against the store's
+    accumulated history, then (by default) fold the batch in. Returns
+    {"drift": float | None, "alarm": bool, "folded": int}.
+
+    The alarm is the documented REBUILD TRIGGER for appended ANN
+    artifacts (SCALING r10): when the embedding model or the corpus
+    distribution moves, the batch's top eigenvalues diverge from the
+    history the index was trained on. Drift = max over the top_k
+    history eigenvalues of |λ_batch − λ_hist| / max(λ_hist_i,
+    λ_hist_0 · 1e-3) — relative per-direction change with a floor so
+    near-zero tail directions can't blow up the ratio. Batch-vs-
+    history (not after-vs-before fold): a small batch folded into a
+    large history barely moves the ACCUMULATED spectrum, so the
+    fold-delta form would go blind exactly as the corpus grows —
+    batch-vs-history keeps sensitivity scale-independent. The first
+    batch (empty store) reports drift None / alarm False: no-baseline
+    is "unknown", not "no drift" (the histogram_drift convention).
+    Eigenvalues, not raw covariance cells: the signal must be
+    invariant to WHICH directions carry the variance renaming
+    themselves under re-ingest ordering.
+
+    Alignment is by RANK (sorted eigenvalues), the standard spectrum-
+    drift form; a pure rotation of the embedding space at equal
+    spectrum is invisible here and is caught instead by the ANN
+    fingerprint staleness path."""
+    from social_media_data_pipeline_spark.functions import pca
+
+    first = (
+        batch_df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    )
+    if not first:
+        return {"drift": None, "alarm": False, "folded": 0}
+    dd = int(first[0]["d"])
+    batch_partials = _gram_partials(batch_df, vec_col, dd).localCheckpoint(
+        eager=True
+    )
+    batch_rows = batch_partials.collect()  # bounded: d(d+1)/2 + d + 1
+    if not batch_rows:
+        return {"drift": None, "alarm": False, "folded": 0}
+    n_b, _mean_b, cov_b = pca.cov_from_gram_rows(batch_rows)
+
+    base, _gen = _read_partials(spark, store)
+    drift = None
+    alarm = False
+    if base is not None:
+        hist_rows = base.collect()  # bounded store: d(d+1)/2 + d + 1
+        _n_h, _mean_h, cov_h = pca.cov_from_gram_rows(hist_rows)
+        import numpy as np
+
+        w_b = np.sort(np.linalg.eigvalsh(cov_b))[::-1]
+        w_h = np.sort(np.linalg.eigvalsh(cov_h))[::-1]
+        kk = min(top_k, len(w_h))
+        floor = max(abs(float(w_h[0])) * 1e-3, 1e-30)
+        rel = [
+            abs(float(w_b[i]) - float(w_h[i]))
+            / max(abs(float(w_h[i])), floor)
+            for i in range(kk)
+        ]
+        drift = max(rel)
+        alarm = drift > tol
+    if fold:
+        fold_partials(spark, batch_partials, store)
+    return {"drift": drift, "alarm": alarm, "folded": int(n_b)}

@@ -769,6 +769,72 @@ class TestStreamingCurationLabels:
         # final components: {1,10,20} -> 1 and {2,11} -> 2
         assert snaps[-1] == {1: 1, 10: 1, 20: 1, 2: 2, 11: 2}
 
+    def test_spectrum_alarm_fires_on_planted_shift_only(
+        self, spark, tmp_path
+    ):
+        """r12 (verdict #6): the curation flagship folds committed
+        survivors' embeddings into the spectrum store per batch and
+        surfaces the batch-vs-history eigenvalue drift — silent across
+        same-distribution batches, ALARMED on a planted distribution
+        shift (coordinate 0 scaled 6× → top eigenvalue ~36×), the
+        rebuild trigger for ANN artifacts appended over this table."""
+        import hashlib
+
+        from pyspark.sql import functions as SF
+
+        from social_media_data_pipeline_spark.functions.pca import (
+            _md5_uniform,
+        )
+        from social_media_data_pipeline_spark.streaming import curation
+
+        table = str(tmp_path / "curated")
+        store = str(tmp_path / "bands")
+        spect = str(tmp_path / "spectrum")
+        d, n = 6, 240
+
+        def txt(i):
+            # unique hex tokens: zero shingle overlap across docs, so
+            # the dedup stage never trims the planted distributions
+            return " ".join(
+                hashlib.md5(f"{i}|{w}".encode()).hexdigest()[:8]
+                for w in range(30)
+            )
+
+        def batch(id0, scale0=1.0):
+            rows = []
+            for i in range(id0, id0 + n):
+                v = _md5_uniform(f"spec|{i}", d)
+                v[0] *= scale0
+                rows.append((i, txt(i), [float(x) for x in v]))
+            return spark.createDataFrame(
+                rows,
+                "doc_id long, text string, embedding array<double>",
+            )
+
+        stats = []
+        for b in (
+            batch(0),            # baseline: no history yet
+            batch(1000),         # same distribution: quiet
+            batch(2000, 6.0),    # planted shift: alarm
+        ):
+            stats.append(
+                curation.curate_batch(
+                    spark, b, table, store,
+                    quality_predicate=SF.length("text") > 10,
+                    spectrum_path=spect,
+                    spectrum_tol=0.5,
+                )
+            )
+        assert [s["committed"] for s in stats] == [n, n, n]
+        assert stats[0]["spectrum_drift"] is None  # no baseline yet
+        assert stats[0]["spectrum_alarm"] is False
+        assert stats[1]["spectrum_drift"] is not None
+        assert stats[1]["spectrum_alarm"] is False, stats[1]
+        assert stats[2]["spectrum_alarm"] is True, stats[2]
+        assert stats[2]["spectrum_drift"] > 5 * (
+            stats[1]["spectrum_drift"] + 1e-9
+        )
+
 
 class TestStreamingAnnIngest:
     """r10: the ANN index as a continuously-maintained store — new
