@@ -222,6 +222,26 @@ HEADLINE = [
     "events_user_skew",
     # round 11: MMR diversity reranking (exact integer-cosine greedy)
     "embedding_mmr_rerank",
+    # round 12: SCD2 as-of fact join (broadcast equi + residual range)
+    "orders_scd2_asof_join",
+    # round 12: OPQ rotation composed into residual IVF-PQ (literal
+    # T=R·S matmul map-side; trains cells + residual codebook at
+    # construct — ITERATIVE)
+    "embedding_ivf_pq_opq",
+]
+
+# fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%
+# session-state band (root-caused twice: ccnet r10, dsir/spans r11)
+# makes raw seconds noisy across rounds, so the bench also records
+# each query's RATIO to the summed steady-state seconds of these four
+# stable scan/join/agg anchors measured in the SAME session — cross-
+# round ratio deltas cancel the session's uniform inflation; compare
+# ratios first, raw seconds second.
+ANCHORS = [
+    "pricing_summary",
+    "region_revenue",
+    "events_pivot",
+    "token_frequency",
 ]
 
 # queries whose construction runs real Spark jobs (iterative algorithms
@@ -307,6 +327,9 @@ ITERATIVE = {
     # construction (r7 AQE-proofing fix) — full cycle is the honest
     # per-batch number
     "embedding_near_dup_ivf",
+    # the OPQ composition trains its cells (Lloyd) and residual
+    # codebook at construction — full cycle is the honest number
+    "embedding_ivf_pq_opq",
 }
 
 
@@ -384,6 +407,14 @@ def main() -> None:
             df2.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    # session-normalized ratios (r12): each query over the summed
+    # steady-state seconds of the fixed non-iterative anchor set from
+    # THIS session — cross-round comparisons read these first
+    anchor_total = round(sum(timings[a] for a in ANCHORS), 3)
+    ratios = {
+        name: round(t / anchor_total, 4) if anchor_total > 0 else None
+        for name, t in timings.items()
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # KEY ORDER MATTERS: the driver records only the last ~2000 chars of
@@ -398,12 +429,15 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "sf": sf_val,
-                "timing_model": "v3.1: steady-state execution, best of 2 (3 for variance-pinned); construct separate except iterative; plan_hashes detect AQE flips",
+                "timing_model": "v3.2: steady-state execution, best of 2 (3 for variance-pinned); construct separate except iterative; plan_hashes detect AQE flips; ratios = per-query seconds / same-session anchor_total (cross-round comparisons read ratios first)",
                 "headline": HEADLINE,
                 "iterative": sorted(ITERATIVE),
                 "plan_hashes": plan_hashes,
                 "construct": construct,
                 "cold_total": round(sum(cold.values()), 3),
+                "anchor_queries": ANCHORS,
+                "anchor_total": anchor_total,
+                "ratios": ratios,
                 "value": total,
                 "queries": timings,
             }
@@ -415,6 +449,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "anchor_total": anchor_total,
                 "queries": timings,
                 "sf": sf_val,
             },
