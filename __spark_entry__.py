@@ -3113,6 +3113,33 @@ def q_embedding_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_spectrum_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incrementally-folded covariance spectrum store
+    (`streaming/spectrum.py`): the embedding corpus replays as 3
+    ordered chunks (vec_id mod 3), each folding its EXACT integer Gram
+    partials into a manifest-committed store via the CAS discipline;
+    the read-back covariance must be hash-identical to the ONE-SHOT
+    `embedding_covariance` oracle over all vectors — the
+    incremental ≡ recompute identity under the driver gate (the
+    `events_rollup_incremental` pattern for the embedding-drift
+    monitoring loop). Store state is d(d+1)/2 + d + 1 rows regardless
+    of corpus size; per-fold cost is one Gram pass over the chunk +
+    the store-sized merge."""
+    import tempfile
+
+    from social_media_data_pipeline_spark.streaming import spectrum
+
+    emb = _t(spark, sf_dir, "embeddings")
+    store = _os.path.join(tempfile.mkdtemp(prefix="spectrum-"), "gram")
+    for c in range(3):
+        spectrum.spectrum_batch(
+            spark, emb.filter(F.col("vec_id") % 3 == c), store, d=64
+        )
+    return spectrum.covariance_from_store(spark, store).orderBy("i", "j")
+
+
 def q_embedding_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ rotation composed into residual IVF-PQ (`pca.
     opq_rotation_from_cov` + `pq.ivf_pq_residual_topk`, Ge 2013 +
@@ -3377,6 +3404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 registrations (never driver-checked): rotate into r13 FIRST
     "orders_scd2_asof_join": q_orders_scd2_asof_join,  # [r13-in-new]
     "embedding_ivf_pq_opq": q_embedding_ivf_pq_opq,  # [r13-in-new]
+    "embedding_spectrum_incremental": q_embedding_spectrum_incremental,  # [r13-in-new]
 }
 
 

@@ -228,6 +228,9 @@ HEADLINE = [
     # T=R·S matmul map-side; trains cells + residual codebook at
     # construct — ITERATIVE)
     "embedding_ivf_pq_opq",
+    # round 12: spectrum store incremental ≡ recompute identity (3
+    # CAS folds at construct — ITERATIVE; read = store-sized finalize)
+    "embedding_spectrum_incremental",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%
@@ -330,6 +333,8 @@ ITERATIVE = {
     # the OPQ composition trains its cells (Lloyd) and residual
     # codebook at construction — full cycle is the honest number
     "embedding_ivf_pq_opq",
+    # the spectrum store's 3 maintenance folds run at construction
+    "embedding_spectrum_incremental",
 }
 
 

@@ -3873,3 +3873,10 @@ from social_media_data_pipeline_spark.functions.similarity import (
 ORACLES["embedding_mmr_rerank"] = _mmr_sql(
     k=5, n_candidates=20, lam_micro=700_000, query_pred="vec_id < 5"
 )
+
+# embedding_spectrum_incremental (r12): the streaming spectrum store's
+# incremental ≡ recompute identity under the driver gate — 3 chunked
+# CAS folds read back as the covariance, checked against the ONE-SHOT
+# pair-join oracle (the docs_incremental_clusters / rollup precedent).
+ORACLES["embedding_spectrum_incremental"] = ORACLES["embedding_covariance"]
+

@@ -489,6 +489,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
     ],
+    "embedding_spectrum_incremental": [
+        # the read side: store-sized scan + broadcast joins over the
+        # d(d+1)/2 partial table; the folds ran at construction
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("broadcast sums join", r"BroadcastHashJoin"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "embedding_ivf_pq_opq": [
         # the skew+rotation matmul is ONE literal map-side projection
         # (composed T = R·S, no shuffle added); downstream is the same
