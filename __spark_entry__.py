@@ -1113,6 +1113,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def q_docs_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-preserving dedup (`dedup.dedup_weights`): the same
+    MinHash-LSH → CC cluster resolution as `dedup_clusters`, collapsed
+    to ONE row per cluster — canonical (min-id) doc, multiplicity
+    `weight`, and the exact char mass of the WHOLE cluster
+    (`dup_mass`) — so the survivor keeps its duplicates' probability
+    mass for loss reweighting / repeat sampling instead of the corpus
+    distribution silently shifting toward rare docs (Muennighoff 2023
+    data-constrained framing). Completes the dedup family's answer
+    triple: dedup_clusters = WHO is together, dedup_survivors = WHICH
+    doc survives, THIS = HOW MUCH it counts. Plan adds exactly one
+    map-side-combinable component aggregate after the CC labeling (the
+    canonical id is MIN inside the same agg — no join-back, no
+    window)."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = sketches.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=4)
+    labeled = graph.dedup_clusters(docs, pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return dedup.dedup_weights(labeled, mass_col="n_chars").orderBy("doc_id")
+
+
 def q_docs_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster maintenance
     (`functions/graph.py:incremental_components`): the MinHash-LSH
@@ -3405,6 +3429,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2_asof_join": q_orders_scd2_asof_join,  # [r13-in-new]
     "embedding_ivf_pq_opq": q_embedding_ivf_pq_opq,  # [r13-in-new]
     "embedding_spectrum_incremental": q_embedding_spectrum_incremental,  # [r13-in-new]
+    "docs_dedup_weights": q_docs_dedup_weights,  # [r13-in-new]
 }
 
 

@@ -231,6 +231,9 @@ HEADLINE = [
     # round 12: spectrum store incremental ≡ recompute identity (3
     # CAS folds at construct — ITERATIVE; read = store-sized finalize)
     "embedding_spectrum_incremental",
+    # round 12: count-preserving dedup weights (CC loop at construct —
+    # ITERATIVE; read = one component aggregate)
+    "docs_dedup_weights",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%
@@ -335,6 +338,8 @@ ITERATIVE = {
     "embedding_ivf_pq_opq",
     # the spectrum store's 3 maintenance folds run at construction
     "embedding_spectrum_incremental",
+    # the CC cluster resolution loops to a fixed point at construction
+    "docs_dedup_weights",
 }
 
 

@@ -3880,3 +3880,41 @@ ORACLES["embedding_mmr_rerank"] = _mmr_sql(
 # pair-join oracle (the docs_incremental_clusters / rollup precedent).
 ORACLES["embedding_spectrum_incremental"] = ORACLES["embedding_covariance"]
 
+
+# docs_dedup_weights (r12): count-preserving dedup — the dedup_clusters
+# reachability chain, collapsed to one row per component with the
+# canonical (min) id, member count, and exact char mass (SUM over
+# BIGINT → HUGEINT in DuckDB, so CAST back to BIGINT — the r11
+# driver-red lesson: the driver's pandas fetch renders HUGEINT as
+# float64 and the value hash diverges on integer-valued cells).
+ORACLES["docs_dedup_weights"] = f"""
+WITH RECURSIVE sh_t AS (
+    SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents
+), sig_t AS (
+    SELECT doc, {_MINHASH_SIG} AS sig FROM sh_t
+), banded AS (
+    SELECT doc, b.band_idx,
+           md5(array_to_string(sig[b.band_idx*4+1 : b.band_idx*4+4], '|')) AS band_hash
+    FROM sig_t, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+), pairs AS (
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT s.a AS node, reach.r AS r FROM sym s JOIN reach ON s.b = reach.node
+), comp AS (
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT MIN(comp.node) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS weight,
+       CAST(SUM(d.n_chars) AS BIGINT) AS dup_mass
+FROM comp JOIN documents d ON d.doc_id = comp.node
+GROUP BY comp.component
+ORDER BY doc_id
+"""

@@ -377,6 +377,50 @@ def dedup_exact_content(
     )
 
 
+def dedup_weights(
+    labeled: DataFrame,
+    component_col: str = "component",
+    id_col: str = "doc_id",
+    mass_col: str | None = None,
+) -> DataFrame:
+    """Count-preserving dedup: collapse a cluster labeling (the
+    `graph.dedup_clusters` output — one row per doc with its
+    component) to ONE row per cluster carrying the cluster's
+    multiplicity as `weight`, so downstream training can reweight the
+    survivor's loss (or repeat-sample it) instead of silently shifting
+    the corpus distribution toward rare documents — dedup that removes
+    copies without removing their probability mass (the data-constrained
+    repeat-epoch framing, Muennighoff 2023; the "weighted dedup"
+    complement of the survivor POLICY in `dedup_survivors`, which picks
+    WHICH doc survives while this computes HOW MUCH it counts).
+
+    Output: (id_col = MIN member id — the canonical under the library's
+    deterministic survivor rule, weight = member count, and, when
+    `mass_col` is given, dup_mass = exact integer sum of that column
+    across ALL members — the surviving doc's token/char budget share
+    including its duplicates). Invariants: sum(weight) = input rows,
+    sum(dup_mass) = total corpus mass; both exact (bigint counts/sums,
+    no floats).
+
+    Scale shape: ONE map-side-combinable groupBy on the component key —
+    the shuffle carries one partial row per (partition, component), and
+    the canonical id is derived inside the same aggregate (MIN), so no
+    join back to the labeling and no window. Composes with any
+    candidate generator upstream (LSH, SimHash, embedding near-dup):
+    anything that yields a component labeling gets weights for free.
+    """
+    mass = (
+        [F.sum(F.col(mass_col).cast("bigint")).alias("dup_mass")]
+        if mass_col
+        else []
+    )
+    return labeled.groupBy(component_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("weight"),
+        *mass,
+    ).drop(component_col)
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame,

@@ -88,6 +88,29 @@ class TestDedup:
         out = dedup.dedup_exact_content(df, "text", "doc_id")
         assert {r.doc_id for r in out.collect()} == {1, 3}
 
+    def test_dedup_weights_counts_and_mass(self, spark):
+        # clusters {1,3,7} (component 1), {2} (component 2), {5,6} (5)
+        labeled = spark.createDataFrame(
+            [(1, 1, 10), (3, 1, 20), (7, 1, 30), (2, 2, 5), (5, 5, 7), (6, 5, 8)],
+            "doc_id long, component long, n_chars long",
+        )
+        out = {
+            r.doc_id: (r.weight, r.dup_mass)
+            for r in dedup.dedup_weights(labeled, mass_col="n_chars").collect()
+        }
+        assert out == {1: (3, 60), 2: (1, 5), 5: (2, 15)}
+        # count- and mass-preservation invariants
+        assert sum(w for w, _ in out.values()) == labeled.count()
+        assert sum(m for _, m in out.values()) == 80
+
+    def test_dedup_weights_without_mass(self, spark):
+        labeled = spark.createDataFrame(
+            [(4, 4), (9, 4)], "doc_id long, component long"
+        )
+        rows = dedup.dedup_weights(labeled).collect()
+        assert rows[0].doc_id == 4 and rows[0].weight == 2
+        assert "dup_mass" not in rows[0].asDict()
+
 
 class TestSampling:
     def test_cap_invariant_and_flag(self, spark):

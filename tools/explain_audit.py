@@ -489,6 +489,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
     ],
+    "docs_dedup_weights": [
+        # one map-side-combinable component aggregate after the CC
+        # labeling (canonical id = MIN inside the agg — no join-back);
+        # the window-free shape of the cluster family
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no window at all", r"\A(?!.*Window)"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
     "embedding_spectrum_incremental": [
         # the read side: store-sized scan + broadcast joins over the
         # d(d+1)/2 partial table; the folds ran at construction
