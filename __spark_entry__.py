@@ -29,7 +29,11 @@ STRICTER than the driver's normalizer):
   a midnight TIMESTAMP on the other fails the mirror;
 - booleans are allowed (both engines collect Python bool; driver-green
   precedent: docs_gopher_rules r10);
-- FLOAT (f32) outputs are banned — emit DOUBLE.
+- FLOAT (f32) outputs are banned — emit DOUBLE;
+- IEEE −0.0 is canonicalized to +0.0 before emission by adding a
+  literal `+ 0.0` after the final ROUND (Spark's BigDecimal ROUND
+  drops the sign of a tiny negative, DuckDB keeps it — the
+  covariance family is the precedent).
 """
 
 from __future__ import annotations
