@@ -3204,6 +3204,49 @@ def q_embedding_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_embedding_ivf_pq_opq_searched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-path sibling of `embedding_ivf_pq_opq` — the house
+    persisted-vs-full-cycle pattern (every trainer ships its amortized
+    production shape): the SAME literal T=R·S rotation map-side, but
+    the IVF cells, residual codebook, and encoded corpus come from the
+    three manifest-committed artifacts (`ann_index.ivf_centroids_for` /
+    `pq_residual_codebook_for` / `pq_codes_for`, tagged with the
+    rotated-corpus fingerprint) instead of retraining per query.
+    Identical params (iters=3 cells, m=4, ksub=16, iters=2 codebook,
+    probes=1) and deterministic seeding → identical results, so the
+    oracle IS the full-cycle oracle — which also proves all three
+    cache paths bit-match a fresh build (the multiprobe_searched
+    precedent). First invocation trains and commits; every later one
+    pays one shared fingerprint-validation aggregate + tiny parquet
+    reads, and warm search touches only the m-byte codes table."""
+    from social_media_data_pipeline_spark.functions import ann_index, pca, pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t_mat = pca.opq_demo_fixture(d=16, m=4)[2]
+    e = F.col("embedding")
+    outs = []
+    for i in range(16):
+        expr = F.lit(float(t_mat[i][0])) * e[0].cast("double")
+        for j in range(1, 16):
+            expr = expr + F.lit(float(t_mat[i][j])) * e[j].cast("double")
+        outs.append(expr)
+    rot = emb.select("vec_id", F.array(*outs).alias("embedding"))
+    tag = _os.path.abspath(sf_dir) + ":embeddings:opq16"
+    fp = ann_index.corpus_fingerprint(rot)
+    centroids = ann_index.ivf_centroids_for(rot, tag, iters=3, fingerprint=fp)
+    codebook = ann_index.pq_residual_codebook_for(
+        rot, tag, ivf_iters=3, m=4, ksub=16, iters=2, fingerprint=fp
+    )
+    codes = ann_index.pq_codes_for(
+        rot, tag, ivf_iters=3, m=4, ksub=16, iters=2, fingerprint=fp
+    )
+    queries = rot.filter(F.col("vec_id") < 5)
+    return pq.ivf_pq_residual_topk(
+        queries, rot, centroids, m=4, ksub=16, iters=2, k=5,
+        codebook=codebook, codes=codes,
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3434,6 +3477,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_ivf_pq_opq": q_embedding_ivf_pq_opq,  # [r13-in-new]
     "embedding_spectrum_incremental": q_embedding_spectrum_incremental,  # [r13-in-new]
     "docs_dedup_weights": q_docs_dedup_weights,  # [r13-in-new]
+    "embedding_ivf_pq_opq_searched": q_embedding_ivf_pq_opq_searched,  # [r13-in-new]
 }
 
 

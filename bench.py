@@ -234,6 +234,9 @@ HEADLINE = [
     # round 12: count-preserving dedup weights (CC loop at construct —
     # ITERATIVE; read = one component aggregate)
     "docs_dedup_weights",
+    # round 12: warm-path OPQ sibling (persisted cells/codebook/codes;
+    # first run trains — ITERATIVE — later runs amortize)
+    "embedding_ivf_pq_opq_searched",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%
@@ -340,6 +343,8 @@ ITERATIVE = {
     "embedding_spectrum_incremental",
     # the CC cluster resolution loops to a fixed point at construction
     "docs_dedup_weights",
+    # cold-start trains all three artifacts at construction
+    "embedding_ivf_pq_opq_searched",
 }
 
 

@@ -3918,3 +3918,9 @@ FROM comp JOIN documents d ON d.doc_id = comp.node
 GROUP BY comp.component
 ORDER BY doc_id
 """
+
+# embedding_ivf_pq_opq_searched (r12): identical params + deterministic
+# seeding as the full-cycle OPQ composition, read from the persisted
+# artifacts — same oracle, which also proves the three cache paths
+# bit-match a fresh build (the multiprobe_searched precedent).
+ORACLES["embedding_ivf_pq_opq_searched"] = ORACLES["embedding_ivf_pq_opq"]

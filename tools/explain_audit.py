@@ -514,6 +514,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
     ],
+    "embedding_ivf_pq_opq_searched": [
+        # warm path: rotation is the same literal map-side matmul; the
+        # cells scan in as the committed parquet, codebook enters as
+        # literals, search reads the persisted codes table — same
+        # residual shape as the multiprobe_searched precedent
+        ("no cartesian product", r"\A(?!.*CartesianProduct)"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("query side broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+    ],
     "events_kmv_overlap": [
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("partial aggregation", r"HashAggregate|ObjectHashAggregate"),
