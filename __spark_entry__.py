@@ -3174,7 +3174,7 @@ def q_embedding_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jégou 2011): the bench embeddings are isotropic (rotation gains
     nothing, measured r11), so the query manufactures anisotropy —
     a 16-dim slice is skewed by a deterministic md5-derived
-    S = Q·diag(8→0.4) and rotated by the OPQ rotation R trained
+    S = Q·diag(e²→e⁻²) and rotated by the OPQ rotation R trained
     offline on a distribution-matched deterministic sample
     (`pca.opq_demo_fixture`; the recall WIN of this rotation at equal
     cand_frac is measured in tools/ann_recall.py). Both matmuls

@@ -357,8 +357,8 @@ def opq_demo_fixture(
     registered `embedding_ivf_pq_opq` query. The bench embeddings are
     ISOTROPIC (measured r11: rotation moves recall 0.195 → 0.195), so
     the query manufactures anisotropy with a fixed skew S = Q·diag(
-    scales) (Q an md5-derived orthonormal basis, scales spanning
-    8 → 0.4) and trains the OPQ rotation OFFLINE on a deterministic
+    scales) (Q an md5-derived orthonormal basis, scales log-linear
+    e² → e⁻², ratio ~55) and trains the OPQ rotation OFFLINE on a deterministic
     distribution-matched sample X = G·Sᵀ (G md5-derived iid,
     CLT-normalized) — the production pattern of training the rotation
     on a held-out sample and shipping it as a literal artifact. Both

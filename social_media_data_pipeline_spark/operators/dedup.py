@@ -409,6 +409,17 @@ def dedup_weights(
     candidate generator upstream (LSH, SimHash, embedding near-dup):
     anything that yields a component labeling gets weights for free.
     """
+    # a NULL component would silently MERGE every unlabeled row into one
+    # giant cluster (groupBy's single NULL group) — the silent-data-bug
+    # class scd2_apply refuses loudly, so this does too (the house
+    # labeling, graph.dedup_clusters, coalesces NULL → own id upstream;
+    # bounded limit(1) probe, same cost class as the scd2 guards)
+    if labeled.filter(F.col(component_col).isNull()).limit(1).collect():
+        raise ValueError(
+            f"dedup_weights: {component_col!r} contains NULL — unlabeled "
+            "rows would silently merge into one cluster; coalesce NULL "
+            "components to the row's own id first (dedup_clusters does)"
+        )
     mass = (
         [F.sum(F.col(mass_col).cast("bigint")).alias("dup_mass")]
         if mass_col

@@ -111,6 +111,13 @@ class TestDedup:
         assert rows[0].doc_id == 4 and rows[0].weight == 2
         assert "dup_mass" not in rows[0].asDict()
 
+    def test_dedup_weights_refuses_null_component(self, spark):
+        labeled = spark.createDataFrame(
+            [(1, 1), (2, None)], "doc_id long, component long"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            dedup.dedup_weights(labeled)
+
 
 class TestSampling:
     def test_cap_invariant_and_flag(self, spark):
