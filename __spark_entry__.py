@@ -3232,7 +3232,12 @@ def q_embedding_ivf_pq_opq_searched(spark: SparkSession, sf_dir: str) -> DataFra
         outs.append(expr)
     rot = emb.select("vec_id", F.array(*outs).alias("embedding"))
     tag = _os.path.abspath(sf_dir) + ":embeddings:opq16"
-    fp = ann_index.corpus_fingerprint(rot)
+    # fingerprint the RAW corpus: the rotated table is a pure
+    # deterministic function of it (T is a fixed literal), so raw-id/
+    # vector staleness detection is equally sound and the validation
+    # scan skips the 16×16 matmul — at 100 TB the cheapest sufficient
+    # signal wins (passed to all three artifacts: ONE scan per cycle)
+    fp = ann_index.corpus_fingerprint(emb)
     centroids = ann_index.ivf_centroids_for(rot, tag, iters=3, fingerprint=fp)
     codebook = ann_index.pq_residual_codebook_for(
         rot, tag, ivf_iters=3, m=4, ksub=16, iters=2, fingerprint=fp
