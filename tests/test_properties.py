@@ -652,3 +652,102 @@ class TestScd2Properties:
             # consecutive versions always differ in the tracked value
             for (_, _, a), (_, _, b) in zip(versions, versions[1:]):
                 assert a != b
+
+
+class TestAsofJoinProperties:
+    """scd2_asof_join vs a brute-force Python as-of over a history
+    built by scd2_apply — every fact gets exactly the version valid at
+    its own date, NULL pre-history."""
+
+    history_strategy = st.tuples(
+        TestScd2Properties.batches_strategy,
+        st.lists(  # facts: (key, year-offset 0..6; 0 predates history)
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=6),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+
+    @given(hf=history_strategy)
+    @settings(**SETTINGS)
+    def test_asof_matches_bruteforce(self, spark, hf):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import scd
+
+        batches, fact_specs = hf
+        dim = spark.createDataFrame(
+            [(0, "A", dt.date(2020, 1, 1), None)],
+            "k bigint, v string, valid_from date, valid_to date",
+        )
+        for i, batch in enumerate(batches):
+            ups = spark.createDataFrame(list(batch.items()), "k bigint, v string")
+            dim = scd.scd2_apply(
+                dim, ups, "k", ["v"], dt.date(2021 + i, 1, 1)
+            ).localCheckpoint()
+        versions = [
+            (r["k"], r["valid_from"], r["valid_to"], r["v"])
+            for r in dim.collect()
+        ]
+        facts = spark.createDataFrame(
+            [
+                (i, k, dt.date(2015 + off, 6, 15))
+                for i, (k, off) in enumerate(fact_specs)
+            ],
+            "fid bigint, k bigint, at date",
+        )
+        out = {
+            r["fid"]: r["v"]
+            for r in scd.scd2_asof_join(facts, dim, "k", "at").collect()
+        }
+        for i, (k, off) in enumerate(fact_specs):
+            at = dt.date(2015 + off, 6, 15)
+            want = None
+            for vk, vf, vt, v in versions:
+                if vk == k and vf <= at and (vt is None or vt > at):
+                    want = v
+            assert out[i] == want, (i, k, at, versions)
+
+
+class TestDedupWeightsProperties:
+    """Count/mass preservation and canonical-min under random cluster
+    labelings (any partition of the id space, not just CC outputs)."""
+
+    labeling_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # component bucket
+            st.integers(min_value=0, max_value=50),  # mass
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @given(rows=labeling_strategy)
+    @settings(**SETTINGS)
+    def test_weights_preserve_counts_and_mass(self, spark, rows):
+        from social_media_data_pipeline_spark.operators import dedup as dd
+
+        # ids are the list positions; component = min id in its bucket
+        by_bucket: dict = {}
+        for i, (b, _mass) in enumerate(rows):
+            by_bucket.setdefault(b, []).append(i)
+        comp_of = {i: min(ids) for ids in by_bucket.values() for i in ids}
+        labeled = spark.createDataFrame(
+            [(i, comp_of[i], m) for i, (_b, m) in enumerate(rows)],
+            "doc_id long, component long, mass long",
+        )
+        got = {
+            r["doc_id"]: (r["weight"], r["dup_mass"])
+            for r in dd.dedup_weights(labeled, mass_col="mass").collect()
+        }
+        # canonical = min member id; weight = member count; exact mass
+        want = {
+            min(ids): (len(ids), sum(rows[i][1] for i in ids))
+            for ids in by_bucket.values()
+        }
+        assert got == want
+        assert sum(w for w, _ in got.values()) == len(rows)
+        assert sum(m for _, m in got.values()) == sum(m for _, m in rows)
