@@ -2338,6 +2338,148 @@ def q_docs_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical Markov transition matrix over per-user event
+    sequences — the user-journey statistic behind funnel design and
+    behavioral drift monitoring (reference domain:
+    `Exploration/ExploratoryAnalysis.py`'s engagement analyses; this
+    is its sequence-structure complement): for each ordered
+    (event_type → next event_type) step within a user's timeline,
+    the exact transition count and the per-source probability.
+
+    Plan shape: ONE scan of events, ONE window shuffle partitioned by
+    user_id (never global — the sessionize key), lead() inside the
+    partition, then a map-side-combinable (src, dst) count. The
+    per-source total is a window SUM over the counts table — |types|²
+    rows, so the second WindowExec runs over a BOUNDED partitioned
+    table and the events subtree is never recomputed (a totals
+    groupBy + self-join would duplicate the scan+window on both join
+    sides). p is one IEEE divide rounded 6dp AFTER exact integer
+    counts (the house ratio convention). At 100 TB: the window shuffle
+    is the sessionize shuffle (same key), everything after the first
+    aggregate is |types|²-bounded."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("src")
+    return (
+        counts.withColumn("__t", F.sum("n").over(wt))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+def q_events_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift between the two temporal halves of the event
+    log: per-source L1 distance between the empirical transition
+    distributions of period 1 (first half of the date range) and
+    period 2 — the sequence-level drift monitor that complements
+    `events_drift_scores`' value-histogram drift (a user journey can
+    shift with every marginal histogram unchanged).
+
+    Conventions applied from the r11 driver-red root-cause: the L1
+    distance is emitted as integer MICRO-UNITS (per-dst
+    `round(|p1−p2|·1e6)` as bigint, summed exactly as integers — no
+    engine-ordered IEEE sum, no rounded-double output), and the period
+    boundary is pure integer DATE arithmetic
+    (`lo + (hi−lo) div 2` days) so both engines split identically.
+    A transition belongs to the period of its SOURCE event.
+
+    Plan shape: one bounded min/max date aggregate broadcast onto the
+    pair stream; the sessionize-key window for lead(); one map-side-
+    combinable (src,dst) conditional count; per-period totals as
+    window SUMs over the |types|²-bounded counts table; final
+    |types|-row aggregate. At 100 TB the cost is the per-user window
+    shuffle — same key and shape as sessionize."""
+    events = _t(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("__lo"), F.max(F.to_date("ts")).alias("__hi")
+    ).withColumn(
+        "__mid",
+        F.expr("date_add(__lo, cast((datediff(__hi, __lo) div 2) as int))"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.to_date("ts").alias("__d"),
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("__d") <= F.col("__mid"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("period"),
+        )
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    ws = Window.partitionBy("src")
+    terms = (
+        counts.withColumn("__t1", F.sum("n1").over(ws))
+        .withColumn("__t2", F.sum("n2").over(ws))
+        .withColumn(
+            "__p1",
+            F.when(F.col("__t1") == 0, F.lit(0.0)).otherwise(
+                F.col("n1") / F.col("__t1")
+            ),
+        )
+        .withColumn(
+            "__p2",
+            F.when(F.col("__t2") == 0, F.lit(0.0)).otherwise(
+                F.col("n2") / F.col("__t2")
+            ),
+        )
+        .withColumn(
+            "__d_micro",
+            F.round(F.abs(F.col("__p1") - F.col("__p2")) * 1e6, 0).cast("long"),
+        )
+    )
+    return (
+        terms.groupBy("src")
+        .agg(
+            F.sum("n1").alias("n1"),
+            F.sum("n2").alias("n2"),
+            F.sum("__d_micro").alias("l1_micro"),
+        )
+        .orderBy("src")
+    )
+
+
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint over the daily event-count series
+    (Page 1954) — the batch complement of the streaming drift alarm:
+    which DAY did the traffic level shift?
+
+    The statistic is computed in EXACT integers via
+    `windows.cusum_scaled` (s'_i = n·cumsum_i − i·total, = n× the
+    classical CUSUM), so the curve needs no cross-engine IEEE
+    agreement; the argmax |s'| day is flagged `is_peak`. The global
+    window is the explicitly-opted-in bounded class (calendar-day
+    table, one row per day — the `events_lag_lead` precedent), never
+    raw events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(aggregates.time_bucket("ts", "D").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = windows.cusum_scaled(daily, "n", ["day"])
+    return out.select("day", "n", "cusum_scaled", "is_peak").orderBy("day")
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: user-days bucketed by the deepest view → click →
     purchase stage completed IN ORDER within that day.
@@ -3483,6 +3625,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_spectrum_incremental": q_embedding_spectrum_incremental,  # [r13-in-new]
     "docs_dedup_weights": q_docs_dedup_weights,  # [r13-in-new]
     "embedding_ivf_pq_opq_searched": q_embedding_ivf_pq_opq_searched,  # [r13-in-new]
+    "events_transition_matrix": q_events_transition_matrix,  # [r13-in-new]
+    "events_transition_drift": q_events_transition_drift,  # [r13-in-new]
+    "events_cusum_changepoint": q_events_cusum_changepoint,  # [r13-in-new]
 }
 
 

@@ -237,6 +237,13 @@ HEADLINE = [
     # round 12: warm-path OPQ sibling (persisted cells/codebook/codes;
     # first run trains — ITERATIVE — later runs amortize)
     "embedding_ivf_pq_opq_searched",
+    # round 12 (late): Markov transition matrix + temporal-halves
+    # transition drift (sessionize-key window; |types|²-bounded tail)
+    "events_transition_matrix",
+    "events_transition_drift",
+    # round 12 (late): exact-integer CUSUM changepoint over the daily
+    # count series (bounded global window)
+    "events_cusum_changepoint",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

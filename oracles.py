@@ -3924,3 +3924,102 @@ ORDER BY doc_id
 # artifacts — same oracle, which also proves the three cache paths
 # bit-match a fresh build (the multiprobe_searched precedent).
 ORACLES["embedding_ivf_pq_opq_searched"] = ORACLES["embedding_ivf_pq_opq"]
+
+# events_transition_matrix (r12): per-user LEAD pairs → exact integer
+# transition counts + 6dp per-source probability. SUM(n) total CASTs
+# to nothing on the output surface (only n, a COUNT, is emitted as an
+# integer; the HUGEINT total stays internal to the divide, which
+# DuckDB evaluates as DOUBLE — same IEEE divide as Spark's).
+ORACLES["events_transition_matrix"] = """
+WITH seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+), pairs AS (
+    SELECT src, dst FROM seq WHERE dst IS NOT NULL
+), counts AS (
+    SELECT src, dst, COUNT(*) AS n FROM pairs GROUP BY src, dst
+), tot AS (
+    SELECT src, SUM(n) AS t FROM counts GROUP BY src
+)
+SELECT c.src, c.dst, c.n, ROUND(c.n / t.t, 6) AS p
+FROM counts c JOIN tot t USING (src)
+ORDER BY src, dst
+"""
+
+# events_transition_drift (r12): per-source L1 between the two
+# temporal halves' transition distributions. Every output is BIGINT
+# (counts + summed micro-units); the period boundary is integer DATE
+# arithmetic so both engines split identically; per-dst micro terms
+# round ONE IEEE |p1-p2| each and sum as exact integers (the r11
+# driver-red lesson: no rounded-double or engine-ordered float sum on
+# the output surface).
+ORACLES["events_transition_drift"] = """
+WITH bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+    FROM events
+), seq AS (
+    SELECT CAST(ts AS DATE) AS d,
+           event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+), pairs AS (
+    SELECT s.src, s.dst,
+           CASE WHEN s.d <= b.lo + CAST((b.hi - b.lo) // 2 AS INTEGER)
+                THEN 1 ELSE 2 END AS period
+    FROM seq s, bounds b
+    WHERE s.dst IS NOT NULL
+), counts AS (
+    SELECT src, dst,
+           CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM pairs GROUP BY src, dst
+), terms AS (
+    SELECT src, n1, n2,
+           SUM(n1) OVER (PARTITION BY src) AS t1,
+           SUM(n2) OVER (PARTITION BY src) AS t2
+    FROM counts
+), micro AS (
+    SELECT src, n1, n2,
+           CAST(ROUND(ABS(
+               CASE WHEN t1 = 0 THEN 0.0 ELSE n1 / t1 END
+             - CASE WHEN t2 = 0 THEN 0.0 ELSE n2 / t2 END
+           ) * 1000000) AS BIGINT) AS d_micro
+    FROM terms
+)
+SELECT src,
+       CAST(SUM(n1) AS BIGINT) AS n1,
+       CAST(SUM(n2) AS BIGINT) AS n2,
+       CAST(SUM(d_micro) AS BIGINT) AS l1_micro
+FROM micro
+GROUP BY src
+ORDER BY src
+"""
+
+# events_cusum_changepoint (r12): exact-integer CUSUM — the scaled
+# statistic n*cumsum - i*total never leaves integer arithmetic, so
+# the curve is engine-independent by construction; HUGEINT stays
+# internal (CAST back to BIGINT on the surface, the r12 convention).
+ORACLES["events_cusum_changepoint"] = """
+WITH daily AS (
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS t FROM daily
+), cur AS (
+    SELECT day, n,
+           SUM(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+           ROW_NUMBER() OVER (ORDER BY day) AS i
+    FROM daily
+)
+SELECT day,
+       CAST(n AS BIGINT) AS n,
+       CAST(nd * cum - i * t AS BIGINT) AS cusum_scaled,
+       ABS(nd * cum - i * t) = MAX(ABS(nd * cum - i * t)) OVER () AS is_peak
+FROM cur, tot
+ORDER BY day
+"""

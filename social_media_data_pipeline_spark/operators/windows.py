@@ -79,3 +79,49 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(name, F.sum(col).over(w))
+
+
+def cusum_scaled(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[Column | str],
+    name: str = "cusum_scaled",
+    peak_name: str = "is_peak",
+) -> DataFrame:
+    """Exact-integer CUSUM changepoint statistic (Page 1954) over a
+    BOUNDED pre-aggregated series.
+
+    The classical statistic s_i = Σ_{j≤i}(x_j − mean) needs the float
+    mean = total/n; multiplying through by n keeps every term integer:
+
+        s'_i = n · cumsum_i − i · total        (s' = n · s, exact int64)
+
+    so the curve is bit-exact under any partitioning and any engine —
+    no IEEE fold order to agree on. The row maximizing |s'| is the
+    single most likely mean-shift changepoint; it is flagged
+    `is_peak` (ties: every argmax row flags, deterministically).
+
+    GLOBAL window by contract: the input must already be bounded
+    (e.g. a calendar-day count table — one row per day), the same
+    opt-in class as `with_lag_lead(allow_global=True)`. Calling this
+    on raw event grain would single-task the corpus; aggregate first.
+    Int64 headroom: |s'| ≤ n · total, so a 10⁶-day series over 10¹²
+    events stays 9 orders below overflow.
+    """
+    totals = df.agg(
+        F.count(F.lit(1)).alias("__nrows"), F.sum(value_col).alias("__total")
+    )
+    w = Window.orderBy(*order_by)
+    cum = (
+        df.crossJoin(F.broadcast(totals))
+        .withColumn("__cum", F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn(
+            name,
+            (F.col("__nrows") * F.col("__cum") - F.col("__i") * F.col("__total")).cast("long"),
+        )
+    )
+    wg = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cum.withColumn(
+        peak_name, F.abs(F.col(name)) == F.max(F.abs(F.col(name))).over(wg)
+    ).drop("__nrows", "__total", "__cum", "__i")

@@ -1717,3 +1717,50 @@ class TestDensifyCalendar:
             aggregates.densify_calendar(
                 weekly, "day", "D", ("g",), zero_fill=("n",), ffill=("n",)
             )
+
+
+class TestCusumScaled:
+    """windows.cusum_scaled — exact-integer CUSUM changepoint."""
+
+    def _series(self, spark, values):
+        rows = [(i, int(v)) for i, v in enumerate(values)]
+        return spark.createDataFrame(rows, "i long, n long")
+
+    def test_matches_brute_force_definition(self, spark):
+        vals = [10, 12, 9, 11, 30, 31, 29, 32]
+        out = (
+            windows.cusum_scaled(self._series(spark, vals), "n", ["i"])
+            .orderBy("i")
+            .collect()
+        )
+        n, total = len(vals), sum(vals)
+        cum = 0
+        for i, row in enumerate(out, start=1):
+            cum += vals[i - 1]
+            assert row["cusum_scaled"] == n * cum - i * total  # = n·Σ(x−mean)
+
+    def test_peak_flags_the_planted_shift(self, spark):
+        # flat 10s then flat 30s: |CUSUM| peaks exactly at the last
+        # pre-shift index
+        vals = [10] * 5 + [30] * 5
+        out = (
+            windows.cusum_scaled(self._series(spark, vals), "n", ["i"])
+            .orderBy("i")
+            .collect()
+        )
+        peaks = [r["i"] for r in out if r["is_peak"]]
+        assert peaks == [4]
+
+    def test_partitioning_invariant(self, spark):
+        vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+        df = self._series(spark, vals)
+        one = windows.cusum_scaled(df.coalesce(1), "n", ["i"]).orderBy("i").collect()
+        many = (
+            windows.cusum_scaled(df.repartition(7), "n", ["i"]).orderBy("i").collect()
+        )
+        assert one == many  # integer statistic: bit-exact either way
+
+    def test_constant_series_all_zero_all_peak(self, spark):
+        # constant series: s' ≡ 0 everywhere, every row ties for argmax
+        out = windows.cusum_scaled(self._series(spark, [7, 7, 7]), "n", ["i"]).collect()
+        assert all(r["cusum_scaled"] == 0 and r["is_peak"] for r in out)

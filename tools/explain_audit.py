@@ -80,6 +80,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no join", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
         ("grouped aggregation", r"HashAggregate|ObjectHashAggregate|SortAggregate"),
     ],
+    "events_transition_matrix": [
+        ("per-user window", r"Window"),
+        ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
+        ("no self-join on the events subtree", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
+    ],
+    "events_transition_drift": [
+        ("per-user window", r"Window"),
+        ("bounds broadcast, not shuffled", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "events_cusum_changepoint": [
+        ("daily pre-aggregation before the global window", r"HashAggregate"),
+        ("totals broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+    ],
     "events_retention": [
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
         ("value column not read", r"\A(?!.*ReadSchema: [^\n]*\bvalue\b)"),

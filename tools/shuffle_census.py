@@ -12,10 +12,12 @@ Usage:
     python tools/shuffle_census.py --write   # (re)write the baseline
 
 Note: constructing every plan also surfaces Spark's WindowExec
-single-partition warning; the registry's ONLY global window is
-events_lag_lead's explicitly-opted-in calendar-day table (bounded one
-row per day, `with_lag_lead(..., allow_global=True)`) — verified by
-plan scan while building this baseline.
+single-partition warning; the registry's only global windows are the
+explicitly-opted-in bounded calendar-day tables (one row per day):
+events_lag_lead (`with_lag_lead(..., allow_global=True)`) and
+events_cusum_changepoint (`windows.cusum_scaled`, global-by-contract
+over pre-aggregated series) — verified by plan scan while building
+this baseline.
 """
 
 from __future__ import annotations
