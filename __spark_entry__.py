@@ -2460,6 +2460,45 @@ def q_events_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the most common 3-step event-type paths
+    WITHIN a 30-minute-gap session — the sequence n-gram statistic
+    behind funnel hypotheses (which journeys actually happen), over
+    the same sessionization semantics as `sessionize`.
+
+    Scale shape: ONE user-key window shuffle total. The naive plan
+    re-windows by (user, session) for the in-session leads — a second
+    full-data Exchange; instead the leads for event_type AND
+    session_id are taken in the SAME user-partitioned sort (session
+    ids are assigned in that exact order), and a trigram survives only
+    if all three rows share a session. Catalyst compiles both window
+    specs into one Window operator over one sort. The tail is a
+    map-side-combinable count over ≤ |types|³ rows."""
+    from social_media_data_pipeline_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sid = sessionize(ev, gap_minutes=30, tie_break="event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = sid.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.col("session_id").alias("__s"),
+        F.lead("session_id", 1).over(w).alias("__s1"),
+        F.lead("session_id", 2).over(w).alias("__s2"),
+    ).filter(
+        F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+        & (F.col("__s1") == F.col("__s"))
+        & (F.col("__s2") == F.col("__s"))
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+    )
+
+
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM mean-shift changepoint over the daily event-count series
     (Page 1954) — the batch complement of the streaming drift alarm:
@@ -3628,6 +3667,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_matrix": q_events_transition_matrix,  # [r13-in-new]
     "events_transition_drift": q_events_transition_drift,  # [r13-in-new]
     "events_cusum_changepoint": q_events_cusum_changepoint,  # [r13-in-new]
+    "events_session_paths": q_events_session_paths,  # [r13-in-new]
 }
 
 

@@ -244,6 +244,8 @@ HEADLINE = [
     # round 12 (late): exact-integer CUSUM changepoint over the daily
     # count series (bounded global window)
     "events_cusum_changepoint",
+    # round 12 (late): session-path trigrams in ONE user-key shuffle
+    "events_session_paths",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

@@ -4023,3 +4023,38 @@ SELECT day,
 FROM cur, tot
 ORDER BY day
 """
+
+# events_session_paths (r12): 3-step event-type paths within
+# 30-minute-gap sessions (same session semantics as the sessionize
+# oracle: floor(epoch) second gaps, ts+event_id tie-break). The
+# Spark side takes the in-session leads inside the ONE user-key sort
+# (lead session_id alongside lead event_type and filters same-session)
+# — semantically identical to the (user, session)-window formulation
+# spelled out here.
+ORACLES["events_session_paths"] = """
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           floor(epoch(ts))::BIGINT
+             - lag(floor(epoch(ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events
+), sid AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+    FROM gaps
+), tri AS (
+    SELECT event_type AS e1,
+           LEAD(event_type, 1) OVER ws AS e2,
+           LEAD(event_type, 2) OVER ws AS e3
+    FROM sid
+    WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+"""

@@ -85,6 +85,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
         ("no self-join on the events subtree", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
     ],
+    "events_session_paths": [
+        ("windows share the user-key sort", r"Window"),
+        ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
+        ("no join (leads stay in-partition)", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin))"),
+    ],
     "events_transition_drift": [
         ("per-user window", r"Window"),
         ("bounds broadcast, not shuffled", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
