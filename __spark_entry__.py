@@ -2460,6 +2460,52 @@ def q_events_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transition_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained transition counts
+    (`operators/rollup.py:incremental_transition_batch`): the events
+    stream replays as 3 TIME-RANGE chunks (date terciles — integer
+    date arithmetic), each folding within-chunk pairs PLUS the chunk
+    seam's boundary pairs (recorded per-user tail → chunk's first
+    event) into a manifest-committed store. Unlike the algebraic
+    (day,type) rollup, a transition matrix is NOT batch-decomposable —
+    the seam pairs exist in neither chunk — so the state carries a
+    per-user tail and the fold repairs the seam (the batch analog of
+    `sessionize_bounded`'s boundary-repair). Counts are exact
+    integers, so the chunked replay must hash-match the ONE-SHOT
+    oracle over all events: the incremental ≡ recompute identity.
+
+    Bounded driver probes only: the 1-row date-bounds collect and the
+    fold's limit(1) order-regression refusal. At 100 TB: counts are
+    |types|² rows; tails are user-domain-sized, folded via
+    selective_upsert keyed on user_id (touched-users-sized rewrites)."""
+    import tempfile
+
+    from social_media_data_pipeline_spark.operators import rollup
+
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.agg(F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi"))
+        .withColumn(
+            "b1", F.expr("date_add(lo, cast((datediff(hi, lo) div 3) as int))")
+        )
+        .withColumn(
+            "b2", F.expr("date_add(lo, cast((2 * datediff(hi, lo) div 3) as int))")
+        )
+        .collect()[0]
+    )
+    store = _os.path.join(tempfile.mkdtemp(prefix="trans-"), "state")
+    chunks = [
+        ev.filter(F.to_date("ts") <= F.lit(b["b1"])),
+        ev.filter(
+            (F.to_date("ts") > F.lit(b["b1"])) & (F.to_date("ts") <= F.lit(b["b2"]))
+        ),
+        ev.filter(F.to_date("ts") > F.lit(b["b2"])),
+    ]
+    for c in chunks:
+        rollup.incremental_transition_batch(c, store)
+    return rollup.read_transition_counts(spark, store).orderBy("src", "dst")
+
+
 def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-path mining: the most common 3-step event-type paths
     WITHIN a 30-minute-gap session — the sequence n-gram statistic
@@ -3668,6 +3714,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_drift": q_events_transition_drift,  # [r13-in-new]
     "events_cusum_changepoint": q_events_cusum_changepoint,  # [r13-in-new]
     "events_session_paths": q_events_session_paths,  # [r13-in-new]
+    "events_transition_incremental": q_events_transition_incremental,  # [r13-in-new]
 }
 
 

@@ -246,6 +246,9 @@ HEADLINE = [
     "events_cusum_changepoint",
     # round 12 (late): session-path trigrams in ONE user-key shuffle
     "events_session_paths",
+    # round 12 (late): seam-repaired transition-count IVM (3 folds x
+    # 2 selective_upserts at construct -- ITERATIVE/maintenance class)
+    "events_transition_incremental",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

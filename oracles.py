@@ -4058,3 +4058,22 @@ WHERE e2 IS NOT NULL AND e3 IS NOT NULL
 GROUP BY e1, e2, e3
 ORDER BY n DESC, e1, e2, e3
 """
+
+# events_transition_incremental (r12): the chunked seam-repaired
+# replay must equal the ONE-SHOT adjacent-pair count over all events
+# — the incremental ≡ recompute identity for a NON-batch-decomposable
+# (sequence) statistic. Same pair semantics as events_transition_matrix.
+ORACLES["events_transition_incremental"] = """
+WITH seq AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+)
+SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq
+WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+"""

@@ -193,3 +193,191 @@ def rollup_stream_batch(store_path: str):
         incremental_rollup_batch(batch, store_path)
 
     return _fn
+
+
+# ---------------------------------------------------------------------------
+# Sequence-statistic IVM: incrementally-maintained transition counts.
+#
+# The (day, type) rollup above is ALGEBRAIC — each batch's contribution
+# is independent of every other batch. A transition matrix is not: the
+# pair (last event of batch k, first event of batch k+1) exists in the
+# one-shot answer but inside neither batch. The state therefore carries,
+# besides the (src, dst) counts, a per-user TAIL (the user's last seen
+# event), and each fold adds the boundary pairs the chunk seam would
+# otherwise lose — the batch analog of sessionize_bounded's
+# boundary-repair pass. Counts are exact integers, so the chunked replay
+# is hash-identical to a one-shot aggregate (the incremental ≡ recompute
+# identity `events_rollup_incremental` checks for the algebraic case).
+#
+# Contract: batches arrive in event-time order per user (each user's
+# batch events strictly after their recorded tail, (ts, event_id)
+# lexicographic). A regressing batch is refused LOUDLY (bounded
+# limit(1) probe) — silently folding it would double-count pairs.
+# At 100 TB: counts are |types|² rows; tails are user-domain-sized and
+# mutate through `selective_upsert` keyed on user_id, so a fold
+# rewrites ~touched-users-sized files, never the full tail table.
+# ---------------------------------------------------------------------------
+
+_TRANS_STATE_SCHEMA = "trans_key bigint, src string, dst string, n bigint"
+_TAIL_STATE_SCHEMA = (
+    "user_id bigint, last_ts timestamp, last_event_id bigint, last_event string"
+)
+
+
+def _have_store(path: str) -> bool:
+    from social_media_data_pipeline_spark import scale
+
+    return bool(scale.read_table_manifest(path)) or (
+        os.path.isdir(path)
+        and any(f.endswith(".parquet") for f in os.listdir(path))
+    )
+
+
+def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    from social_media_data_pipeline_spark import scale
+
+    if scale.read_table_manifest(path):
+        return scale.manifest_read(spark, path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def transition_partial(
+    batch: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> tuple[DataFrame, DataFrame]:
+    """One user-key pass over the batch → (within-batch pair counts,
+    per-user endpoints). Pairs are adjacent (ts, id)-ordered events
+    per user; endpoints carry each user's first and last batch event
+    for seam repair and tail replacement."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        batch.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    point = lambda: F.struct(  # noqa: E731 - local shorthand
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("et"),
+    )
+    ends = batch.groupBy(user_col).agg(
+        F.min(point()).alias("first"), F.max(point()).alias("last")
+    )
+    return pairs, ends
+
+
+def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
+    """Fold one time-ordered batch into the transition store
+    (`<store>/counts` + `<store>/tails`): within-batch pairs + seam
+    pairs (recorded tail → batch first, per user) merge into the
+    counts table; each touched user's tail is REPLACED by their last
+    batch event. Empty batch is a no-op. Returns fold stats."""
+    from social_media_data_pipeline_spark import scale
+
+    spark = batch.sparkSession
+    counts_path = os.path.join(store_path, "counts")
+    tails_path = os.path.join(store_path, "tails")
+    rows_batch = batch.count()
+    if rows_batch == 0:
+        return {"rows_batch": 0, "keys_touched": 0, "seam_pairs": 0}
+
+    pairs, ends = transition_partial(batch)
+    ends = ends.localCheckpoint(eager=True)
+
+    seam_pairs = 0
+    if _have_store(tails_path):
+        tails = _read_state(spark, tails_path, _TAIL_STATE_SCHEMA)
+        matched = ends.join(tails, "user_id", "left").localCheckpoint(eager=True)
+        regressed = matched.filter(
+            F.col("last_ts").isNotNull()
+            & (
+                (F.col("first.ts") < F.col("last_ts"))
+                | (
+                    (F.col("first.ts") == F.col("last_ts"))
+                    & (F.col("first.event_id") <= F.col("last_event_id"))
+                )
+            )
+        ).limit(1).collect()
+        if regressed:
+            r = regressed[0]
+            raise ValueError(
+                "incremental_transition_batch: batch regresses behind the "
+                f"recorded tail for user_id={r['user_id']} (batch first "
+                f"{r['first']['ts']}/{r['first']['event_id']} <= tail "
+                f"{r['last_ts']}/{r['last_event_id']}) — transition folds "
+                "require per-user event-time order; replaying or reordering "
+                "batches would double-count pairs"
+            )
+        boundary = (
+            matched.filter(F.col("last_event").isNotNull())
+            .groupBy(
+                F.col("last_event").alias("src"),
+                F.col("first.et").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        seam_pairs = boundary.agg(F.sum("n")).collect()[0][0] or 0
+        delta = (
+            pairs.unionByName(boundary)
+            .groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        delta = pairs
+
+    partial = delta.select(
+        F.xxhash64(F.concat_ws("|", "src", "dst")).alias("trans_key"),
+        "src",
+        "dst",
+        "n",
+    ).localCheckpoint(eager=True)
+    keys_touched = partial.count()
+    stats: dict = {}
+    if keys_touched:
+        if _have_store(counts_path):
+            existing = _read_state(spark, counts_path, _TRANS_STATE_SCHEMA)
+            affected = existing.join(
+                partial.select("trans_key"), "trans_key", "left_semi"
+            )
+            merged = (
+                affected.unionByName(partial)
+                .groupBy("trans_key", "src", "dst")
+                .agg(F.sum("n").alias("n"))
+            )
+            stats = scale.selective_upsert(spark, counts_path, merged, "trans_key")
+        else:
+            partial.write.mode("overwrite").parquet(counts_path)
+
+    new_tails = ends.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.et").alias("last_event"),
+    )
+    if _have_store(tails_path):
+        scale.selective_upsert(spark, tails_path, new_tails, "user_id")
+    else:
+        new_tails.write.mode("overwrite").parquet(tails_path)
+
+    return {
+        "rows_batch": rows_batch,
+        "keys_touched": keys_touched,
+        "seam_pairs": int(seam_pairs),
+        **stats,
+    }
+
+
+def read_transition_counts(spark: SparkSession, store_path: str) -> DataFrame:
+    """The committed (src, dst, n) transition counts."""
+    return _read_state(
+        spark, os.path.join(store_path, "counts"), _TRANS_STATE_SCHEMA
+    ).select("src", "dst", "n")

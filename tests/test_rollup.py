@@ -174,3 +174,110 @@ class TestUpsertRewriteSetFullRangeKeys:
         }
         assert got[9100000000000000000] == "c2"
         assert got[-9126631558570011878] == "a" and got[-12345] == "b"
+
+
+TSCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+
+def _tev(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, d, h), u, et)
+        for i, (d, h, u, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, TSCHEMA)
+
+
+class TestTransitionIvm:
+    """Sequence-statistic IVM: seam-repaired chunked folds ≡ one-shot."""
+
+    def _oneshot(self, df):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return {
+            (r["src"], r["dst"]): r["n"]
+            for r in df.select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    def _store(self, spark, store):
+        return {
+            (r["src"], r["dst"]): r["n"]
+            for r in rollup.read_transition_counts(spark, str(store)).collect()
+        }
+
+    def test_seam_pairs_are_repaired(self, spark, tmp_path):
+        # user 7's day-2 -> day-3 transition exists in NEITHER chunk
+        rows = [
+            (1, 9, 7, "view"), (1, 10, 7, "click"),
+            (2, 9, 7, "view"),
+            (3, 9, 7, "purchase"),
+            (1, 11, 8, "signup"),
+        ]
+        ev = _tev(spark, rows)
+        store = tmp_path / "trans"
+        stats = []
+        for d in (1, 2, 3):
+            stats.append(
+                rollup.incremental_transition_batch(
+                    ev.filter(F.dayofmonth("ts") == d), str(store)
+                )
+            )
+        assert self._store(spark, store) == self._oneshot(ev)
+        # day-2 and day-3 folds each contributed exactly one seam pair
+        assert [s["seam_pairs"] for s in stats] == [0, 1, 1]
+
+    def test_user_skipping_a_chunk_keeps_adjacency(self, spark, tmp_path):
+        # user 7 has no day-2 events: day-1 tail must survive the
+        # day-2 fold and pair with the day-3 event
+        rows = [
+            (1, 9, 7, "view"),
+            (2, 9, 8, "click"), (2, 10, 8, "purchase"),
+            (3, 9, 7, "error"),
+        ]
+        ev = _tev(spark, rows)
+        store = tmp_path / "trans"
+        for d in (1, 2, 3):
+            rollup.incremental_transition_batch(
+                ev.filter(F.dayofmonth("ts") == d), str(store)
+            )
+        out = self._store(spark, store)
+        assert out == self._oneshot(ev)
+        assert out[("view", "error")] == 1
+
+    def test_out_of_order_batch_refused_loudly(self, spark, tmp_path):
+        ev = _tev(spark, [(2, 9, 7, "view"), (2, 10, 7, "click")])
+        late = _tev(spark, [(1, 9, 7, "signup")])  # behind user 7's tail
+        store = tmp_path / "trans"
+        rollup.incremental_transition_batch(ev, str(store))
+        with pytest.raises(ValueError, match="regresses behind the recorded tail"):
+            rollup.incremental_transition_batch(late, str(store))
+
+    def test_empty_batch_is_noop(self, spark, tmp_path):
+        ev = _tev(spark, [(1, 9, 7, "view"), (1, 10, 7, "click")])
+        store = tmp_path / "trans"
+        rollup.incremental_transition_batch(ev, str(store))
+        before = self._store(spark, store)
+        stats = rollup.incremental_transition_batch(
+            ev.filter(F.lit(False)), str(store)
+        )
+        assert stats == {"rows_batch": 0, "keys_touched": 0, "seam_pairs": 0}
+        assert self._store(spark, store) == before
+
+    def test_single_event_batches_all_pairs_from_seams(self, spark, tmp_path):
+        # every batch has ONE event: every pair is a seam pair
+        rows = [(d, 9, 7, et) for d, et in
+                [(1, "view"), (2, "click"), (3, "view"), (4, "purchase")]]
+        ev = _tev(spark, rows)
+        store = tmp_path / "trans"
+        for d in (1, 2, 3, 4):
+            rollup.incremental_transition_batch(
+                ev.filter(F.dayofmonth("ts") == d), str(store)
+            )
+        assert self._store(spark, store) == self._oneshot(ev)
