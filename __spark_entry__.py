@@ -2506,6 +2506,65 @@ def q_events_transition_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return rollup.read_transition_counts(spark, store).orderBy("src", "dst")
 
 
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase attributes to
+    the user's most recent PRECEDING non-purchase event within a 7-day
+    lookback, else 'unattributed' — the classic marketing-attribution
+    statistic, computed without a self-join.
+
+    Plan shape: the sessionize-key window with a rows-frame
+    (unbounded, -1) carrying `last(..., ignorenulls=True)` of the
+    non-purchase (ts, type) pair — two LAST_VALUE columns whose CASE
+    null-pattern is identical, so both come from the same touch row;
+    the as-of self-join formulation this replaces would shuffle events
+    twice and break the rows-frame's O(1) per-row state. Lookback uses
+    the sessionize floor-epoch convention; the share is EXACT integer
+    parts-per-million ((n·1e6) div total — no IEEE divide on the
+    output surface). The total is a window SUM over the counts table —
+    a total-agg + crossJoin would recompute the events window on both
+    join sides (measured: 6 Exchanges vs 4); the one SinglePartition
+    exchange this leaves moves ≤ |types|+1 rows, the documented
+    bounded class."""
+    events = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    touched = events.select(
+        "event_type",
+        epoch.alias("__s"),
+        F.last(F.when(non_purchase, epoch), ignorenulls=True)
+        .over(w)
+        .alias("__touch_s"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("__touch_type"),
+    )
+    attributed = touched.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("__touch_s").isNotNull()
+            & (F.col("__s") - F.col("__touch_s") <= 7 * 86400),
+            F.col("__touch_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("source")
+    )
+    counts = attributed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy()
+    return (
+        counts.withColumn("__total", F.sum("n").over(wt))
+        .select(
+            "source",
+            "n",
+            F.expr("(n * 1000000) div __total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), "source")
+    )
+
+
 def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-path mining: the most common 3-step event-type paths
     WITHIN a 30-minute-gap session — the sequence n-gram statistic
@@ -3715,6 +3774,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_changepoint": q_events_cusum_changepoint,  # [r13-in-new]
     "events_session_paths": q_events_session_paths,  # [r13-in-new]
     "events_transition_incremental": q_events_transition_incremental,  # [r13-in-new]
+    "events_attribution": q_events_attribution,  # [r13-in-new]
 }
 
 

@@ -249,6 +249,8 @@ HEADLINE = [
     # round 12 (late): seam-repaired transition-count IVM (3 folds x
     # 2 selective_upserts at construct -- ITERATIVE/maintenance class)
     "events_transition_incremental",
+    # round 12 (late): last-touch attribution (one rows-frame window)
+    "events_attribution",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

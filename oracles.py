@@ -4077,3 +4077,41 @@ WHERE dst IS NOT NULL
 GROUP BY src, dst
 ORDER BY src, dst
 """
+
+# events_attribution (r12): last-touch attribution — two LAST_VALUE
+# IGNORE NULLS columns over the same (unbounded, -1) rows frame pick
+# the SAME touch row (identical CASE null pattern); floor-epoch
+# lookback (the sessionize convention); share as exact integer ppm
+# ((n*1e6) // total — integer division in both engines, nothing IEEE
+# on the surface).
+ORACLES["events_attribution"] = """
+WITH touched AS (
+    SELECT event_type,
+           floor(epoch(ts))::BIGINT AS s,
+           LAST_VALUE(
+               CASE WHEN event_type <> 'purchase'
+                    THEN floor(epoch(ts))::BIGINT END IGNORE NULLS
+           ) OVER w AS touch_s,
+           LAST_VALUE(
+               CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS
+           ) OVER w AS touch_type
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+), attributed AS (
+    SELECT CASE WHEN touch_s IS NOT NULL AND s - touch_s <= 7 * 86400
+                THEN touch_type ELSE 'unattributed' END AS source
+    FROM touched
+    WHERE event_type = 'purchase'
+), counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM attributed GROUP BY source
+), tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+)
+SELECT c.source, c.n, CAST((c.n * 1000000) // t.total AS BIGINT) AS share_ppm
+FROM counts c, tot t
+ORDER BY n DESC, source
+"""

@@ -381,3 +381,19 @@ def read_transition_counts(spark: SparkSession, store_path: str) -> DataFrame:
     return _read_state(
         spark, os.path.join(store_path, "counts"), _TRANS_STATE_SCHEMA
     ).select("src", "dst", "n")
+
+
+def transition_stream_batch(store_path: str):
+    """foreachBatch adapter for the transition IVM:
+    `writeStream.foreachBatch(transition_stream_batch(store))`. The
+    per-user event-time-order contract carries over: the SOURCE must
+    deliver each user's events in (ts, event_id) order across
+    micro-batches (a time-ordered file feed or a per-key-ordered log —
+    Kafka per-partition order with user-keyed partitioning); a
+    violating batch raises inside foreachBatch and fails the query
+    loudly rather than double-counting."""
+
+    def _fn(batch: DataFrame, _batch_id: int) -> None:
+        incremental_transition_batch(batch, store_path)
+
+    return _fn

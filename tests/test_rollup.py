@@ -281,3 +281,72 @@ class TestTransitionIvm:
                 ev.filter(F.dayofmonth("ts") == d), str(store)
             )
         assert self._store(spark, store) == self._oneshot(ev)
+
+
+class TestTransitionStreaming:
+    def test_foreachbatch_equals_batch_folds(self, spark, tmp_path):
+        import glob
+        import os
+        import time as _time
+
+        store = str(tmp_path / "tstate")
+        src = str(tmp_path / "tev")
+        days = {
+            "b1": [(1, 9, 7, "view"), (1, 10, 7, "click")],
+            "b2": [(2, 9, 7, "view"), (2, 10, 8, "signup")],
+            "b3": [(3, 9, 7, "purchase"), (3, 10, 8, "view")],
+        }
+        base = 0
+        all_rows = []
+        for name, rows in days.items():
+            data = [
+                (base + i, dt.datetime(2024, 1, d, h), u, et)
+                for i, (d, h, u, et) in enumerate(rows)
+            ]
+            base += len(rows)
+            all_rows.extend(data)
+            spark.createDataFrame(data, TSCHEMA).coalesce(1).write.parquet(
+                src + f"/{name}"
+            )
+        now = _time.time()
+        for i, b in enumerate(("b1", "b2", "b3")):
+            for f in glob.glob(src + f"/{b}/*"):
+                os.utime(f, (now - 60 + i * 20, now - 60 + i * 20))
+
+        stream = (
+            spark.readStream.schema(TSCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                rollup.transition_stream_batch(store)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = {
+            (r["src"], r["dst"]): r["n"]
+            for r in spark.createDataFrame(all_rows, TSCHEMA)
+            .select(
+                F.col("event_type").alias("src"),
+                F.lead("event_type").over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        got = {
+            (r["src"], r["dst"]): r["n"]
+            for r in rollup.read_transition_counts(spark, store).collect()
+        }
+        # the user-7 view->view and click->...->purchase chains cross
+        # every micro-batch seam: streaming folds must still equal the
+        # one-shot pair count
+        assert got == want

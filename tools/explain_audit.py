@@ -85,6 +85,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
         ("no self-join on the events subtree", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
     ],
+    "events_attribution": [
+        # the one SinglePartition exchange feeds the total-sum window
+        # over the bounded (≤ |types|+1 rows) counts table — the
+        # documented bounded class; events are shuffled exactly once
+        ("per-user rows-frame window, no self-join", r"Window"),
+        ("no join at all", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin))"),
+    ],
     "events_session_paths": [
         ("windows share the user-key sort", r"Window"),
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
