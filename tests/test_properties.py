@@ -751,3 +751,67 @@ class TestDedupWeightsProperties:
         assert got == want
         assert sum(w for w, _ in got.values()) == len(rows)
         assert sum(m for _, m in got.values()) == sum(m for _, m in rows)
+
+
+class TestTransitionIvmProperties:
+    """Random streams × random time-chunking: the seam-repaired folds
+    must equal the brute-force one-shot pair count, regardless of
+    where the chunk boundaries fall (including empty chunks,
+    single-event chunks, and users spanning or skipping chunks)."""
+
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # user
+                st.integers(min_value=0, max_value=99),  # minute
+                st.sampled_from("abc"),  # event type
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        cuts=st.tuples(
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=99),
+        ),
+    )
+    @settings(**{**SETTINGS, "max_examples": 8})
+    def test_random_chunking_equals_oneshot(self, spark, tmp_path_factory, events, cuts):
+        import datetime as dt
+
+        from social_media_data_pipeline_spark.operators import rollup
+
+        c1, c2 = sorted(cuts)
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(minutes=m), u, et)
+            for i, (u, m, et) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        )
+        store = str(tmp_path_factory.mktemp("trans-prop") / "state")
+        minute = (F.col("ts").cast("long") - F.lit(int(base.timestamp()))) / 60
+        chunks = [
+            df.filter(minute <= c1),
+            df.filter((minute > c1) & (minute <= c2)),
+            df.filter(minute > c2),
+        ]
+        for c in chunks:
+            rollup.incremental_transition_batch(c, store)
+
+        # brute force: per user, sort by (ts, event_id), count adjacent
+        per_user: dict = {}
+        for i, (u, m, et) in enumerate(events):
+            per_user.setdefault(u, []).append((m, i, et))
+        want: dict = {}
+        for seq in per_user.values():
+            seq.sort()
+            for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        got = {
+            (r["src"], r["dst"]): r["n"]
+            for r in rollup.read_transition_counts(spark, store).collect()
+        } if want else {}
+        if not want:
+            return  # no pairs anywhere: store may not even exist
+        assert got == want
