@@ -2506,6 +2506,29 @@ def q_events_transition_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return rollup.read_transition_counts(spark, store).orderBy("src", "dst")
 
 
+def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items
+    (`functions/graph.py:association_rules`, Agrawal–Srikant 1994):
+    directed part → part rules at pair support ≥ 2, with exact basket
+    counts and the integer-exact confidence_ppm / lift_micro chain —
+    the recommendation statistic the co-purchase GRAPH family
+    (triangles/k-core/LPA over `project_bipartite`) mines structure
+    from, here surfaced as ranked rules.
+
+    Plan shape: distinct (order, part) → the project_bipartite
+    self-equi-join on the basket key (per-basket fan-out is the
+    bounded quadratic knob) → support threshold → everything after is
+    rule-table-sized: two hash-equi item-count joins + a 1-row
+    broadcast basket total. No IEEE divide reaches the surface."""
+    from social_media_data_pipeline_spark.functions import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = graph.association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+    return rules.orderBy(F.desc("n_ab"), "antecedent", "consequent")
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch conversion attribution: each purchase attributes to
     the user's most recent PRECEDING non-purchase event within a 7-day
@@ -3775,6 +3798,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_paths": q_events_session_paths,  # [r13-in-new]
     "events_transition_incremental": q_events_transition_incremental,  # [r13-in-new]
     "events_attribution": q_events_attribution,  # [r13-in-new]
+    "orders_basket_rules": q_orders_basket_rules,  # [r13-in-new]
 }
 
 

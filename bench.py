@@ -251,6 +251,8 @@ HEADLINE = [
     "events_transition_incremental",
     # round 12 (late): last-touch attribution (one rows-frame window)
     "events_attribution",
+    # round 12 (late): association rules (integer confidence/lift)
+    "orders_basket_rules",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

@@ -4115,3 +4115,35 @@ SELECT c.source, c.n, CAST((c.n * 1000000) // t.total AS BIGINT) AS share_ppm
 FROM counts c, tot t
 ORDER BY n DESC, source
 """
+
+# orders_basket_rules (r12): Agrawal-Srikant 2-itemset rules with the
+# integer-exact confidence/lift chain — (n_ab*1e6)//n_a then
+# (conf*N)//n_b, floors and all, so both engines replay the identical
+# int64 arithmetic; every count CASTs to BIGINT on the surface.
+ORACLES["orders_basket_rules"] = """
+WITH base AS (
+    SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+), pairs AS (
+    SELECT a.i AS pa, b.i AS pb, CAST(COUNT(*) AS BIGINT) AS sup
+    FROM base a JOIN base b ON a.g = b.g AND a.i < b.i
+    GROUP BY a.i, b.i
+    HAVING COUNT(*) >= 2
+), item_n AS (
+    SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY i
+), tot AS (
+    SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS nb FROM base
+), directed AS (
+    SELECT pa AS antecedent, pb AS consequent, sup FROM pairs
+    UNION ALL
+    SELECT pb AS antecedent, pa AS consequent, sup FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.sup AS n_ab,
+       ia.n AS n_a, ib.n AS n_b,
+       CAST((d.sup * 1000000) // ia.n AS BIGINT) AS confidence_ppm,
+       CAST((((d.sup * 1000000) // ia.n) * t.nb) // ib.n AS BIGINT) AS lift_micro
+FROM directed d
+JOIN item_n ia ON ia.i = d.antecedent
+JOIN item_n ib ON ib.i = d.consequent
+CROSS JOIN tot t
+ORDER BY n_ab DESC, antecedent, consequent
+"""

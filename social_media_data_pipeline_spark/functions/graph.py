@@ -694,6 +694,85 @@ def project_bipartite(
     )
 
 
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal–Srikant 1994) over the
+    2-itemsets `project_bipartite` mines: for each directed rule
+    a → b with pair support ≥ `min_support`, the exact basket counts
+    and integer-exact confidence and lift.
+
+    Emission is a DETERMINISTIC integer chain (cross-engine,
+    cross-partitioning bit-exact — no IEEE divide on the surface):
+
+        confidence_ppm = (n_ab · 10⁶) div n_a           (≤ 10⁶)
+        lift_micro     = (confidence_ppm · N) div n_b    (N = baskets)
+
+    i.e. lift with two floors; the floor bias is < 1 ppm of confidence
+    and < 1/n_b micro of lift — a spec'd convention, not a float
+    approximation. Overflow: confidence_ppm ≤ 1e6, so the lift product
+    stays in int64 for N < 9.2e12 baskets.
+
+    Scale shape: input is deduped to distinct (group, item) first
+    (multi-quantity baskets count once); pair supports come from the
+    `project_bipartite` self-equi-join (per-basket fan-out is the
+    quadratic knob — cap pathological baskets upstream); per-item
+    basket counts join back hash-equi on the item key; the 1-row
+    basket total rides a broadcast. Everything after the threshold is
+    rule-table-sized. The deduped base is consumed by three branches
+    (both self-join sides + item counts) and is deliberately NOT
+    pinned here — a one-shot rule mine at 100 TB should stage the
+    distinct (basket, item) table once (`io.write_stage_output`) and
+    call this on the staged scan, collapsing the replays to one.
+    """
+    base = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    pairs = project_bipartite(base, "__g", "__i", min_support, keep_support=True)
+    item_n = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    # basket total from the RAW input (any row implies membership):
+    # equivalent to counting base's distinct groups, without replaying
+    # the (group, item) dedup a fourth time
+    n_groups = df.agg(
+        F.count_distinct(F.col(group_col)).alias("__N")
+    )
+    directed = pairs.select(
+        F.col("src").alias("antecedent"), F.col("dst").alias("consequent"), "sup"
+    ).unionByName(
+        pairs.select(
+            F.col("dst").alias("antecedent"), F.col("src").alias("consequent"), "sup"
+        )
+    )
+    return (
+        directed.join(
+            item_n.withColumnRenamed("__i", "antecedent").withColumnRenamed(
+                "__n", "n_a"
+            ),
+            "antecedent",
+        )
+        .join(
+            item_n.withColumnRenamed("__i", "consequent").withColumnRenamed(
+                "__n", "n_b"
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup").alias("n_ab"),
+            "n_a",
+            "n_b",
+            F.expr("(sup * 1000000) div n_a").alias("confidence_ppm"),
+            F.expr("(((sup * 1000000) div n_a) * __N) div n_b").alias("lift_micro"),
+        )
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds,

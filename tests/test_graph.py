@@ -915,3 +915,54 @@ class TestKTruss:
             graph.ktruss(self._edges(spark), k=2)
         with pytest.raises(ValueError, match="rounds must be >= 1"):
             graph.ktruss(self._edges(spark), k=3, rounds=0)
+
+
+class TestAssociationRules:
+    # baskets: g1={1,2,3}, g2={1,2}, g3={2,4}, g4={1,2} → N=4,
+    # n(1)=3, n(2)=4, n(3)=1, n(4)=1; sup(1,2)=3, others 1
+    ROWS = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2),
+        (3, 2), (3, 4),
+        (4, 1), (4, 2),
+    ]
+
+    def _rules(self, spark, rows, min_support=2):
+        df = spark.createDataFrame(rows, "g long, item long")
+        return {
+            (r["antecedent"], r["consequent"]): r
+            for r in graph.association_rules(df, "g", "item", min_support).collect()
+        }
+
+    def test_exact_integer_chain(self, spark):
+        got = self._rules(spark, self.ROWS)
+        assert set(got) == {(1, 2), (2, 1)}
+        r12 = got[(1, 2)]
+        # conf(1→2) = (3*1e6)//3 = 1_000_000; lift = (1e6*4)//4 = 1e6
+        assert (r12["n_ab"], r12["n_a"], r12["n_b"]) == (3, 3, 4)
+        assert r12["confidence_ppm"] == 1_000_000
+        assert r12["lift_micro"] == 1_000_000
+        r21 = got[(2, 1)]
+        # conf(2→1) = (3*1e6)//4 = 750_000; lift = (750000*4)//3 = 1_000_000
+        assert r21["confidence_ppm"] == 750_000
+        assert r21["lift_micro"] == 1_000_000
+
+    def test_multi_quantity_lines_count_once(self, spark):
+        # duplicate (basket, item) rows must not inflate supports
+        got = self._rules(spark, self.ROWS + [(1, 2), (1, 2), (2, 1)])
+        assert got[(1, 2)]["n_ab"] == 3 and got[(1, 2)]["n_b"] == 4
+
+    def test_negative_association_lift_below_one(self, spark):
+        # baskets {1,2},{1,2},{1},{2}: sup=2, n(1)=n(2)=3, N=4 →
+        # conf(1→2) = (2*1e6)//3 = 666_666,
+        # lift = (666666*4)//3 = 888_888 < 1e6: negatively associated
+        rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (4, 2)]
+        got = self._rules(spark, rows, min_support=1)
+        r = got[(1, 2)]
+        assert r["confidence_ppm"] == 666_666
+        assert r["lift_micro"] == 888_888
+
+    def test_rejects_bad_support(self, spark):
+        df = spark.createDataFrame([(1, 1)], "g long, item long")
+        with pytest.raises(ValueError, match="min_support"):
+            graph.association_rules(df, "g", "item", 0)

@@ -85,6 +85,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition exchange", r"\A(?!.*Exchange SinglePartition)"),
         ("no self-join on the events subtree", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin))"),
     ],
+    "orders_basket_rules": [
+        # pair generation is the project_bipartite self-equi-join on
+        # the basket key; item counts join hash-equi; the 1-row basket
+        # total broadcasts — nothing cartesian beyond that 1-row cross
+        ("hash-equi pair join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("1-row total broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("no python in executors", r"\A(?!.*BatchEvalPython)"),
+        ("no window at all", r"\A(?!.*Window)"),
+    ],
     "events_attribution": [
         # the one SinglePartition exchange feeds the total-sum window
         # over the bounded (≤ |types|+1 rows) counts table — the
