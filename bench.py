@@ -361,6 +361,9 @@ ITERATIVE = {
     "docs_dedup_weights",
     # cold-start trains all three artifacts at construction
     "embedding_ivf_pq_opq_searched",
+    # the transition IVM's 3 seam-repaired folds (2 selective_upserts
+    # each) run at construction — the maintenance cost IS the number
+    "events_transition_incremental",
 }
 
 
