@@ -2506,6 +2506,35 @@ def q_events_transition_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return rollup.read_transition_counts(spark, store).orderBy("src", "dst")
 
 
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: for each user whose first
+    purchase FOLLOWS their first view, the whole-day latency between
+    them, bucketed into a day histogram — the activation-funnel
+    statistic (how long from first exposure to first conversion).
+
+    ONE map-side-combinable per-user aggregate (conditional MINs of
+    the floor-epoch seconds — the sessionize convention), a filtered
+    integer day bucket ((p − v) div 86400), then the |days|-bounded
+    count. No window, no join, no self-scan: the per-user reduce is
+    the only events-sized shuffle. All-integer emission."""
+    events = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", epoch)).alias("__v"),
+        F.min(F.when(F.col("event_type") == "purchase", epoch)).alias("__p"),
+    )
+    converted = firsts.filter(
+        F.col("__v").isNotNull()
+        & F.col("__p").isNotNull()
+        & (F.col("__p") >= F.col("__v"))
+    ).select(F.expr("(__p - __v) div 86400").alias("days_to_convert"))
+    return (
+        converted.groupBy("days_to_convert")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("days_to_convert")
+    )
+
+
 def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order line items
     (`functions/graph.py:association_rules`, Agrawal–Srikant 1994):
@@ -3799,6 +3828,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_incremental": q_events_transition_incremental,  # [r13-in-new]
     "events_attribution": q_events_attribution,  # [r13-in-new]
     "orders_basket_rules": q_orders_basket_rules,  # [r13-in-new]
+    "events_time_to_convert": q_events_time_to_convert,  # [r13-in-new]
 }
 
 

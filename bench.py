@@ -253,6 +253,8 @@ HEADLINE = [
     "events_attribution",
     # round 12 (late): association rules (integer confidence/lift)
     "orders_basket_rules",
+    # round 12 (late): activation-funnel latency (one per-user agg)
+    "events_time_to_convert",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%

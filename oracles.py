@@ -4147,3 +4147,23 @@ JOIN item_n ib ON ib.i = d.consequent
 CROSS JOIN tot t
 ORDER BY n_ab DESC, antecedent, consequent
 """
+
+# events_time_to_convert (r12): conditional per-user first-view /
+# first-purchase floor-epoch MINs, integer whole-day latency bucket,
+# bounded day histogram — all-integer surface.
+ORACLES["events_time_to_convert"] = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view'
+                    THEN floor(epoch(ts))::BIGINT END) AS v,
+           MIN(CASE WHEN event_type = 'purchase'
+                    THEN floor(epoch(ts))::BIGINT END) AS p
+    FROM events GROUP BY user_id
+)
+SELECT CAST((p - v) // 86400 AS BIGINT) AS days_to_convert,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts
+WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+GROUP BY 1
+ORDER BY days_to_convert
+"""

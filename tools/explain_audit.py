@@ -94,6 +94,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no python in executors", r"\A(?!.*BatchEvalPython)"),
         ("no window at all", r"\A(?!.*Window)"),
     ],
+    "events_time_to_convert": [
+        ("one per-user partial aggregate, no window", r"\A(?!.*Window)"),
+        ("no join", r"\A(?!.*(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin))"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
     "events_attribution": [
         # the one SinglePartition exchange feeds the total-sum window
         # over the bounded (≤ |types|+1 rows) counts table — the
