@@ -91,9 +91,22 @@ def kmeans_train(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = vectors.sparkSession
-    xq_df = vectors.select(
+    xq_src = vectors.select(
         F.col(id_col).alias("id"), quantize_micro(vec_col).alias("xq")
-    ).localCheckpoint()
+    )
+    # the per-round assignment is CPU-bound (K×dim interpreted
+    # higher-order arithmetic per vector); a single-file corpus scan
+    # arrives as ONE partition (unsplittable small parquet — guide
+    # §2.5: repartition right after the read), which would run every
+    # Lloyd round on one core. Spread the materialized training view
+    # to one partition per core before checkpointing: the repartition
+    # rides the materialization the checkpoint pays anyway, every
+    # Lloyd round amortizes it, and integer sums are partitioning-
+    # invariant so the model is bit-identical. (No .rdd partition-count
+    # probe here — touching .rdd on an AQE plan materializes its query
+    # stages eagerly, re-running upstream jobs.)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    xq_df = xq_src.repartition(par, F.col("id")).localCheckpoint()
     n = corpus_size if corpus_size is not None else xq_df.count()
     if k is None:
         k = max(4, math.floor(math.sqrt(n)))

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark.functions.similarity import dot
+from social_media_data_pipeline_spark.io import spread_small_input
 
 
 def _normsq(xs: list[float]) -> float:
@@ -324,7 +325,7 @@ def pq_codebook_kmeans(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    sub_df = (
+    sub_src = (
         vectors.select(
             F.col(id_col).alias("id"),
             F.posexplode(
@@ -336,7 +337,15 @@ def pq_codebook_kmeans(
                 )
             ).alias("j", "sq"),
         )
-    ).localCheckpoint()
+    )
+    # same single-partition hazard as kmeans_train: a single-file scan
+    # would run every per-round assignment on one core (guide §2.5 —
+    # repartition after an unsplittable read). The repartition rides
+    # the checkpoint's materialization; integer sums make the codebook
+    # partitioning-invariant. (No .rdd partition probe — see
+    # kmeans_train: it materializes AQE stages eagerly.)
+    _par = max(1, spark.sparkContext.defaultParallelism)
+    sub_df = sub_src.repartition(_par, F.col("id"), F.col("j")).localCheckpoint()
     seed_rows = sub_df.filter(F.col("id") < ksub).orderBy("id", "j").collect()
     if len(seed_rows) < m * ksub:
         raise ValueError(
@@ -460,7 +469,7 @@ def residual_table(
         F.col(vec_col).alias("__cent"),
     )
     return (
-        ivf_assign(corpus, centroids, id_col, vec_col)
+        ivf_assign(spread_small_input(corpus, key=id_col), centroids, id_col, vec_col)
         .join(F.broadcast(cents), "cluster")
         .select(
             id_col,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from social_media_data_pipeline_spark.io import spread_small_input
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (double accumulate).
@@ -70,7 +72,9 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    # corpus side is the heavy map-scored pass — spread a small
+    # single-file corpus so scoring isn't single-core (guide §2.5)
+    c = spread_small_input(corpus, key=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
@@ -134,6 +138,7 @@ def cosine_near_dup_pairs(
     `ivf_topk`/`lsh_bucketed_topk` candidates instead of the full cross
     product.
     """
+    vectors = spread_small_input(vectors, key=id_col)  # n² scoring: never one core
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -280,7 +285,9 @@ def cosine_near_dup_via_ivf(
     is candidates × one 64-float dot — the pruning ratio IS the
     speedup.
     """
-    assigned = ivf_assign_multiprobe(vectors, centroids, id_col, vec_col, probes)
+    assigned = ivf_assign_multiprobe(
+        spread_small_input(vectors, key=id_col), centroids, id_col, vec_col, probes
+    )
     # co-partition by cluster and PIN before the self-join. Two
     # separate reasons, both measured at sf0.1:
     # (a) without the pin, exchange reuse is the only thing stopping
@@ -410,7 +417,9 @@ def semdedup(
     pairs stay ~n·√n, never n². No iteration, no driver state. Returns
     survivors as (id, cluster, c_cos).
     """
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    # spread before assignment: the broadcast-argmax scoring and the
+    # within-cluster pair verification are the CPU passes
+    assigned = ivf_assign(spread_small_input(vectors, key=id_col), centroids, id_col, vec_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -458,7 +467,9 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    c_assigned = ivf_assign(
+        spread_small_input(corpus, key=id_col), centroids, id_col, vec_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("v_norm").alias("c_norm"),
@@ -510,7 +521,9 @@ def ivf_topk_multiprobe(
     candidate rows."""
     from pyspark.sql.window import Window
 
-    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    c_assigned = ivf_assign(
+        spread_small_input(corpus, key=id_col), centroids, id_col, vec_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("v_norm").alias("c_norm"),

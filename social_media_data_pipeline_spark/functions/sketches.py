@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark.functions.text import normalize_text, shingles
+from social_media_data_pipeline_spark.io import spread_small_input
 
 
 def _hash_str(col: Column, salt: Column | str, fast: bool) -> Column:
@@ -72,7 +73,9 @@ def minhash_signatures_table(
       each), so N hashes cost ceil(N/4) md5 calls per shingle — the md5
       is the hot instruction at corpus scale.
     """
-    exploded = docs.select(
+    # the explode + md5 chain is the hot per-row pass; a small
+    # single-file corpus otherwise runs it on one core (guide §2.5)
+    exploded = spread_small_input(docs, key=id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("s")
     )
     vpd = 2 if fast else 4  # xxhash64 hex is 16 chars; md5 is 32
@@ -226,7 +229,7 @@ def ngram_jaccard_pairs(
     # exploded (doc, shingle) pairs are already globally unique — a
     # distinct would re-shuffle the single largest intermediate of the
     # whole query for nothing
-    sh = docs.select(
+    sh = spread_small_input(docs, key=id_col).select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("shingle")
     )
     if max_doc_freq is not None:
@@ -305,7 +308,9 @@ def ngram_jaccard_pairs_prefix(
             f"got {threshold!r} — t > 1 yields a non-positive prefix "
             "length and t <= 0 degenerates to the all-pairs join"
         )
-    sh = docs.select(
+    # spread before the shingle explode: the per-row derivation is the
+    # hot pass and a single-file corpus arrives as one scan task
+    sh = spread_small_input(docs, key=id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(text_col, shingle_k)).alias("shingle"),
     )
@@ -577,7 +582,9 @@ def simhash_table(
     (the same Catalyst no-CSE-across-lambdas trap as MinHash signatures).
     """
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
-    exploded = docs.select(F.col(id_col).alias("doc"), F.explode(toks).alias("t"))
+    exploded = spread_small_input(docs, key=id_col).select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("t")
+    )
     # same per-token hash as simhash64 (fast: native 60-bit-masked
     # xxhash64 long, no hex round-trip; md5: oracle-replayable)
     h = (

@@ -81,6 +81,80 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size string ("128m", "1g", "134217728b", bare digits) →
+    bytes; unknown suffixes fall back to the 128 MiB scan default."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return 134217728
+
+
+def spread_small_input(
+    df: DataFrame, key: str | None = None, width: int | None = None
+) -> DataFrame:
+    """Widen an under-parallelized file-backed input before CPU-heavy
+    per-row derivation (guide §2.5: an unsplittable small file arrives
+    as ONE scan task, serializing every downstream explode/hash chain
+    on one core — repartition right after the read).
+
+    The decision is DRIVER-SIDE METADATA ONLY: `df.inputFiles()` plus
+    byte sizes — no job, no `.rdd` conversion (which physically plans
+    the query and materializes AQE stages eagerly). The input is
+    spread only when the files backing it cannot fill the cluster:
+    fewer files than `width` AND estimated scan tasks (bytes /
+    `spark.sql.files.maxPartitionBytes`) below `width`. On a corpus
+    that is already wide — or any input whose backing files cannot be
+    enumerated (checkpoints, local relations, streams) — this returns
+    `df` unchanged, so at scale it never adds a shuffle.
+
+    Callers must be partitioning-invariant (aggregates / equi-joins —
+    every house consumer is); the round-robin exchange moves only the
+    small pre-derivation rows once.
+    """
+    import os as _os
+
+    spark = df.sparkSession
+    p = width or spark.sparkContext.defaultParallelism
+    if p <= 1:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= p:
+        return df
+    max_bytes = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += _os.path.getsize(path)
+        except OSError:
+            return df  # non-local / unknown size: never pessimize scale
+    est_tasks = max(len(files), -(-total // max_bytes))
+    if est_tasks >= p:
+        return df
+    if key is not None:
+        # hash-repartition on a (unique) key: spreads evenly, is
+        # deterministic under task retries, and skips the local
+        # sort-before-repartition a keyless round-robin pays
+        # (SPARK-23207 / guide §2.5)
+        return df.repartition(p, F.col(key))
+    return df.repartition(p)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every harness table as a temp view for spark.sql parity."""
     for name in TESTDATA_TABLES:

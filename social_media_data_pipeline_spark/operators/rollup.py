@@ -141,10 +141,18 @@ def incremental_rollup_batch(batch: DataFrame, store_path: str) -> dict:
     ("files_total"/"files_rewritten"/"rows_written") once the store
     exists. An empty batch is a no-op (no commit, no state churn — the
     band-store lesson)."""
+    from pyspark.sql import Observation
+
     from social_media_data_pipeline_spark import scale
 
     spark = batch.sparkSession
-    partial = rollup_partial(batch).localCheckpoint(eager=True)
+    # rows_batch rides the partial-aggregate job as an observation on
+    # the pre-filter batch — the previous shape re-scanned the whole
+    # batch at return time just for this stat
+    _obs = Observation()
+    partial = rollup_partial(
+        batch.observe(_obs, F.count(F.lit(1)).alias("rows"))
+    ).localCheckpoint(eager=True)
     keys_touched = partial.count()
     if keys_touched == 0:
         return {"rows_batch": 0, "keys_touched": 0}
@@ -167,7 +175,7 @@ def incremental_rollup_batch(batch: DataFrame, store_path: str) -> dict:
         # manifest-less directory (streaming/curation.py convention)
         partial.write.mode("overwrite").parquet(store_path)
     return {
-        "rows_batch": batch.count(),
+        "rows_batch": int(_obs.get["rows"]),
         "keys_touched": keys_touched,
         **stats,
     }
@@ -270,7 +278,9 @@ def transition_partial(
         F.col(type_col).alias("et"),
     )
     ends = batch.groupBy(user_col).agg(
-        F.min(point()).alias("first"), F.max(point()).alias("last")
+        F.min(point()).alias("first"),
+        F.max(point()).alias("last"),
+        F.count(F.lit(1)).alias("n_events"),
     )
     return pairs, ends
 
@@ -286,29 +296,46 @@ def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
     spark = batch.sparkSession
     counts_path = os.path.join(store_path, "counts")
     tails_path = os.path.join(store_path, "tails")
-    rows_batch = batch.count()
-    if rows_batch == 0:
-        return {"rows_batch": 0, "keys_touched": 0, "seam_pairs": 0}
-
     pairs, ends = transition_partial(batch)
-    ends = ends.localCheckpoint(eager=True)
+    have_tails = _have_store(tails_path)
 
     seam_pairs = 0
-    if _have_store(tails_path):
+    if have_tails:
         tails = _read_state(spark, tails_path, _TAIL_STATE_SCHEMA)
         matched = ends.join(tails, "user_id", "left").localCheckpoint(eager=True)
-        regressed = matched.filter(
-            F.col("last_ts").isNotNull()
-            & (
-                (F.col("first.ts") < F.col("last_ts"))
-                | (
-                    (F.col("first.ts") == F.col("last_ts"))
-                    & (F.col("first.event_id") <= F.col("last_event_id"))
-                )
+        # ONE bounded collect carries every driver probe the fold
+        # needs: batch row count (empty-batch no-op), seam-pair total,
+        # and an order-regression witness — the previous shape paid a
+        # full batch.count() scan plus two more jobs for the same facts
+        regress = F.col("last_ts").isNotNull() & (
+            (F.col("first.ts") < F.col("last_ts"))
+            | (
+                (F.col("first.ts") == F.col("last_ts"))
+                & (F.col("first.event_id") <= F.col("last_event_id"))
             )
-        ).limit(1).collect()
-        if regressed:
-            r = regressed[0]
+        )
+        probe = matched.agg(
+            F.sum("n_events").alias("rows_batch"),
+            F.count(F.when(F.col("last_event").isNotNull(), 1)).alias(
+                "seam_pairs"
+            ),
+            F.max(
+                F.when(
+                    regress,
+                    F.struct(
+                        F.col("user_id"),
+                        F.col("first"),
+                        F.col("last_ts"),
+                        F.col("last_event_id"),
+                    ),
+                )
+            ).alias("witness"),
+        ).collect()[0]
+        rows_batch = int(probe["rows_batch"] or 0)
+        if rows_batch == 0:
+            return {"rows_batch": 0, "keys_touched": 0, "seam_pairs": 0}
+        if probe["witness"] is not None:
+            r = probe["witness"]
             raise ValueError(
                 "incremental_transition_batch: batch regresses behind the "
                 f"recorded tail for user_id={r['user_id']} (batch first "
@@ -317,6 +344,7 @@ def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
                 "require per-user event-time order; replaying or reordering "
                 "batches would double-count pairs"
             )
+        seam_pairs = int(probe["seam_pairs"])
         boundary = (
             matched.filter(F.col("last_event").isNotNull())
             .groupBy(
@@ -325,24 +353,31 @@ def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
             )
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        seam_pairs = boundary.agg(F.sum("n")).collect()[0][0] or 0
         delta = (
             pairs.unionByName(boundary)
             .groupBy("src", "dst")
             .agg(F.sum("n").alias("n"))
         )
+        ends = matched  # carries the same first/last/n_events columns
     else:
+        rows_batch = batch.count()
+        if rows_batch == 0:
+            return {"rows_batch": 0, "keys_touched": 0, "seam_pairs": 0}
         delta = pairs
 
-    partial = delta.select(
+    # the delta is |types|²-bounded (the module contract) — collect it
+    # instead of checkpoint+count: one job, and the upsert's consumers
+    # replay a LocalTableScan rather than a checkpoint read
+    delta_rows = delta.select(
         F.xxhash64(F.concat_ws("|", "src", "dst")).alias("trans_key"),
         "src",
         "dst",
         "n",
-    ).localCheckpoint(eager=True)
-    keys_touched = partial.count()
+    ).collect()
+    keys_touched = len(delta_rows)
     stats: dict = {}
     if keys_touched:
+        partial = spark.createDataFrame(delta_rows, _TRANS_STATE_SCHEMA)
         if _have_store(counts_path):
             existing = _read_state(spark, counts_path, _TRANS_STATE_SCHEMA)
             affected = existing.join(
@@ -363,7 +398,7 @@ def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
         F.col("last.event_id").alias("last_event_id"),
         F.col("last.et").alias("last_event"),
     )
-    if _have_store(tails_path):
+    if have_tails:
         scale.selective_upsert(spark, tails_path, new_tails, "user_id")
     else:
         new_tails.write.mode("overwrite").parquet(tails_path)

@@ -739,6 +739,81 @@ def pruned_read_footer(
     return out
 
 
+#: file-count ceiling for the driver-side rewrite-set fast path — the
+#: same "driver-sized" bound footer_stats_index documents; above it the
+#: distributed index + bucket join takes over
+_SMALL_TABLE_FILES = 32
+
+
+def _small_table_rewrite_set(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    files: list[str],
+) -> list[str] | None:
+    """Driver-sized MERGE planning: for tables of ≤ `_SMALL_TABLE_FILES`
+    live files, read the footers in-process (pyarrow — no Spark job, no
+    Python-worker round trip) and test range containment with ONE fused
+    map-side aggregate over the updates (one boolean max per candidate
+    file) instead of the distributed index job + global-bounds collect
+    + bucket-join collect the at-scale path needs. Returns the sorted
+    rewrite list, or None when the table is too wide for the fast path
+    or a key's footer stats are not plain int/float (the distributed
+    path owns every other case). Semantics are identical: a file is
+    rewritten iff its [lo, hi] can contain an update key, and files
+    with missing stats are rewritten unconditionally."""
+    if len(files) > _SMALL_TABLE_FILES:
+        return None
+    pdf = footer_stats_index(path, [key])
+    lo_by_file: dict[str, object] = {}
+    hi_by_file: dict[str, object] = {}
+    missing: set[str] = set()
+    for r in pdf.itertuples(index=False):
+        f = r.file
+        lo, hi = getattr(r, f"min_{key}"), getattr(r, f"max_{key}")
+        if lo is None or hi is None or (
+            isinstance(lo, float) and lo != lo
+        ) or (isinstance(hi, float) and hi != hi):
+            missing.add(f)
+            continue
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            return None  # exotic key type: let the typed Spark path refuse
+        lo_by_file[f] = lo if f not in lo_by_file else min(lo_by_file[f], lo)
+        hi_by_file[f] = hi if f not in hi_by_file else max(hi_by_file[f], hi)
+    cond = sorted(set(lo_by_file) - missing)
+    fractional = any(isinstance(lo_by_file[f], float) for f in cond)
+    aggs = [
+        F.max(
+            F.when(
+                (F.col(key) >= F.lit(lo_by_file[f]))
+                & (F.col(key) <= F.lit(hi_by_file[f])),
+                1,
+            )
+        ).alias(f"__r{i}")
+        for i, f in enumerate(cond)
+    ]
+    if fractional:
+        # NaN update keys can never range-match and would be silently
+        # skipped (stale duplicates after MERGE) — same loud refusal as
+        # upsert_rewrite_set, fused into the same aggregate
+        aggs.append(F.max(F.when(F.isnan(key), 1)).alias("__nan"))
+    if not aggs:
+        return sorted(missing)
+    hit = updates.agg(*aggs).collect()[0]
+    if fractional and hit["__nan"]:
+        raise ValueError(
+            "selective upsert/delete: NaN update keys cannot be "
+            "range-matched against file stats and would be silently "
+            "skipped (stale duplicates after MERGE); filter or remap "
+            "them first"
+        )
+    return sorted(
+        set(missing)
+        | {f for i, f in enumerate(cond) if hit[f"__r{i}"] is not None}
+    )
+
+
 def selective_upsert(
     spark: SparkSession,
     path: str,
@@ -771,21 +846,32 @@ def selective_upsert(
     import shutil as _shutil
     import uuid as _uuid
 
-    # distributed footer-stats index → per-file key ranges (Spark-side;
-    # a NULL range means the footer carried no stats for `key` — such a
-    # file is unconditionally in the rewrite set, never silently kept)
-    idx = footer_stats_index_table(spark, path, [key])
-    ranges_df = idx.groupBy("file").agg(
-        F.min(f"min_{key}").alias("lo"), F.max(f"max_{key}").alias("hi")
-    )
-    files_total = ranges_df.count()
-    # equi bucket-blocked semi-join (upsert_rewrite_set): no
-    # BroadcastNestedLoopJoin anywhere in the MERGE plan
-    rewrite = sorted(
-        r["file"]
-        for r in upsert_rewrite_set(ranges_df, updates, key).collect()
-    )
     before = live_files(path)
+    # the footer index enumerates exactly the live files, so the file
+    # total is the manifest list's length — no counting job
+    files_total = len(before)
+    small = _small_table_rewrite_set(spark, path, updates, key, before)
+    if small is not None:
+        rewrite = small
+    else:
+        # distributed footer-stats index → per-file key ranges (Spark-
+        # side; a NULL range means the footer carried no stats for
+        # `key` — such a file is unconditionally in the rewrite set,
+        # never silently kept). Materialized ONCE: the index is
+        # consumed multiple times below (global bounds, bucket join,
+        # missing-stats filter), and without a checkpoint every action
+        # re-reads every live footer — at 100 TB the footer sweep over
+        # millions of files is the planning cost.
+        idx = footer_stats_index_table(spark, path, [key])
+        ranges_df = idx.groupBy("file").agg(
+            F.min(f"min_{key}").alias("lo"), F.max(f"max_{key}").alias("hi")
+        ).localCheckpoint(eager=True)
+        # equi bucket-blocked semi-join (upsert_rewrite_set): no
+        # BroadcastNestedLoopJoin anywhere in the MERGE plan
+        rewrite = sorted(
+            r["file"]
+            for r in upsert_rewrite_set(ranges_df, updates, key).collect()
+        )
     # CAS base (r9): the generation this writer's `before` list was
     # read at — the final commit refuses if another writer moved it.
     # Plain directory tables are bootstrapped to generation 0 HERE
@@ -824,8 +910,16 @@ def selective_upsert(
     else:
         merged = updates.select(*target_cols)
     staging = path.rstrip("/") + f"__upsert_{_uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    rows_written = spark.read.parquet(staging).count()
+    # rows_written rides the write job as an observation — the staged
+    # table is never re-read (the previous shape re-scanned the full
+    # staged output just for this stat)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    merged.observe(_obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    rows_written = int(_obs.get["rows"])
     # swap: (1) staged files move IN (invisible to manifest readers —
     # not yet committed), (2) the manifest flips atomically to the new
     # live set — THE commit point, (3) replaced files are deleted
@@ -897,18 +991,33 @@ def selective_delete(
     import shutil as _shutil
     import uuid as _uuid
 
-    idx = footer_stats_index_table(spark, path, [key])
-    ranges_df = idx.groupBy("file").agg(
-        F.min(f"min_{key}").alias("lo"), F.max(f"max_{key}").alias("hi")
-    )
-    files_total = ranges_df.count()
+    before = live_files(path)
+    files_total = len(before)
     del_keys = keys.select(key).distinct()
-    rewrite = sorted(
-        r["file"] for r in upsert_rewrite_set(ranges_df, del_keys, key).collect()
-    )
+    n_rows_by_file: dict[str, int] | None = None
+    small = _small_table_rewrite_set(spark, path, del_keys, key, before)
+    if small is not None:
+        rewrite = small
+        pdf = footer_stats_index(path, [key])
+        n_rows_by_file = (
+            pdf.groupby("file")["n_rows"].sum().astype(int).to_dict()
+        )
+    else:
+        # one footer pass (the selective_upsert discipline): materialize
+        # the per-file ranges — carrying each file's row total, so the
+        # deleted-row accounting below never re-reads the rewritten files
+        idx = footer_stats_index_table(spark, path, [key])
+        ranges_df = idx.groupBy("file").agg(
+            F.min(f"min_{key}").alias("lo"),
+            F.max(f"max_{key}").alias("hi"),
+            F.sum("n_rows").alias("__n_rows"),
+        ).localCheckpoint(eager=True)
+        rewrite = sorted(
+            r["file"]
+            for r in upsert_rewrite_set(ranges_df, del_keys, key).collect()
+        )
     if not rewrite:
         return {"files_total": files_total, "files_rewritten": 0, "rows_deleted": 0}
-    before = live_files(path)
     # CAS base (r9): same contract as selective_upsert — bootstrap
     # plain tables to generation 0 up front, refuse the final flip if
     # another writer committed since this read
@@ -920,7 +1029,15 @@ def selective_delete(
     # evolve_schema=True upsert (same hazard as selective_upsert)
     old = spark.read.option("mergeSchema", "true").parquet(*rewrite)
     kept = old.join(del_keys, key, "left_anti")
-    n_old = old.count()
+    # n_old from the footer index (no data-page read)
+    if n_rows_by_file is not None:
+        n_old = sum(n_rows_by_file[f] for f in rewrite)
+    else:
+        n_old = int(
+            ranges_df.filter(F.col("file").isin(rewrite))
+            .agg(F.sum("__n_rows"))
+            .collect()[0][0]
+        )
     n_kept = kept.count()
     moved: list[str] = []
     staging = path.rstrip("/") + f"__delete_{_uuid.uuid4().hex[:8]}"
