@@ -120,8 +120,16 @@ def kmeans_train(
     dim = len(cents[0][1])
     counts: dict[int, int] = {}
     for _ in range(iters):
-        cdf = spark.createDataFrame(cents, "centroid_id int, c array<bigint>")
-        c_row = cdf.agg(F.collect_list(F.struct("centroid_id", "c")).alias("__cents"))
+        # the broadcast centroid row is built directly as a one-row
+        # local relation: the previous collect_list aggregate over a
+        # LocalTableScan scheduled a real (driver-blocking) sub-job
+        # inside every round's broadcast materialization; a
+        # LocalTableScan broadcasts job-free. Order is irrelevant —
+        # _assign_expr takes array_min over (d, cid) structs.
+        c_row = spark.createDataFrame(
+            [(list(cents),)],
+            "__cents array<struct<centroid_id:int,c:array<bigint>>>",
+        )
         assigned = xq_df.crossJoin(F.broadcast(c_row)).select(
             "id", "xq", _assign_expr().alias("cluster")
         )

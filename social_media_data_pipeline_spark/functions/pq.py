@@ -357,27 +357,43 @@ def pq_codebook_kmeans(
         (r["j"], rank_of[r["id"]]): list(r["sq"]) for r in seed_rows
     }
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(j, cid, c) for (j, cid), c in sorted(cents.items())],
-            "j int, cid int, c array<bigint>",
-        )
-        crow = cdf.groupBy("j").agg(
-            F.collect_list(
-                F.struct(F.col("cid").alias("centroid_id"), "c")
-            ).alias("__cents")
+        # m-row local relation instead of a groupBy/collect_list over
+        # one (kmeans_train: that aggregate schedules a real sub-job
+        # inside every round's broadcast build; a LocalTableScan
+        # broadcasts job-free). Order inside __cents is irrelevant —
+        # _assign_expr takes array_min over (d, cid) structs.
+        crow = spark.createDataFrame(
+            [
+                (j, [(cid, c) for (jj, cid), c in sorted(cents.items()) if jj == j])
+                for j in range(m)
+            ],
+            "j int, __cents array<struct<centroid_id:int,c:array<bigint>>>",
         )
         assigned = sub_df.join(F.broadcast(crow), "j").select(
             "id", "j", "sq", _assign_expr("__cents", "sq").alias("cid")
         )
+        # per-subdim sums WITHOUT row inflation (the kmeans_train r6
+        # fix): the previous shape posexploded to dsub×(n·m) rows
+        # before the partial agg; each subdimension as its own sum
+        # column keeps map-side combine on unexploded rows and the
+        # shuffle carries m·ksub rows of (cnt, dsub sums) — identical
+        # integer sums, dsub× fewer shuffle rows
         stats = (
-            assigned.select("j", "cid", F.posexplode("sq").alias("p", "v"))
-            .groupBy("j", "cid", "p")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            assigned.groupBy("j", "cid")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(F.element_at("sq", p + 1)).alias(f"s{p}")
+                    for p in range(dsub)
+                ],
+            )
             .collect()
         )
         by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
         for r in stats:
-            by_key.setdefault((r["j"], r["cid"]), {})[r["p"]] = (r["s"], r["cnt"])
+            by_key[(r["j"], r["cid"])] = {
+                p: (r[f"s{p}"], r["cnt"]) for p in range(dsub)
+            }
         new_cents = {}
         for key, old in cents.items():
             dims = by_key.get(key)

@@ -1309,6 +1309,7 @@ def blocking_quality(
     window: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate-generator evaluation → one row per blocking method:
     (method, n_candidates, n_true, n_caught, pair_completeness,
@@ -1329,21 +1330,30 @@ def blocking_quality(
     query run on a sample; at 100 TB run it on a stratified sample and
     read completeness with binomial error bars.
     """
+    from pyspark.sql import Observation
+
     from social_media_data_pipeline_spark.functions import sketches
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
     spark = df.sparkSession
-    n = df.count()
+    # n_rows lets the sampled wrapper pass the count it already paid
+    # for instead of re-running the sample filter scan (guide §1.2)
+    n = df.count() if n_rows is None else n_rows
     all_pairs = n * (n - 1) // 2
+    # every set count rides its table's checkpoint materialization as
+    # an Observation — the previous shape paid a separate count() job
+    # per table (3 extra jobs per evaluation; guide §1.2)
+    _t_obs = Observation()
     truth = (
         sketches.ngram_jaccard_pairs_prefix(
             df, id_col, text_col, shingle_k=shingle_k,
             threshold=jaccard_threshold,
         )
         .select("id_a", "id_b")
+        .observe(_t_obs, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)
     )
-    n_true = truth.count()
+    n_true = int(_t_obs.get["m"])
     key = F.substring(normalize_text(text_col), 1, key_len)
     methods = {
         "minhash_lsh": sketches.minhash_lsh_pairs(
@@ -1356,8 +1366,11 @@ def blocking_quality(
     }
     rows = []
     for name, cand in methods.items():
-        cand = cand.localCheckpoint(eager=True)
-        n_cand = cand.count()
+        _c_obs = Observation()
+        cand = cand.observe(
+            _c_obs, F.count(F.lit(1)).alias("m")
+        ).localCheckpoint(eager=True)
+        n_cand = int(_c_obs.get["m"])
         n_caught = truth.join(cand, ["id_a", "id_b"], "leftsemi").count()
         rows.append((name, n_cand, n_true, n_caught))
     counts = spark.createDataFrame(
@@ -1446,7 +1459,9 @@ def blocking_quality_sampled(
     ).cast("bigint")
     sample = df.filter(draw % inv_rate == 0)
     n_sample = sample.count()
-    base = blocking_quality(sample, id_col, text_col, **kwargs)
+    base = blocking_quality(
+        sample, id_col, text_col, n_rows=n_sample, **kwargs
+    )
     # Wilson score interval, the expression tree mirrored OPERATION FOR
     # OPERATION by the SQL oracle (doubles end to end, z² formed by an
     # explicit double×double so neither engine takes a decimal-exact

@@ -377,19 +377,34 @@ def incremental_transition_batch(batch: DataFrame, store_path: str) -> dict:
     keys_touched = len(delta_rows)
     stats: dict = {}
     if keys_touched:
-        partial = spark.createDataFrame(delta_rows, _TRANS_STATE_SCHEMA)
         if _have_store(counts_path):
+            # the affected existing counts are a subset of the
+            # |types|²-bounded state — ONE literal-IN filtered scan
+            # collects them, the merge is exact int64 addition driver-
+            # side, and the upsert's updates become a LocalTableScan.
+            # The previous shape passed the scan⋈delta⋈agg PLAN as the
+            # updates, and every selective_upsert action (containment
+            # probe, observed write) re-ran the whole join (measured:
+            # 2.9 s vs 0.6 s for the tails upsert of MORE rows)
             existing = _read_state(spark, counts_path, _TRANS_STATE_SCHEMA)
-            affected = existing.join(
-                partial.select("trans_key"), "trans_key", "left_semi"
+            keys = [r["trans_key"] for r in delta_rows]
+            by_key = {
+                r["trans_key"]: list(r)
+                for r in existing.filter(
+                    F.col("trans_key").isin(keys)
+                ).collect()
+            }
+            merged_rows = []
+            for r in delta_rows:
+                old = by_key.get(r["trans_key"])
+                n = int(r["n"]) + (int(old[3]) if old else 0)
+                merged_rows.append((r["trans_key"], r["src"], r["dst"], n))
+            merged = spark.createDataFrame(merged_rows, _TRANS_STATE_SCHEMA)
+            stats = scale.selective_upsert(
+                spark, counts_path, merged, "trans_key", update_keys=keys
             )
-            merged = (
-                affected.unionByName(partial)
-                .groupBy("trans_key", "src", "dst")
-                .agg(F.sum("n").alias("n"))
-            )
-            stats = scale.selective_upsert(spark, counts_path, merged, "trans_key")
         else:
+            partial = spark.createDataFrame(delta_rows, _TRANS_STATE_SCHEMA)
             partial.write.mode("overwrite").parquet(counts_path)
 
     new_tails = ends.select(

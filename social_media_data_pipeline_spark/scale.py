@@ -745,12 +745,52 @@ def pruned_read_footer(
 _SMALL_TABLE_FILES = 32
 
 
+def _keys_rewrite_set(
+    update_keys,
+    lo_by_file: dict,
+    hi_by_file: dict,
+    cond: list[str],
+    missing: set[str],
+    fractional: bool,
+) -> list[str]:
+    """Containment test against a caller-supplied driver-side key list
+    (the IVM folds' bounded deltas): no job at all — the fused
+    aggregate pays a fresh whole-stage-codegen compile every call
+    (its range literals change per upsert; measured ~0.5 s/call)."""
+    import bisect as _bisect
+
+    if fractional and any(
+        isinstance(v, float) and v != v for v in update_keys
+    ):
+        raise ValueError(
+            "selective upsert/delete: NaN update keys cannot be "
+            "range-matched against file stats and would be silently "
+            "skipped (stale duplicates after MERGE); filter or remap "
+            "them first"
+        )
+    vals = sorted(
+        v
+        for v in update_keys
+        if v is not None and not (isinstance(v, float) and v != v)
+    )
+    return sorted(
+        set(missing)
+        | {
+            f
+            for f in cond
+            if _bisect.bisect_right(vals, hi_by_file[f])
+            > _bisect.bisect_left(vals, lo_by_file[f])
+        }
+    )
+
+
 def _small_table_rewrite_set(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     key: str,
     files: list[str],
+    update_keys=None,
 ) -> list[str] | None:
     """Driver-sized MERGE planning: for tables of ≤ `_SMALL_TABLE_FILES`
     live files, read the footers in-process (pyarrow — no Spark job, no
@@ -783,6 +823,10 @@ def _small_table_rewrite_set(
         hi_by_file[f] = hi if f not in hi_by_file else max(hi_by_file[f], hi)
     cond = sorted(set(lo_by_file) - missing)
     fractional = any(isinstance(lo_by_file[f], float) for f in cond)
+    if update_keys is not None:
+        return _keys_rewrite_set(
+            update_keys, lo_by_file, hi_by_file, cond, missing, fractional
+        )
     aggs = [
         F.max(
             F.when(
@@ -821,6 +865,7 @@ def selective_upsert(
     key: str,
     keep_history: bool = False,
     evolve_schema: bool = False,
+    update_keys=None,
 ) -> dict:
     """Copy-on-write MERGE (upsert by `key`) that rewrites ONLY the
     files whose footer key range can contain an updated key; every
@@ -841,6 +886,13 @@ def selective_upsert(
     set shrinks to ~updates/file_span.
 
     Returns {"files_total", "files_rewritten", "rows_written"}.
+
+    `update_keys`: optional driver-side list of the EXACT key values in
+    `updates` (callers with bounded deltas — the IVM folds — already
+    hold them). When given, the rewrite-set containment probe and the
+    kept-rows anti join run with zero extra jobs (bisect containment +
+    a literal-IN filter); the caller is responsible for the list
+    matching `updates`' keys exactly.
     """
     import os as _os
     import shutil as _shutil
@@ -850,7 +902,9 @@ def selective_upsert(
     # the footer index enumerates exactly the live files, so the file
     # total is the manifest list's length — no counting job
     files_total = len(before)
-    small = _small_table_rewrite_set(spark, path, updates, key, before)
+    small = _small_table_rewrite_set(
+        spark, path, updates, key, before, update_keys=update_keys
+    )
     if small is not None:
         rewrite = small
     else:
@@ -883,8 +937,22 @@ def selective_upsert(
     )
     # mergeSchema so an earlier evolved column counts as part of the
     # target schema (a plain read resolves one footer and could flag
-    # it as "extra" on the next upsert)
-    target_cols = spark.read.option("mergeSchema", "true").parquet(*before).columns
+    # it as "extra" on the next upsert). Driver-sized tables read the
+    # footers in-process (pyarrow) — Spark's mergeSchema path launches
+    # a schema-merge job over the files for every upsert; the union
+    # mirrors its first-file-then-append field order.
+    if len(before) <= _SMALL_TABLE_FILES:
+        import pyarrow.parquet as _pq
+
+        target_cols = []
+        for f in before:
+            for c in _pq.read_schema(f).names:
+                if c not in target_cols:
+                    target_cols.append(c)
+    else:
+        target_cols = (
+            spark.read.option("mergeSchema", "true").parquet(*before).columns
+        )
     extra = [c for c in updates.columns if c not in target_cols]
     if extra and not evolve_schema:
         # silent column drops are a data-loss hazard; evolving the
@@ -900,7 +968,18 @@ def selective_upsert(
         # rewrite set can mix schemas; a plain read would resolve one
         # footer and drop the evolved column from kept rows
         old = spark.read.option("mergeSchema", "true").parquet(*rewrite)
-        keep = old.join(updates.select(key).distinct(), key, "left_anti")
+        if update_keys is not None:
+            # caller-supplied driver-side key list: the anti join (a
+            # distinct aggregate + broadcast-exchange sub-job per
+            # upsert) collapses to a map-side literal-IN filter.
+            # NULL-key old rows are KEPT, matching left_anti's
+            # null-never-matches semantics.
+            keep = old.filter(
+                F.col(key).isNull()
+                | ~F.col(key).isin([k for k in update_keys if k is not None])
+            )
+        else:
+            keep = old.join(updates.select(key).distinct(), key, "left_anti")
         if evolve_schema:
             merged = keep.unionByName(updates, allowMissingColumns=True)
         else:
