@@ -153,7 +153,12 @@ def incremental_rollup_batch(batch: DataFrame, store_path: str) -> dict:
     partial = rollup_partial(
         batch.observe(_obs, F.count(F.lit(1)).alias("rows"))
     ).localCheckpoint(eager=True)
-    keys_touched = partial.count()
+    # the touched keys ARE the count job the previous shape paid —
+    # collecting them (bounded: distinct (day,type) combos of the
+    # batch) also lets the upsert skip its containment-probe aggregate
+    # and anti-join broadcast (update_keys below)
+    touched_keys = [r[0] for r in partial.select("rollup_key").collect()]
+    keys_touched = len(touched_keys)
     if keys_touched == 0:
         return {"rows_batch": 0, "keys_touched": 0}
     have_store = bool(scale.read_table_manifest(store_path)) or (
@@ -169,7 +174,10 @@ def incremental_rollup_batch(batch: DataFrame, store_path: str) -> dict:
             partial.select("rollup_key"), "rollup_key", "left_semi"
         )
         merged = rollup_merge(affected, partial)
-        stats = scale.selective_upsert(spark, store_path, merged, "rollup_key")
+        stats = scale.selective_upsert(
+            spark, store_path, merged, "rollup_key",
+            update_keys=touched_keys,
+        )
     else:
         # bootstrap: plain write; the first upsert adopts the
         # manifest-less directory (streaming/curation.py convention)
