@@ -69,6 +69,74 @@ def _assign_expr(cents_col: str = "__cents", xq_col: str = "xq") -> Column:
     )["cid"]
 
 
+DRIVER_TRAIN_BYTES_CONF = "spark.graft.trainer.driverCollectBytes"
+DRIVER_TRAIN_BYTES_DEFAULT = 32 * 1024 * 1024
+
+
+def _driver_train_budget(spark) -> int:
+    from social_media_data_pipeline_spark.io import _parse_bytes
+
+    return _parse_bytes(
+        spark.conf.get(
+            DRIVER_TRAIN_BYTES_CONF, str(DRIVER_TRAIN_BYTES_DEFAULT)
+        )
+    )
+
+
+def _spark_rem(a: int, b: int) -> int:
+    """Spark/Java `%` (truncated remainder, sign of the dividend) —
+    Python's `%` floors instead; they differ on negative dividends."""
+    return a - int(a / b) * b if a < 0 else a % b
+
+
+def _lloyd_rounds_driver(
+    xq_rows: "list[tuple[int, list[int]]]",
+    cents: "list[tuple[int, list[int]]]",
+    iters: int,
+) -> tuple[list[tuple[int, list[int]]], dict[int, int]]:
+    """All Lloyd rounds driver-side over the ALREADY-Spark-quantized
+    micro vectors — bit-identical to the distributed per-round jobs:
+    int64 squared-L2 with two's-complement wrap (numpy int64 ≡ Java
+    long, and integer addition is associative mod 2⁶⁴ so partial-agg
+    order is irrelevant), argmin ties to the LOWER centroid id
+    (np.argmin takes the first minimum; row index == cid because cids
+    are contiguous 0..K-1), and re-center as floor(Σx/count) with the
+    division performed on Python ints — the same IEEE double op on the
+    same exact operands the collect-based path feeds `math.floor`.
+    Empty clusters keep their previous centroid; returned counts are
+    the FINAL round's memberships (the distributed contract)."""
+    import numpy as np
+
+    X = np.array([x for _, x in xq_rows], dtype=np.int64)
+    counts: dict[int, int] = {}
+    k = len(cents)
+    with np.errstate(over="ignore"):
+        for _ in range(iters):
+            C = np.array([c for _, c in cents], dtype=np.int64)
+            dists = np.empty((X.shape[0], k), dtype=np.int64)
+            for ci in range(k):
+                diff = X - C[ci]
+                dists[:, ci] = (diff * diff).sum(axis=1)
+            labels = dists.argmin(axis=1)
+            cnt = np.bincount(labels, minlength=k)
+            sums = np.zeros((k, X.shape[1]), dtype=np.int64)
+            np.add.at(sums, labels, X)
+            new_cents = []
+            counts = {}
+            for cid, old in cents:
+                c = int(cnt[cid])
+                if c == 0:
+                    counts[cid] = 0
+                    new_cents.append((cid, old))
+                    continue
+                counts[cid] = c
+                new_cents.append(
+                    (cid, [math.floor(int(s) / c) for s in sums[cid]])
+                )
+            cents = new_cents
+    return cents, counts
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int | None = None,
@@ -87,6 +155,18 @@ def kmeans_train(
     nearest centroid by integer squared-L2 in micro space (ties → lower
     cid) and re-centers with floor(Σx/count); empty clusters keep their
     previous centroid.
+
+    Execution is scale-adaptive: when the backing files are within
+    `spark.graft.trainer.driverCollectBytes` (default 32 MiB — a
+    metadata-only decision, no job), the Spark-quantized training view
+    is collected ONCE and every Lloyd round runs driver-side in int64
+    numpy (`_lloyd_rounds_driver` — bit-identical model, asserted by
+    tests against the distributed path). That replaces the checkpoint
+    + count + seed-collect + one-job-per-round shape (~3+iters jobs,
+    each paying the local-mode scheduling floor) with a single collect.
+    Larger corpora — the 100 TB case — take the distributed path
+    below unchanged: broadcast-centroid map-side assignment, one
+    (cluster, dim)-partial-aggregated shuffle per round.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -94,6 +174,23 @@ def kmeans_train(
     xq_src = vectors.select(
         F.col(id_col).alias("id"), quantize_micro(vec_col).alias("xq")
     )
+    from social_media_data_pipeline_spark.io import input_backing_bytes
+
+    backing = input_backing_bytes(vectors)
+    if backing is not None and backing <= _driver_train_budget(spark):
+        rows = [(r["id"], list(r["xq"])) for r in xq_src.collect()]
+        n = corpus_size if corpus_size is not None else len(rows)
+        if k is None:
+            k = max(4, math.floor(math.sqrt(n)))
+        stride = max(1, n // k)
+        seeds = sorted(
+            (i, x) for i, x in rows if _spark_rem(i, stride) == 0
+        )
+        if not seeds:
+            raise ValueError("no seed vectors selected — empty corpus?")
+        cents0 = [(ci, list(x)) for ci, (_i, x) in enumerate(seeds)]
+        cents, counts = _lloyd_rounds_driver(rows, cents0, iters)
+        return [(cid, counts[cid], c) for cid, c in cents]
     # the per-round assignment is CPU-bound (K×dim interpreted
     # higher-order arithmetic per vector); a single-file corpus scan
     # arrives as ONE partition (unsplittable small parquet — guide

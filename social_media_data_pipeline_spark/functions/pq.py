@@ -320,6 +320,64 @@ def pq_codebook_kmeans(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     spark = vectors.sparkSession
+    # scale-adaptive (the kmeans_train discipline): a driver-sized
+    # corpus — metadata-only backing-bytes decision — is collected
+    # ONCE (Spark-quantized; subvector quantization is element-wise so
+    # slicing the quantized full vector is identical) and every
+    # per-subspace Lloyd round runs driver-side in int64 numpy,
+    # bit-identical to the distributed rounds. Replaces first() +
+    # checkpoint + seed collect + iters round jobs with one collect.
+    # Large corpora take the distributed path below unchanged.
+    from social_media_data_pipeline_spark.functions.kmeans import (
+        _driver_train_budget,
+        _lloyd_rounds_driver,
+    )
+    from social_media_data_pipeline_spark.io import input_backing_bytes
+
+    backing = input_backing_bytes(vectors)
+    if backing is not None and backing <= _driver_train_budget(spark):
+        from social_media_data_pipeline_spark.functions.kmeans import (
+            MICRO as _MICRO,
+        )
+        from social_media_data_pipeline_spark.functions.kmeans import (
+            quantize_micro as _qm,
+        )
+
+        rows = [
+            (r["id"], list(r["xq"]))
+            for r in vectors.select(
+                F.col(id_col).alias("id"), _qm(vec_col).alias("xq")
+            ).collect()
+        ]
+        if rows:
+            dim = len(rows[0][1])
+            if dim % m:
+                raise ValueError(
+                    f"dim {dim} not divisible by m={m} subspaces"
+                )
+            dsub = dim // m
+            seed_ids = sorted(i for i, _x in rows if i < ksub)
+            if len(seed_ids) < ksub:
+                raise ValueError(
+                    f"need {ksub} seed vectors with {id_col} < {ksub},"
+                    f" got {len(seed_ids)}"
+                )
+            out: list[list[list[float]]] = []
+            for j in range(m):
+                sub_rows = [
+                    (i, x[j * dsub : (j + 1) * dsub]) for i, x in rows
+                ]
+                by_id = dict(sub_rows)
+                cents0 = [
+                    (ci, list(by_id[i])) for ci, i in enumerate(seed_ids)
+                ]
+                cents_j, _counts = _lloyd_rounds_driver(
+                    sub_rows, cents0, iters
+                )
+                out.append(
+                    [[v / _MICRO for v in c] for _cid, c in cents_j]
+                )
+            return out
     first = vectors.select(vec_col).first()
     dim = len(first[0])
     if dim % m:

@@ -99,6 +99,32 @@ def _parse_bytes(v: str) -> int:
         return 134217728
 
 
+def input_backing_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files backing `df`'s scan(s), or
+    None when they cannot be enumerated/sized (local relations,
+    checkpoints, streams, non-local filesystems). DRIVER-SIDE METADATA
+    ONLY — no job, no `.rdd` probe (which materializes AQE stages
+    eagerly). The conservative scale signal for "is this input
+    driver-sized": derived views (projections, joins against local
+    relations) report their source scan's bytes."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            total += _os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
 def spread_small_input(
     df: DataFrame, key: str | None = None, width: int | None = None
 ) -> DataFrame:

@@ -71,6 +71,35 @@ class TestKmeansTrain:
         with pytest.raises(ValueError, match="iters"):
             kmeans.kmeans_train(_blobs(spark), k=2, iters=0)
 
+    def test_driver_path_bit_matches_distributed(self, spark, sf_dir):
+        # file-backed input under the byte budget takes the collected
+        # numpy Lloyd path; zeroing the budget forces the distributed
+        # per-round jobs — the model must be BIT-identical (ints and
+        # the floor(sum/count) doubles), including final memberships
+        from social_media_data_pipeline_spark.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        fast = kmeans.kmeans_train(emb, iters=3)
+        spark.conf.set(kmeans.DRIVER_TRAIN_BYTES_CONF, "0")
+        try:
+            slow = kmeans.kmeans_train(emb, iters=3)
+        finally:
+            spark.conf.unset(kmeans.DRIVER_TRAIN_BYTES_CONF)
+        assert fast == slow
+
+    def test_driver_path_pq_codebook_bit_matches(self, spark, sf_dir):
+        from social_media_data_pipeline_spark.functions import pq
+        from social_media_data_pipeline_spark.io import read_table
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        fast = pq.pq_codebook_kmeans(emb, m=8, ksub=16, iters=2)
+        spark.conf.set(kmeans.DRIVER_TRAIN_BYTES_CONF, "0")
+        try:
+            slow = pq.pq_codebook_kmeans(emb, m=8, ksub=16, iters=2)
+        finally:
+            spark.conf.unset(kmeans.DRIVER_TRAIN_BYTES_CONF)
+        assert fast == slow
+
 
 class TestKmeansComposition:
     def test_centroids_feed_ivf_assign(self, spark):
