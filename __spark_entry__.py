@@ -3146,7 +3146,13 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_media_data_pipeline_spark.functions import graph as egraph
 
     li = _t(spark, sf_dir, "lineitem")
-    und = egraph.project_bipartite(li, "l_orderkey", "l_partkey", min_support=2, keep_support=True)
+    # pin the projection before symmetrizing: the flip-union's two
+    # branches are separate subtrees (no cross-branch CSE), so an
+    # unpinned `und` would run the wedge join TWICE inside pagerank's
+    # edge checkpoint (measured ~2.6 s each at sf0.1)
+    und = egraph.project_bipartite(
+        li, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+    ).localCheckpoint(eager=True)
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "sup")
     )
@@ -3187,9 +3193,11 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # pin before the flip union — see q_graph_pagerank_weighted: the
+    # union's branches would otherwise each run the wedge join
     und = egraph.project_bipartite(
         li, "l_orderkey", "l_partkey", min_support=2, keep_support=True
-    )
+    ).localCheckpoint(eager=True)
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "sup")
     )
