@@ -3535,14 +3535,10 @@ def q_embedding_ivf_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     t_mat = pca.opq_demo_fixture(d=16, m=4)[2]
-    e = F.col("embedding")
-    outs = []
-    for i in range(16):
-        expr = F.lit(float(t_mat[i][0])) * e[0].cast("double")
-        for j in range(1, 16):
-            expr = expr + F.lit(float(t_mat[i][j])) * e[j].cast("double")
-        outs.append(expr)
-    rot = emb.select("vec_id", F.array(*outs).alias("embedding"))
+    # one generated-SQL parse instead of ~512 Py4J Column round-trips
+    # (pca.rotation_select_sql: identical IEEE chain, measured
+    # 2.46 -> 0.31 s of construct per cycle)
+    rot = emb.selectExpr("vec_id", pca.rotation_select_sql(t_mat))
     cents = kmeans.kmeans_centroids(rot, iters=3)
     queries = rot.filter(F.col("vec_id") < 5)
     return pq.ivf_pq_residual_topk(
@@ -3569,14 +3565,10 @@ def q_embedding_ivf_pq_opq_searched(spark: SparkSession, sf_dir: str) -> DataFra
 
     emb = _t(spark, sf_dir, "embeddings")
     t_mat = pca.opq_demo_fixture(d=16, m=4)[2]
-    e = F.col("embedding")
-    outs = []
-    for i in range(16):
-        expr = F.lit(float(t_mat[i][0])) * e[0].cast("double")
-        for j in range(1, 16):
-            expr = expr + F.lit(float(t_mat[i][j])) * e[j].cast("double")
-        outs.append(expr)
-    rot = emb.select("vec_id", F.array(*outs).alias("embedding"))
+    # one generated-SQL parse instead of ~512 Py4J Column round-trips
+    # (pca.rotation_select_sql: identical IEEE chain, measured
+    # 2.46 -> 0.31 s of construct per cycle)
+    rot = emb.selectExpr("vec_id", pca.rotation_select_sql(t_mat))
     tag = _os.path.abspath(sf_dir) + ":embeddings:opq16"
     # fingerprint the RAW corpus: the rotated table is a pure
     # deterministic function of it (T is a fixed literal), so raw-id/

@@ -260,6 +260,25 @@ def pca_project(
     return df.mapInPandas(_proj, out_schema)
 
 
+def rotation_select_sql(t_mat, vec_col: str = "embedding") -> str:
+    """The literal-matrix rotation `out_i = Σ_j T[i][j] · x_j` as ONE
+    SQL expression string for `selectExpr` — semantically identical to
+    the Column-by-Column build (same left-to-right IEEE addition
+    chain, literals round-tripped through repr so each parses to the
+    exact same double), but a single parse instead of ~2·d² Py4J
+    round-trips (measured 2.46 → 0.31 s at d=16 per construct)."""
+    d = len(t_mat)
+    terms = [
+        " + ".join(
+            f"CAST('{t_mat[i][j]!r}' AS DOUBLE)"
+            f" * CAST({vec_col}[{j}] AS DOUBLE)"
+            for j in range(d)
+        )
+        for i in range(d)
+    ]
+    return "array(" + ", ".join(terms) + ") AS " + vec_col
+
+
 def eigenvalue_allocation(eigvals: np.ndarray, m: int) -> np.ndarray:
     """OPQ-style eigenvalue allocation (Ge et al. 2013, the public
     parametric-free variant): distribute principal directions over `m`
