@@ -333,6 +333,53 @@ def bpe_train_batched(
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     spark = df.sparkSession
+    # scale-adaptive driver path (the kmeans_train discipline): when
+    # the corpus backing files are within the trainer byte budget AND
+    # the caller did NOT truncate the head (truncation is an explicit
+    # request for the bounded-driver-memory recollection discipline —
+    # the docs_bpe_merges_80 benchmark measures exactly that path),
+    # collect the word-frequency table once and run exact sequential
+    # BPE driver-side. Identical output by the same argument as the
+    # batched certification: all counts are exact integers, the argmax
+    # tie-break is (cnt DESC, l ASC, r ASC), and `_apply_merge_py`
+    # mirrors `_apply_merge`. Replaces the checkpoint + 2 collects per
+    # round with ONE collect.
+    if head_words >= 65536 and top_pairs >= 65536:
+        from social_media_data_pipeline_spark.functions.kmeans import (
+            _driver_train_budget,
+        )
+        from social_media_data_pipeline_spark.io import input_backing_bytes
+
+        backing = input_backing_bytes(df)
+        if backing is not None and backing <= _driver_train_budget(spark):
+            vocab = [
+                [list(r["syms"]), int(r["freq"])]
+                for r in word_freq_table(df, text_col).collect()
+            ]
+            merges_d: list[tuple[int, str, str, int]] = []
+            rounds_d = 0
+            while len(merges_d) < num_merges:
+                rounds_d += 1
+                cnts: dict[tuple[str, str], int] = {}
+                for syms, freq in vocab:
+                    for i in range(len(syms) - 1):
+                        p = (syms[i], syms[i + 1])
+                        cnts[p] = cnts.get(p, 0) + freq
+                if not cnts:
+                    break
+                (l, r), cnt = min(
+                    cnts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+                merges_d.append((len(merges_d), l, r, cnt))
+                for w in vocab:
+                    w[0] = _apply_merge_py(w[0], l, r)
+            if _stats is not None:
+                _stats["rounds"] = rounds_d
+                _stats["batch_sizes"] = [1] * len(merges_d)
+            return spark.createDataFrame(
+                merges_d,
+                "merge_rank int, lhs string, rhs string, pair_freq bigint",
+            )
     words = word_freq_table(df, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0

@@ -134,6 +134,24 @@ class TestBpeTrainBatched:
         assert bat == seq
         assert stats["rounds"] == 1  # full head → one collection round
 
+    def test_driver_path_bit_matches_distributed(self, spark, sf_dir):
+        # file-backed input under the trainer byte budget takes the
+        # driver-side exact-sequential path; zeroing the budget forces
+        # the distributed certified-batch rounds — identical merges
+        from social_media_data_pipeline_spark.functions.kmeans import (
+            DRIVER_TRAIN_BYTES_CONF,
+        )
+        from social_media_data_pipeline_spark.io import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        fast = self._collect(bpe.bpe_train_batched(docs, num_merges=12))
+        spark.conf.set(DRIVER_TRAIN_BYTES_CONF, "0")
+        try:
+            slow = self._collect(bpe.bpe_train_batched(docs, num_merges=12))
+        finally:
+            spark.conf.unset(DRIVER_TRAIN_BYTES_CONF)
+        assert fast == slow
+
     def test_agrees_under_tiny_head_and_cutoff(self, spark):
         # head smaller than the vocab AND a pair-collection cutoff:
         # exercises tail intervals, ghost bounds, and multi-round
