@@ -70,7 +70,14 @@ def _assign_expr(cents_col: str = "__cents", xq_col: str = "xq") -> Column:
 
 
 DRIVER_TRAIN_BYTES_CONF = "spark.graft.trainer.driverCollectBytes"
-DRIVER_TRAIN_BYTES_DEFAULT = 32 * 1024 * 1024
+# default sits BELOW the measured driver-vs-distributed crossover: with
+# K ≈ √n the driver Lloyd loop is O(n^1.5) single-threaded (~200M int64
+# ops/s), matching the ~1 s/round distributed scheduling floor around
+# n ≈ 20k vectors ≈ 8 MiB of parquet backing (scale_sensitivity r12:
+# driver path still 3-5× ahead at 16k vectors / 6.4 MiB). PQ/BPE driver
+# costs are linear in n and clear the bar with more headroom; one
+# shared conservative budget keeps every trainer in its winning regime.
+DRIVER_TRAIN_BYTES_DEFAULT = 8 * 1024 * 1024
 
 
 def _driver_train_budget(spark) -> int:
