@@ -86,14 +86,18 @@ def _driver_train_budget(spark) -> int:
     return _parse_bytes(
         spark.conf.get(
             DRIVER_TRAIN_BYTES_CONF, str(DRIVER_TRAIN_BYTES_DEFAULT)
-        )
+        ),
+        fallback=DRIVER_TRAIN_BYTES_DEFAULT,
     )
 
 
 def _spark_rem(a: int, b: int) -> int:
     """Spark/Java `%` (truncated remainder, sign of the dividend) —
-    Python's `%` floors instead; they differ on negative dividends."""
-    return a - int(a / b) * b if a < 0 else a % b
+    Python's `%` floors instead; they differ on negative dividends.
+    Pure integer ops: `int(a / b)` would round through a double and
+    lose exactness for |a| >= 2^53."""
+    r = a % b
+    return r - b if a < 0 and r != 0 else r
 
 
 def _lloyd_rounds_driver(
@@ -164,7 +168,8 @@ def kmeans_train(
     previous centroid.
 
     Execution is scale-adaptive: when the backing files are within
-    `spark.graft.trainer.driverCollectBytes` (default 32 MiB — a
+    `spark.graft.trainer.driverCollectBytes` (default
+    `DRIVER_TRAIN_BYTES_DEFAULT` = 8 MiB, the measured crossover — a
     metadata-only decision, no job), the Spark-quantized training view
     is collected ONCE and every Lloyd round runs driver-side in int64
     numpy (`_lloyd_rounds_driver` — bit-identical model, asserted by

@@ -266,11 +266,16 @@ def rotation_select_sql(t_mat, vec_col: str = "embedding") -> str:
     the Column-by-Column build (same left-to-right IEEE addition
     chain, literals round-tripped through repr so each parses to the
     exact same double), but a single parse instead of ~2·d² Py4J
-    round-trips (measured 2.46 → 0.31 s at d=16 per construct)."""
+    round-trips (measured 2.46 → 0.31 s at d=16 per construct).
+
+    Literals go through `repr(float(...))`: callers pass numpy arrays,
+    and under numpy >= 2.0 `repr(np.float64(x))` is "np.float64(x)" —
+    which would CAST to NULL in non-ANSI Spark. `float()` keeps the
+    shortest-roundtrip repr version-independent (same IEEE double)."""
     d = len(t_mat)
     terms = [
         " + ".join(
-            f"CAST('{t_mat[i][j]!r}' AS DOUBLE)"
+            f"CAST('{float(t_mat[i][j])!r}' AS DOUBLE)"
             f" * CAST({vec_col}[{j}] AS DOUBLE)"
             for j in range(d)
         )

@@ -81,9 +81,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _parse_bytes(v: str) -> int:
+def _parse_bytes(v: str, fallback: int = 134217728) -> int:
     """Spark size string ("128m", "1g", "134217728b", bare digits) →
-    bytes; unknown suffixes fall back to the 128 MiB scan default."""
+    bytes; unparsable values fall back to `fallback` (scan callers use
+    the 128 MiB default; the trainer budget passes its own 8 MiB so a
+    malformed conf cannot silently inflate the driver-collect budget)."""
     s = v.strip().lower()
     mult = 1
     for suf, m in (
@@ -96,7 +98,7 @@ def _parse_bytes(v: str) -> int:
     try:
         return int(s) * mult
     except ValueError:
-        return 134217728
+        return fallback
 
 
 def input_backing_bytes(df: DataFrame) -> int | None:
@@ -179,6 +181,39 @@ def spread_small_input(
         # (SPARK-23207 / guide §2.5)
         return df.repartition(p, F.col(key))
     return df.repartition(p)
+
+
+def pin_stats(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Stats- and partitioning-preserving pin: persist + eager
+    materialize (one count job — the same job an eager localCheckpoint
+    pays). The cached relation reports its MEASURED sizeInBytes/rowCount
+    and keeps the child plan's output partitioning — `localCheckpoint`
+    instead reports UnknownPartitioning and default (huge) statistics,
+    which (a) re-Exchanges every co-partitioned self-join over the
+    pinned table and (b) flips downstream broadcast joins to sort-merge
+    (the r12 token-table A/B regression, 2× slower). AQE cannot disturb
+    the cached plan's partitioning:
+    `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
+    to false.
+
+    `key`: repartition on the join key first, so consumers joining on
+    it need no Exchange at all (guide §2.4 — two operations keyed the
+    same way share one exchange; here the exchange lives inside the
+    cached plan and is paid once, at pin time).
+
+    Trade-offs vs localCheckpoint: lineage is kept (the cache rebuilds
+    from the plan on executor loss rather than failing), so do NOT use
+    this for per-round pins inside iterative loops whose logical plan
+    must be truncated — only for build-once/consume-many tables. The
+    CALLER owns `.unpersist()` once its consumers have materialized.
+    Storage level is the DataFrame default (MEMORY_AND_DISK_DESER):
+    at 100 TB the pinned table spills to executor disk instead of
+    failing, the same medium a shuffle would use."""
+    if key is not None:
+        df = df.repartition(F.col(key))
+    pinned = df.persist()
+    pinned.count()
+    return pinned
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
