@@ -256,12 +256,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def rarity_sorted_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, toks, n): each doc's distinct shingles sorted rarest-first
+    under the global (doc-freq, shingle) total order — the shared
+    intermediate of the prefix-filter similarity join (threshold-
+    independent, so one build serves any threshold). Split out so
+    callers that MATERIALIZE the join (blocking evaluation, ER) can
+    pin it once (`io.pin_stats`) instead of re-deriving it in all four
+    plan branches the join plants it in (both candidate self-join
+    sides + both verification sides — 8 corpus scans per execution)."""
+    # spread before the shingle explode: the per-row derivation is the
+    # hot pass and a single-file corpus arrives as one scan task
+    sh = spread_small_input(docs, key=id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc shingles sorted rarest-first under the (df, shingle)
+    # total order; struct sort is lexicographic by field, so the order
+    # is deterministic and common to all docs
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "shingle"))
+            ).alias("__ts")
+        )
+        .select(
+            "doc",
+            F.transform("__ts", lambda s: s["shingle"]).alias("toks"),
+            F.size("__ts").alias("n"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     docs: DataFrame,
     id_col: str,
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard join via prefix filtering (Chaudhuri–
     Ganti–Kaushik SSJoin, ICDE 2006; Bayardo–Ma–Srikant "Scaling Up
@@ -295,6 +336,17 @@ def ngram_jaccard_pairs_prefix(
     among PREFIXES, not its corpus frequency. Costs one extra
     aggregate (doc-freq) + per-doc array sort vs the naive join;
     verification joins are candidate-count-sized.
+
+    `tokens` (r13): a pre-built `rarity_sorted_tokens(docs, ...)`
+    table — pass it PINNED (`io.pin_stats`) when this join is about to
+    be materialized, so the four plan branches that consume it (both
+    candidate self-join sides + both verification sides) read it once
+    instead of re-deriving it; a persist-pin keeps the measured
+    statistics, so the verification broadcasts survive (a
+    localCheckpoint pin flips them to sort-merge — the r12 A/B showed
+    2× slower). Callers that stay LAZY (one-shot pair streams) should
+    leave it None: for those the pin's eager job has nowhere to
+    amortize.
     """
     # Threshold range guard (r10, ADVICE fix): t > 1 makes the prefix
     # length n − ⌈t·n⌉ + 1 non-positive (obscure mid-job slice
@@ -308,29 +360,10 @@ def ngram_jaccard_pairs_prefix(
             f"got {threshold!r} — t > 1 yields a non-positive prefix "
             "length and t <= 0 degenerates to the all-pairs join"
         )
-    # spread before the shingle explode: the per-row derivation is the
-    # hot pass and a single-file corpus arrives as one scan task
-    sh = spread_small_input(docs, key=id_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    # per-doc shingles sorted rarest-first under the (df, shingle)
-    # total order; struct sort is lexicographic by field, so the order
-    # is deterministic and common to all docs
     arr = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__df", "shingle"))
-            ).alias("__ts")
-        )
-        .select(
-            "doc",
-            F.transform("__ts", lambda s: s["shingle"]).alias("toks"),
-            F.size("__ts").alias("n"),
-        )
+        tokens
+        if tokens is not None
+        else rarity_sorted_tokens(docs, id_col, text_col, shingle_k)
     )
     p = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)) + 1).cast(
         "int"

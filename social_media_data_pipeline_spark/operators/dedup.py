@@ -1262,10 +1262,20 @@ def entity_resolution_clusters(
 
     if batches < 1:
         raise ValueError(f"batches must be >= 1, got {batches}")
+    from social_media_data_pipeline_spark.io import pin_stats
+
     key = F.substring(normalize_text(text_col), 1, key_len)
+    # the verified edge set is materialized below (localCheckpoint), so
+    # the content channel's rarity-sorted token table is pinned first:
+    # one build instead of the four plan-branch re-derivations, with
+    # measured stats keeping the verification broadcasts (r13; see
+    # blocking_quality). Unpersisted once the edge pin materializes.
+    _toks = pin_stats(
+        sketches.rarity_sorted_tokens(df, id_col, text_col, shingle_k)
+    )
     j_pairs = sketches.ngram_jaccard_pairs_prefix(
         df, id_col, text_col, shingle_k=shingle_k,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, tokens=_toks,
     ).select("id_a", "id_b")
     snm_cand = snm_pairs(df, id_col, key, window=window)
     keys = df.select(F.col(id_col), key.alias("__key"))
@@ -1280,6 +1290,7 @@ def entity_resolution_clusters(
     edges = (
         j_pairs.unionByName(s_pairs).distinct().localCheckpoint(eager=True)
     )
+    _toks.unpersist()
     labels = None
     for c in range(batches):
         chunk = edges.filter(
@@ -1335,6 +1346,8 @@ def blocking_quality(
     from social_media_data_pipeline_spark.functions import sketches
     from social_media_data_pipeline_spark.functions.text import normalize_text
 
+    from social_media_data_pipeline_spark.io import pin_stats
+
     spark = df.sparkSession
     # n_rows lets the sampled wrapper pass the count it already paid
     # for instead of re-running the sample filter scan (guide §1.2)
@@ -1343,17 +1356,29 @@ def blocking_quality(
     # every set count rides its table's checkpoint materialization as
     # an Observation — the previous shape paid a separate count() job
     # per table (3 extra jobs per evaluation; guide §1.2)
+    #
+    # r13: the truth join is materialized right here, so its rarity-
+    # sorted token table is pinned first (stats-preserving persist) —
+    # the four plan branches that consume it then read the cache once
+    # instead of re-deriving it (8 corpus scans -> 1); the measured
+    # statistics keep the verification broadcasts that a checkpoint
+    # pin flipped to sort-merge (r12 A/B: 2x slower). Unpersisted as
+    # soon as the truth checkpoint is materialized.
+    _toks = pin_stats(
+        sketches.rarity_sorted_tokens(df, id_col, text_col, shingle_k)
+    )
     _t_obs = Observation()
     truth = (
         sketches.ngram_jaccard_pairs_prefix(
             df, id_col, text_col, shingle_k=shingle_k,
-            threshold=jaccard_threshold,
+            threshold=jaccard_threshold, tokens=_toks,
         )
         .select("id_a", "id_b")
         .observe(_t_obs, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)
     )
     n_true = int(_t_obs.get["m"])
+    _toks.unpersist()
     key = F.substring(normalize_text(text_col), 1, key_len)
     methods = {
         "minhash_lsh": sketches.minhash_lsh_pairs(

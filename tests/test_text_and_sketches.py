@@ -1200,6 +1200,41 @@ class TestPrefixFilterJaccard:
 
 
 
+    def test_pinned_tokens_bit_identical(self, spark):
+        """r13: the stats-preserving token-table pin (io.pin_stats +
+        tokens=) must be a pure plan-shape change — same pairs, same
+        jaccard doubles as the lazy 4-branch derivation."""
+        from social_media_data_pipeline_spark.functions import sketches as sk
+        from social_media_data_pipeline_spark.io import pin_stats
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, base),
+            (2, base + " tail"),
+            (3, base.replace("lazy", "sleepy")),
+            (4, "completely different words everywhere in this one here"),
+            (5, base),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.5, 0.8):
+            lazy = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in sk.ngram_jaccard_pairs_prefix(
+                    df, "doc_id", "text", threshold=t
+                ).collect()
+            }
+            toks = pin_stats(
+                sk.rarity_sorted_tokens(df, "doc_id", "text", 3)
+            )
+            pinned = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in sk.ngram_jaccard_pairs_prefix(
+                    df, "doc_id", "text", threshold=t, tokens=toks
+                ).collect()
+            }
+            toks.unpersist()
+            assert pinned == lazy and len(lazy) > 0
+
     def test_threshold_range_guard(self, spark):
         import pytest as _pytest
 
