@@ -43,7 +43,13 @@ def connected_components(
         raw = raw.localCheckpoint(eager=True)
     sym = raw.unionByName(raw.selectExpr("b as a", "a as b")).distinct()
     if checkpoint:
-        # also pin the symmetrized list: it joins into EVERY round's job
+        # also pin the symmetrized list: it joins into EVERY round's job.
+        # A b-keyed persist pin (pin_stats(sym, key="b")) was A/B-measured
+        # in r13 and REJECTED: +0.6 s per cycle (dedup_clusters 2.30 →
+        # 2.93 median) — the b-keyed exchange + cache build never pays
+        # back because every round broadcasts the (small) labels side,
+        # leaving sym's partitioning unused. Revisit only where labels
+        # grow past broadcast size.
         sym = sym.localCheckpoint(eager=True)
     # seed component = min(node, min neighbor) — exactly what round 0's
     # propagate would compute from the identity labeling, but as ONE
@@ -104,6 +110,19 @@ def connected_components(
             labels = jumped.select("node", "component")
         if not delta:
             break
+    if checkpoint:
+        # hand consumers a STATS-BEARING final labeling: the per-round
+        # checkpoints (kept above — the loop needs lineage truncation)
+        # leave `labels` an UnknownPartitioning RDD scan with default
+        # stats, so every consumer join (docs ⨝ labels in
+        # dedup_clusters and friends) planned a two-sided
+        # Exchange+Sort sort-merge join even when labels is tiny.
+        # Persisting the final scan costs one count job over already-
+        # materialized rows and lets the planner read the true size —
+        # broadcast when small, sort-merge when corpus-sized.
+        from social_media_data_pipeline_spark.io import pin_stats
+
+        labels = pin_stats(labels)
     return labels
 
 

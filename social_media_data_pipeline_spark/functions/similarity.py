@@ -298,13 +298,19 @@ def cosine_near_dup_via_ivf(
     #     checkpoint-before-self-join rule as connected_components).
     #     This was the actual root of the query's cross-session bench
     #     variance the r6 verdict flagged.
-    # (b) repartitioning FIRST makes the checkpointed RDD carry
-    #     hashpartitioning(cluster), so the pair join needs no
-    #     exchange at all (2.35 → 1.14 s steady with AQE on; 0.26 s
-    #     with AQE off) — and at 100 TB this is exactly the
+    # (b) the pin must CARRY the hashpartitioning(cluster) into the
+    #     join. r12's localCheckpoint pin lost it (a checkpointed RDD
+    #     reports UnknownPartitioning under AQE), so the self-join
+    #     re-exchanged BOTH sides — at 100 TB that is two corpus-sized
+    #     shuffles the layout already paid for. `pin_stats` (r13)
+    #     persists instead: the cached relation keeps the repartition's
+    #     output partitioning (and measured stats), so the pair join
+    #     plans zero Exchanges over it — the inline analog of the
     #     "corpus written partitioned by cluster" layout the docstring
-    #     promises, produced inline.
-    assigned = assigned.repartition("cluster").localCheckpoint(eager=True)
+    #     promises.
+    from social_media_data_pipeline_spark.io import pin_stats
+
+    assigned = pin_stats(assigned, key="cluster")
     # Vectors+norms ride THROUGH the cell equi-join (the only shuffle
     # here is the n·probes assignment rows keyed by cluster — tiny), so
     # each candidate pair is verified map-side the moment it is formed:

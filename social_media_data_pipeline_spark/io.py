@@ -211,6 +211,11 @@ def pin_stats(df: DataFrame, key: str | None = None) -> DataFrame:
     failing, the same medium a shuffle would use."""
     if key is not None:
         df = df.repartition(F.col(key))
+    # Spark's CacheManager dedupes persist() by canonicalized plan: a
+    # re-construct of the same query would silently REUSE the previous
+    # pin's data instead of recomputing (a checkpoint never does).
+    # Every pin must recompute from its inputs — drop any prior entry.
+    df.unpersist(blocking=False)
     pinned = df.persist()
     pinned.count()
     return pinned

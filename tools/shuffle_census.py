@@ -41,9 +41,30 @@ def exchange_count(df) -> int:
     with redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue().split("===== Subqueries =====")[0]
-    # count Exchange nodes in the main plan tree (AQE may label them
-    # Exchange or AQEShuffleRead over a shuffle; count the Exchanges)
-    return len(re.findall(r"^\s*\(\d+\) Exchange", plan, flags=re.M))
+    # Count DISTINCT Exchange operator ids from the plan TREE (r13):
+    # a persist-pinned table (io.pin_stats) displays its cached child
+    # plan under EVERY InMemoryTableScan that reads it, including the
+    # nested AdaptiveSparkPlan's "== Initial Plan ==" duplicate — the
+    # old detail-section line count charged those exchanges once per
+    # display even though the cached plan executes exactly once at pin
+    # time. Dedupe by operator id and skip Initial Plan regions (the
+    # Final Plan is what ran). BroadcastExchange/ReusedExchange are not
+    # shuffles and stay excluded.
+    ids: set[str] = set()
+    skip_col: int | None = None
+    for line in plan.splitlines():
+        content = len(line) - len(line.lstrip(" :+-*"))
+        if skip_col is not None:
+            if content <= skip_col and line.strip():
+                skip_col = None
+            else:
+                continue
+        if "== Initial Plan ==" in line:
+            skip_col = len(line) - len(line.lstrip(" :"))
+            continue
+        for m in re.finditer(r"\b(?<!Broadcast)(?<!Reused)Exchange \((\d+)\)", line):
+            ids.add(m.group(1))
+    return len(ids)
 
 
 def main() -> int:
