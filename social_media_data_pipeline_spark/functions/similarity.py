@@ -352,45 +352,73 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: each vector → its max-cosine centroid.
 
-    `centroids` is a small (id, vector) table — broadcast; assignment is
-    an argmax via max_by over the broadcast join (no window shuffle).
-    """
-    c = centroids.select(
+    MAP-SIDE (r13, the `ivf_assign_multiprobe` shape at probes=1): the
+    K centroids collapse to ONE broadcast row holding an array of
+    (centroid_id, c_vec, c_norm) structs; each corpus row scores all K
+    in a `transform` and takes the (desc cos, asc id) head of an
+    `array_sort`. The previous shape cross-joined n·K rows — each
+    still carrying the full vector and its norm — into a per-vector
+    max-struct SortAggregate: at 100 TB that is a K-fold blow-up of
+    the corpus sorted by id before a single useful byte is produced
+    (and at bench scale it was the dominant interpreted-row cost of
+    every IVF consumer). Scores and tie-breaks are the exact same
+    expressions (round(cos, 6); max cos, then min centroid id), so
+    every downstream oracle is bit-stable — asserted by the
+    assignment-parity test."""
+    c_row = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
+    ).agg(
+        F.collect_list(F.struct("centroid_id", "c_vec", "c_norm")).alias("__cents")
     )
     with_norm = vectors.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("v_norm")
     )
-    denom = F.col("v_norm") * F.col("c_norm")
-    cos = F.when(denom > 0, dot(F.col(vec_col), F.col("c_vec")) / denom).otherwise(F.lit(0.0))
-    scored = with_norm.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("v_norm"),
-        F.col("centroid_id"),
-        F.round(cos, 6).alias("c_cos"),
-    )
-    # deterministic argmax via one struct-max aggregate: (cos, -cid) is
-    # unique per (vector, centroid), so the vector payload rides along
-    # without ever being compared — and the groupBy key stays a scalar id
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("c_cos"),
-                (-F.col("centroid_id")).alias("neg_id"),
-                F.col(vec_col).alias("vec"),
-                F.col("v_norm").alias("v_norm"),
+
+    def _score(ct):
+        denom = F.col("v_norm") * ct["c_norm"]
+        cos = F.when(denom > 0, dot(F.col(vec_col), ct["c_vec"]) / denom).otherwise(
+            F.lit(0.0)
+        )
+        return F.struct(
+            F.round(cos, 6).alias("c_cos"), ct["centroid_id"].alias("centroid_id")
+        )
+
+    def _rank(x, y):
+        return (
+            F.when(x["c_cos"] > y["c_cos"], F.lit(-1))
+            .when(x["c_cos"] < y["c_cos"], F.lit(1))
+            .otherwise(
+                F.when(x["centroid_id"] < y["centroid_id"], F.lit(-1))
+                .when(x["centroid_id"] > y["centroid_id"], F.lit(1))
+                .otherwise(F.lit(0))
             )
-        ).alias("best")
-    )
-    return best.select(
-        id_col,
-        F.col("best.vec").alias(vec_col),
-        F.col("best.v_norm").alias("v_norm"),
-        (-F.col("best.neg_id")).cast("int").alias("cluster"),
-        F.col("best.c_cos").alias("c_cos"),
+        )
+
+    # explode of the 1-element slice (the multiprobe idiom): the
+    # Generate node evaluates the score/sort ONCE per row — a plain
+    # struct-field extraction would be inlined by CollapseProject and
+    # re-evaluate the K-way sort per extracted field. The explode also
+    # handles the empty-centroid edge for free: slice([], 1, 1) yields
+    # nothing, keeping the old inner-join semantics (no centroids =>
+    # no assignments).
+    top1 = F.slice(F.array_sort(F.transform(F.col("__cents"), _score), _rank), 1, 1)
+    return (
+        with_norm.crossJoin(F.broadcast(c_row))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("v_norm"),
+            F.explode(top1).alias("__best"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            "v_norm",
+            F.col("__best.centroid_id").cast("int").alias("cluster"),
+            F.col("__best.c_cos").alias("c_cos"),
+        )
     )
 
 

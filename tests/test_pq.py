@@ -232,6 +232,71 @@ class TestResidualIvfPq:
                 assert cells[r["neighbor_id"]] == cells[q]
                 assert true_d(r["neighbor_id"]) <= true_d(exact[-1]) + margin
 
+    def test_map_side_assign_parity_with_aggregate_argmax(self, spark):
+        """r13: ivf_assign was rewritten from an n·K cross-join +
+        max-struct SortAggregate to the multiprobe-style map-side
+        argmax. Same rounded scores, same (max cos, min id) tie-break
+        — every column must be bit-identical to the old aggregate
+        formulation, replayed here inline as the reference."""
+        from pyspark.sql import functions as F
+
+        from social_media_data_pipeline_spark.functions import similarity
+        from social_media_data_pipeline_spark.functions.similarity import (
+            dot,
+            norm,
+        )
+
+        df = self._clustered(spark)
+        centroids = similarity.select_ivf_centroids(df, k=4, corpus_size=40)
+        c = centroids.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_vec"),
+            norm(F.col("embedding")).alias("c_norm"),
+        )
+        with_norm = df.select(
+            F.col("vec_id"), F.col("embedding"), norm(F.col("embedding")).alias("v_norm")
+        )
+        denom = F.col("v_norm") * F.col("c_norm")
+        cos = F.when(
+            denom > 0, dot(F.col("embedding"), F.col("c_vec")) / denom
+        ).otherwise(F.lit(0.0))
+        scored = with_norm.crossJoin(F.broadcast(c)).select(
+            "vec_id", "embedding", "v_norm", "centroid_id",
+            F.round(cos, 6).alias("c_cos"),
+        )
+        ref = scored.groupBy("vec_id").agg(
+            F.max(
+                F.struct(
+                    F.col("c_cos"),
+                    (-F.col("centroid_id")).alias("neg_id"),
+                    F.col("embedding").alias("vec"),
+                    F.col("v_norm").alias("v_norm"),
+                )
+            ).alias("best")
+        ).select(
+            "vec_id",
+            F.col("best.vec").alias("embedding"),
+            F.col("best.v_norm").alias("v_norm"),
+            (-F.col("best.neg_id")).cast("int").alias("cluster"),
+            F.col("best.c_cos").alias("c_cos"),
+        )
+        want = {
+            r["vec_id"]: (tuple(r["embedding"]), r["v_norm"], r["cluster"], r["c_cos"])
+            for r in ref.collect()
+        }
+        got = {
+            r["vec_id"]: (tuple(r["embedding"]), r["v_norm"], r["cluster"], r["c_cos"])
+            for r in similarity.ivf_assign(df, centroids).collect()
+        }
+        assert got == want and len(got) == 40
+
+    def test_assign_empty_centroids_yields_no_rows(self, spark):
+        from social_media_data_pipeline_spark.functions import similarity
+
+        df = self._clustered(spark)
+        empty = df.filter("vec_id < 0")
+        assert similarity.ivf_assign(df, empty).count() == 0
+
     def test_multiprobe_widens_candidates(self, spark):
         from social_media_data_pipeline_spark.functions import pq, similarity
 
