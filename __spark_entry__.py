@@ -949,6 +949,35 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_model_df(emb, iters=5).orderBy("centroid_id", "j")
 
 
+def q_kmeans_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmeans_train` with the driver-collect budget zeroed: the
+    DISTRIBUTED Lloyd path (checkpointed quantized view, per-round
+    broadcast-centroid assignment, one (cluster, dim) partial-agg
+    shuffle per round) — the shape the 100 TB corpus takes. Since r12
+    every trainer bench row fits the 8 MiB driver fast path at sf0.1,
+    so a regression in the at-scale path would be invisible to the
+    bench (VERDICT r12 "what's wrong" #1); this row keeps it timed.
+    Bit-identical model to `kmeans_train` by the parity tests
+    (`test_kmeans.py::test_driver_path_*`), so the oracle is the same
+    5-round replay chain."""
+    from social_media_data_pipeline_spark.functions import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    conf = spark.conf
+    prev = conf.get(kmeans.DRIVER_TRAIN_BYTES_CONF, None)
+    conf.set(kmeans.DRIVER_TRAIN_BYTES_CONF, "0")
+    try:
+        # training (the budget-gated part) runs during construction —
+        # ITERATIVE-class, like every other trainer row
+        out = kmeans.kmeans_model_df(emb, iters=5).orderBy("centroid_id", "j")
+    finally:
+        if prev is None:
+            conf.unset(kmeans.DRIVER_TRAIN_BYTES_CONF)
+        else:
+            conf.set(kmeans.DRIVER_TRAIN_BYTES_CONF, prev)
+    return out
+
+
 def q_embedding_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over TRAINED centroids: `kmeans_centroids` (5 Lloyd
     rounds) replaces the id-stride cells of `embedding_ivf_topk` —
@@ -3829,6 +3858,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution": q_events_attribution,  # [r13-in-new]
     "orders_basket_rules": q_orders_basket_rules,  # [r13-in-new]
     "events_time_to_convert": q_events_time_to_convert,  # [r13-in-new]
+    # r13 (optimization round): the budget-zeroed distributed-trainer
+    # row — keeps the at-scale Lloyd path measured now that every
+    # other trainer row fits the driver fast path at sf0.1
+    "kmeans_train_distributed": q_kmeans_train_distributed,  # [r13-in-new]
 }
 
 

@@ -255,6 +255,10 @@ HEADLINE = [
     "orders_basket_rules",
     # round 12 (late): activation-funnel latency (one per-user agg)
     "events_time_to_convert",
+    # round 13 (optimization): budget-zeroed distributed Lloyd — keeps
+    # the at-scale trainer path timed now that every other trainer row
+    # fits the 8 MiB driver fast path at sf0.1 (VERDICT r12 #1/#3)
+    "kmeans_train_distributed",
 ]
 
 # fixed non-iterative ANCHOR set (r12, verdict #8): the ±15-25%
@@ -366,6 +370,9 @@ ITERATIVE = {
     # the transition IVM's 3 seam-repaired folds (2 selective_upserts
     # each) run at construction — the maintenance cost IS the number
     "events_transition_incremental",
+    # the distributed Lloyd rounds run at construction (checkpoint +
+    # per-round jobs) — full train cycle is the honest number
+    "kmeans_train_distributed",
 }
 
 

@@ -2153,6 +2153,10 @@ from social_media_data_pipeline_spark.functions.kmeans import (
 )
 
 ORACLES["kmeans_train"] = _kmeans_oracle(iters=5)
+# the budget-zeroed distributed-path row (r13) trains the SAME model —
+# the driver/distributed parity is the point — so the oracle is the
+# same 5-round replay chain
+ORACLES["kmeans_train_distributed"] = _kmeans_oracle(iters=5)
 
 # IVF top-k over the TRAINED centroids: the k-means chain feeds the
 # same assigned/scored/top-k body as embedding_ivf_topk.
