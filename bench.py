@@ -381,7 +381,13 @@ ITERATIVE = {
 # 3.7 vs 4.66 s across idle sessions): best-of-3 instead of best-of-2,
 # and the recorded plan hash says whether a drift was a plan flip (AQE)
 # or machine noise.
-VARIANCE_PINNED = {"embedding_near_dup_ivf"}
+# embedding_balanced_sample_persisted added r13 (VERDICT r12 #2/#6): its
+# r12 -25% round-over-round reading on an untouched code path needed a
+# re-pin; best-of-3 keeps the artifact-read row inside the session band.
+VARIANCE_PINNED = {
+    "embedding_near_dup_ivf",
+    "embedding_balanced_sample_persisted",
+}
 
 
 def plan_hash(df) -> str:

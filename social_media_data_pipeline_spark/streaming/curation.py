@@ -108,16 +108,32 @@ def curate_batch(
             base.setdefault("spectrum_alarm", False)
         return base
 
-    if batch_df.isEmpty():
-        return _counts()
-    n_batch = batch_df.count()
+    from pyspark.sql import Observation
+
+    # one job per fact (guide §1.2, the r12 IVM discipline applied to
+    # the curation loop in r13): the batch size rides the gate
+    # checkpoint's own materialization as an Observation — the
+    # previous shape paid an isEmpty probe + a full batch count + a
+    # post-checkpoint count (three extra jobs per micro-batch)
     gate = (
         quality_predicate
         if quality_predicate is not None
         else etext.gopher_quality_flags(text_col)["passes"]
     )
-    gated = batch_df.filter(gate).localCheckpoint(eager=True)
-    n_gated = gated.count()
+    _g_obs = Observation()
+    gated = (
+        batch_df.observe(
+            _g_obs,
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.when(gate, 1).otherwise(0)).alias("n_gated"),
+        )
+        .filter(gate)
+        .localCheckpoint(eager=True)
+    )
+    n_batch = int(_g_obs.get["n_batch"])
+    n_gated = int(_g_obs.get["n_gated"] or 0)
+    if n_batch == 0:
+        return _counts()
     if n_gated == 0:
         return _counts(batch=n_batch)
     if os.path.exists(table_path) and scale.live_files(table_path):
@@ -135,11 +151,14 @@ def curate_batch(
         bands=bands,
         shingle_k=shingle_k,
     )
-    n_flagged = flagged.count()
-    survivors = gated.join(
-        flagged.select(id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
-    n_out = survivors.count()
+    n_flagged = flagged.count()  # cheap: flagged is pinned by the dedup op
+    _s_obs = Observation()
+    survivors = (
+        gated.join(flagged.select(id_col), id_col, "left_anti")
+        .observe(_s_obs, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    n_out = int(_s_obs.get["m"])
     if n_out > 0:
         if os.path.exists(table_path) and scale.live_files(table_path):
             scale.selective_upsert(spark, table_path, survivors, id_col)
@@ -169,8 +188,11 @@ def curate_batch(
             )
         else:
             changed = updated
-        changed = changed.localCheckpoint(eager=True)
-        n_labels_changed = changed.count()
+        _c_obs = Observation()
+        changed = changed.observe(
+            _c_obs, F.count(F.lit(1)).alias("m")
+        ).localCheckpoint(eager=True)
+        n_labels_changed = int(_c_obs.get["m"])
         if n_labels_changed > 0:
             if have_store:
                 scale.selective_upsert(spark, labels_path, changed, "node")

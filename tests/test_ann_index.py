@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 from social_media_data_pipeline_spark.functions import ann_index, kmeans
 
 
+pytestmark = pytest.mark.slow  # r13 fast-gate split: long property/replication/artifact suites run in the second lane (-m "slow or not slow")
+
+
 @pytest.fixture()
 def emb(spark):
     rows = [

@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 from social_media_data_pipeline_spark.functions import classifier
 
 
+pytestmark = pytest.mark.slow  # r13 fast-gate split: long property/replication/artifact suites run in the second lane (-m "slow or not slow")
+
+
 @pytest.fixture()
 def corpus(spark):
     rows = []

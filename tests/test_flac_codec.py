@@ -22,6 +22,9 @@ from social_media_data_pipeline_spark.sources.flac import (
 )
 
 
+pytestmark = pytest.mark.slow  # r13 fast-gate split: long property/replication/artifact suites run in the second lane (-m "slow or not slow")
+
+
 def _noise(n, lo=-30000, hi=30000, seed=3, ch=1):
     rng = np.random.default_rng(seed)
     x = rng.integers(lo, hi, (n, ch)).astype(np.int64)

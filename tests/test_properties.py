@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark.operators import dedup, filters, sampling, setops
 
+pytestmark = pytest.mark.slow  # r13 fast-gate split: long property/replication/artifact suites run in the second lane (-m "slow or not slow")
+
+
 SETTINGS = dict(
     max_examples=12,
     deadline=None,

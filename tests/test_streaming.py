@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from social_media_data_pipeline_spark.streaming import events as sev
 
+pytestmark = pytest.mark.slow  # r13 fast-gate split: long property/replication/artifact suites run in the second lane (-m "slow or not slow")
+
+
 SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
 
