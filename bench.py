@@ -411,6 +411,16 @@ def plan_hash(df) -> str:
     s = s.split("===== Subqueries =====")[0]  # subquery ids reorder freely
     s = re.sub(r"#\d+[L]?", "#x", s)
     s = re.sub(r"\[plan_id=\d+\]", "", s)
+    # RDD ids are session-activity counters: any createDataFrame /
+    # checkpoint scan's MapPartitionsRDD[n] shifts when EARLIER queries
+    # create more or fewer RDDs, flipping the hash of an unchanged plan
+    # (found in r13 when the pin work shifted ids of every later
+    # LocalTableScan-backed query) — strip them like the other
+    # per-run identifiers this function already promises to strip
+    s = re.sub(r"RDD\[\d+\]", "RDD[x]", s)
+    # higher-order-function lambda variable NAMES carry a session-global
+    # counter too (lambda x_4 vs lambda x_14 for the same expression)
+    s = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_n", s)
     s = re.sub(r"\(\d+\)", "(n)", s)
     s = re.sub(r"Location:.*", "Location: <path>", s)
     s = re.sub(r"Statistics:.*", "", s)
